@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-stable loaders for the engine's table universe.
+  *
+  * Mirrors the reference's entity model (clients/products/documents/details,
+  * /root/reference/app/db/bigquery_client.py:100-137) mapped onto the
+  * driver's TPC-H-ish star schema plus the LLM-pipeline corpus tables.
+  *
+  * Scale note: these are plain parquet scans so Catalyst can push filters
+  * and prune columns into the scan; callers should filter/select straight
+  * off the returned DataFrame (never cache the raw scan) so PushedFilters /
+  * ReadSchema stay minimal at 100 TB.
+  */
+object Tables {
+  val fact: Seq[String] = Seq("orders", "lineitem", "events")
+  val dims: Seq[String] = Seq("region", "nation", "customer", "supplier", "part")
+  val corpus: Seq[String] = Seq("documents", "embeddings")
+  val all: Seq[String] = dims ++ fact ++ corpus
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = load(s, d, "region")
+  def nation(s: SparkSession, d: String)    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = load(s, d, "part")
+  def orders(s: SparkSession, d: String)    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String)    = load(s, d, "events")
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+}
