@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Clean
+import graft.sources.Tables
+
+/** ETL core — the reference's extract/validate/load semantics
+  * (/root/reference/app/services/etl_service.py) re-expressed as
+  * declarative Spark plans over the star schema.
+  *
+  * All validation passes are narrow (scan -> project/filter, no shuffle)
+  * and stay inside WholeStageCodegen; the only shuffles in this file are
+  * the keyed upsert and dedup windows, which shuffle exactly once on the
+  * entity key — the minimum possible at any scale.
+  */
+object Etl {
+
+  // ---- A1: client validation (etl_service.py:20-56) --------------------
+  /** Valid clients: required id + name, junk-literal normalization, RUT &
+    * email format flags, amount sanity flag. */
+  def validateClients(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val rut = concat((col("c_custkey") + lit(10000000)).cast("string"),
+      lit("-"), (col("c_custkey") % 10).cast("string"))
+    c.select(
+        col("c_custkey").as("id_cliente"),
+        Clean.normStr(col("c_name")).as("nombre"),
+        col("c_mktsegment").as("segmento"),
+        col("c_acctbal").as("saldo"),
+        rut.as("rut"),
+        lower(regexp_replace(trim(col("c_name")), lit("[# ]"), lit("."))).as("email_local"))
+      .withColumn("email", concat(col("email_local"), lit("@imperio.cl")))
+      .drop("email_local")
+      .filter(col("id_cliente").isNotNull && col("nombre").isNotNull)
+      .withColumn("rut_valido", Clean.rutValid(col("rut")))
+      .withColumn("email_valido", Clean.emailValid(col("email")))
+      .withColumn("saldo_ok", col("saldo") >= 0)
+      .orderBy("id_cliente")
+  }
+
+  val validateClientsSql: String = s"""
+    SELECT id_cliente, nombre, segmento, saldo, rut, email,
+      ${Clean.rutValidSql("rut")} AS rut_valido,
+      ${Clean.emailValidSql("email")} AS email_valido,
+      saldo >= 0 AS saldo_ok
+    FROM (
+      SELECT c_custkey AS id_cliente,
+        ${Clean.normStrSql("c_name")} AS nombre,
+        c_mktsegment AS segmento, c_acctbal AS saldo,
+        CAST(c_custkey + 10000000 AS VARCHAR) || '-' || CAST(c_custkey % 10 AS VARCHAR) AS rut,
+        lower(regexp_replace(trim(c_name), '[# ]', '.')) || '@imperio.cl' AS email
+      FROM customer)
+    WHERE id_cliente IS NOT NULL AND nombre IS NOT NULL
+    ORDER BY id_cliente"""
+
+  // ---- A2: product validation + cost fallback (etl_service.py:59-107,604-615)
+  /** Valid products: price > 0 required; cost falls back to price*0.65
+    * when no cost history exists (the reference's business rule); negative
+    * margin flagged, not rejected (reference warns, etl_service.py:86-88). */
+  def validateProducts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+        col("p_partkey").as("id_producto"),
+        Clean.normStr(col("p_name")).as("nombre"),
+        concat(col("p_brand"), lit("-"), col("p_partkey").cast("string")).as("codigo_sku"),
+        col("p_type").as("descripcion"),
+        col("p_retailprice").as("precio_neto"))
+      .filter(col("precio_neto") > 0 && col("nombre").isNotNull && col("id_producto").isNotNull)
+      .withColumn("costo_neto", col("precio_neto") * lit(0.65))
+      .withColumn("margen_negativo", col("precio_neto") <= col("costo_neto"))
+      .withColumn("estado", lit(1))
+      .orderBy("id_producto")
+  }
+
+  val validateProductsSql: String = s"""
+    SELECT *, precio_neto * 0.65 AS costo_neto,
+      precio_neto <= precio_neto * 0.65 AS margen_negativo,
+      1 AS estado
+    FROM (
+      SELECT p_partkey AS id_producto,
+        ${Clean.normStrSql("p_name")} AS nombre,
+        p_brand || '-' || CAST(p_partkey AS VARCHAR) AS codigo_sku,
+        p_type AS descripcion, p_retailprice AS precio_neto
+      FROM part)
+    WHERE precio_neto > 0 AND nombre IS NOT NULL AND id_producto IS NOT NULL
+    ORDER BY id_producto"""
+
+  // ---- A3: document validation (etl_service.py:110-155) ----------------
+  /** Valid sale documents: required id/date, total > 0, net/IVA split and
+    * amount-coherence flag (|total - (net+iva)| <= 0.01). */
+  def validateDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice") > 0)
+      .select(
+        col("o_orderkey").as("id_documento"),
+        col("o_custkey").as("id_cliente"),
+        col("o_orderstatus").as("estado_doc"),
+        col("o_orderdate").cast("date").as("fecha_emision"),
+        col("o_totalprice").as("monto_total"),
+        (col("o_totalprice") / lit(1.19)).as("monto_neto"))
+      .withColumn("monto_iva", col("monto_total") - col("monto_neto"))
+      .withColumn("montos_coherentes",
+        abs(col("monto_total") - (col("monto_neto") + col("monto_iva"))) <= lit(0.01))
+      .orderBy("id_documento")
+  }
+
+  val validateDocumentsSql: String = """
+    SELECT *, monto_total - monto_neto AS monto_iva,
+      abs(monto_total - (monto_neto + (monto_total - monto_neto))) <= 0.01 AS montos_coherentes
+    FROM (
+      SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
+        o_orderstatus AS estado_doc, CAST(o_orderdate AS DATE) AS fecha_emision,
+        o_totalprice AS monto_total, o_totalprice / 1.19 AS monto_neto
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice > 0)
+    ORDER BY id_documento"""
+
+  // ---- A4: line-detail validation (etl_service.py:158-201) -------------
+  /** Valid document lines: qty > 0, unit price > 0, line-total coherence
+    * vs qty*unit*(1-disc) flagged with 1-cent tolerance. */
+  def validateDetails(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        col("l_orderkey").as("id_documento"),
+        col("l_linenumber").as("numero_linea"),
+        col("l_partkey").as("id_producto"),
+        col("l_quantity").as("cantidad"),
+        (col("l_extendedprice") / col("l_quantity")).as("precio_neto_unitario"),
+        (col("l_discount") * lit(100.0)).as("descuento_porcentual"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("monto_total_linea"))
+      .withColumn("linea_coherente",
+        abs(col("monto_total_linea") -
+          (col("cantidad") * col("precio_neto_unitario") * (lit(1.0) - col("descuento_porcentual") / lit(100.0)))) <= lit(0.01))
+      .orderBy("id_documento", "numero_linea")
+  }
+
+  val validateDetailsSql: String = """
+    SELECT *,
+      abs(monto_total_linea - (cantidad * precio_neto_unitario * (1.0 - descuento_porcentual / 100.0))) <= 0.01 AS linea_coherente
+    FROM (
+      SELECT l_orderkey AS id_documento, l_linenumber AS numero_linea,
+        l_partkey AS id_producto, l_quantity AS cantidad,
+        l_extendedprice / l_quantity AS precio_neto_unitario,
+        l_discount * 100.0 AS descuento_porcentual,
+        l_extendedprice * (1.0 - l_discount) AS monto_total_linea
+      FROM lineitem
+      WHERE l_quantity > 0 AND l_extendedprice > 0)
+    ORDER BY id_documento, numero_linea"""
+
+  // ---- A5: keyed upsert / MERGE (etl_service.py:252-293) ---------------
+  /** Generic latest-wins keyed merge: one shuffle on the key, window
+    * row_number, no driver-side loop (the reference loops 50-row MERGE
+    * batches; at 100 TB this is a single wide transformation instead). */
+  def merge(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val src = updates.withColumn("_pri", lit(1))
+      .unionByName(base.withColumn("_pri", lit(0)))
+    val w = Window.partitionBy(col(key)).orderBy(col("_pri").desc)
+    src.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_pri", "_rn")
+  }
+
+  /** A5 query: apply a derived update batch (10% of orders re-priced) to
+    * the orders snapshot via merge. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+    val updates = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .withColumn("o_orderstatus", lit("U"))
+    merge(o, updates, "o_orderkey").orderBy("o_orderkey")
+  }
+
+  val mergeUpsertSql: String = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        CAST(o_orderdate AS DATE) AS o_orderdate FROM orders),
+    updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        o_totalprice * 1.1 AS o_totalprice, o_orderdate
+      FROM base WHERE o_orderkey % 10 = 0),
+    src AS (
+      SELECT *, 1 AS _pri FROM updates
+      UNION ALL SELECT *, 0 AS _pri FROM base)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY _pri DESC) AS _rn FROM src)
+    WHERE _rn = 1
+    ORDER BY o_orderkey"""
+
+  // ---- A6: incremental sync (etl_service.py:652, scheduler_endpoints) --
+  /** Documents since start_date — a partition-prunable predicate that
+    * reaches the parquet scan (PushedFilters), the scale-correct analog of
+    * the reference's date-bounded re-extraction. */
+  def incrementalSync(spark: SparkSession, dir: String,
+      startDate: String = "2000-01-01"): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(startDate).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  val incrementalSyncSql: String = """
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ORDER BY o_orderkey"""
+
+  // ---- A7: keep-first dedup (etl_service.py:577-624) -------------------
+  /** First line per document — the reference's "first active variant per
+    * product" rule as a window dedup (single shuffle on the key). */
+  def firstPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    // total order: (orderkey, linenumber) is not unique in the synthetic
+    // data, so tie-break on every output column to keep the pick
+    // deterministic across engines
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    l.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy("l_orderkey")
+  }
+
+  val firstPerKeySql: String = """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice,
+            row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice) AS _rn
+          FROM lineitem)
+    WHERE _rn = 1
+    ORDER BY l_orderkey"""
+
+  // ---- A8: reload audit (endpoints.py:18 clean_and_reload) -------------
+  /** Snapshot audit after a full reload: per-table row counts + key
+    * checksums (exact integer sums — order-independent). */
+  def reloadAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: Column) =
+      df.agg(count(lit(1)).as("row_count"), sum(key.cast("long")).as("key_checksum"))
+        .select(lit(name).as("table_name"), col("row_count"), col("key_checksum"))
+    one("customer", Tables.customer(spark, dir), col("c_custkey"))
+      .unionByName(one("orders", Tables.orders(spark, dir), col("o_orderkey")))
+      .unionByName(one("lineitem", Tables.lineitem(spark, dir), col("l_orderkey")))
+      .unionByName(one("part", Tables.part(spark, dir), col("p_partkey")))
+      .unionByName(one("supplier", Tables.supplier(spark, dir), col("s_suppkey")))
+      .orderBy("table_name")
+  }
+
+  val reloadAuditSql: String = """
+    SELECT 'customer' AS table_name, COUNT(*) AS row_count, SUM(CAST(c_custkey AS BIGINT)) AS key_checksum FROM customer
+    UNION ALL SELECT 'orders', COUNT(*), SUM(CAST(o_orderkey AS BIGINT)) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*), SUM(CAST(l_orderkey AS BIGINT)) FROM lineitem
+    UNION ALL SELECT 'part', COUNT(*), SUM(CAST(p_partkey AS BIGINT)) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*), SUM(CAST(s_suppkey AS BIGINT)) FROM supplier
+    ORDER BY table_name"""
+}
