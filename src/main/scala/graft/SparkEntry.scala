@@ -19,7 +19,16 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => Etl.mergeUpsert(s, d)),
     "q_incremental_sync" -> ((s, d) => Etl.incrementalSync(s, d)),
     "q_first_variant_dedup" -> ((s, d) => Etl.firstPerKey(s, d)),
-    "q_clean_reload_counts" -> ((s, d) => Etl.reloadAudit(s, d))
+    "q_clean_reload_counts" -> ((s, d) => Etl.reloadAudit(s, d)),
+    "q3_top_unshipped" -> ((s, d) => Analytics.topUnshipped(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Analytics.nationRevenue(s, d)),
+    "q_sales_by_month" -> ((s, d) => Analytics.salesByMonth(s, d)),
+    "q_top_products" -> ((s, d) => Analytics.topProducts(s, d)),
+    "q_customer_stats" -> ((s, d) => Analytics.customerStats(s, d)),
+    "q_margin_analysis" -> ((s, d) => Analytics.marginAnalysis(s, d)),
+    "q_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
+    "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "q_events_json" -> ((s, d) => Analytics.eventsJson(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same exactness). */
@@ -32,6 +41,15 @@ object SparkEntry {
     "q_merge_upsert" -> Etl.mergeUpsertSql,
     "q_incremental_sync" -> Etl.incrementalSyncSql,
     "q_first_variant_dedup" -> Etl.firstPerKeySql,
-    "q_clean_reload_counts" -> Etl.reloadAuditSql
+    "q_clean_reload_counts" -> Etl.reloadAuditSql,
+    "q3_top_unshipped" -> Analytics.topUnshippedSql,
+    "q5_nation_revenue" -> Analytics.nationRevenueSql,
+    "q_sales_by_month" -> Analytics.salesByMonthSql,
+    "q_top_products" -> Analytics.topProductsSql,
+    "q_customer_stats" -> Analytics.customerStatsSql,
+    "q_margin_analysis" -> Analytics.marginAnalysisSql,
+    "q_events_window_agg" -> Analytics.eventsWindowAggSql,
+    "q_events_sessionize" -> Analytics.sessionizeSql,
+    "q_events_json" -> Analytics.eventsJsonSql
   )
 }

@@ -69,4 +69,289 @@ object Analytics {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
+
+  /** B2: top unshipped orders (TPC-H Q3 flavor). Broadcast the filtered
+    * customer dim; lineitem⋈orders shuffles once on orderkey; exact cents
+    * revenue makes the top-10 ranking deterministic. */
+  def topUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount"))).as("rev_u"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_u")).as("rev_u"))
+      .select(col("l_orderkey"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val topUnshippedSql: String = """
+    SELECT l_orderkey,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** B3: revenue by nation (TPC-H Q5 flavor). region/nation/supplier are
+    * broadcast; the only big shuffles are lineitem⋈orders on orderkey and
+    * the final small agg. */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_nationkey").as("cn_key"), col("n_name"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount"))).as("rev_u"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("cn_key"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_u")).as("rev_u"), count(lit(1)).as("n_lines"))
+      .select(col("n_name"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"), col("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val nationRevenueSql: String = """
+    SELECT n_name,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+      COUNT(*) AS n_lines
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** B4: monthly sales roll-up — the reference's Sheets "reporte ventas"
+    * analog; one shuffle on the (truncated) month key. */
+  def salesByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("mes"),
+        cents(col("o_totalprice")).as("total_c"))
+      .groupBy("mes")
+      .agg(count(lit(1)).as("n_documentos"),
+        sum(col("total_c")).as("total_c"))
+      .select(col("mes"), col("n_documentos"),
+        centsToUnits(col("total_c")).as("monto_total"),
+        avgFromCents(col("total_c"), col("n_documentos")).as("ticket_promedio"))
+      .orderBy("mes")
+
+  val salesByMonthSql: String = """
+    SELECT mes, COUNT(*) AS n_documentos,
+      CAST(SUM(total_c) AS DOUBLE) / 100.0 AS monto_total,
+      CAST(SUM(total_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS ticket_promedio
+    FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c FROM orders)
+    GROUP BY mes ORDER BY mes"""
+
+  /** B5: top products per brand — revenue rank window over the exact cents
+    * aggregate (deterministic with partkey tie-break). lineitem⋈part
+    * broadcasts the dim. */
+  def topProducts(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount"))).as("rev_u"))
+      .groupBy("l_partkey").agg(sum(col("rev_u")).as("rev_u"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_name")
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_u").desc, col("p_partkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("rango", row_number().over(w))
+      .filter(col("rango") <= k)
+      .select(col("p_brand"), col("rango"), col("p_partkey"), col("p_name"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"))
+      .orderBy("p_brand", "rango")
+  }
+
+  val topProductsSql: String = """
+    SELECT p_brand, rango, p_partkey, p_name,
+      CAST(rev_u AS DOUBLE) / 10000.0 AS revenue
+    FROM (
+      SELECT p_brand, p_partkey, p_name, rev_u,
+        row_number() OVER (PARTITION BY p_brand ORDER BY rev_u DESC, p_partkey) AS rango
+      FROM (
+        SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_u
+        FROM lineitem GROUP BY l_partkey) r
+      JOIN part ON l_partkey = p_partkey)
+    WHERE rango <= 3
+    ORDER BY p_brand, rango"""
+
+  /** B6: per-customer stats — single shuffle on custkey, customer dim
+    * broadcast onto the aggregate. */
+  def customerStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("total_c"),
+        col("o_orderdate").cast("date").as("d"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_documentos"), sum(col("total_c")).as("total_c"),
+        min(col("d")).as("primera_compra"), max(col("d")).as("ultima_compra"))
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey").as("id_cliente"), col("c_name").as("nombre"),
+        col("c_mktsegment").as("segmento"), col("n_documentos"),
+        centsToUnits(col("total_c")).as("monto_total"),
+        avgFromCents(col("total_c"), col("n_documentos")).as("ticket_promedio"),
+        col("primera_compra"), col("ultima_compra"))
+      .orderBy("id_cliente")
+  }
+
+  val customerStatsSql: String = """
+    SELECT c_custkey AS id_cliente, c_name AS nombre, c_mktsegment AS segmento,
+      n_documentos,
+      CAST(total_c AS DOUBLE) / 100.0 AS monto_total,
+      CAST(total_c AS DOUBLE) / CAST(n_documentos AS DOUBLE) / 100.0 AS ticket_promedio,
+      primera_compra, ultima_compra
+    FROM (
+      SELECT o_custkey, COUNT(*) AS n_documentos,
+        SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_c,
+        MIN(CAST(o_orderdate AS DATE)) AS primera_compra,
+        MAX(CAST(o_orderdate AS DATE)) AS ultima_compra
+      FROM orders GROUP BY o_custkey) a
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY id_cliente"""
+
+  /** B7: margin analysis — the reference's negative-margin warning
+    * (etl_service.py:86-88) as a brand-level aggregate. Per-row margin is
+    * converted to exact cents before the order-independent sum. */
+  def marginAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"),
+      (col("p_retailprice") * lit(0.65)).as("unit_cost"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round((col("unit_price") - col("unit_cost")) * lit(100)).cast("long").as("margin_c"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lineas"),
+        sum(when(col("margin_c") < 0, 1L).otherwise(0L)).as("n_margen_negativo"),
+        sum(col("margin_c")).as("margin_c"))
+      .select(col("p_brand"), col("n_lineas"), col("n_margen_negativo"),
+        centsToUnits(col("margin_c")).as("margen_total"))
+      .orderBy("p_brand")
+  }
+
+  val marginAnalysisSql: String = """
+    SELECT p_brand, COUNT(*) AS n_lineas,
+      SUM(CASE WHEN margin_c < 0 THEN 1 ELSE 0 END) AS n_margen_negativo,
+      CAST(SUM(margin_c) AS DOUBLE) / 100.0 AS margen_total
+    FROM (
+      SELECT p_brand,
+        CAST(ROUND((l_extendedprice / l_quantity - p_retailprice * 0.65) * 100) AS BIGINT) AS margin_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity > 0)
+    GROUP BY p_brand ORDER BY p_brand"""
+
+  /** B8: hourly event roll-up (batch twin of streaming.EventStream).
+    * Event time stays in integer nanos (Tables.events note); the hour
+    * bucket is an exact integer division. */
+  def eventsWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("hora_epoch"),
+        col("event_type"), cents(col("value")).as("val_c"))
+      .groupBy("hora_epoch", "event_type")
+      .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("val_c"))
+      .select(col("hora_epoch"), col("event_type"), col("n_eventos"),
+        centsToUnits(col("val_c")).as("valor_total"))
+      .orderBy("hora_epoch", "event_type")
+
+  val eventsWindowAggSql: String = """
+    SELECT hora_epoch, event_type, COUNT(*) AS n_eventos,
+      CAST(SUM(val_c) AS DOUBLE) / 100.0 AS valor_total
+    FROM (SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hora_epoch,
+            event_type, CAST(ROUND(value * 100) AS BIGINT) AS val_c
+          FROM events)
+    GROUP BY hora_epoch, event_type
+    ORDER BY hora_epoch, event_type"""
+
+  /** B9: gap-based sessionization (batch twin of streaming.Sessionizer).
+    * One shuffle on user_id; lag + running sum over integer nanos; 30-min
+    * gap threshold. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    // micros, not nanos: DuckDB truncates parquet TIMESTAMP_NS to micro
+    // precision, so we match it at the source for cross-engine exactness
+    val gapUs = 30L * 60 * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      // integer div: `/` on longs is double division in Spark and epoch
+      // nanos (~1.7e18) exceed double's 2^53 exact integer range
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), cents(col("value")).as("val_c"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("nueva", when(col("prev_ts").isNull ||
+        col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("nueva")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_us")).as("inicio_us"), max(col("ts_us")).as("fin_us"),
+        count(lit(1)).as("n_eventos"), sum(col("val_c")).as("val_c"))
+      .select(col("user_id"), col("session_idx"), col("inicio_us"), col("fin_us"),
+        col("n_eventos"), centsToUnits(col("val_c")).as("valor_total"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeSql: String = """
+    SELECT user_id, session_idx, MIN(ts_us) AS inicio_us, MAX(ts_us) AS fin_us,
+      COUNT(*) AS n_eventos, CAST(SUM(val_c) AS DOUBLE) / 100.0 AS valor_total
+    FROM (
+      SELECT user_id, ts_us, val_c,
+        SUM(nueva) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM (
+        SELECT user_id, ts_us, event_id, val_c,
+          CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS nueva
+        FROM (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+            lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+          FROM events)))
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""
+
+  /** B10: JSON property extraction + roll-up. Regex extraction keeps the
+    * expression codegen'd and engine-portable. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eventos"), sum(col("k")).as("suma_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val eventsJsonSql: String = """
+    SELECT event_type, COUNT(*) AS n_eventos,
+      SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS suma_k,
+      MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type"""
 }

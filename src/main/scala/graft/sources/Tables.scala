@@ -29,7 +29,14 @@ object Tables {
   def part(s: SparkSession, d: String)      = load(s, d, "part")
   def orders(s: SparkSession, d: String)    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = load(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as a raw nanos long (legacy conf) and keep event-time math in
+    * integer nanoseconds — exact, order-independent, and cheaper than
+    * timestamp codecs in a 100 TB event scan. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+  }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 }
