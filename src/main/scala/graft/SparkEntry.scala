@@ -28,7 +28,11 @@ object SparkEntry {
     "q_margin_analysis" -> ((s, d) => Analytics.marginAnalysis(s, d)),
     "q_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
-    "q_events_json" -> ((s, d) => Analytics.eventsJson(s, d))
+    "q_events_json" -> ((s, d) => Analytics.eventsJson(s, d)),
+    "q_text_tokencount" -> ((s, d) => TextOps.tokenCount(s, d)),
+    "q_text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q_text_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same exactness). */
@@ -50,6 +54,10 @@ object SparkEntry {
     "q_margin_analysis" -> Analytics.marginAnalysisSql,
     "q_events_window_agg" -> Analytics.eventsWindowAggSql,
     "q_events_sessionize" -> Analytics.sessionizeSql,
-    "q_events_json" -> Analytics.eventsJsonSql
+    "q_events_json" -> Analytics.eventsJsonSql,
+    "q_text_tokencount" -> TextOps.tokenCountSql,
+    "q_text_quality" -> TextOps.qualityScoreSql,
+    "q_text_langid" -> TextOps.langIdSql,
+    "q_text_fingerprint" -> TextOps.fingerprintSql
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` corpus: token counting, quality scoring, language ID and
+  * fingerprinting (SURVEY.md §2 C8-C11).
+  *
+  * All of these are narrow per-row transformations built from codegen'd
+  * `functions._` expressions — no UDFs, no shuffle — so a 100 TB corpus
+  * pass is a single embarrassingly-parallel scan.
+  */
+object TextOps {
+
+  /** C10: token counting — whitespace tokens plus a BPE-ish regex token
+    * estimate (letter runs / digit runs / single punctuation marks). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_real"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens_ws"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_tokens_bpe"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String = """
+    SELECT doc_id, lang, length(text) AS n_chars_real,
+      CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id"""
+
+  /** C9: quality scoring — length/punctuation/stopword/digit ratios folded
+    * into a composite score. Per-row double math is bit-identical across
+    * engines as long as the expression tree matches the oracle's. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        length(col("text")).cast("double").as("n_chars_d"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("long").as("n_stop"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"))
+    d.filter(col("n_chars_d") > 0 && col("n_tok") > 0)
+      .select(col("doc_id"), col("lang"),
+        col("n_tok"),
+        (col("n_punct").cast("double") / col("n_chars_d")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_tok").cast("double")).as("stopword_ratio"),
+        (col("n_digit").cast("double") / col("n_chars_d")).as("digit_ratio"),
+        (col("n_chars_d") / col("n_tok").cast("double")).as("avg_token_len"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * lit(2.0) - col("punct_ratio") * lit(1.0)
+          - col("digit_ratio") * lit(3.0)
+          + when(col("n_tok") >= 20 && col("n_tok") <= 1000, lit(0.5)).otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = """
+    SELECT doc_id, lang, n_tok, punct_ratio, stopword_ratio, digit_ratio, avg_token_len,
+      stopword_ratio * 2.0 - punct_ratio * 1.0 - digit_ratio * 3.0
+        + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END AS quality_score
+    FROM (
+      SELECT doc_id, lang, n_tok,
+        CAST(n_punct AS DOUBLE) / n_chars_d AS punct_ratio,
+        CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
+        CAST(n_digit AS DOUBLE) / n_chars_d AS digit_ratio,
+        n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
+      FROM (
+        SELECT doc_id, lang,
+          CAST(length(text) AS DOUBLE) AS n_chars_d,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS n_stop,
+          len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        FROM documents)
+      WHERE n_chars_d > 0 AND n_tok > 0)
+    ORDER BY doc_id"""
+
+  /** C8: n-gram-marker language ID. Scores each language by marker-word
+    * hits and takes the argmax with a fixed tie-break order — a cheap,
+    * fully-distributed heuristic (real models would ride a broadcast
+    * n-gram table; the plumbing is identical). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def score(pat: String) = regexp_count(lower(col("text")), lit(pat)).cast("long")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("lang_declarado"),
+        score("\\b(the|and|of|is|this|that|with)\\b").as("s_en"),
+        score("\\b(el|la|los|las|que|de|y|es)\\b").as("s_es"),
+        score("\\b(der|die|das|und|ist|nicht|mit)\\b").as("s_de"),
+        score("\\b(le|les|et|est|dans|pour|une)\\b").as("s_fr"),
+        regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long").as("s_zh"))
+    scored.withColumn("lang_predicho",
+        when(col("s_zh") > 0, "zh")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select("doc_id", "lang_declarado", "s_en", "s_es", "s_de", "s_fr", "s_zh", "lang_predicho")
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = """
+    SELECT doc_id, lang_declarado, s_en, s_es, s_de, s_fr, s_zh,
+      CASE WHEN s_zh > 0 THEN 'zh'
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END AS lang_predicho
+    FROM (
+      SELECT doc_id, lang AS lang_declarado,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|is|this|that|with)\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|y|es)\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|pour|une)\b')) AS s_fr,
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+      FROM documents)
+    ORDER BY doc_id"""
+
+  /** C11: document fingerprinting — whole-doc md5 plus a winnowing-style
+    * fingerprint (lexicographic min of md5 over 5-char shingles; min over
+    * fixed-width hex == numeric min, and min is order-independent so the
+    * distributed agg is exact). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .select(col("doc_id"),
+        md5(col("norm").cast("binary")).as("md5_full"),
+        expr("""array_min(transform(sequence(0, greatest(length(norm) - 5, 0)),
+                 i -> md5(cast(substring(norm, i + 1, 5) as binary))))""").as("winnow_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String = """
+    SELECT doc_id, md5(norm) AS md5_full,
+      list_aggregate(list_transform(range(0, greatest(length(norm) - 5, 0) + 1),
+        i -> md5(substr(norm, i + 1, 5))), 'min') AS winnow_fp
+    FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
+    ORDER BY doc_id"""
+}
