@@ -32,7 +32,15 @@ object SparkEntry {
     "q_text_tokencount" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_text_langid" -> ((s, d) => TextOps.langId(s, d)),
-    "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d))
+    "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(s, d)),
+    "q_dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(s, d)),
+    "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(s, d)),
+    "q_neardup_embedding" -> ((s, d) => EmbeddingOps.neardupEmbedding(s, d)),
+    "q_ann_bruteforce" -> ((s, d) => EmbeddingOps.annBruteforce(s, d)),
+    "q_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
+    "q_multimodal_meta" -> ((s, d) => EmbeddingOps.multimodalMeta(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (same column names, same exactness). */
@@ -58,6 +66,14 @@ object SparkEntry {
     "q_text_tokencount" -> TextOps.tokenCountSql,
     "q_text_quality" -> TextOps.qualityScoreSql,
     "q_text_langid" -> TextOps.langIdSql,
-    "q_text_fingerprint" -> TextOps.fingerprintSql
+    "q_text_fingerprint" -> TextOps.fingerprintSql,
+    "q_dedup_exact" -> DedupOps.dedupExactSql,
+    "q_dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
+    "q_dedup_simhash" -> DedupOps.dedupSimhashSql,
+    "q_dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
+    "q_neardup_embedding" -> EmbeddingOps.neardupEmbeddingSql,
+    "q_ann_bruteforce" -> EmbeddingOps.annBruteforceSql,
+    "q_ann_lsh" -> EmbeddingOps.annLshSql,
+    "q_multimodal_meta" -> EmbeddingOps.multimodalMetaSql
   )
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` corpus (SURVEY.md §2 C1-C4):
+  * exact hash dedup, MinHash+LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * The reference guarantees no-duplicate loads via keyed MERGE
+  * (/root/reference/app/services/etl_service.py:252-293); at LLM-corpus scale
+  * the same guarantee needs content dedup, expressed here Spark-first.
+  *
+  * Scale design (100 TB):
+  *  - Signatures (minhash bands, simhash, gram sets) are computed in a single
+  *    narrow, codegen'd pass over the scan — no UDFs, no shuffle.
+  *  - The only shuffles key on (band, signature) / (source, gram) — bounded
+  *    fan-out buckets, so the candidate self-joins never go quadratic in the
+  *    corpus; they're quadratic only within a bucket. Skewed buckets (stop-gram
+  *    buckets in C4) are the known hazard: cap or salt them at real scale.
+  *  - Exactness vs the DuckDB oracle: md5 hex strings (lexicographic min over
+  *    fixed-width hex == numeric min, order-independent), integer counts, and
+  *    one final double division (SURVEY.md §3).
+  */
+object DedupOps {
+
+  /** C1: exact dedup — hash-groupBy on normalized text, keep min doc_id.
+    * One shuffle keyed on the 128-bit content hash (never the full text, so
+    * shuffle volume is O(rows·16B) regardless of document size). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val dedupExactSql: String = """
+    SELECT md5(lower(trim(text))) AS norm_hash,
+           min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
+
+  /** C2: MinHash+LSH near-dup candidates — 5-char shingles, 4 bands; the
+    * band-b signature is min(md5(b ‖ ':' ‖ shingle)) (a distinct salted min-
+    * hash per band), and docs sharing any (band, sig) bucket become a pair.
+    * The self-join keys on (band, sig): only bucket-mates meet, so candidate
+    * generation is linear in bucket volume, not corpus². */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, 3), b ->
+             array_min(transform(sequence(0, length(norm) - 5),
+               i -> md5(cast(concat(cast(b as string), ':',
+                               substring(norm, i + 1, 5)) as binary)))))"""
+      )).as(Seq("band", "sig")))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashLshSql: String = """
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents
+               WHERE length(lower(trim(text))) >= 5),
+    sigs AS (
+      SELECT doc_id, b AS band,
+        list_aggregate(list_transform(range(0, length(norm) - 5 + 1),
+          i -> md5(CAST(b AS VARCHAR) || ':' || substr(norm, i + 1, 5))),
+          'min') AS sig
+      FROM d, (SELECT unnest(range(0, 4)) AS b))
+    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
+                            AND a.doc_id < b2.doc_id
+    ORDER BY doc_a, doc_b"""
+
+  /** C3: SimHash — 32-bit signature: bit j is the majority vote over tokens
+    * of the top bit of hex digit j of md5(token). Pure integer math inside a
+    * narrow pass; grouping by signature gives the dup classes. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+             acc + CASE WHEN aggregate(toks, 0, (s, t) ->
+                 s + CASE WHEN substring(md5(cast(t as binary)), j + 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"""
+      ).as("simhash"))
+    sig.withColumn("n_group",
+        count(lit(1)).over(Window.partitionBy("simhash")))
+      .select("doc_id", "simhash", "n_group")
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashSql: String = """
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_group
+    FROM (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 32), j ->
+          CASE WHEN list_sum(list_transform(
+                 regexp_split_to_array(lower(trim(text)), '\s+'), t ->
+                 CASE WHEN substr(md5(t), CAST(j + 1 AS INT), 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS simhash
+      FROM documents WHERE length(trim(text)) > 0)
+    ORDER BY doc_id"""
+
+  /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams
+    * explode, gram-keyed join counts intersections, |A|+|B|−∩ gives the
+    * union, one double division gives Jaccard. Blocking bounds the join;
+    * at real scale also drop ultra-frequent grams (stop-gram skew). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+                       element_at(toks, i + 3))))""")).as("gram"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.source").as("source"), col("a.doc_id").as("doc_a"),
+               col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_grams", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_grams", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select("source", "doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, source, unnest(list_distinct(
+        list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
+          toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] || ' ' ||
+          toks[CAST(i + 3 AS INT)]))) AS gram
+      FROM d WHERE len(toks) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common
+      FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
+                        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3)
+    SELECT i.source, i.doc_a, i.doc_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) /
+             CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_common AS DOUBLE) /
+          CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE) >= 0.2
+    ORDER BY doc_a, doc_b"""
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 C5-C7):
+  * cosine near-dup pairs, brute-force ANN and LSH-bucketed ANN.
+  *
+  * Exactness vs the DuckDB oracle (SURVEY.md §3): every float reduction is a
+  * *sequential left fold* over the same element order in both engines
+  * (Spark `aggregate`, DuckDB `list_reduce`), float→double widening is exact,
+  * so dot products and norms are bit-identical doubles.
+  *
+  * Scale design (100 TB):
+  *  - Norms are computed once per vector in a narrow pass, so pair joins move
+  *    only (id, key, vec, norm) and compute one dot per candidate pair.
+  *  - C5 joins only within a `label` block; C7 only within an LSH bucket —
+  *    the all-pairs surface is bounded by bucket volume, never corpus².
+  *  - C6's probe side is tiny by construction and explicitly `broadcast()`,
+  *    so the scan side never shuffles: brute-force ANN is one pass over the
+  *    corpus per probe batch.
+  */
+object EmbeddingOps {
+
+  /** Sequential-fold dot product of two float vectors as doubles (codegen'd
+    * higher-order functions, no UDF). */
+  private def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+          cast(x as double) * cast(y as double)),
+          cast(0 as double), (s, v) -> s + v)"""
+
+  /** Sequential-fold squared norm. */
+  private def norm2Expr(a: String): String =
+    s"""aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
+          cast(0 as double), (s, v) -> s + v)"""
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(norm2Expr("embedding")).as("n2"))
+
+  /** C5: near-duplicate pairs — cosine ≥ 0.30 within a `label` block.
+    * Shuffles once on `label`; each block is an independent all-pairs. */
+  def neardupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (expr(dotExpr("a.embedding", "b.embedding")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cosine"))
+      .filter(col("cosine") >= 0.30)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val neardupEmbeddingSql: String = """
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings)
+    SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      list_reduce(list_transform(range(1, len(a.embedding) + 1), i ->
+        CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+        CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, len(a.embedding) + 1), i ->
+        CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+        CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.30
+    ORDER BY vec_a, vec_b"""
+
+  /** C6: brute-force ANN — top-10 cosine neighbors for the probe set
+    * (vec_id ≡ 0 mod 100). Probes broadcast; ties broken by neighbor id so
+    * the ranking is deterministic. */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("n2").as("p_n2"))
+    val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  val annBruteforceSql: String = """
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    s AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+        list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+          CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
+      FROM v p, v e WHERE p.vec_id % 100 = 0 AND e.vec_id <> p.vec_id)
+    SELECT probe_id, neighbor_id, cosine, rnk FROM (
+      SELECT probe_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s) WHERE rnk <= 10
+    ORDER BY probe_id, rnk"""
+
+  /** C7: LSH ANN — 8 deterministic integer-arithmetic hyperplanes
+    * w(p)(j) = ((p·31 + j·17) mod 13) − 6; the sign pattern of v·w(p) forms
+    * an 8-bit bucket. Probes only meet candidates in their own bucket, so
+    * per-probe work is bucket-sized, not corpus-sized — this is the scale
+    * path next to C6's exact baseline. */
+  private val bucketExpr: String = """
+    aggregate(sequence(0, 7), 0, (acc, p) ->
+      acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
+          s + cast(element_at(embedding, j + 1) as double) *
+              cast((p * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
+        THEN shiftleft(1, p) ELSE 0 END)"""
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir).withColumn("bucket", expr(bucketExpr))
+    val probes = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bucket"),
+        col("embedding").as("p_emb"), col("n2").as("p_n2"))
+    val scored = v.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "neighbor_id", "bucket", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  val annLshSql: String = """
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2,
+        CAST(list_sum(list_transform(range(0, 8), p ->
+          CASE WHEN list_reduce(list_transform(range(0, 64), j ->
+              CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
+              CAST((p * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
+              > CAST(0 AS DOUBLE)
+          THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+      FROM embeddings),
+    s AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, e.bucket AS bucket,
+        list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+          CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
+      FROM v p JOIN v e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+      WHERE p.vec_id % 100 = 0)
+    SELECT probe_id, neighbor_id, bucket, cosine, rnk FROM (
+      SELECT probe_id, neighbor_id, bucket, cosine,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s) WHERE rnk <= 10
+    ORDER BY probe_id, rnk"""
+
+  /** C12: multimodal binary-column plumbing — the corpus text stands in for
+    * an opaque media payload (utf-8 encode = the only codec in this
+    * container). Byte length, sha2-256 content id and a leading-bytes header
+    * peek are the real, tested Spark-side plumbing; actual image/audio
+    * decode is stubbed in [[MultimodalOps.decodeStub]]. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        lower(hex(substring(col("text").cast("binary"), 1, 8))).as("header_hex"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String = """
+    SELECT doc_id, source,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      sha256(text) AS sha256_hex,
+      substr(lower(hex(CAST(text AS BLOB))), 1, 16) AS header_hex
+    FROM documents ORDER BY doc_id"""
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Opaque media payload with typed metadata — the multimodal column model:
+  * the payload is an untyped byte blob; everything Spark plans on (ids,
+  * media type, sizes) is a typed column next to it. */
+case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+/** Deterministic fake "decoded" features — stands in for pixels/samples. */
+case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+                         mean_byte: Double, max_byte: Int, frame_count: Int)
+
+/** Multimodal-column plumbing (SURVEY.md §2 C12 support): decode /
+  * feature-extract over opaque binary payloads.
+  *
+  * The container ships no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake; everything around it — the binary
+  * column schema, the per-partition batch iteration shape, the typed
+  * feature output — is the real plumbing a codec would drop into.
+  *
+  * Scale design: decode is per-row CPU behind `mapPartitions`, so it
+  * parallelizes with the scan and never shuffles; a real decoder would
+  * amortize native-lib init once per partition exactly where `partIter`
+  * is constructed below.
+  */
+object MultimodalOps {
+
+  /** STUB — deterministic fake decode. A real build replaces this body with
+    * an actual codec call (e.g. JPEG → pixel array); signature stays. */
+  def decodeStub(payload: Array[Byte]): (Double, Int, Int) = {
+    if (payload.isEmpty) (0.0, 0, 0)
+    else {
+      var sum = 0L; var max = 0
+      payload.foreach { b => val u = b & 0xff; sum += u; if (u > max) max = u }
+      // "frame count": fake 1 frame per 256 bytes, ≥1 — deterministic.
+      (sum.toDouble / payload.length, max, 1 + payload.length / 256)
+    }
+  }
+
+  /** Media table derived from `documents` (utf-8 payloads stand in for real
+    * media bytes; media_type cycles deterministically). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction: one `mapPartitions` pass — decoder init happens
+    * once per partition, rows stream through it. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { partIter =>
+      // real codec: open native decoder HERE, once per partition
+      partIter.map { m =>
+        val (mean, max, frames) = decodeStub(m.payload)
+        MediaFeatures(m.doc_id, m.media_type, m.payload.length.toLong,
+          mean, max, frames)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media rows → decoded feature table. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+}
