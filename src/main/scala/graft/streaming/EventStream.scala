@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Exact._
+
+/** D1: streaming twin of Analytics.eventsWindowAgg — the reference's
+  * scheduled 4-hourly sync loop (/root/reference/app/api/
+  * scheduler_endpoints.py) re-expressed as a continuous Structured
+  * Streaming job: file source → event-time watermark → tumbling window agg.
+  *
+  * Scale design: the windowed aggregate is a streaming state store keyed on
+  * (window, event_type) — bounded key space; the 1-hour watermark bounds
+  * state retention, so a 1000-executor stream runs with O(active windows)
+  * state, not O(history). Money math stays in integer cents so partial
+  * (map-side) aggregation is exact.
+  */
+object EventStream {
+
+  /** The driver's events.parquet schema, with `ts` as raw TIMESTAMP(NANOS)
+    * read as long nanos (see graft.sources.Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** Tumbling hourly window × event_type aggregation. Input needs columns
+    * (ts: timestamp, event_type, value); works on any streaming or batch
+    * DataFrame, so specs drive it from a MemoryStream. */
+  def hourlyAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("win"), col("event_type"),
+        cents(col("value")).as("val_c"))
+      .groupBy("win", "event_type")
+      .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("sum_c"))
+      .select(col("win.start").as("hora"), col("event_type"),
+        col("n_eventos"), centsToUnits(col("sum_c")).as("valor_total"))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.Export
+
+/** §E export sinks: CSV report, JSON lines, partitioned parquet. */
+class ExportSpec extends SparkSpec {
+
+  test("csvReport writes a single headered csv readable back") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("2024-01", 10.5), ("2024-02", 20.0)).toDF("mes", "total")
+    val dir = tmpDir("csv") + "/report"
+    Export.csvReport(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val back = sp.read.option("header", "true").csv(dir)
+    assert(back.orderBy("mes").collect().map(r => (r.getString(0), r.getString(1).toDouble)).toSeq
+      == Seq(("2024-01", 10.5), ("2024-02", 20.0)))
+  }
+
+  test("partitionedParquet prunes by partition column") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "A", 1.0), (2L, "B", 2.0), (3L, "A", 3.0)).toDF("id", "seg", "v")
+    val dir = tmpDir("pp") + "/t"
+    Export.partitionedParquet(df, dir, Seq("seg"))
+    assert(new java.io.File(dir, "seg=A").exists())
+    val onlyA = sp.read.parquet(dir).filter(org.apache.spark.sql.functions.col("seg") === "A")
+    assert(onlyA.count() == 2)
+    // partition filter must show up as a partition-pruning scan (no seg=B read)
+    val plan = onlyA.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || onlyA.inputFiles.forall(_.contains("seg=A")))
+  }
+
+  test("jsonLines roundtrip") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("json") + "/j"
+    Export.jsonLines(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), dir)
+    assert(sp.read.json(dir).count() == 2)
+  }
+}

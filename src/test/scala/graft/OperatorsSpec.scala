@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Invariant checks per operator family at sf0.001 (exactness vs DuckDB is
+  * the driver's gate; these specs pin structural invariants and edge
+  * semantics that a hash compare wouldn't explain on failure). */
+class OperatorsSpec extends SparkSpec {
+
+  test("ETL validations keep row subsets with expected flags") {
+    val clients = Etl.validateClients(spark, sf)
+    assert(clients.count() > 0)
+    val docs = Etl.validateDocuments(spark, sf)
+    assert(docs.columns.contains("montos_coherentes"))
+    val details = Etl.validateDetails(spark, sf)
+    assert(details.count() > 0)
+  }
+
+  test("merge keeps exactly one row per key, updates win") {
+    val sp = spark
+    import sp.implicits._
+    val base = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("k", "v", "ver")
+    val upd = Seq((2L, "B", 2), (4L, "d", 2)).toDF("k", "v", "ver")
+    val out = Etl.merge(base, upd, "k").orderBy("k")
+      .as[(Long, String, Int)].collect()
+    assert(out.toSeq == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
+  }
+
+  test("dedup_exact covers every doc exactly once") {
+    val d = DedupOps.dedupExact(spark, sf)
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("minhash pairs are ordered and distinct") {
+    val p = DedupOps.dedupMinhashLsh(spark, sf)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.count() == p.distinct().count())
+  }
+
+  test("simhash signatures are 32-bit non-negative") {
+    val s = DedupOps.dedupSimhash(spark, sf)
+    assert(s.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count() == 0)
+  }
+
+  test("jaccard scores lie in (0, 1]") {
+    val j = DedupOps.dedupNgramJaccard(spark, sf)
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("ann bruteforce returns at most k ranked neighbors per probe") {
+    val a = EmbeddingOps.annBruteforce(spark, sf)
+    val byProbe = a.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rnk").as("m"))
+    assert(byProbe.filter(col("n") > 10 || col("m") > 10).count() == 0)
+    // cosine must be within [-1, 1] modulo rounding
+    assert(a.filter(abs(col("cosine")) > 1.0000001).count() == 0)
+  }
+
+  test("ann lsh neighbors share the probe's bucket and rank within it") {
+    val l = EmbeddingOps.annLsh(spark, sf)
+    assert(l.filter(col("rnk") > 10).count() == 0)
+    assert(l.filter(col("bucket") < 0 || col("bucket") > 255).count() == 0)
+  }
+
+  test("multimodal features are deterministic and sized right") {
+    val f = MultimodalOps.features(spark, sf)
+    assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
+    assert(f.filter(col("frame_count") < 1).count() == 0)
+    // byte_len agrees with the meta query's octet length
+    val meta = EmbeddingOps.multimodalMeta(spark, sf).select("doc_id", "byte_len")
+    assert(f.select("doc_id", "byte_len").except(meta).count() == 0)
+  }
+
+  test("decode stub: empty payload and known bytes") {
+    assert(MultimodalOps.decodeStub(Array.emptyByteArray) == (0.0, 0, 0))
+    assert(MultimodalOps.decodeStub(Array[Byte](0, 100, -56)) == (100.0, 200, 1))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+import graft.streaming._
+
+/** Structured Streaming specs (SURVEY.md §2 D1-D3) driven by MemoryStream
+  * micro-batches with memory/parquet sinks. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("D1 EventStream.hourlyAgg windows by hour and event_type") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.hourlyAgg(
+      in.toDF().toDF("ts", "event_type", "value"), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("d1_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.25),
+        (ts("2024-01-01 10:55:00"), "click", 2.25),
+        (ts("2024-01-01 10:30:00"), "view", 10.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.00))
+      q.processAllAvailable()
+      val rows = sp.table("d1_out")
+        .orderBy("hora", "event_type")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      assert(rows == Seq(
+        (ts("2024-01-01 10:00:00"), "click", 2L, 3.5),
+        (ts("2024-01-01 10:00:00"), "view", 1L, 10.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("D2 Sessionizer splits on gap in streaming micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[SessEvent]
+    val out = Sessionizer.sessionize(Sessionizer.withWatermark(in.toDS()))
+    val q = out.writeStream.format("memory").queryName("d2_out")
+      .outputMode("append").start()
+    try {
+      val m = 60L * 1000000L // one minute in micros
+      def at(min: Int) = ts(f"2024-01-01 10:$min%02d:00")
+      in.addData(SessEvent(7, at(0), 100), SessEvent(7, at(10), 200))
+      q.processAllAvailable()
+      // 40 min later: previous session closes on arrival and is emitted
+      in.addData(SessEvent(7, at(50), 300))
+      q.processAllAvailable()
+      val closed = sp.table("d2_out").as[SessionOut].collect().toSeq
+      val t0 = at(0).getTime * 1000L
+      assert(closed == Seq(SessionOut(7, t0, t0 + 10 * m, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("D2 Sessionizer batch mode matches the batch twin's session counts") {
+    val sp = spark
+    import sp.implicits._
+    val events = graft.sources.Tables.events(sp, sf)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        round(col("value") * 100).cast("long").as("val_c"))
+      .as[SessEvent]
+    val streamed = Sessionizer.sessionize(events, finishAll = true)
+    val batch = graft.operators.Analytics.sessionize(sp, sf)
+    assert(streamed.count() == batch.count())
+    // and identical per-user session counts
+    val a = streamed.groupBy("user_id").count().orderBy("user_id").collect().toSeq
+    val b = batch.groupBy("user_id").count().orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("D3 UpsertSink merges micro-batches latest-wins into parquet") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val target = tmpDir("upsert_target") + "/t"
+    val ckpt = tmpDir("upsert_ckpt")
+    val in = MemoryStream[(Long, String, Long)]
+    def run(): Unit = {
+      val q = UpsertSink.start(in.toDF().toDF("k", "v", "ver"),
+        "k", "ver", target, ckpt, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    in.addData((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 2L))
+    run()
+    in.addData((2L, "B", 3L), (3L, "c", 1L))
+    run()
+    val rows = sp.read.parquet(target).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 1L), (2L, "B", 3L), (3L, "c", 1L)))
+  }
+}
