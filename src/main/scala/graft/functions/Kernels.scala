@@ -1,0 +1,251 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression kernels for the text/vector hot paths.
+  *
+  * The same computations are expressible with `transform`/`aggregate`
+  * higher-order functions, but Spark evaluates HOF lambdas interpreted
+  * (one boxed eval per element), and per-character `substring` makes the
+  * shingle loops O(len²). These kernels run the identical arithmetic as a
+  * tight JVM loop inside whole-stage codegen — each is a single static call
+  * from generated code, so the surrounding stage stays codegen'd.
+  *
+  * Exactness contract (SURVEY.md §3): every kernel reproduces, bit-for-bit,
+  * the arithmetic its DuckDB oracle twin declares — integer polynomial
+  * hashes mod 2^31−1, md5 hex nibbles, and *sequential* left-fold double
+  * sums in array order (never reassociated), matching `list_reduce`.
+  */
+object Kernels {
+
+  private val P = 2147483647L // 2^31 − 1
+
+  /** 4-band × 3-row MinHash signature of a normalized string.
+    * Shingle hash: 5-codepoint polynomial in base 31 mod p (codepoints match
+    * `ascii(substr(...))` in both engines). Row-k hash: (A_k·h + B_k) mod p
+    * with A_k = (506952114·(k+1)) mod p, B_k = (1013904223·(k+1)) mod p.
+    * Band b's signature is "min_{3b}:min_{3b+1}:min_{3b+2}". */
+  def shingleMinHash(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints.toArray
+    val nSh = cps.length - 4
+    val mins = Array.fill(12)(Long.MaxValue)
+    val as = Array.tabulate(12)(k => (506952114L * (k + 1)) % P)
+    val bs = Array.tabulate(12)(k => (1013904223L * (k + 1)) % P)
+    var i = 0
+    while (i < nSh) {
+      val h = (cps(i).toLong * 923521 + cps(i + 1).toLong * 29791 +
+        cps(i + 2).toLong * 961 + cps(i + 3).toLong * 31 + cps(i + 4).toLong) % P
+      var k = 0
+      while (k < 12) {
+        val g = (as(k) * h + bs(k)) % P
+        if (g < mins(k)) mins(k) = g
+        k += 1
+      }
+      i += 1
+    }
+    val sigs = new Array[AnyRef](4)
+    var b = 0
+    while (b < 4) {
+      sigs(b) = UTF8String.fromString(
+        s"${mins(b * 3)}:${mins(b * 3 + 1)}:${mins(b * 3 + 2)}")
+      b += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** 32-bit SimHash: bit j is the majority vote over tokens of whether hex
+    * digit j of md5(token-utf8) is ≥ '8' (i.e. the nibble's top bit). */
+  def simHash32(toks: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val md = MessageDigest.getInstance("MD5")
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val dig = md.digest(toks.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 32) {
+        val byte = dig(j >> 1) & 0xff
+        val nib = if ((j & 1) == 0) byte >> 4 else byte & 0xf
+        if (nib >= 8) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) acc |= 1L << j; j += 1 }
+    acc
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): String = {
+    md.reset()
+    val dig = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Winnowing fingerprint: lexicographic min over 5-codepoint shingles of
+    * md5 hex (= numeric min over fixed-width hex). Shingle positions are
+    * 0..max(len−5, 0), so a short doc contributes its whole text once. */
+  def winnowFp(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val cps = str.codePoints.toArray
+    val len = cps.length
+    val lastPos = math.max(len - 5, 0)
+    val md = MessageDigest.getInstance("MD5")
+    var best: String = null
+    var i = 0
+    while (i <= lastPos) {
+      val sub = new String(cps, i, math.min(5, len - i))
+      val hex = md5Hex(md, sub.getBytes("UTF-8"))
+      if (best == null || hex.compareTo(best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  /** Sequential-fold dot product of two float vectors as doubles — the same
+    * left-to-right summation order as `list_reduce`, so bit-exact. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Sequential-fold squared norm. */
+  def norm2F(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    s
+  }
+
+  /** 8-plane sign-LSH bucket: plane p has integer weights
+    * w_j = ((p·31 + j·17) mod 13) − 6 over dims 0..63; bit p of the bucket is
+    * set when the sequential-fold dot with plane p is > 0. */
+  def lshBucket(a: ArrayData): Int = {
+    var acc = 0
+    var p = 0
+    while (p < 8) {
+      var s = 0.0
+      var j = 0
+      while (j < 64) {
+        s += a.getFloat(j).toDouble * (((p * 31 + j * 17) % 13) - 6).toDouble
+        j += 1
+      }
+      if (s > 0.0) acc |= 1 << p
+      p += 1
+    }
+    acc
+  }
+
+  /** Registers the kernels as SQL temp functions (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_minhash_sigs",
+      args => ShingleMinHashSigs(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash32",
+      args => SimHash32(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow_fp",
+      args => WinnowFp(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      args => DotF(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm2",
+      args => Norm2F(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      args => LshBucket(args.head), "built-in")
+  }
+}
+
+case class ShingleMinHashSigs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleMinHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleMinHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashSigs =
+    copy(child = newChild)
+}
+
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simHash32(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simHash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+case class WinnowFp(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnowFp(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowFp($c)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFp =
+    copy(child = newChild)
+}
+
+case class DotF(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+}
+
+case class Norm2F(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.norm2F(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.norm2F($c)")
+  override protected def withNewChildInternal(newChild: Expression): Norm2F =
+    copy(child = newChild)
+}
+
+case class LshBucket(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.lshBucket(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshBucket($c)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}

@@ -40,21 +40,21 @@ object DedupOps {
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
     FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
 
-  /** C2: MinHash+LSH near-dup candidates — 5-char shingles, 4 bands; the
-    * band-b signature is min(md5(b ‖ ':' ‖ shingle)) (a distinct salted min-
-    * hash per band), and docs sharing any (band, sig) bucket become a pair.
-    * The self-join keys on (band, sig): only bucket-mates meet, so candidate
-    * generation is linear in bucket volume, not corpus². */
+  /** C2: MinHash+LSH near-dup candidates — 5-char shingles hashed with a
+    * pure-arithmetic polynomial hash (no md5 in the O(chars) hot loop), 4
+    * bands × 3 rows: row-k minhash is min over shingles of the universal hash
+    * (A_k·h + B_k) mod p (p = 2^31−1), a band signature concatenates its 3
+    * rows, and docs sharing any (band, sig) bucket become a pair. With r=3
+    * the collision threshold is ≈(1/4)^(1/3)≈0.63 Jaccard, so buckets hold
+    * genuine near-dups — candidate generation stays linear in bucket volume,
+    * never corpus². All integer math, identical in Spark and DuckDB. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val sigs = Tables.documents(spark, dir)
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, 3), b ->
-             array_min(transform(sequence(0, length(norm) - 5),
-               i -> md5(cast(concat(cast(b as string), ':',
-                               substring(norm, i + 1, 5)) as binary)))))"""
-      )).as(Seq("band", "sig")))
+      .select(col("doc_id"),
+        posexplode(expr("graft_minhash_sigs(norm)")).as(Seq("band", "sig")))
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -66,12 +66,23 @@ object DedupOps {
   val dedupMinhashLshSql: String = """
     WITH d AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents
                WHERE length(lower(trim(text))) >= 5),
+    h AS (
+      SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
+        (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
+         ascii(substr(norm, CAST(i + 2 AS INT), 1)) * 29791 +
+         ascii(substr(norm, CAST(i + 3 AS INT), 1)) * 961 +
+         ascii(substr(norm, CAST(i + 4 AS INT), 1)) * 31 +
+         ascii(substr(norm, CAST(i + 5 AS INT), 1)))
+        % 2147483647) AS hs
+      FROM d),
     sigs AS (
       SELECT doc_id, b AS band,
-        list_aggregate(list_transform(range(0, length(norm) - 5 + 1),
-          i -> md5(CAST(b AS VARCHAR) || ':' || substr(norm, i + 1, 5))),
-          'min') AS sig
-      FROM d, (SELECT unnest(range(0, 4)) AS b))
+        array_to_string(list_transform(range(0, 3), r ->
+          CAST(list_min(list_transform(hs, x ->
+            ((506952114 * (b * 3 + r + 1)) % 2147483647 * x
+             + (1013904223 * (b * 3 + r + 1)) % 2147483647)
+            % 2147483647)) AS VARCHAR)), ':') AS sig
+      FROM h, (SELECT unnest(range(0, 4)) AS b))
     SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
     FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
                             AND a.doc_id < b2.doc_id
@@ -82,17 +93,11 @@ object DedupOps {
     * narrow pass; grouping by signature gives the dup classes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.Kernels.register(spark)
     val sig = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
-             acc + CASE WHEN aggregate(toks, 0, (s, t) ->
-                 s + CASE WHEN substring(md5(cast(t as binary)), j + 1, 1)
-                          IN ('8','9','a','b','c','d','e','f')
-                     THEN 1 ELSE -1 END) > 0
-               THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"""
-      ).as("simhash"))
+      .select(col("doc_id"), expr("graft_simhash32(toks)").as("simhash"))
     sig.withColumn("n_group",
         count(lit(1)).over(Window.partitionBy("simhash")))
       .select("doc_id", "simhash", "n_group")
@@ -105,13 +110,15 @@ object DedupOps {
     FROM (
       SELECT doc_id,
         list_sum(list_transform(range(0, 32), j ->
-          CASE WHEN list_sum(list_transform(
-                 regexp_split_to_array(lower(trim(text)), '\s+'), t ->
-                 CASE WHEN substr(md5(t), CAST(j + 1 AS INT), 1)
+          CASE WHEN list_sum(list_transform(hashes, h ->
+                 CASE WHEN substr(h, CAST(j + 1 AS INT), 1)
                       IN ('8','9','a','b','c','d','e','f')
                  THEN 1 ELSE -1 END)) > 0
           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS simhash
-      FROM documents WHERE length(trim(text)) > 0)
+      FROM (
+        SELECT doc_id, list_transform(
+          regexp_split_to_array(lower(trim(text)), '\s+'), t -> md5(t)) AS hashes
+        FROM documents WHERE length(trim(text)) > 0))
     ORDER BY doc_id"""
 
   /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams

@@ -23,22 +23,17 @@ import graft.sources.Tables
   */
 object EmbeddingOps {
 
-  /** Sequential-fold dot product of two float vectors as doubles (codegen'd
-    * higher-order functions, no UDF). */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-          cast(x as double) * cast(y as double)),
-          cast(0 as double), (s, v) -> s + v)"""
+  /** Sequential-fold dot product of two float vectors as doubles — native
+    * codegen kernel [[graft.functions.Kernels.dotF]], same fold order as the
+    * oracle's `list_reduce`. */
+  private def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** Sequential-fold squared norm. */
-  private def norm2Expr(a: String): String =
-    s"""aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
-          cast(0 as double), (s, v) -> s + v)"""
-
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr(norm2Expr("embedding")).as("n2"))
+        expr("graft_norm2(embedding)").as("n2"))
+  }
 
   /** C5: near-duplicate pairs — cosine ≥ 0.30 within a `label` block.
     * Shuffles once on `label`; each block is an independent all-pairs. */
@@ -120,12 +115,7 @@ object EmbeddingOps {
     * an 8-bit bucket. Probes only meet candidates in their own bucket, so
     * per-probe work is bucket-sized, not corpus-sized — this is the scale
     * path next to C6's exact baseline. */
-  private val bucketExpr: String = """
-    aggregate(sequence(0, 7), 0, (acc, p) ->
-      acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
-          s + cast(element_at(embedding, j + 1) as double) *
-              cast((p * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
-        THEN shiftleft(1, p) ELSE 0 END)"""
+  private val bucketExpr: String = "graft_lsh_bucket(embedding)"
 
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -125,14 +125,15 @@ object TextOps {
     * fingerprint (lexicographic min of md5 over 5-char shingles; min over
     * fixed-width hex == numeric min, and min is order-independent so the
     * distributed agg is exact). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     Tables.documents(spark, dir)
       .withColumn("norm", lower(trim(col("text"))))
       .select(col("doc_id"),
         md5(col("norm").cast("binary")).as("md5_full"),
-        expr("""array_min(transform(sequence(0, greatest(length(norm) - 5, 0)),
-                 i -> md5(cast(substring(norm, i + 1, 5) as binary))))""").as("winnow_fp"))
+        expr("graft_winnow_fp(norm)").as("winnow_fp"))
       .orderBy("doc_id")
+  }
 
   val fingerprintSql: String = """
     SELECT doc_id, md5(norm) AS md5_full,
