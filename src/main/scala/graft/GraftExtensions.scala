@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Session extension that registers graft's native expression kernels, so a
+  * user gets them in every session (SQL and `expr(...)`) via
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * or programmatically with [[GraftSession.builder]]. The same registrations
+  * are applied idempotently by [[graft.functions.Kernels.register]] for
+  * sessions created without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+                 builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("graft", name, usage), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("graft_minhash_sigs",
+      "4-band x 3-row MinHash band signatures of a normalized string",
+      args => ShingleMinHashSigs(args.head)))
+    ext.injectFunction(fn("graft_simhash32",
+      "32-bit SimHash of a token array (md5 nibble majority votes)",
+      args => SimHash32(args.head)))
+    ext.injectFunction(fn("graft_winnow_fp",
+      "winnowing fingerprint: min md5 hex over 5-char shingles",
+      args => WinnowFp(args.head)))
+    ext.injectFunction(fn("graft_dot",
+      "sequential-fold double dot product of two float vectors",
+      args => DotF(args(0), args(1))))
+    ext.injectFunction(fn("graft_norm2",
+      "sequential-fold squared norm of a float vector",
+      args => Norm2F(args.head)))
+    ext.injectFunction(fn("graft_lsh_bucket",
+      "8-plane sign-LSH bucket id of a 64-dim float vector",
+      args => LshBucket(args.head)))
+  }
+}
+
+/** Opinionated session factory with the engine's scale defaults: AQE with
+  * coalescing and skew-join handling on, shuffle partitions sized for the
+  * deployment (32 for the local[32] test rig; a 1000-executor cluster would
+  * set cores*executors*2-3), and the graft extensions installed. */
+object GraftSession {
+  def builder(master: String = "local[32]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+}

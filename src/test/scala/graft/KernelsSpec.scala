@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native kernels must be bit-identical to the declarative
+  * higher-order-function formulations they replace (which in turn mirror the
+  * DuckDB oracle SQL). Each test evaluates both on real sf0.001 data and
+  * requires zero differing rows. The kernels come from GraftExtensions
+  * injection (no Kernels.register call here), which also covers the
+  * spark.sql.extensions path. */
+class KernelsSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.documents(spark, sf)
+  private def embs = graft.sources.Tables.embeddings(spark, sf)
+
+  test("graft_minhash_sigs matches the HOF polynomial-hash formulation") {
+    val d = docs.withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .withColumn("hs", expr(
+        """transform(sequence(0, length(norm) - 5), i ->
+             (cast(ascii(substring(norm, i + 1, 1)) as bigint) * 923521 +
+              cast(ascii(substring(norm, i + 2, 1)) as bigint) * 29791 +
+              cast(ascii(substring(norm, i + 3, 1)) as bigint) * 961 +
+              cast(ascii(substring(norm, i + 4, 1)) as bigint) * 31 +
+              cast(ascii(substring(norm, i + 5, 1)) as bigint))
+             % 2147483647)"""))
+      .withColumn("hof", expr(
+        """transform(sequence(0, 3), b -> concat_ws(':',
+             transform(sequence(0, 2), r ->
+               cast(array_min(transform(hs, h ->
+                 ((506952114 * cast(b * 3 + r + 1 as bigint)) % 2147483647 * h
+                  + (1013904223 * cast(b * 3 + r + 1 as bigint)) % 2147483647)
+                 % 2147483647)) as string))))"""))
+      .withColumn("ker", expr("graft_minhash_sigs(norm)"))
+    assert(d.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
+  test("graft_simhash32 matches the HOF md5-nibble-vote formulation") {
+    val d = docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("hof", expr(
+        """aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) ->
+             acc + CASE WHEN aggregate(toks, 0, (s, t) ->
+                 s + CASE WHEN substring(md5(cast(t as binary)), j + 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"""))
+      .withColumn("ker", expr("graft_simhash32(toks)"))
+    assert(d.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
+  test("graft_winnow_fp matches the HOF min-md5-shingle formulation") {
+    val d = docs.withColumn("norm", lower(trim(col("text"))))
+      .withColumn("hof", expr(
+        """array_min(transform(sequence(0, greatest(length(norm) - 5, 0)),
+             i -> md5(cast(substring(norm, i + 1, 5) as binary))))"""))
+      .withColumn("ker", expr("graft_winnow_fp(norm)"))
+    assert(d.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
+  test("graft_dot and graft_norm2 match sequential-fold HOF bit-exactly") {
+    val v = embs.limit(50).select(col("vec_id"), col("embedding"))
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .withColumn("hof", expr(
+        """aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
+             cast(x as double) * cast(y as double)),
+             cast(0 as double), (s, v) -> s + v)"""))
+      .withColumn("ker", expr("graft_dot(a.embedding, b.embedding)"))
+    assert(pairs.filter(col("hof") =!= col("ker")).count() == 0)
+    val norms = embs
+      .withColumn("hof", expr(
+        """aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+             cast(0 as double), (s, v) -> s + v)"""))
+      .withColumn("ker", expr("graft_norm2(embedding)"))
+    assert(norms.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
+  test("graft_lsh_bucket matches the HOF sign-plane formulation") {
+    val b = embs
+      .withColumn("hof", expr(
+        """aggregate(sequence(0, 7), 0, (acc, p) ->
+             acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
+                 s + cast(element_at(embedding, j + 1) as double) *
+                     cast((p * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
+               THEN shiftleft(1, p) ELSE 0 END)"""))
+      .withColumn("ker", expr("graft_lsh_bucket(embedding)"))
+    assert(b.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
+  test("kernels survive null inputs") {
+    val sp = spark
+    import sp.implicits._
+    val row = Seq(Tuple1(Option.empty[String])).toDF("norm")
+    assert(row.selectExpr("graft_winnow_fp(norm)").head.isNullAt(0))
+    assert(row.selectExpr("graft_minhash_sigs(norm)").head.isNullAt(0))
+  }
+}
