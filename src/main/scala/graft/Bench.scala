@@ -16,7 +16,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Warm the JVM before timing: first-query cost is otherwise dominated by
+    // classloading + codegen + parquet-footer machinery, not query work.
+    spark.range(100000).selectExpr("id", "id % 7 AS k")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    // No args (the driver's invocation): every query once. Dev use: pass
+    // query names, optionally repeated, to time a subset in one JVM.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.map(n => n -> SparkEntry.queries(n))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

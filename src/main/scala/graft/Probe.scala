@@ -1,20 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Dev tool: condensed physical-plan audit (joins, scans, pushdown,
+  * exchanges) for the queries named in args, or a default set. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q5_nation_revenue", "q_incremental_sync", "q_validate_clients", "q3_top_unshipped", "q1_pricing_summary")) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q5_nation_revenue", "q_incremental_sync", "q_validate_clients",
+        "q3_top_unshipped", "q1_pricing_summary")
+    for (q <- qs) {
       println(s"########## $q")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // keep it terse: join nodes, scans, filters pushed
       plan.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Scan") || l.contains("PushedFilters") ||
-        l.contains("ReadSchema") || l.contains("Exchange") || l.contains("PartitionFilters"))
+        l.contains("ReadSchema") || l.contains("Exchange") || l.contains("Reused") ||
+        l.contains("HashAggregate") || l.contains("Generate") || l.contains("Window") ||
+        l.contains("Sort") || l.contains("Project"))
         .foreach(println)
     }
     spark.stop()

@@ -50,6 +50,13 @@ object DedupOps {
     * never corpus². All integer math, identical in Spark and DuckDB. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
+    // Join form, deliberately: this corpus is duplicate-dense (≈40% of all
+    // pairs collide), so a collect_list-per-bucket pair expansion would
+    // materialize n²/2 structs in single rows on single threads (measured
+    // 12× slower at sf0.1). The self-join streams pairs through codegen and
+    // spreads each bucket's expansion across its join partitions; the
+    // signature pass is recomputed on the second branch, but it's the cheap
+    // part next to the pair volume.
     val sigs = Tables.documents(spark, dir)
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
@@ -126,6 +133,13 @@ object DedupOps {
     * union, one double division gives Jaccard. Blocking bounds the join;
     * at real scale also drop ultra-frequent grams (stop-gram skew). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Keep set sizes OUT of the pair join: this corpus is duplicate-dense,
+    // so the (source, gram) probe stream is the ~10⁸-row hot path — carrying
+    // n_grams through it (to skip the sizes aggregate) measured 2-10× slower
+    // at sf0.1 than re-deriving sizes in a separate cheap pass and joining
+    // them onto the SMALL post-agg pair set. At cluster scale the identical
+    // gram subtrees dedup via exchange reuse. Stop-gram buckets are the
+    // skew hazard at scale: drop ultra-frequent grams (no Jaccard signal).
     val grams = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
