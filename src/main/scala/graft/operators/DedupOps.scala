@@ -57,11 +57,19 @@ object DedupOps {
     // spreads each bucket's expansion across its join partitions; the
     // signature pass is recomputed on the second branch, but it's the cheap
     // part next to the pair volume.
+    // Spread sig rows across cores BEFORE the pair expansion: the corpus
+    // parquet is one split locally, and a broadcast join adds no shuffle, so
+    // without this the whole O(pairs) expansion runs on one task. Hash on
+    // doc_id (no round-robin sort), rows are (long, int, string) — tiny next
+    // to the expansion they unlock. Both join branches share this exchange
+    // (ReusedExchange), so the minhash kernel itself runs once per doc.
+    val par = spark.sessionState.conf.numShufflePartitions
     val sigs = Tables.documents(spark, dir)
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_sigs(norm)")).as(Seq("band", "sig")))
+      .repartition(par, col("doc_id"))
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -140,6 +148,10 @@ object DedupOps {
     // them onto the SMALL post-agg pair set. At cluster scale the identical
     // gram subtrees dedup via exchange reuse. Stop-gram buckets are the
     // skew hazard at scale: drop ultra-frequent grams (no Jaccard signal).
+    // Same single-split hazard as C2: spread gram rows across cores before
+    // the pair expansion (see dedupMinhashLsh). Shared by sizes + both join
+    // branches via ReusedExchange, so shingling runs once per doc.
+    val par = spark.sessionState.conf.numShufflePartitions
     val grams = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
@@ -148,6 +160,7 @@ object DedupOps {
         """array_distinct(transform(sequence(0, size(toks) - 3), i ->
              concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
                        element_at(toks, i + 3))))""")).as("gram"))
+      .repartition(par, col("doc_id"))
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
