@@ -40,6 +40,7 @@ object SparkEntry {
     "q_neardup_embedding" -> ((s, d) => EmbeddingOps.neardupEmbedding(s, d)),
     "q_ann_bruteforce" -> ((s, d) => EmbeddingOps.annBruteforce(s, d)),
     "q_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
+    "q_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
     "q_multimodal_meta" -> ((s, d) => EmbeddingOps.multimodalMeta(s, d))
   )
 
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_neardup_embedding" -> EmbeddingOps.neardupEmbeddingSql,
     "q_ann_bruteforce" -> EmbeddingOps.annBruteforceSql,
     "q_ann_lsh" -> EmbeddingOps.annLshSql,
+    "q_ann_ivf" -> EmbeddingOps.annIvfSql,
     "q_multimodal_meta" -> EmbeddingOps.multimodalMetaSql
   )
 }

@@ -164,6 +164,94 @@ object EmbeddingOps {
       FROM s) WHERE rnk <= 10
     ORDER BY probe_id, rnk"""
 
+  /** C13: IVF ANN — the inverted-file scale path next to C6 (exact) and C7
+    * (LSH). A deterministic coarse quantizer (vectors with vec_id ≡ 50 mod
+    * 100 stand in for trained centroids) is broadcast; one narrow pass
+    * assigns every vector to its nearest centroid's cell (argmax cosine,
+    * centroid id tie-break); each probe searches only its nprobe=2 nearest
+    * cells. At 100 TB: centroids stay driver-small (k ≈ thousands),
+    * assignment is a single scan, and per-probe work is bounded by cell
+    * volume — the corpus is never cross-joined. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val cents = v.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    def centCos = (expr(dotExpr("embedding", "c_emb")) /
+      (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos")
+    val assigned = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"), centCos)
+      .withColumn("arnk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("arnk") === 1)
+      .select("vec_id", "embedding", "n2", "cent_id")
+    val probeCells = v.filter(col("vec_id") % 100 === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("n2").as("p_n2"), col("cent_id"), centCos)
+      .withColumn("prnk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("prnk") <= 2)
+      .select("probe_id", "p_emb", "p_n2", "cent_id")
+    val scored = assigned
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cent_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "neighbor_id", "cent_id", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  val annIvfSql: String = """
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+      FROM v WHERE vec_id % 100 = 50),
+    asg AS (
+      SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(v.embedding) + 1), i ->
+              CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(v.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS arnk
+        FROM v, c) WHERE arnk = 1),
+    pc AS (
+      SELECT probe_id, p_emb, p_n2, cent_id FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS p_emb, p.n2 AS p_n2,
+          c.cent_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+              CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(p.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS prnk
+        FROM v p, c WHERE p.vec_id % 100 = 0) WHERE prnk <= 2),
+    s AS (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cent_id,
+        list_reduce(list_transform(range(1, len(pc.p_emb) + 1), i ->
+          CAST(pc.p_emb[CAST(i AS INT)] AS DOUBLE) *
+          CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(pc.p_n2) * sqrt(a.n2)) AS cosine
+      FROM asg a JOIN pc ON a.cent_id = pc.cent_id
+      WHERE a.vec_id <> pc.probe_id)
+    SELECT probe_id, neighbor_id, cent_id, cosine, rnk FROM (
+      SELECT probe_id, neighbor_id, cent_id, cosine,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s) WHERE rnk <= 10
+    ORDER BY probe_id, rnk"""
+
   /** C12: multimodal binary-column plumbing — the corpus text stands in for
     * an opaque media payload (utf-8 encode = the only codec in this
     * container). Byte length, sha2-256 content id and a leading-bytes header
