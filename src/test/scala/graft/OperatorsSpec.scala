@@ -33,6 +33,15 @@ class OperatorsSpec extends SparkSpec {
     assert(total == graft.sources.Tables.documents(spark, sf).count())
   }
 
+  test("ivf ann searches at most nprobe cells and never returns the probe") {
+    val r = EmbeddingOps.annIvf(spark, sf)
+    assert(r.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    assert(r.filter(col("rnk") > 10).count() == 0)
+    val cellsPerProbe = r.groupBy("probe_id")
+      .agg(countDistinct("cent_id").as("n_cells"))
+    assert(cellsPerProbe.filter(col("n_cells") > 2).count() == 0)
+  }
+
   test("minhash pairs are ordered and distinct") {
     val p = DedupOps.dedupMinhashLsh(spark, sf)
     assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
