@@ -141,8 +141,13 @@ object Kernels {
 
   /** 8-plane sign-LSH bucket: plane p has integer weights
     * w_j = ((p·31 + j·17) mod 13) − 6 over dims 0..63; bit p of the bucket is
-    * set when the sequential-fold dot with plane p is > 0. */
+    * set when the sequential-fold dot with plane p is > 0.
+    * Requires ≥64 dims — UnsafeArrayData reads past numElements are silent
+    * garbage, not exceptions, so the guard must be explicit. */
   def lshBucket(a: ArrayData): Int = {
+    if (a.numElements() < 64)
+      throw new IllegalArgumentException(
+        s"graft_lsh_bucket requires >= 64 dims, got ${a.numElements()}")
     var acc = 0
     var p = 0
     while (p < 8) {

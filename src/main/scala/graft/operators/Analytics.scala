@@ -12,7 +12,10 @@ import graft.sources.Tables
   * re-expressed as declarative Spark plans.
   *
   * Scale notes (100 TB):
-  *  - dim⋈fact joins broadcast the dim side explicitly;
+  *  - only the fixed-size dims (region: 5 rows, nation: 25 rows) are force-
+  *    broadcast; customer/part/supplier scale linearly with SF (customer =
+  *    SF x 150k rows — multi-GB at 100 TB), so those joins carry no hint and
+  *    AQE picks broadcast-hash at small SF or sort-merge at scale;
   *  - fact⋈fact joins shuffle once on the join key and aggregate partially
   *    before the exchange (all aggs are sum/count of longs);
   *  - every query filters/selects straight off the scan so pushdown and
@@ -70,9 +73,9 @@ object Analytics {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
-  /** B2: top unshipped orders (TPC-H Q3 flavor). Broadcast the filtered
-    * customer dim; lineitem⋈orders shuffles once on orderkey; exact cents
-    * revenue makes the top-10 ranking deterministic. */
+  /** B2: top unshipped orders (TPC-H Q3 flavor). customer scales with SF so
+    * its join is unhinted (AQE chooses); lineitem⋈orders shuffles once on
+    * orderkey; exact cents revenue makes the top-10 ranking deterministic. */
   def topUnshipped(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -84,7 +87,7 @@ object Analytics {
       .select(col("l_orderkey"),
         discounted(cents(col("l_extendedprice")), cents(col("l_discount"))).as("rev_u"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("rev_u")).as("rev_u"))
       .select(col("l_orderkey"),
@@ -106,8 +109,9 @@ object Analytics {
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
-  /** B3: revenue by nation (TPC-H Q5 flavor). region/nation/supplier are
-    * broadcast; the only big shuffles are lineitem⋈orders on orderkey and
+  /** B3: revenue by nation (TPC-H Q5 flavor). Only region/nation (fixed
+    * size) are force-broadcast; customer/supplier joins are unhinted so AQE
+    * picks the strategy. Big shuffles: lineitem⋈orders on orderkey, then
     * the final small agg. */
   def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val nat = Tables.nation(spark, dir)
@@ -126,8 +130,8 @@ object Analytics {
       .select(col("l_orderkey"), col("l_suppkey"),
         discounted(cents(col("l_extendedprice")), cents(col("l_discount"))).as("rev_u"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("cn_key"))
       .groupBy(col("n_name"))
       .agg(sum(col("rev_u")).as("rev_u"), count(lit(1)).as("n_lines"))
@@ -174,8 +178,8 @@ object Analytics {
     GROUP BY mes ORDER BY mes"""
 
   /** B5: top products per brand — revenue rank window over the exact cents
-    * aggregate (deterministic with partkey tie-break). lineitem⋈part
-    * broadcasts the dim. */
+    * aggregate (deterministic with partkey tie-break). part scales with SF
+    * so the join is unhinted (AQE chooses). */
   def topProducts(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_partkey"),
@@ -184,8 +188,8 @@ object Analytics {
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_name")
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("rev_u").desc, col("p_partkey"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .withColumn("rango", row_number().over(w))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("rango", row_number().over(w).cast("long"))
       .filter(col("rango") <= k)
       .select(col("p_brand"), col("rango"), col("p_partkey"), col("p_name"),
         (col("rev_u").cast("double") / lit(10000.0)).as("revenue"))
@@ -205,8 +209,8 @@ object Analytics {
     WHERE rango <= 3
     ORDER BY p_brand, rango"""
 
-  /** B6: per-customer stats — single shuffle on custkey, customer dim
-    * broadcast onto the aggregate. */
+  /** B6: per-customer stats — single shuffle on custkey; the customer join
+    * is unhinted (customer scales with SF, AQE chooses the strategy). */
   def customerStats(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), cents(col("o_totalprice")).as("total_c"),
@@ -215,7 +219,7 @@ object Analytics {
       .agg(count(lit(1)).as("n_documentos"), sum(col("total_c")).as("total_c"),
         min(col("d")).as("primera_compra"), max(col("d")).as("ultima_compra"))
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey").as("id_cliente"), col("c_name").as("nombre"),
         col("c_mktsegment").as("segmento"), col("n_documentos"),
         centsToUnits(col("total_c")).as("monto_total"),
@@ -249,7 +253,7 @@ object Analytics {
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"),
       (col("p_retailprice") * lit(0.65)).as("unit_cost"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),
         round((col("unit_price") - col("unit_cost")) * lit(100)).cast("long").as("margin_c"))
       .groupBy("p_brand")
@@ -263,7 +267,7 @@ object Analytics {
 
   val marginAnalysisSql: String = """
     SELECT p_brand, COUNT(*) AS n_lineas,
-      SUM(CASE WHEN margin_c < 0 THEN 1 ELSE 0 END) AS n_margen_negativo,
+      CAST(SUM(CASE WHEN margin_c < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_margen_negativo,
       CAST(SUM(margin_c) AS DOUBLE) / 100.0 AS margen_total
     FROM (
       SELECT p_brand,
@@ -325,8 +329,8 @@ object Analytics {
       COUNT(*) AS n_eventos, CAST(SUM(val_c) AS DOUBLE) / 100.0 AS valor_total
     FROM (
       SELECT user_id, ts_us, val_c,
-        SUM(nueva) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        CAST(SUM(nueva) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM (
         SELECT user_id, ts_us, event_id, val_c,
           CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS nueva
@@ -351,7 +355,7 @@ object Analytics {
 
   val eventsJsonSql: String = """
     SELECT event_type, COUNT(*) AS n_eventos,
-      SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS suma_k,
+      CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS suma_k,
       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type"""
 }

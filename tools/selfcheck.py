@@ -51,10 +51,21 @@ def main():
                 print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
                 n_fail += 1
                 continue
-            s_rows = sorted((tuple(norm(v) for v in r) for r in
-                             spark_rel.select(", ".join(f'"{c}"' for c in scols)).fetchall()))
-            o_rows = sorted((tuple(norm(v) for v in r) for r in
-                             oracle_rel.select(", ".join(f'"{c}"' for c in ocols)).fetchall()))
+            s_proj = spark_rel.select(", ".join(f'"{c}"' for c in scols))
+            o_proj = oracle_rel.select(", ".join(f'"{c}"' for c in ocols))
+            # Type-strict: the driver's gate hashes typed values, so HUGEINT
+            # (DuckDB's widened integer SUM) vs BIGINT must FAIL here too,
+            # not silently compare equal after the Python int fetch.
+            stypes, otypes = [str(t) for t in s_proj.types], [str(t) for t in o_proj.types]
+            if stypes != otypes:
+                print(f"FAIL {name}: column types differ")
+                for c, st, ot in zip(scols, stypes, otypes):
+                    if st != ot:
+                        print(f"  {c}: spark={st} oracle={ot}")
+                n_fail += 1
+                continue
+            s_rows = sorted((tuple(norm(v) for v in r) for r in s_proj.fetchall()))
+            o_rows = sorted((tuple(norm(v) for v in r) for r in o_proj.fetchall()))
             if len(s_rows) != len(o_rows):
                 print(f"FAIL {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
                 n_fail += 1
