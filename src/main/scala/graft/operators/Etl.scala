@@ -88,8 +88,18 @@ object Etl {
     ORDER BY id_producto"""
 
   // ---- A3: document validation (etl_service.py:110-155) ----------------
-  /** Valid sale documents: required id/date, total > 0, net/IVA split and
-    * amount-coherence flag (|total - (net+iva)| <= 0.01). */
+  /** Valid sale documents: required id/date, total > 0, negative net/IVA
+    * rejected, amount-coherence flag (|total - (net+iva)| <= 1 cent).
+    *
+    * The reference validates three INDEPENDENT incoming fields
+    * (netAmount/taxAmount/totalAmount, etl_service.py:125-141) and warns
+    * when they disagree. The synthetic star schema carries only a total, so
+    * the incoming feed is simulated: net = total/1.19 rounded to cents and
+    * IVA = total - net for clean rows, while a deterministic 1/97 slice of
+    * documents carries IVA computed at the pre-reform 18% rate — the dirty
+    * data the coherence warning exists to catch, making the false branch
+    * reachable. All cent math is floor(x + 0.5) over doubles, bit-identical
+    * across engines (integer-valued doubles are exact below 2^53). */
   def validateDocuments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull &&
@@ -99,28 +109,56 @@ object Etl {
         col("o_custkey").as("id_cliente"),
         col("o_orderstatus").as("estado_doc"),
         col("o_orderdate").cast("date").as("fecha_emision"),
-        col("o_totalprice").as("monto_total"),
-        (col("o_totalprice") / lit(1.19)).as("monto_neto"))
-      .withColumn("monto_iva", col("monto_total") - col("monto_neto"))
+        col("o_totalprice").as("monto_total"))
+      .withColumn("total_c",
+        floor(col("monto_total") * lit(100.0) + lit(0.5)).cast("double"))
+      .withColumn("neto_c",
+        floor(col("total_c") / lit(1.19) + lit(0.5)).cast("double"))
+      .withColumn("iva_c",
+        when(col("id_documento") % 97 === 0,
+          floor(col("neto_c") * lit(0.18) + lit(0.5)).cast("double"))
+          .otherwise(col("total_c") - col("neto_c")))
+      .withColumn("monto_neto", col("neto_c") / lit(100.0))
+      .withColumn("monto_iva", col("iva_c") / lit(100.0))
+      .filter(col("monto_neto") >= 0 && col("monto_iva") >= 0)
       .withColumn("montos_coherentes",
-        abs(col("monto_total") - (col("monto_neto") + col("monto_iva"))) <= lit(0.01))
+        abs(col("total_c") - (col("neto_c") + col("iva_c"))) <= lit(1.0))
+      .drop("total_c", "neto_c", "iva_c")
       .orderBy("id_documento")
   }
 
   val validateDocumentsSql: String = """
-    SELECT *, monto_total - monto_neto AS monto_iva,
-      abs(monto_total - (monto_neto + (monto_total - monto_neto))) <= 0.01 AS montos_coherentes
+    SELECT id_documento, id_cliente, estado_doc, fecha_emision, monto_total,
+      neto_c / 100.0 AS monto_neto, iva_c / 100.0 AS monto_iva,
+      abs(total_c - (neto_c + iva_c)) <= 1.0 AS montos_coherentes
     FROM (
-      SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
-        o_orderstatus AS estado_doc, CAST(o_orderdate AS DATE) AS fecha_emision,
-        o_totalprice AS monto_total, o_totalprice / 1.19 AS monto_neto
-      FROM orders
-      WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice > 0)
+      SELECT *, CASE WHEN id_documento % 97 = 0
+          THEN floor(neto_c * CAST(0.18 AS DOUBLE) + 0.5)
+          ELSE total_c - neto_c END AS iva_c
+      FROM (
+        SELECT *, floor(total_c / CAST(1.19 AS DOUBLE) + 0.5) AS neto_c
+        FROM (
+          SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
+            o_orderstatus AS estado_doc, CAST(o_orderdate AS DATE) AS fecha_emision,
+            o_totalprice AS monto_total,
+            floor(o_totalprice * CAST(100.0 AS DOUBLE) + 0.5) AS total_c
+          FROM orders
+          WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
+            AND o_totalprice > 0)))
+    WHERE neto_c / 100.0 >= 0 AND iva_c / 100.0 >= 0
     ORDER BY id_documento"""
 
   // ---- A4: line-detail validation (etl_service.py:158-201) -------------
   /** Valid document lines: qty > 0, unit price > 0, line-total coherence
-    * vs qty*unit*(1-disc) flagged with 1-cent tolerance. */
+    * vs qty*unit*(1-disc) flagged with 1-cent tolerance.
+    *
+    * The reference compares an INCOMING netTotal against the recomputation
+    * from quantity/unitPrice/discount (etl_service.py:182-188). Simulated
+    * incoming feed: clean lines carry extendedprice*(1-discount); a
+    * deterministic slice ((orderkey+linenumber) % 89 == 0) carries the
+    * undiscounted amount — a feed that forgot to apply the discount — so
+    * lines in that slice with a non-zero discount fail the coherence check
+    * and the false branch is exercised. */
   def validateDetails(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     l.filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
@@ -131,7 +169,10 @@ object Etl {
         col("l_quantity").as("cantidad"),
         (col("l_extendedprice") / col("l_quantity")).as("precio_neto_unitario"),
         (col("l_discount") * lit(100.0)).as("descuento_porcentual"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("monto_total_linea"))
+        when((col("l_orderkey") + col("l_linenumber")) % 89 === 0,
+          col("l_extendedprice"))
+          .otherwise(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("monto_total_linea"))
       .withColumn("linea_coherente",
         abs(col("monto_total_linea") -
           (col("cantidad") * col("precio_neto_unitario") * (lit(1.0) - col("descuento_porcentual") / lit(100.0)))) <= lit(0.01))
@@ -146,7 +187,8 @@ object Etl {
         l_partkey AS id_producto, l_quantity AS cantidad,
         l_extendedprice / l_quantity AS precio_neto_unitario,
         l_discount * 100.0 AS descuento_porcentual,
-        l_extendedprice * (1.0 - l_discount) AS monto_total_linea
+        CASE WHEN (l_orderkey + l_linenumber) % 89 = 0 THEN l_extendedprice
+             ELSE l_extendedprice * (1.0 - l_discount) END AS monto_total_linea
       FROM lineitem
       WHERE l_quantity > 0 AND l_extendedprice > 0)
     ORDER BY id_documento, numero_linea"""

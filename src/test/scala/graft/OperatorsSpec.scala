@@ -17,6 +17,24 @@ class OperatorsSpec extends SparkSpec {
     assert(details.count() > 0)
   }
 
+  test("coherence checks exercise BOTH branches (non-vacuous)") {
+    // the dirty 1/97 document slice (18% IVA feed) must fail coherence;
+    // clean rows must pass — a tautological check would have one branch empty
+    val docs = Etl.validateDocuments(spark, sf).cache()
+    assert(docs.filter(col("montos_coherentes")).count() > 0)
+    assert(docs.filter(!col("montos_coherentes")).count() > 0)
+    // every incoherent document sits in the dirty slice
+    assert(docs.filter(!col("montos_coherentes") &&
+      col("id_documento") % 97 =!= 0).count() == 0)
+    docs.unpersist()
+    val det = Etl.validateDetails(spark, sf).cache()
+    assert(det.filter(col("linea_coherente")).count() > 0)
+    assert(det.filter(!col("linea_coherente")).count() > 0)
+    assert(det.filter(!col("linea_coherente") &&
+      (col("id_documento") + col("numero_linea")) % 89 =!= 0).count() == 0)
+    det.unpersist()
+  }
+
   test("merge keeps exactly one row per key, updates win") {
     val sp = spark
     import sp.implicits._
