@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Clean
-import graft.sources.Tables
+import graft.sources.{Feeds, Tables}
 
 /** ETL core — the reference's extract/validate/load semantics
   * (/root/reference/app/services/etl_service.py) re-expressed as
@@ -55,142 +55,117 @@ object Etl {
     WHERE id_cliente IS NOT NULL AND nombre IS NOT NULL
     ORDER BY id_cliente"""
 
-  // ---- A2: product validation + cost fallback (etl_service.py:59-107,604-615)
-  /** Valid products: price > 0 required; cost falls back to price*0.65
-    * when no cost history exists (the reference's business rule); negative
-    * margin flagged, not rejected (reference warns, etl_service.py:86-88). */
+  // ---- A2: product validation + cost fallback (etl_service.py:59-107,588-615)
+  /** Valid products, the reference's full rule set:
+    *  - price comes from the MANDATORY price-list-2 lookup
+    *    ([[Feeds.priceList]]); a product with no price-list row is REJECTED
+    *    (inner join = the reference's "SIN PRECIO en lista 2 - OMITIDO",
+    *    etl_service.py:588-594);
+    *  - cost is the average of the positive cost history when one exists
+    *    ([[Feeds.costHistory]]), else falls back to price·0.65
+    *    (etl_service.py:600-615) — a real two-branch coalesce;
+    *  - field fidelity: codigo_barras (nullable), controla_stock 1/0,
+    *    descripcion junk-literal → NULL (etl_service.py:98-107);
+    *  - negative margin flagged, not rejected (etl_service.py:86-88).
+    * Both side inputs scale with the fact data, so neither is force-broadcast
+    * — key-key joins, AQE decides the physical strategy. */
   def validateProducts(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-    p.select(
-        col("p_partkey").as("id_producto"),
-        Clean.normStr(col("p_name")).as("nombre"),
-        concat(col("p_brand"), lit("-"), col("p_partkey").cast("string")).as("codigo_sku"),
-        col("p_type").as("descripcion"),
-        col("p_retailprice").as("precio_neto"))
-      .filter(col("precio_neto") > 0 && col("nombre").isNotNull && col("id_producto").isNotNull)
-      .withColumn("costo_neto", col("precio_neto") * lit(0.65))
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey").as("id_producto"),
+      Clean.normStr(col("p_name")).as("nombre"),
+      concat(col("p_brand"), lit("-"), col("p_partkey").cast("string")).as("codigo_sku"),
+      Clean.normStr(col("p_type")).as("descripcion"),
+      when(col("p_partkey") % 31 === 0, lit(null))
+        .otherwise(lpad(col("p_partkey").cast("string"), 13, "0")).as("codigo_barras"),
+      (col("p_size") > 0).cast("int").as("controla_stock"))
+    p.join(Feeds.priceList(spark, dir), Seq("id_producto"))
+      .withColumnRenamed("precio_lista", "precio_neto")
+      .join(Feeds.costHistory(spark, dir), Seq("id_producto"), "left")
+      .withColumn("costo_neto",
+        coalesce(col("costo_promedio"), col("precio_neto") * lit(0.65)))
+      .drop("costo_promedio")
+      .filter(col("precio_neto") > 0 && col("costo_neto") >= 0 &&
+        col("nombre").isNotNull && col("id_producto").isNotNull)
       .withColumn("margen_negativo", col("precio_neto") <= col("costo_neto"))
       .withColumn("estado", lit(1))
       .orderBy("id_producto")
   }
 
   val validateProductsSql: String = s"""
-    SELECT *, precio_neto * 0.65 AS costo_neto,
-      precio_neto <= precio_neto * 0.65 AS margen_negativo,
-      1 AS estado
-    FROM (
+    WITH price_list AS (${Feeds.priceListSql}),
+    cost_history AS (${Feeds.costHistorySql}),
+    p AS (
       SELECT p_partkey AS id_producto,
         ${Clean.normStrSql("p_name")} AS nombre,
         p_brand || '-' || CAST(p_partkey AS VARCHAR) AS codigo_sku,
-        p_type AS descripcion, p_retailprice AS precio_neto
+        ${Clean.normStrSql("p_type")} AS descripcion,
+        CASE WHEN p_partkey % 31 = 0 THEN NULL
+             ELSE lpad(CAST(p_partkey AS VARCHAR), 13, '0') END AS codigo_barras,
+        CAST(p_size > 0 AS INT) AS controla_stock
       FROM part)
-    WHERE precio_neto > 0 AND nombre IS NOT NULL AND id_producto IS NOT NULL
-    ORDER BY id_producto"""
+    SELECT p.id_producto, p.nombre, p.codigo_sku, p.descripcion,
+      p.codigo_barras, p.controla_stock,
+      pl.precio_lista AS precio_neto,
+      coalesce(ch.costo_promedio, pl.precio_lista * 0.65) AS costo_neto,
+      pl.precio_lista <= coalesce(ch.costo_promedio, pl.precio_lista * 0.65) AS margen_negativo,
+      1 AS estado
+    FROM p
+      JOIN price_list pl ON p.id_producto = pl.id_producto
+      LEFT JOIN cost_history ch ON p.id_producto = ch.id_producto
+    WHERE pl.precio_lista > 0
+      AND coalesce(ch.costo_promedio, pl.precio_lista * 0.65) >= 0
+      AND p.nombre IS NOT NULL AND p.id_producto IS NOT NULL
+    ORDER BY p.id_producto"""
 
   // ---- A3: document validation (etl_service.py:110-155) ----------------
   /** Valid sale documents: required id/date, total > 0, negative net/IVA
-    * rejected, amount-coherence flag (|total - (net+iva)| <= 1 cent).
-    *
-    * The reference validates three INDEPENDENT incoming fields
-    * (netAmount/taxAmount/totalAmount, etl_service.py:125-141) and warns
-    * when they disagree. The synthetic star schema carries only a total, so
-    * the incoming feed is simulated: net = total/1.19 rounded to cents and
-    * IVA = total - net for clean rows, while a deterministic 1/97 slice of
-    * documents carries IVA computed at the pre-reform 18% rate — the dirty
-    * data the coherence warning exists to catch, making the false branch
-    * reachable. All cent math is floor(x + 0.5) over doubles, bit-identical
-    * across engines (integer-valued doubles are exact below 2^53). */
+    * rejected, amount-coherence flag (|total − (net+iva)| ≤ 1 cent) over the
+    * three INDEPENDENTLY-supplied amounts of the incoming feed
+    * ([[Feeds.documents]]) — pure validation of what the source carries,
+    * exactly like the reference's `validate_document`
+    * (etl_service.py:125-141). Narrow pass, stays in WholeStageCodegen. */
   def validateDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    o.filter(col("o_orderkey").isNotNull && col("o_orderdate").isNotNull &&
-        col("o_totalprice") > 0)
-      .select(
-        col("o_orderkey").as("id_documento"),
-        col("o_custkey").as("id_cliente"),
-        col("o_orderstatus").as("estado_doc"),
-        col("o_orderdate").cast("date").as("fecha_emision"),
-        col("o_totalprice").as("monto_total"))
-      .withColumn("total_c",
-        floor(col("monto_total") * lit(100.0) + lit(0.5)).cast("double"))
-      .withColumn("neto_c",
-        floor(col("total_c") / lit(1.19) + lit(0.5)).cast("double"))
-      .withColumn("iva_c",
-        when(col("id_documento") % 97 === 0,
-          floor(col("neto_c") * lit(0.18) + lit(0.5)).cast("double"))
-          .otherwise(col("total_c") - col("neto_c")))
-      .withColumn("monto_neto", col("neto_c") / lit(100.0))
-      .withColumn("monto_iva", col("iva_c") / lit(100.0))
-      .filter(col("monto_neto") >= 0 && col("monto_iva") >= 0)
+    def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5)).cast("double")
+    Feeds.documents(spark, dir)
+      .filter(col("id_documento").isNotNull && col("fecha_emision").isNotNull &&
+        col("monto_total") > 0 && col("monto_neto") >= 0 && col("monto_iva") >= 0)
       .withColumn("montos_coherentes",
-        abs(col("total_c") - (col("neto_c") + col("iva_c"))) <= lit(1.0))
-      .drop("total_c", "neto_c", "iva_c")
+        abs(cents(col("monto_total")) -
+          (cents(col("monto_neto")) + cents(col("monto_iva")))) <= lit(1.0))
       .orderBy("id_documento")
   }
 
-  val validateDocumentsSql: String = """
-    SELECT id_documento, id_cliente, estado_doc, fecha_emision, monto_total,
-      neto_c / 100.0 AS monto_neto, iva_c / 100.0 AS monto_iva,
-      abs(total_c - (neto_c + iva_c)) <= 1.0 AS montos_coherentes
-    FROM (
-      SELECT *, CASE WHEN id_documento % 97 = 0
-          THEN floor(neto_c * CAST(0.18 AS DOUBLE) + 0.5)
-          ELSE total_c - neto_c END AS iva_c
-      FROM (
-        SELECT *, floor(total_c / CAST(1.19 AS DOUBLE) + 0.5) AS neto_c
-        FROM (
-          SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
-            o_orderstatus AS estado_doc, CAST(o_orderdate AS DATE) AS fecha_emision,
-            o_totalprice AS monto_total,
-            floor(o_totalprice * CAST(100.0 AS DOUBLE) + 0.5) AS total_c
-          FROM orders
-          WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL
-            AND o_totalprice > 0)))
-    WHERE neto_c / 100.0 >= 0 AND iva_c / 100.0 >= 0
+  val validateDocumentsSql: String = s"""
+    WITH feed AS (${Feeds.documentsSql})
+    SELECT *,
+      abs(floor(monto_total * CAST(100.0 AS DOUBLE) + 0.5)
+        - (floor(monto_neto * CAST(100.0 AS DOUBLE) + 0.5)
+           + floor(monto_iva * CAST(100.0 AS DOUBLE) + 0.5))) <= 1.0 AS montos_coherentes
+    FROM feed
+    WHERE id_documento IS NOT NULL AND fecha_emision IS NOT NULL
+      AND monto_total > 0 AND monto_neto >= 0 AND monto_iva >= 0
     ORDER BY id_documento"""
 
   // ---- A4: line-detail validation (etl_service.py:158-201) -------------
-  /** Valid document lines: qty > 0, unit price > 0, line-total coherence
-    * vs qty*unit*(1-disc) flagged with 1-cent tolerance.
-    *
-    * The reference compares an INCOMING netTotal against the recomputation
-    * from quantity/unitPrice/discount (etl_service.py:182-188). Simulated
-    * incoming feed: clean lines carry extendedprice*(1-discount); a
-    * deterministic slice ((orderkey+linenumber) % 89 == 0) carries the
-    * undiscounted amount — a feed that forgot to apply the discount — so
-    * lines in that slice with a non-zero discount fail the coherence check
-    * and the false branch is exercised. */
-  def validateDetails(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-    l.filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
-      .select(
-        col("l_orderkey").as("id_documento"),
-        col("l_linenumber").as("numero_linea"),
-        col("l_partkey").as("id_producto"),
-        col("l_quantity").as("cantidad"),
-        (col("l_extendedprice") / col("l_quantity")).as("precio_neto_unitario"),
-        (col("l_discount") * lit(100.0)).as("descuento_porcentual"),
-        when((col("l_orderkey") + col("l_linenumber")) % 89 === 0,
-          col("l_extendedprice"))
-          .otherwise(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("monto_total_linea"))
+  /** Valid document lines: qty > 0, unit price > 0, and line-total coherence
+    * — the INCOMING `monto_total_linea` of the feed ([[Feeds.details]])
+    * checked against the recomputation qty·unit·(1−disc/100) with 1-cent
+    * tolerance, mirroring the reference's `validate_document_detail`
+    * (etl_service.py:182-188). Narrow pass, stays in WholeStageCodegen. */
+  def validateDetails(spark: SparkSession, dir: String): DataFrame =
+    Feeds.details(spark, dir)
+      .filter(col("cantidad") > 0 && col("precio_neto_unitario") > 0)
       .withColumn("linea_coherente",
         abs(col("monto_total_linea") -
           (col("cantidad") * col("precio_neto_unitario") * (lit(1.0) - col("descuento_porcentual") / lit(100.0)))) <= lit(0.01))
       .orderBy("id_documento", "numero_linea")
-  }
 
-  val validateDetailsSql: String = """
+  val validateDetailsSql: String = s"""
+    WITH feed AS (${Feeds.detailsSql})
     SELECT *,
       abs(monto_total_linea - (cantidad * precio_neto_unitario * (1.0 - descuento_porcentual / 100.0))) <= 0.01 AS linea_coherente
-    FROM (
-      SELECT l_orderkey AS id_documento, l_linenumber AS numero_linea,
-        l_partkey AS id_producto, l_quantity AS cantidad,
-        l_extendedprice / l_quantity AS precio_neto_unitario,
-        l_discount * 100.0 AS descuento_porcentual,
-        CASE WHEN (l_orderkey + l_linenumber) % 89 = 0 THEN l_extendedprice
-             ELSE l_extendedprice * (1.0 - l_discount) END AS monto_total_linea
-      FROM lineitem
-      WHERE l_quantity > 0 AND l_extendedprice > 0)
+    FROM feed
+    WHERE cantidad > 0 AND precio_neto_unitario > 0
     ORDER BY id_documento, numero_linea"""
 
   // ---- A5: keyed upsert / MERGE (etl_service.py:252-293) ---------------

@@ -35,6 +35,28 @@ class OperatorsSpec extends SparkSpec {
     det.unpersist()
   }
 
+  test("validateProducts: price-list reject + both cost-fallback branches") {
+    val prods = Etl.validateProducts(spark, sf).cache()
+    // mandatory price-list-2 lookup: products without a list row (id % 53
+    // == 0) must be rejected outright (etl_service.py:588-594)
+    assert(prods.filter(col("id_producto") % 53 === 0).count() == 0)
+    assert(prods.count() > 0)
+    // fallback branch: no positive cost history (id % 7 == 0) → price·0.65
+    val fallback = prods.filter(col("id_producto") % 7 === 0 &&
+      col("id_producto") % 53 =!= 0).cache()
+    assert(fallback.count() > 0)
+    assert(fallback.filter(
+      abs(col("costo_neto") - col("precio_neto") * 0.65) > 1e-9).count() == 0)
+    // history branch: averaged history actually used (≠ price·0.65)
+    assert(prods.filter(col("id_producto") % 7 =!= 0 &&
+      abs(col("costo_neto") - col("precio_neto") * 0.65) > 1e-6).count() > 0)
+    // field fidelity: nullable barcode slice, 0/1 stock flag
+    assert(prods.filter(col("id_producto") % 31 === 0 &&
+      col("codigo_barras").isNotNull).count() == 0)
+    assert(prods.filter(!col("controla_stock").isin(0, 1)).count() == 0)
+    prods.unpersist(); fallback.unpersist(): Unit
+  }
+
   test("merge keeps exactly one row per key, updates win") {
     val sp = spark
     import sp.implicits._
