@@ -119,10 +119,9 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  val dedupSimhashSql: String = """
-    SELECT doc_id, simhash,
-           count(*) OVER (PARTITION BY simhash) AS n_group
-    FROM (
+  /** DuckDB twin of the 32-bit simhash signature pass (shared by C3 and
+    * C14's banding query). */
+  private val simhashSigSql: String = """
       SELECT doc_id,
         CAST(list_sum(list_transform(range(0, 32), j ->
           CASE WHEN list_sum(list_transform(hashes, h ->
@@ -133,13 +132,82 @@ object DedupOps {
       FROM (
         SELECT doc_id, list_transform(
           regexp_split_to_array(lower(trim(text)), '\s+'), t -> md5(t)) AS hashes
-        FROM documents WHERE length(trim(text)) > 0))
+        FROM documents WHERE length(trim(text)) > 0)"""
+
+  val dedupSimhashSql: String = s"""
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS n_group
+    FROM ($simhashSigSql)
     ORDER BY doc_id"""
 
+  /** Max verified hamming distance for C14. With 4 disjoint 8-bit bands,
+    * any pair at distance ≤ 3 differs in at most 3 bands, so at least one
+    * band matches exactly (pigeonhole) — banding recall is 1.0 up to this
+    * radius. Raising it past 3 would need more/wider bands. */
+  val SimhashMaxHamming: Int = 3
+
+  /** C14: SimHash hamming-band near-dup pairs — the standard simhash
+    * blocking the whole-signature grouping of C3 can't do: docs sharing any
+    * of the four 8-bit bands of their 32-bit signature become candidates,
+    * then an exact popcount of the XOR verifies hamming ≤
+    * [[SimhashMaxHamming]]. One narrow signature pass, one shuffle keyed on
+    * (band, band_val) — bounded buckets, never corpus²; the verify popcount
+    * is codegen'd integer math on the candidate stream. */
+  def dedupSimhashBand(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val par = spark.sessionState.conf.numShufflePartitions
+    // Same single-split hazard as C2: spread signature rows across cores
+    // before the band explode + pair expansion.
+    val sig = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .select(col("doc_id"), expr("graft_simhash32(toks)").as("simhash"))
+      .repartition(par, col("doc_id"))
+    val bands = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("shiftright(simhash, band * 8) % 256"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashBandSql: String = s"""
+    WITH s AS ($simhashSigSql),
+    bands AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS band_val
+      FROM s, (SELECT unnest(range(0, 4)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             a.simhash AS sig_a, b2.simhash AS sig_b
+      FROM bands a JOIN bands b2 ON a.band = b2.band
+        AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashMaxHamming
+    ORDER BY doc_a, doc_b"""
+
+  /** Stop-gram document-frequency cap for C4: a gram shared by more than
+    * this many documents (within a source block) carries no Jaccard signal
+    * and makes its bucket quadratic — the classic 100 TB hot key. Dropped
+    * BEFORE the pair join; Jaccard is then over the pruned shingle space on
+    * both engines. Far above the test corpora's max df (6 at sf0.1), so
+    * oracle results are unchanged at test scale while the bound holds the
+    * pair join to ≤ df²/2 rows per gram at any corpus size. */
+  val MaxGramDf: Int = 100
+
   /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams
-    * explode, gram-keyed join counts intersections, |A|+|B|−∩ gives the
-    * union, one double division gives Jaccard. Blocking bounds the join;
-    * at real scale also drop ultra-frequent grams (stop-gram skew). */
+    * explode, stop-grams (df > [[MaxGramDf]]) dropped via a broadcast
+    * anti-join, gram-keyed join counts intersections, |A|+|B|−∩ gives the
+    * union, one double division gives Jaccard. Blocking + the df cap bound
+    * the join at any scale. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Keep set sizes OUT of the pair join: this corpus is duplicate-dense,
     // so the (source, gram) probe stream is the ~10⁸-row hot path — carrying
@@ -152,7 +220,7 @@ object DedupOps {
     // the pair expansion (see dedupMinhashLsh). Shared by sizes + both join
     // branches via ReusedExchange, so shingling runs once per doc.
     val par = spark.sessionState.conf.numShufflePartitions
-    val grams = Tables.documents(spark, dir)
+    val raw = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 3)
@@ -161,6 +229,13 @@ object DedupOps {
              concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
                        element_at(toks, i + 3))))""")).as("gram"))
       .repartition(par, col("doc_id"))
+    // Stop-gram cap: the df count partial-aggregates map-side, the hot set
+    // is Zipf-small, so the prune costs one broadcast anti-join and no
+    // reshuffle of the gram stream.
+    val hot = raw.groupBy("source", "gram")
+      .agg(count(lit(1)).as("df")).filter(col("df") > MaxGramDf)
+      .select("source", "gram")
+    val grams = raw.join(broadcast(hot), Seq("source", "gram"), "left_anti")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&
@@ -181,17 +256,21 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupNgramJaccardSql: String = """
+  val dedupNgramJaccardSql: String = s"""
     WITH d AS (
       SELECT doc_id, source,
-             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE length(trim(text)) > 0),
-    g AS (
+    g0 AS (
       SELECT doc_id, source, unnest(list_distinct(
         list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
           toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] || ' ' ||
           toks[CAST(i + 3 AS INT)]))) AS gram
       FROM d WHERE len(toks) >= 3),
+    df AS (SELECT source, gram, count(*) AS df FROM g0 GROUP BY 1, 2),
+    g AS (
+      SELECT g0.* FROM g0 JOIN df ON g0.source = df.source AND g0.gram = df.gram
+      WHERE df.df <= $MaxGramDf),
     sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
     inter AS (
       SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -93,6 +93,39 @@ class OperatorsSpec extends SparkSpec {
     assert(s.filter(col("simhash") < 0 || col("simhash") > (1L << 32) - 1).count() == 0)
   }
 
+  test("stop-gram df cap keeps hot grams out of the pair join") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotgram").toString
+    // MaxGramDf+5 docs share ONE hot gram (plus unique fillers) — without
+    // the cap that bucket alone yields ~(df²/2) pairs; with it, zero. Two
+    // extra docs share only rare grams and must still pair.
+    val hot = (1 to DedupOps.MaxGramDf + 5).map(i =>
+      (i.toLong, s"alpha beta gamma filler$i x$i y$i", "en", "src0", 10L))
+    val rare = Seq(
+      (9001L, "uno dos tres cuatro", "en", "src0", 10L),
+      (9002L, "uno dos tres cuatro", "en", "src0", 10L))
+    (hot ++ rare).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((9001L, 9002L)))
+  }
+
+  test("simhash band blocking is complete within the hamming radius") {
+    val r = DedupOps.dedupSimhashBand(spark, sf).cache()
+    assert(r.filter(col("hamming") > DedupOps.SimhashMaxHamming ||
+      col("hamming") < 0).count() == 0)
+    assert(r.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    // pigeonhole guarantee: 4 bands cover hamming ≤ 3 exactly, so the
+    // banded result must equal the brute-force pair set
+    val s = DedupOps.dedupSimhash(spark, sf).select("doc_id", "simhash")
+    val brute = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.simhash ^ b.simhash)") <= DedupOps.SimhashMaxHamming)
+    assert(r.count() == brute.count())
+    r.unpersist(): Unit
+  }
+
   test("jaccard scores lie in (0, 1]") {
     val j = DedupOps.dedupNgramJaccard(spark, sf)
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
