@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_lsh_bucket",
       "8-plane sign-LSH bucket id of a 64-dim float vector",
       args => LshBucket(args.head)))
+    ext.injectFunction(fn("graft_lsh_buckets",
+      "per-table sign-LSH bucket ids (multi-table LSH) of a 64-dim float vector",
+      args => LshBuckets(args.head)))
   }
 }
 

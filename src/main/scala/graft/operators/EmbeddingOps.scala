@@ -28,11 +28,21 @@ import graft.sources.Tables
 object EmbeddingOps {
 
   /** Max probes per ANN batch. The selection predicate
-    * (vec_id % 100 == 0 AND vec_id < ProbeBatch*100) keeps the probe side a
-    * bounded broadcast at any corpus size; callers with more probes run
-    * multiple batches (each one corpus pass). Not binding at test SFs, so
-    * oracle results are unchanged. */
+    * (vec_id % 100 == 0 AND probeLo*100 <= vec_id < (probeLo+batch)*100)
+    * keeps the probe side a bounded broadcast at any corpus size; callers
+    * with more probes run successive batches by advancing `probeLo` (each
+    * batch is one corpus pass). The paired oracle SQL is built from these
+    * constants and covers the DEFAULT batch (probeLo = 0) — non-default
+    * calls are a library surface, not an oracle row. Not binding at test
+    * SFs, so oracle results are unchanged. */
   val ProbeBatch: Int = 64
+
+  /** Probe-batch predicate: every 100th vector id, windowed to
+    * [lo·100, (lo+batch)·100). */
+  private def probeFilter(lo: Int, batch: Int) =
+    col("vec_id") % 100 === 0 &&
+      col("vec_id") >= lit(lo.toLong * 100L) &&
+      col("vec_id") < lit((lo.toLong + batch) * 100L)
 
   /** Coarse-centroid count cap for IVF — fixed k (real deployments train
     * k ≈ thousands of centroids); never a corpus fraction. */
@@ -87,11 +97,10 @@ object EmbeddingOps {
     * batch (vec_id ≡ 0 mod 100, capped at [[ProbeBatch]]). Probes broadcast;
     * ties broken by neighbor id so the ranking is deterministic. */
   def annBruteforce(spark: SparkSession, dir: String,
-      probeBatch: Int = ProbeBatch): DataFrame = {
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
-    val probes = v.filter(col("vec_id") % 100 === 0 &&
-        col("vec_id") < lit(probeBatch.toLong * 100L))
+    val probes = v.filter(probeFilter(probeLo, probeBatch))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"))
     val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -106,7 +115,7 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annBruteforceSql: String = """
+  val annBruteforceSql: String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -119,7 +128,7 @@ object EmbeddingOps {
           CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
           / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
-      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400
+      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100}
                       AND e.vec_id <> p.vec_id)
     SELECT probe_id, neighbor_id, cosine, rnk FROM (
       SELECT probe_id, neighbor_id, cosine,
@@ -128,57 +137,70 @@ object EmbeddingOps {
       FROM s) WHERE rnk <= 10
     ORDER BY probe_id, rnk"""
 
-  /** C7: LSH ANN — 8 deterministic integer-arithmetic hyperplanes
-    * w(p)(j) = ((p·31 + j·17) mod 13) − 6; the sign pattern of v·w(p) forms
-    * an 8-bit bucket. Probes only meet candidates in their own bucket, so
-    * per-probe work is bucket-sized, not corpus-sized — this is the scale
-    * path next to C6's exact baseline. */
-  private val bucketExpr: String = "graft_lsh_bucket(embedding)"
-
+  /** C7: multi-table LSH ANN — [[graft.functions.Kernels.LshTables]]
+    * independent sign-LSH tables of [[graft.functions.Kernels.LshPlanes]]
+    * deterministic integer-arithmetic hyperplanes each (global plane g has
+    * weights w_j = ((g·31 + j·17) mod 13) − 6). A probe meets candidates
+    * sharing ANY table's bucket — the table union multiplies single-table
+    * recall (measured 0.02-0.08 alone) while per-probe work stays
+    * T·corpus/2^planes, bucket-sized, never corpus-sized. Duplicate
+    * candidates from multiple tables collapse in one pair-keyed aggregate
+    * before ranking. This is the scale path next to C6's exact baseline. */
   def annLsh(spark: SparkSession, dir: String,
-      probeBatch: Int = ProbeBatch): DataFrame = {
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = vectors(spark, dir).withColumn("bucket", expr(bucketExpr))
-    val probes = v.filter(col("vec_id") % 100 === 0 &&
-        col("vec_id") < lit(probeBatch.toLong * 100L))
-      .select(col("vec_id").as("probe_id"), col("bucket"),
+    val v = vectors(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bucket")))
+    val probes = v.filter(probeFilter(probeLo, probeBatch))
+      .select(col("vec_id").as("probe_id"), col("t"), col("bucket"),
         col("embedding").as("p_emb"), col("n2").as("p_n2"))
-    val scored = v.join(broadcast(probes), Seq("bucket"))
+    val scored = v.join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         (expr(dotExpr("p_emb", "embedding")) /
           (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+      // same pair from several tables → identical cosine; max() dedupes
+      // without shuffling embedding arrays
+      .groupBy("probe_id", "neighbor_id").agg(max("cosine").as("cosine"))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id")
           .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= 10)
-      .select("probe_id", "neighbor_id", "bucket", "cosine", "rnk")
+      .select("probe_id", "neighbor_id", "cosine", "rnk")
       .orderBy("probe_id", "rnk")
   }
 
-  val annLshSql: String = """
+  val annLshSql: String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
           CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
-          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2,
-        CAST(list_sum(list_transform(range(0, 8), p ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    tb AS (
+      SELECT vec_id, t,
+        CAST(list_sum(list_transform(range(0, ${graft.functions.Kernels.LshPlanes}), p ->
           CASE WHEN list_reduce(list_transform(range(0, 64), j ->
               CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
-              CAST((p * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
+              CAST((CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT) * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
               > CAST(0 AS DOUBLE)
           THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
-      FROM embeddings),
+      FROM v, (SELECT unnest(range(0, ${graft.functions.Kernels.LshTables})) AS t)),
     s AS (
-      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, e.bucket AS bucket,
-        list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+      SELECT pb.vec_id AS probe_id, eb.vec_id AS neighbor_id,
+        max(list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
           CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
-          / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
-      FROM v p JOIN v e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
-      WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400)
-    SELECT probe_id, neighbor_id, bucket, cosine, rnk FROM (
-      SELECT probe_id, neighbor_id, bucket, cosine,
+          / (sqrt(p.n2) * sqrt(e.n2))) AS cosine
+      FROM tb pb JOIN tb eb ON pb.t = eb.t AND pb.bucket = eb.bucket
+        JOIN v p ON p.vec_id = pb.vec_id
+        JOIN v e ON e.vec_id = eb.vec_id
+      WHERE pb.vec_id % 100 = 0 AND pb.vec_id < ${ProbeBatch * 100}
+        AND eb.vec_id <> pb.vec_id
+      GROUP BY 1, 2)
+    SELECT probe_id, neighbor_id, cosine, rnk FROM (
+      SELECT probe_id, neighbor_id, cosine,
         row_number() OVER (PARTITION BY probe_id
                            ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM s) WHERE rnk <= 10
@@ -194,7 +216,7 @@ object EmbeddingOps {
     * single scan, and per-probe work is bounded by cell volume — the corpus
     * is never cross-joined. */
   def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
-      probeBatch: Int = ProbeBatch): DataFrame = {
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
     val cents = v.filter(col("vec_id") % 100 === 50 &&
@@ -209,8 +231,7 @@ object EmbeddingOps {
         .orderBy(col("c_cos").desc, col("cent_id"))))
       .filter(col("arnk") === 1)
       .select("vec_id", "embedding", "n2", "cent_id")
-    val probeCells = v.filter(col("vec_id") % 100 === 0 &&
-        col("vec_id") < lit(probeBatch.toLong * 100L))
+    val probeCells = v.filter(probeFilter(probeLo, probeBatch))
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"), col("cent_id"), centCos)
@@ -232,7 +253,7 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annIvfSql: String = """
+  val annIvfSql: String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -241,7 +262,7 @@ object EmbeddingOps {
       FROM embeddings),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-      FROM v WHERE vec_id % 100 = 50 AND vec_id < 409600),
+      FROM v WHERE vec_id % 100 = 50 AND vec_id < ${IvfK * 100}),
     asg AS (
       SELECT vec_id, embedding, n2, cent_id FROM (
         SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
@@ -260,7 +281,7 @@ object EmbeddingOps {
               CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
               CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
               / (sqrt(p.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS prnk
-        FROM v p, c WHERE p.vec_id % 100 = 0 AND p.vec_id < 6400)
+        FROM v p, c WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100})
         WHERE prnk <= 2),
     s AS (
       SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cent_id,

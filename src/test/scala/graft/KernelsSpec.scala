@@ -87,6 +87,20 @@ class KernelsSpec extends SparkSpec {
     assert(b.filter(col("hof") =!= col("ker")).count() == 0)
   }
 
+  test("graft_lsh_buckets matches the HOF per-table sign-plane formulation") {
+    import graft.functions.Kernels.{LshPlanes, LshTables}
+    val b = embs
+      .withColumn("hof", expr(
+        s"""transform(sequence(0, ${LshTables - 1}, 1), t ->
+              aggregate(sequence(0, ${LshPlanes - 1}, 1), 0, (acc, p) ->
+                acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
+                    s + cast(element_at(embedding, j + 1) as double) *
+                        cast(((t * $LshPlanes + p) * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
+                  THEN shiftleft(1, p) ELSE 0 END))"""))
+      .withColumn("ker", expr("graft_lsh_buckets(embedding)"))
+    assert(b.filter(col("hof") =!= col("ker")).count() == 0)
+  }
+
   test("kernels survive null inputs") {
     val sp = spark
     import sp.implicits._
