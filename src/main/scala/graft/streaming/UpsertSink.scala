@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Etl
@@ -12,11 +13,13 @@ import graft.operators.Etl
   * `versionCol`, deterministic), then merged latest-wins into the parquet
   * target with Etl.merge — one shuffle on the key per batch.
   *
-  * The swap is write-new → atomic directory rename, so readers never see a
-  * half-written snapshot. At real scale this sink is the shape of a
-  * lakehouse MERGE (Delta/Iceberg row-level merge with file pruning) —
-  * full-snapshot rewrite is the portable, dependency-free stand-in; the
-  * per-batch dedup + keyed merge logic is identical either way.
+  * The swap is write-new → directory rename through the Hadoop `FileSystem`
+  * API, so the sink works on any supported filesystem (local, HDFS, S3A…).
+  * Rename is atomic on HDFS/local; on S3A it is copy-based, which is one of
+  * the reasons the production shape of this sink is a lakehouse MERGE
+  * (Delta/Iceberg row-level merge with file pruning) — full-snapshot rewrite
+  * is the portable, dependency-free stand-in; the per-batch dedup + keyed
+  * merge logic is identical either way.
   */
 object UpsertSink {
 
@@ -29,24 +32,20 @@ object UpsertSink {
     val dedupBatch = batch.withColumn("_vrn", row_number().over(
         Window.partitionBy(col(key)).orderBy(col(versionCol).desc, col(key))))
       .filter(col("_vrn") === 1).drop("_vrn")
-    val target = new java.io.File(targetDir)
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (target.exists()) Etl.merge(spark.read.parquet(targetDir), dedupBatch, key)
+      if (fs.exists(target)) Etl.merge(spark.read.parquet(targetDir), dedupBatch, key)
       else dedupBatch
-    val tmp = targetDir + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = new java.io.File(targetDir + ".old")
-    if (old.exists()) deleteRec(old)
-    if (target.exists() && !target.renameTo(old))
+    val tmp = new Path(targetDir + ".tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(targetDir + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
       sys.error(s"could not stage out $targetDir")
-    if (!new java.io.File(tmp).renameTo(target))
+    if (!fs.rename(tmp, target))
       sys.error(s"could not publish $tmp")
-    deleteRec(old)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete(): Unit
+    fs.delete(old, true): Unit
   }
 
   /** Start the streaming upsert: every micro-batch merges into targetDir. */
