@@ -18,6 +18,7 @@ object SparkEntry {
     "q_validate_details" -> ((s, d) => Etl.validateDetails(s, d)),
     "q_merge_upsert" -> ((s, d) => Etl.mergeUpsert(s, d)),
     "q_incremental_sync" -> ((s, d) => Etl.incrementalSync(s, d)),
+    "q_incremental_sync_events" -> ((s, d) => Etl.syncEvents(s, d)),
     "q_first_variant_dedup" -> ((s, d) => Etl.firstPerKey(s, d)),
     "q_clean_reload_counts" -> ((s, d) => Etl.reloadAudit(s, d)),
     "q3_top_unshipped" -> ((s, d) => Analytics.topUnshipped(s, d)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "q_validate_details" -> Etl.validateDetailsSql,
     "q_merge_upsert" -> Etl.mergeUpsertSql,
     "q_incremental_sync" -> Etl.incrementalSyncSql,
+    "q_incremental_sync_events" -> Etl.syncEventsSql,
     "q_first_variant_dedup" -> Etl.firstPerKeySql,
     "q_clean_reload_counts" -> Etl.reloadAuditSql,
     "q3_top_unshipped" -> Analytics.topUnshippedSql,

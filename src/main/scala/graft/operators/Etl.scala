@@ -227,6 +227,55 @@ object Etl {
     FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
     ORDER BY o_orderkey"""
 
+  /** Default start date for the events sync oracle row — mid-range of the
+    * synthetic event month, so the pushed predicate prunes about half the
+    * scan at test scale. */
+  val SyncEventsStartDate: String = "2024-01-15"
+
+  /** A6 (events entity): date-bounded re-extraction of the event stream.
+    * Event time stays in integer nanoseconds inside the engine (see
+    * [[Tables.events]]) — the comparison is a long-vs-long predicate that
+    * reaches the parquet scan (PushedFilters), exact and cheaper than
+    * timestamp codecs in a 100 TB event scan. The EXPORTED column is
+    * microseconds (ts div 1000): DuckDB's parquet reader truncates
+    * nanosecond timestamps to µs, so µs is the finest grain both engines
+    * agree on bit-for-bit. */
+  def syncEvents(spark: SparkSession, dir: String,
+      startDate: String = SyncEventsStartDate): DataFrame = {
+    val startNanos = java.time.LocalDate.parse(startDate)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+    Tables.events(spark, dir)
+      .filter(col("ts") >= lit(startNanos))
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val syncEventsSql: String = s"""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+      event_type, value
+    FROM events WHERE ts >= TIMESTAMP '$SyncEventsStartDate 00:00:00'
+    ORDER BY event_id"""
+
+  /** The reference's per-entity sync surface — `run_sync(entity, start_date)`
+    * (/root/reference/app/api/endpoints.py:50-51): one date-bounded,
+    * partition-prunable extraction per entity, dispatched on the entity's
+    * event-time column. Unknown entities fail fast like the reference's 404. */
+  def syncEntity(spark: SparkSession, dir: String, entity: String,
+      startDate: String): DataFrame = entity match {
+    case "orders" => incrementalSync(spark, dir, startDate)
+    case "events" => syncEvents(spark, dir, startDate)
+    case "lineitem" =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit(startDate).cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate").cast("date").as("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    case other => throw new IllegalArgumentException(
+      s"unknown sync entity '$other' (expected orders|events|lineitem)")
+  }
+
   // ---- A7: keep-first dedup (etl_service.py:577-624) -------------------
   /** First line per document — the reference's "first active variant per
     * product" rule as a window dedup (single shuffle on the key). */

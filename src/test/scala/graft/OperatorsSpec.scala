@@ -67,6 +67,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
   }
 
+  test("per-entity sync filters on each entity's event-time column") {
+    val startNanos = java.time.LocalDate.parse("2024-01-15")
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+    val ev = Etl.syncEntity(spark, sf, "events", "2024-01-15")
+    assert(ev.count() > 0)
+    assert(ev.filter(col("ts_us") < startNanos / 1000).count() == 0)
+    val li = Etl.syncEntity(spark, sf, "lineitem", "1995-01-01")
+    assert(li.count() > 0)
+    assert(li.filter(col("l_shipdate") < lit("1995-01-01").cast("date")).count() == 0)
+    intercept[IllegalArgumentException] {
+      Etl.syncEntity(spark, sf, "nope", "2020-01-01")
+    }: Unit
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
