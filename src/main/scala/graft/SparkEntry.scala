@@ -40,6 +40,7 @@ object SparkEntry {
     "q_dedup_simhash_band" -> ((s, d) => DedupOps.dedupSimhashBand(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(s, d)),
     "q_neardup_embedding" -> ((s, d) => EmbeddingOps.neardupEmbedding(s, d)),
+    "q_neardup_embedding_lsh" -> ((s, d) => EmbeddingOps.neardupEmbeddingLsh(s, d)),
     "q_ann_bruteforce" -> ((s, d) => EmbeddingOps.annBruteforce(s, d)),
     "q_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_dedup_simhash_band" -> DedupOps.dedupSimhashBandSql,
     "q_dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "q_neardup_embedding" -> EmbeddingOps.neardupEmbeddingSql,
+    "q_neardup_embedding_lsh" -> EmbeddingOps.neardupEmbeddingLshSql,
     "q_ann_bruteforce" -> EmbeddingOps.annBruteforceSql,
     "q_ann_lsh" -> EmbeddingOps.annLshSql,
     "q_ann_ivf" -> EmbeddingOps.annIvfSql,

@@ -152,7 +152,12 @@ object DedupOps {
     * then an exact popcount of the XOR verifies hamming ≤
     * [[SimhashMaxHamming]]. One narrow signature pass, one shuffle keyed on
     * (band, band_val) — bounded buckets, never corpus²; the verify popcount
-    * is codegen'd integer math on the candidate stream. */
+    * is codegen'd integer math on the candidate stream.
+    *
+    * Scale note: 8-bit bands give only 4·256 = 1024 shuffle keys — at a
+    * true 100 TB corpus, widen the signature (64-bit) and bands (16-bit →
+    * 256k keys, same pigeonhole bound at radius 3) so bucket volume and
+    * parallelism scale; the plan shape is unchanged. */
   def dedupSimhashBand(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions

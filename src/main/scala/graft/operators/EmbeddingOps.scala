@@ -93,6 +93,58 @@ object EmbeddingOps {
         / (sqrt(a.n2) * sqrt(b.n2)) >= 0.30
     ORDER BY vec_a, vec_b"""
 
+  /** C5b: the 100 TB path for C5 — same cosine ≥ 0.30 verification, but a
+    * candidate pair must ALSO share one of the
+    * [[graft.functions.Kernels.LshTables]] multi-table LSH buckets inside
+    * its label block, so a hot label is never all-pairs: per-label work is
+    * T·|label|²/2^planes instead of |label|². Pairs found by several tables
+    * collapse in one pair-keyed aggregate (identical cosine → max). C5 stays
+    * the exact small-block baseline; this is the bounded variant a pipeline
+    * runs when labels are unbounded. */
+  def neardupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"), col("n2"),
+        posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bucket")))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.t") === col("b.t") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (expr(dotExpr("a.embedding", "b.embedding")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cosine"))
+      .groupBy("label", "vec_a", "vec_b").agg(max("cosine").as("cosine"))
+      .filter(col("cosine") >= 0.30)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val neardupEmbeddingLshSql: String = s"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    tb AS (
+      SELECT vec_id, label, embedding, n2, t,
+        CAST(list_sum(list_transform(range(0, ${graft.functions.Kernels.LshPlanes}), p ->
+          CASE WHEN list_reduce(list_transform(range(0, 64), j ->
+              CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
+              CAST((CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT) * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
+              > CAST(0 AS DOUBLE)
+          THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+      FROM v, (SELECT unnest(range(0, ${graft.functions.Kernels.LshTables})) AS t))
+    SELECT label, vec_a, vec_b, cosine FROM (
+      SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        max(list_reduce(list_transform(range(1, len(a.embedding) + 1), i ->
+          CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(a.n2) * sqrt(b.n2))) AS cosine
+      FROM tb a JOIN tb b ON a.label = b.label AND a.t = b.t
+        AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      GROUP BY 1, 2, 3)
+    WHERE cosine >= 0.30
+    ORDER BY vec_a, vec_b"""
+
   /** C6: brute-force ANN — top-k cosine neighbors for a fixed-size probe
     * batch (vec_id ≡ 0 mod 100, capped at [[ProbeBatch]]). Probes broadcast;
     * ties broken by neighbor id so the ranking is deterministic. */

@@ -145,6 +145,20 @@ class OperatorsSpec extends SparkSpec {
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("lsh-blocked near-dup pairs are a verified subset of the exact pairs") {
+    val exact = EmbeddingOps.neardupEmbedding(spark, sf)
+      .select("vec_a", "vec_b").cache()
+    val lsh = EmbeddingOps.neardupEmbeddingLsh(spark, sf)
+      .select("vec_a", "vec_b").cache()
+    assert(lsh.count() > 0)
+    // every blocked pair passed the same cosine verification → subset
+    assert(lsh.except(exact).count() == 0)
+    val recall = lsh.count().toDouble / exact.count()
+    info(f"near-dup LSH-block recall=$recall%.2f")
+    assert(recall >= 0.30, s"near-dup LSH block recall regressed: $recall")
+    exact.unpersist(); lsh.unpersist(): Unit
+  }
+
   test("ann bruteforce returns at most k ranked neighbors per probe") {
     val a = EmbeddingOps.annBruteforce(spark, sf)
     val byProbe = a.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rnk").as("m"))
