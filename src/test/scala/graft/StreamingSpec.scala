@@ -76,6 +76,30 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("D4 DedupStream keeps first occurrence per content hash across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = DedupStream.dedup(
+      in.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("d4_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 10:00:00"), "Hello World"),
+        (2L, ts("2024-01-01 10:01:00"), "  hello world  "), // dup modulo norm
+        (3L, ts("2024-01-01 10:02:00"), "distinct doc"))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER micro-batch must also be dropped
+      in.addData((4L, ts("2024-01-01 10:03:00"), "HELLO WORLD"))
+      q.processAllAvailable()
+      val ids = sp.table("d4_out").select("doc_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("D3 UpsertSink merges micro-batches latest-wins into parquet") {
     val sp = spark
     import sp.implicits._
