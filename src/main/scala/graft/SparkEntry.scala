@@ -34,6 +34,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q_text_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q_dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q_text_quality" -> TextOps.qualityScoreSql,
     "q_text_langid" -> TextOps.langIdSql,
     "q_text_fingerprint" -> TextOps.fingerprintSql,
+    "q_text_pii_scrub" -> TextOps.piiScrubSql,
     "q_dedup_exact" -> DedupOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
     "q_dedup_simhash" -> DedupOps.dedupSimhashSql,

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Feeds, Tables}
 
 /** Text-analysis operators for an LLM training-data pipeline over the
   * `documents` corpus: token counting, quality scoring, language ID and
@@ -31,6 +31,37 @@ object TextOps {
            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
     FROM documents ORDER BY doc_id"""
+
+  /** Email pattern shared by the scrubber and its oracle — kept RE2-safe so
+    * Java (Spark) and RE2 (DuckDB) agree on every match. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Chilean mobile phone pattern (the reference is a Chilean retailer). */
+  val PhoneRe: String = "\\+56 9 [0-9]{4} [0-9]{4}"
+
+  /** C16: PII scrubbing — redact emails and phone numbers from the incoming
+    * corpus feed ([[Feeds.documentsWithPii]]) before training, counting the
+    * redactions per document. Narrow, codegen'd regexp passes — a 100 TB
+    * scrub is one scan. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Feeds.documentsWithPii(spark, dir)
+      .select(col("doc_id"), col("source"),
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).as("texto_limpio"),
+        (regexp_count(col("text"), lit(EmailRe)) +
+          regexp_count(col("text"), lit(PhoneRe))).cast("long").as("n_redacciones"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String = s"""
+    WITH feed AS (${Feeds.documentsWithPiiSql})
+    SELECT doc_id, source,
+      regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g') AS texto_limpio,
+      len(regexp_extract_all(text, '${EmailRe}'))
+        + len(regexp_extract_all(text, '${PhoneRe}')) AS n_redacciones
+    FROM feed ORDER BY doc_id"""
 
   /** C9: quality scoring — length/punctuation/stopword/digit ratios folded
     * into a composite score. Per-row double math is bit-identical across

@@ -121,6 +121,29 @@ object Feeds {
       FROM lineitem WHERE l_partkey % 7 <> 0 AND l_quantity > 0)
     WHERE costo_c > 0 GROUP BY id_producto"""
 
+  /** Document corpus with a deterministic PII slice — docs with
+    * doc_id % 13 == 0 carry an appended contact line (email + Chilean phone)
+    * so the PII scrubber ([[graft.operators.TextOps.piiScrub]]) has real
+    * redactions to make; the clean corpus carries none. */
+  def documentsWithPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" contacto: cliente"),
+            col("doc_id").cast("string"), lit("@imperio.cl tel +56 9 "),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" 1234")))
+          .otherwise(col("text")).as("text"))
+
+  /** DuckDB twin of [[documentsWithPii]]. */
+  val documentsWithPiiSql: String = """
+    SELECT doc_id, source,
+      CASE WHEN doc_id % 13 = 0
+        THEN text || ' contacto: cliente' || CAST(doc_id AS VARCHAR)
+          || '@imperio.cl tel +56 9 '
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' 1234'
+        ELSE text END AS text
+    FROM documents"""
+
   /** Price-list-2 analog — the mandatory per-variant net price the reference
     * fetches from `price_lists/2/details.json` and *rejects the variant*
     * when absent (etl_service.py:588-594). Products with id % 53 == 0 have

@@ -191,6 +191,20 @@ class OperatorsSpec extends SparkSpec {
     exact.unpersist(): Unit
   }
 
+  test("pii scrub redacts exactly the dirty slice") {
+    val r = TextOps.piiScrub(spark, sf).cache()
+    // dirty slice (doc_id % 13 == 0): email + phone both redacted
+    assert(r.filter(col("doc_id") % 13 === 0 &&
+      col("n_redacciones") =!= 2).count() == 0)
+    assert(r.filter(col("doc_id") % 13 === 0).count() > 0)
+    // clean slice untouched, zero redactions
+    assert(r.filter(col("doc_id") % 13 =!= 0 &&
+      col("n_redacciones") =!= 0).count() == 0)
+    assert(r.filter(col("texto_limpio").rlike("@") ||
+      col("texto_limpio").rlike("\\+56")).count() == 0)
+    r.unpersist(): Unit
+  }
+
   test("multimodal features are deterministic and sized right") {
     val f = MultimodalOps.features(spark, sf)
     assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
