@@ -3,8 +3,23 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions._
+
+/** Optimizer rule: a self dot product IS a squared norm — `graft_dot(v, v)`
+  * reads the array twice per element where `graft_norm2(v)` reads it once,
+  * and the arithmetic (sequential fold of x·x) is bit-identical. Users
+  * composing cosine from the primitives write the dot form naturally; the
+  * rule rewrites it, the way Catalyst canonicalizes `x + 0` — an example of
+  * domain-specific optimization injected via `injectOptimizerRule`. */
+object DotSelfToNorm extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotF(a, b) if a.semanticEquals(b) => Norm2F(a)
+    }
+}
 
 /** Session extension that registers graft's native expression kernels, so a
   * user gets them in every session (SQL and `expr(...)`) via
@@ -46,6 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_lsh_buckets",
       "per-table sign-LSH bucket ids (multi-table LSH) of a 64-dim float vector",
       args => LshBuckets(args.head)))
+    ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }
 

@@ -101,6 +101,24 @@ class KernelsSpec extends SparkSpec {
     assert(b.filter(col("hof") =!= col("ker")).count() == 0)
   }
 
+  test("optimizer rule rewrites self dot product to squared norm") {
+    import graft.functions.{DotF, Norm2F}
+    def exprsOf[T](df: org.apache.spark.sql.DataFrame)(
+        pf: PartialFunction[org.apache.spark.sql.catalyst.expressions.Expression, T]): Seq[T] =
+      df.queryExecution.optimizedPlan
+        .collect { case p => p.expressions.flatMap(_.collect(pf)) }.flatten
+    val df = embs.selectExpr("graft_dot(embedding, embedding) AS d",
+      "graft_norm2(embedding) AS n")
+    assert(exprsOf(df) { case e: DotF => e }.isEmpty,
+      "self dot product survived optimization")
+    assert(exprsOf(df) { case e: Norm2F => e }.size == 2)
+    // and a genuine two-vector dot is left alone
+    val df2 = embs.as("a").crossJoin(embs.as("b")).limit(1)
+      .selectExpr("graft_dot(a.embedding, b.embedding) AS d")
+    assert(exprsOf(df2) { case e: DotF => e }.nonEmpty)
+    assert(df.filter(col("d") =!= col("n")).count() == 0)
+  }
+
   test("kernels survive null inputs") {
     val sp = spark
     import sp.implicits._
