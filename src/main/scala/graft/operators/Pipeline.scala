@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Feeds
+
+/** C17: the end-to-end training-corpus pipeline — the composition a real
+  * LLM data pipeline runs over an incoming document feed
+  * ([[Feeds.documentsWithPii]]):
+  *
+  *   1. quality gate (composite score ≥ minQuality),
+  *   2. language gate (predicted language must match the declared one),
+  *   3. exact dedup (canonical copy = min doc_id per normalized content
+  *      hash among the surviving rows),
+  *   4. PII scrub of the emitted text.
+  *
+  * Built from the same column-level primitives as the standalone operators
+  * ([[TextOps.qualityScoreCol]], [[TextOps.langPredCol]],
+  * [[TextOps.scrubCol]]), so the whole pipeline is ONE narrow codegen'd
+  * projection + ONE shuffle (the dedup window on the 16-byte hash) — not a
+  * join of four separate corpus passes. At 100 TB this is the difference
+  * between one scan and four.
+  */
+object Pipeline {
+
+  def corpusPipeline(spark: SparkSession, dir: String,
+      minQuality: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy("norm_hash").orderBy("doc_id")
+    Feeds.documentsWithPii(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"),
+        TextOps.qualityScoreCol(col("text")).as("quality_score"),
+        TextOps.langPredCol(col("text")).as("lang_predicho"))
+      .filter(col("quality_score") >= minQuality &&
+        col("lang_predicho") === col("lang"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("source"), col("lang_predicho"),
+        col("quality_score"),
+        TextOps.scrubCol(col("text")).as("texto_limpio"),
+        TextOps.redactionsCol(col("text")).as("n_redacciones"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPipelineSql: String = s"""
+    WITH feed AS (${Feeds.documentsWithPiiSql}),
+    scored AS (
+      SELECT doc_id, source, lang, text,
+        md5(lower(trim(text))) AS norm_hash,
+        stopword_ratio * 2.0 - punct_ratio * 1.0 - digit_ratio * 3.0
+          + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END
+          AS quality_score,
+        CASE WHEN s_zh > 0 THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END AS lang_predicho
+      FROM (
+        SELECT *,
+          CAST(n_punct AS DOUBLE) / n_chars_d AS punct_ratio,
+          CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
+          CAST(n_digit AS DOUBLE) / n_chars_d AS digit_ratio
+        FROM (
+          SELECT doc_id, source, lang, text,
+            CAST(length(text) AS DOUBLE) AS n_chars_d,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+            len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b')) AS n_stop,
+            len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|is|this|that|with)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|y|es)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|les|et|est|dans|pour|une)\\b')) AS s_fr,
+            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+          FROM feed WHERE length(trim(text)) > 0))),
+    flt AS (
+      SELECT * FROM scored
+      WHERE quality_score >= 0.0 AND lang_predicho = lang),
+    ded AS (
+      SELECT *, row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS _rn
+      FROM flt)
+    SELECT doc_id, source, lang_predicho, quality_score,
+      regexp_replace(regexp_replace(text,
+        '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+        '${TextOps.PhoneRe}', '<PHONE>', 'g') AS texto_limpio,
+      len(regexp_extract_all(text, '${TextOps.EmailRe}'))
+        + len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS n_redacciones
+    FROM ded WHERE _rn = 1
+    ORDER BY doc_id"""
+}

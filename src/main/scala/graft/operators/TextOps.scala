@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Feeds, Tables}
 
@@ -39,6 +39,48 @@ object TextOps {
   /** Chilean mobile phone pattern (the reference is a Chilean retailer). */
   val PhoneRe: String = "\\+56 9 [0-9]{4} [0-9]{4}"
 
+  /** PII-redacted text — column form, reusable by composed pipelines. */
+  def scrubCol(t: Column): Column =
+    regexp_replace(regexp_replace(t, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  /** Redaction count — column form. */
+  def redactionsCol(t: Column): Column =
+    (regexp_count(t, lit(EmailRe)) + regexp_count(t, lit(PhoneRe))).cast("long")
+
+  /** Composite quality score of a NON-EMPTY text column (same formula as
+    * [[qualityScore]]'s final column) — column form for composed pipelines;
+    * callers must pre-filter `length(trim(t)) > 0`. */
+  def qualityScoreCol(t: Column): Column = {
+    val nCharsD = length(t).cast("double")
+    val nTok = size(split(trim(t), "\\s+")).cast("long")
+    val punctRatio = regexp_count(t, lit("[.,;:!?]")).cast("long")
+      .cast("double") / nCharsD
+    val stopRatio = regexp_count(lower(t),
+      lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("long")
+      .cast("double") / nTok.cast("double")
+    val digitRatio = regexp_count(t, lit("[0-9]")).cast("long")
+      .cast("double") / nCharsD
+    stopRatio * lit(2.0) - punctRatio * lit(1.0) - digitRatio * lit(3.0) +
+      when(nTok >= 20 && nTok <= 1000, lit(0.5)).otherwise(lit(0.0))
+  }
+
+  /** Marker-n-gram language prediction (same decision tree as [[langId]]) —
+    * column form for composed pipelines. */
+  def langPredCol(t: Column): Column = {
+    def sc(pat: String) = regexp_count(lower(t), lit(pat)).cast("long")
+    val sEn = sc("\\b(the|and|of|is|this|that|with)\\b")
+    val sEs = sc("\\b(el|la|los|las|que|de|y|es)\\b")
+    val sDe = sc("\\b(der|die|das|und|ist|nicht|mit)\\b")
+    val sFr = sc("\\b(le|les|et|est|dans|pour|une)\\b")
+    val sZh = regexp_count(t, lit("[\\x{4e00}-\\x{9fff}]")).cast("long")
+    when(sZh > 0, "zh")
+      .when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+      .when(sEs >= sDe && sEs >= sFr, "es")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+  }
+
   /** C16: PII scrubbing — redact emails and phone numbers from the incoming
     * corpus feed ([[Feeds.documentsWithPii]]) before training, counting the
     * redactions per document. Narrow, codegen'd regexp passes — a 100 TB
@@ -46,11 +88,8 @@ object TextOps {
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     Feeds.documentsWithPii(spark, dir)
       .select(col("doc_id"), col("source"),
-        regexp_replace(
-          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
-          lit(PhoneRe), lit("<PHONE>")).as("texto_limpio"),
-        (regexp_count(col("text"), lit(EmailRe)) +
-          regexp_count(col("text"), lit(PhoneRe))).cast("long").as("n_redacciones"))
+        scrubCol(col("text")).as("texto_limpio"),
+        redactionsCol(col("text")).as("n_redacciones"))
       .orderBy("doc_id")
 
   val piiScrubSql: String = s"""

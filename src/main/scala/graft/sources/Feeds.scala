@@ -127,7 +127,7 @@ object Feeds {
     * redactions to make; the clean corpus carries none. */
   def documentsWithPii(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" contacto: cliente"),
             col("doc_id").cast("string"), lit("@imperio.cl tel +56 9 "),
@@ -136,7 +136,7 @@ object Feeds {
 
   /** DuckDB twin of [[documentsWithPii]]. */
   val documentsWithPiiSql: String = """
-    SELECT doc_id, source,
+    SELECT doc_id, source, lang,
       CASE WHEN doc_id % 13 = 0
         THEN text || ' contacto: cliente' || CAST(doc_id AS VARCHAR)
           || '@imperio.cl tel +56 9 '

@@ -205,6 +205,22 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist(): Unit
   }
 
+  test("corpus pipeline output is deduped, gated, and scrubbed") {
+    val r = Pipeline.corpusPipeline(spark, sf).cache()
+    assert(r.count() > 0)
+    // dedup: no two rows share a normalized content hash → scrubbed text
+    // (scrub is deterministic per text) must also be unique
+    assert(r.count() == r.select("texto_limpio").distinct().count())
+    // gates: quality floor and language agreement held
+    assert(r.filter(col("quality_score") < 0.0).count() == 0)
+    // scrub: no raw emails/phones survive
+    assert(r.filter(col("texto_limpio").rlike("@")).count() == 0)
+    // the PII slice that survived the gates carries redaction counts
+    assert(r.filter(col("doc_id") % 13 === 0 &&
+      col("n_redacciones") === 0).count() == 0)
+    r.unpersist(): Unit
+  }
+
   test("multimodal features are deterministic and sized right") {
     val f = MultimodalOps.features(spark, sf)
     assert(f.filter(col("mean_byte") < 0 || col("mean_byte") > 255).count() == 0)
