@@ -30,6 +30,7 @@ object SparkEntry {
     "q_events_window_agg" -> ((s, d) => Analytics.eventsWindowAgg(s, d)),
     "q_events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "q_events_json" -> ((s, d) => Analytics.eventsJson(s, d)),
+    "q_events_asof" -> ((s, d) => AsOf.eventsAsof(s, d)),
     "q_text_tokencount" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_text_langid" -> ((s, d) => TextOps.langId(s, d)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_events_window_agg" -> Analytics.eventsWindowAggSql,
     "q_events_sessionize" -> Analytics.sessionizeSql,
     "q_events_json" -> Analytics.eventsJsonSql,
+    "q_events_asof" -> AsOf.eventsAsofSql,
     "q_text_tokencount" -> TextOps.tokenCountSql,
     "q_text_quality" -> TextOps.qualityScoreSql,
     "q_text_langid" -> TextOps.langIdSql,

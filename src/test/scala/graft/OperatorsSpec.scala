@@ -81,6 +81,30 @@ class OperatorsSpec extends SparkSpec {
     }: Unit
   }
 
+  test("asof join picks the latest right row at or before each left time") {
+    val sp = spark
+    import sp.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 50.0))
+      .toDF("k", "t", "px")
+    val trades = Seq((1L, 9L, "a"), (1L, 10L, "b"), (1L, 25L, "c"), (2L, 14L, "d"))
+      .toDF("k", "ts", "tag")
+    val out = AsOf.asofJoin(trades, quotes, "k", "ts", "t")
+      .select("k", "ts", "tag", "px").as[(Long, Long, String, Option[Double])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 9L, "a", None),          // nothing at/before t=9
+      (1L, 10L, "b", Some(100.0)),  // equal time matches (<=)
+      (1L, 25L, "c", Some(101.0)),  // latest, not first
+      (2L, 14L, "d", None)))        // other key's quotes invisible
+    // invariants on the events query: one row per error, match never future
+    val r = AsOf.eventsAsof(spark, sf).cache()
+    val nErrors = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "error").count()
+    assert(r.count() == nErrors)
+    assert(r.filter(col("click_ts_us") > col("ts_us")).count() == 0)
+    r.unpersist(): Unit
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
