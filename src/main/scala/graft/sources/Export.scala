@@ -26,4 +26,17 @@ object Export {
     * date/type-bounded reads prune whole directories. */
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed catalog table — pre-shuffled on the join key at write time so
+    * repeated key joins/aggregations between tables bucketed the same way
+    * run WITHOUT a shuffle (Spark reads bucket files as pre-partitioned,
+    * SortMergeJoin gets Exchange-free inputs). This is the 100 TB answer to
+    * "the same fact-fact join runs every day": pay the shuffle once at load,
+    * never at query time. Requires `saveAsTable` (bucket metadata lives in
+    * the catalog). */
+  def bucketedTable(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

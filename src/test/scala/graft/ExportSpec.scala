@@ -32,6 +32,28 @@ class ExportSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || onlyA.inputFiles.forall(_.contains("seg=A")))
   }
 
+  test("bucketedTable joins without a shuffle on the bucket key") {
+    val sp = spark
+    val o = graft.sources.Tables.orders(sp, sf)
+      .select("o_orderkey", "o_totalprice")
+    val l = graft.sources.Tables.lineitem(sp, sf)
+      .select("l_orderkey", "l_extendedprice")
+    Export.bucketedTable(o, "b_orders", "o_orderkey", 4)
+    Export.bucketedTable(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    try {
+      val joined = sp.table("b_orders").join(sp.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the key -> SMJ with no shuffle exchange
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == l.count())
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS b_orders")
+      sp.sql("DROP TABLE IF EXISTS b_lineitem"): Unit
+    }
+  }
+
   test("jsonLines roundtrip") {
     val sp = spark
     import sp.implicits._
