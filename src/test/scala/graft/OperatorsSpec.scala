@@ -105,6 +105,29 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist(): Unit
   }
 
+  test("banded range join finds exactly the in-window pairs") {
+    val sp = spark
+    import sp.implicits._
+    // W=60: same-bucket pair (10,40), cross-bucket pair (59,61), excluded:
+    // gap > W (61→200), equal times, other keys
+    val df = Seq((1L, 10L, 100L), (1L, 40L, 101L), (1L, 59L, 102L),
+      (1L, 61L, 103L), (1L, 200L, 104L), (2L, 12L, 105L))
+      .toDF("k", "t", "id")
+    val got = RangeJoin.windowPairs(df, "k", "t", "id", 60L)
+      .select("id_a", "id_b", "delta").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (100L, 101L, 30L), (100L, 102L, 49L), (100L, 103L, 51L),
+      (101L, 102L, 19L), (101L, 103L, 21L), (102L, 103L, 2L)))
+    // parity with the naive inequality join on real data
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    val naive = ev.as("a").join(ev.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("b.ts_us") > col("a.ts_us") &&
+        col("b.ts_us") - col("a.ts_us") <= 60000000L).count()
+    assert(RangeJoin.eventsWindowPairs(spark, sf).count() == naive)
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
