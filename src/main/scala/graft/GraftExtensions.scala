@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_lsh_buckets",
       "per-table sign-LSH bucket ids (multi-table LSH) of a 64-dim float vector",
       args => LshBuckets(args.head)))
+    ext.injectFunction(fn("graft_cms_cells",
+      "flat count-min-sketch cell indices of a string key",
+      args => CmsCells(args.head)))
+    ext.injectFunction(fn("graft_cms_sketch",
+      "count-min sketch aggregate of a string column (flat depth x width matrix)",
+      args => CountMinSketchAgg(args.head)))
     ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }

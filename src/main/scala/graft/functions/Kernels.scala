@@ -207,6 +207,40 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Count-min sketch geometry: depth (independent hash rows) × width
+    * (cells per row). 4×64 = 256 longs — merges cellwise, so the sketch is
+    * a distributive aggregate: partial sketches combine map-side like a
+    * sum, one tiny fixed-size state per partition at any corpus size. */
+  val CmsDepth: Int = 4
+  val CmsWidth: Int = 64
+
+  /** Base string hash for the sketch: sequential fold
+    * acc = (acc·31 + codepoint) mod p — identical to DuckDB's
+    * `list_reduce` over `ascii()` codepoints (fold from the first element).
+    */
+  def cmsBaseHash(s: UTF8String): Long = {
+    var acc = 0L
+    val it = s.toString.codePoints.iterator
+    while (it.hasNext) acc = (acc * 31 + it.next().toLong) % P
+    acc
+  }
+
+  /** Flat cell indices (d·width + g_d) of a key in the sketch, using the
+    * same universal hash family as the MinHash rows:
+    * g_d = ((A_{d+1}·h + B_{d+1}) mod p) mod width. */
+  def cmsCells(s: UTF8String): ArrayData = {
+    val h = cmsBaseHash(s)
+    val out = new Array[Long](CmsDepth)
+    var d = 0
+    while (d < CmsDepth) {
+      val a = (506952114L * (d + 1)) % P
+      val b = (1013904223L * (d + 1)) % P
+      out(d) = d.toLong * CmsWidth + ((a * h + b) % P) % CmsWidth
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Registers the kernels as SQL temp functions (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -224,6 +258,10 @@ object Kernels {
       args => LshBucket(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets",
       args => LshBuckets(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_cells",
+      args => CmsCells(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_sketch",
+      args => CountMinSketchAgg(args.head), "built-in")
   }
 }
 
@@ -311,4 +349,80 @@ case class LshBuckets(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshBuckets($c)")
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)
+}
+
+case class CmsCells(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cmsCells(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cmsCells($c)")
+  override protected def withNewChildInternal(newChild: Expression): CmsCells =
+    copy(child = newChild)
+}
+
+/** Count-min sketch of a string column as a custom Catalyst aggregate —
+  * buffer is the flat depth×width cell matrix; update adds 1 to one cell
+  * per hash row, merge is cellwise addition (commutative + associative, so
+  * partial aggregation and any partition order give identical results).
+  * Returns the matrix; point estimates are `min_d matrix[cells(key)[d]]`
+  * (see [[Kernels.cmsCells]]). */
+case class CountMinSketchAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  private val size = Kernels.CmsDepth * Kernels.CmsWidth
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](size)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val cells = Kernels.cmsCells(v.asInstanceOf[UTF8String])
+      var d = 0
+      while (d < Kernels.CmsDepth) {
+        buf(cells.getLong(d).toInt) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(size * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](size)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinSketchAgg =
+    copy(child = newChildren.head)
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Mergeable sketches (SURVEY.md §2 B13) — fixed-size summaries whose merge
+  * is commutative/associative, so they partial-aggregate map-side and cost
+  * one tiny state per partition at any corpus size. First resident: a
+  * count-min sketch ([[graft.functions.CountMinSketchAgg]], a custom
+  * Catalyst `TypedImperativeAggregate`) — the streaming/distributed answer
+  * to "frequency of key k" when the key space is too large to groupBy.
+  */
+object Sketches {
+
+  /** B13: `q_events_cms` — build one count-min sketch over the event-type
+    * stream in a single pass, then read each distinct type's point estimate
+    * back out of the matrix next to its exact count. The estimate is
+    * min over hash rows of the key's cell — always ≥ the true count, equal
+    * when the key collides with nothing heavier. The sketch matrix is
+    * 4×64 longs regardless of corpus size: at 100 TB the aggregate moves
+    * 2 KiB per partition where an exact groupBy moves the key space. */
+  def eventsCms(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ev = Tables.events(spark, dir)
+    val sketch = ev.agg(expr("graft_cms_sketch(event_type)").as("m"))
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est", expr(
+        "array_min(transform(graft_cms_cells(event_type), c -> element_at(m, CAST(c + 1 AS INT))))"))
+      .select("event_type", "n_events", "cms_est")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin — the sketch algebra in closed form: cell value = sum of
+    * counts of the keys hashing there, estimate = min over rows. Exact
+    * integer math, so it matches the aggregate bit-for-bit. */
+  val eventsCmsSql: String = """
+    WITH counts AS (
+      SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
+    hk AS (
+      SELECT event_type, n_events,
+        list_reduce(list_transform(range(1, length(event_type) + 1), i ->
+          CAST(ascii(substr(event_type, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM counts),
+    kc AS (
+      SELECT event_type, n_events, d,
+        ((506952114 * (d + 1)) % 2147483647 * h
+          + (1013904223 * (d + 1)) % 2147483647) % 2147483647 % 64 AS g
+      FROM hk, (SELECT unnest(range(0, 4)) AS d)),
+    cells AS (
+      SELECT d, g, CAST(SUM(n_events) AS BIGINT) AS c FROM kc GROUP BY 1, 2)
+    SELECT kc.event_type, kc.n_events, min(cells.c) AS cms_est
+    FROM kc JOIN cells ON kc.d = cells.d AND kc.g = cells.g
+    GROUP BY 1, 2
+    ORDER BY event_type"""
+}

@@ -128,6 +128,22 @@ class OperatorsSpec extends SparkSpec {
     assert(RangeJoin.eventsWindowPairs(spark, sf).count() == naive)
   }
 
+  test("count-min sketch overestimates, never under, and merges order-free") {
+    val r = Sketches.eventsCms(spark, sf).cache()
+    assert(r.count() > 0)
+    // CMS guarantee: estimate >= exact count, always
+    assert(r.filter(col("cms_est") < col("n_events")).count() == 0)
+    r.unpersist()
+    // cellwise-add merge => identical matrix under any partitioning
+    val ev = graft.sources.Tables.events(spark, sf)
+    val m1 = ev.agg(expr("graft_cms_sketch(event_type)")).head.getSeq[Long](0)
+    val m2 = ev.repartition(7).agg(expr("graft_cms_sketch(event_type)"))
+      .head.getSeq[Long](0)
+    assert(m1 == m2)
+    // total mass = one increment per row per hash line
+    assert(m1.sum == ev.count() * graft.functions.Kernels.CmsDepth)
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
