@@ -43,6 +43,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(s, d)),
     "q_dedup_simhash_band" -> ((s, d) => DedupOps.dedupSimhashBand(s, d)),
+    "q_dedup_components" -> ((s, d) => DedupOps.dedupComponents(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => DedupOps.dedupNgramJaccard(s, d)),
     "q_neardup_embedding" -> ((s, d) => EmbeddingOps.neardupEmbedding(s, d)),
     "q_neardup_embedding_lsh" -> ((s, d) => EmbeddingOps.neardupEmbeddingLsh(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
     "q_dedup_simhash" -> DedupOps.dedupSimhashSql,
     "q_dedup_simhash_band" -> DedupOps.dedupSimhashBandSql,
+    "q_dedup_components" -> DedupOps.dedupComponentsSql,
     "q_dedup_ngram_jaccard" -> DedupOps.dedupNgramJaccardSql,
     "q_neardup_embedding" -> EmbeddingOps.neardupEmbeddingSql,
     "q_neardup_embedding_lsh" -> EmbeddingOps.neardupEmbeddingLshSql,

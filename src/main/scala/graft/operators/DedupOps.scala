@@ -208,6 +208,78 @@ object DedupOps {
     * pair join to ≤ df²/2 rows per gram at any corpus size. */
   val MaxGramDf: Int = 100
 
+  /** C18: connected components over the MinHash candidate graph — the
+    * cluster step a dedup pipeline runs after pair generation: every doc
+    * gets its cluster's canonical id (the minimum doc_id reachable through
+    * candidate pairs) and the cluster size; keeping `doc_id ==
+    * component_id` rows then dedups the corpus one-per-cluster.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels — a join + min-aggregate,
+    * fully distributed; the driver only orchestrates rounds. Convergence in
+    * O(graph diameter) rounds (near-clique dup clusters converge in 2-3);
+    * detected via the label sum, which strictly decreases until fixpoint.
+    * `localCheckpoint` truncates the growing plan lineage each round. */
+  def dedupComponents(spark: SparkSession, dir: String,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .cache()
+    val nodes = Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) >= 5) // the LSH domain
+      .select(col("doc_id").as("node"))
+    var labels: DataFrame = nodes.withColumn("label", col("node")).localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNbr = edges.join(labels, edges("v") === labels("node"))
+        .groupBy("u").agg(min("label").as("_nl"))
+      val next = labels.join(viaNbr, labels("node") === viaNbr("u"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("_nl"), labels("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum("label")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    require(converged, s"component propagation did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+      .withColumn("component_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("doc_id"), col("label").as("component_id"),
+        col("component_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin — transitive closure by recursive CTE over the same pair
+    * set, min reachable node per doc; singletons are their own component. */
+  val dedupComponentsSql: String = s"""
+    WITH RECURSIVE pairs AS (${dedupMinhashLshSql}),
+    d AS (SELECT doc_id FROM documents
+          WHERE length(lower(trim(text))) >= 5),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT u AS node, v AS r FROM edges
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node),
+    comp AS (
+      SELECT node AS doc_id, least(node, min(r)) AS component_id
+      FROM reach GROUP BY node
+      UNION ALL
+      SELECT doc_id, doc_id FROM d
+      WHERE doc_id NOT IN (SELECT node FROM reach))
+    SELECT doc_id, component_id,
+      count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM comp ORDER BY doc_id"""
+
   /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams
     * explode, stop-grams (df > [[MaxGramDf]]) dropped via a broadcast
     * anti-join, gram-keyed join counts intersections, |A|+|B|−∩ gives the

@@ -159,6 +159,24 @@ class OperatorsSpec extends SparkSpec {
     assert(cellsPerProbe.filter(col("n_cells") > 2).count() == 0)
   }
 
+  test("dedup components co-cluster every candidate pair, canonical = min") {
+    val comp = DedupOps.dedupComponents(spark, sf).cache()
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf)
+    val ca = comp.select(col("doc_id").as("doc_a"), col("component_id").as("ca"))
+    val cb = comp.select(col("doc_id").as("doc_b"), col("component_id").as("cb"))
+    assert(pairs.join(ca, "doc_a").join(cb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() == 0)
+    // canonical id is the minimum member of its own component
+    assert(comp.filter(col("component_id") > col("doc_id")).count() == 0)
+    assert(comp.groupBy("component_id").agg(min("doc_id").as("m"))
+      .filter(col("m") =!= col("component_id")).count() == 0)
+    // sizes partition the node set
+    assert(comp.select(sum(lit(1))).head.getLong(0) ==
+      comp.select("component_id", "component_size").distinct()
+        .agg(sum("component_size")).head.getLong(0))
+    comp.unpersist(): Unit
+  }
+
   test("minhash pairs are ordered and distinct") {
     val p = DedupOps.dedupMinhashLsh(spark, sf)
     assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
