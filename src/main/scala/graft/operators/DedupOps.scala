@@ -48,28 +48,31 @@ object DedupOps {
     * the collision threshold is ≈(1/4)^(1/3)≈0.63 Jaccard, so buckets hold
     * genuine near-dups — candidate generation stays linear in bucket volume,
     * never corpus². All integer math, identical in Spark and DuckDB. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (band, sig) bucket rows per doc — the shared first stage of C2 and
+    * C18. Spread across cores BEFORE any expansion: the corpus parquet is
+    * one split locally, and a broadcast join adds no shuffle, so without
+    * this a whole bucket expansion runs on one task. Hash on doc_id (no
+    * round-robin sort), rows are (long, int, string) — tiny next to the
+    * work they unlock. Join branches over this share one exchange
+    * (ReusedExchange), so the minhash kernel runs once per doc. */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
-    // Join form, deliberately: this corpus is duplicate-dense (≈40% of all
-    // pairs collide), so a collect_list-per-bucket pair expansion would
-    // materialize n²/2 structs in single rows on single threads (measured
-    // 12× slower at sf0.1). The self-join streams pairs through codegen and
-    // spreads each bucket's expansion across its join partitions; the
-    // signature pass is recomputed on the second branch, but it's the cheap
-    // part next to the pair volume.
-    // Spread sig rows across cores BEFORE the pair expansion: the corpus
-    // parquet is one split locally, and a broadcast join adds no shuffle, so
-    // without this the whole O(pairs) expansion runs on one task. Hash on
-    // doc_id (no round-robin sort), rows are (long, int, string) — tiny next
-    // to the expansion they unlock. Both join branches share this exchange
-    // (ReusedExchange), so the minhash kernel itself runs once per doc.
     val par = spark.sessionState.conf.numShufflePartitions
-    val sigs = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
       .select(col("doc_id"),
         posexplode(expr("graft_minhash_sigs(norm)")).as(Seq("band", "sig")))
       .repartition(par, col("doc_id"))
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Join form, deliberately: this corpus is duplicate-dense (≈40% of all
+    // pairs collide), so a collect_list-per-bucket pair expansion would
+    // materialize n²/2 structs in single rows on single threads (measured
+    // 12× slower at sf0.1). The self-join streams pairs through codegen and
+    // spreads each bucket's expansion across its join partitions.
+    val sigs = minhashSigs(spark, dir)
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -78,9 +81,10 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashLshSql: String = """
-    WITH d AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents
-               WHERE length(lower(trim(text))) >= 5),
+  /** The (band, sig) CTE chain shared by the C2 and C18 oracles. */
+  private val minhashSigsCtes: String = """d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      WHERE length(lower(trim(text))) >= 5),
     h AS (
       SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
         (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
@@ -97,7 +101,10 @@ object DedupOps {
             ((506952114 * (b * 3 + r + 1)) % 2147483647 * x
              + (1013904223 * (b * 3 + r + 1)) % 2147483647)
             % 2147483647)) AS VARCHAR)), ':') AS sig
-      FROM h, (SELECT unnest(range(0, 4)) AS b))
+      FROM h, (SELECT unnest(range(0, 4)) AS b))"""
+
+  val dedupMinhashLshSql: String = s"""
+    WITH $minhashSigsCtes
     SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
     FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
                             AND a.doc_id < b2.doc_id
@@ -224,9 +231,19 @@ object DedupOps {
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
-    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Star edges per (band, sig) bucket: bucket-min doc ↔ every member.
+    // Connectivity (and therefore the components) is IDENTICAL to the full
+    // within-bucket clique the C2 pair query materializes, but edge volume
+    // is linear in bucket size instead of quadratic — the difference
+    // between O(n·bands) and O(pairs) input at 100 TB (measured 21s → 3s
+    // at sf0.1).
+    val sigs = minhashSigs(spark, dir)
+    val bucketMin = sigs.groupBy("band", "sig").agg(min("doc_id").as("m"))
+    val star = sigs.join(bucketMin, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("u"), col("doc_id").as("v")).distinct()
+    val edges = star
+      .union(star.select(col("v").as("u"), col("u").as("v")))
       .cache()
     val nodes = Tables.documents(spark, dir)
       .filter(length(lower(trim(col("text")))) >= 5) // the LSH domain
@@ -236,11 +253,19 @@ object DedupOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // hop: min of own and neighbors' labels
       val viaNbr = edges.join(labels, edges("v") === labels("node"))
         .groupBy("u").agg(min("label").as("_nl"))
-      val next = labels.join(viaNbr, labels("node") === viaNbr("u"), "left")
+      val stepped = labels.join(viaNbr, labels("node") === viaNbr("u"), "left")
         .select(labels("node"),
           least(labels("label"), coalesce(col("_nl"), labels("label"))).as("label"))
+      // pointer jump: follow the label's own label — halves remaining path
+      // lengths, so rounds are O(log diameter) instead of O(diameter)
+      // (measured 12 → 5 rounds on the sf0.1 bucket-star graph)
+      val parents = stepped.select(col("node").as("_pn"), col("label").as("_pl"))
+      val next = stepped.join(parents, stepped("label") === parents("_pn"), "left")
+        .select(stepped("node"),
+          least(stepped("label"), coalesce(col("_pl"), stepped("label"))).as("label"))
         .localCheckpoint()
       val s = next.agg(sum("label")).head.getLong(0)
       converged = s == prevSum
@@ -258,14 +283,17 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** DuckDB twin — transitive closure by recursive CTE over the same pair
-    * set, min reachable node per doc; singletons are their own component. */
+  /** DuckDB twin — transitive closure by recursive CTE over the same
+    * bucket-star edges, min reachable node per doc; singletons are their
+    * own component. */
   val dedupComponentsSql: String = s"""
-    WITH RECURSIVE pairs AS (${dedupMinhashLshSql}),
-    d AS (SELECT doc_id FROM documents
-          WHERE length(lower(trim(text))) >= 5),
-    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
+    WITH RECURSIVE $minhashSigsCtes,
+    bm AS (SELECT band, sig, min(doc_id) AS m FROM sigs GROUP BY 1, 2),
+    star AS (
+      SELECT DISTINCT bm.m AS u, sigs.doc_id AS v
+      FROM sigs JOIN bm ON sigs.band = bm.band AND sigs.sig = bm.sig
+      WHERE sigs.doc_id <> bm.m),
+    edges AS (SELECT u, v FROM star UNION SELECT v, u FROM star),
     reach AS (
       SELECT u AS node, v AS r FROM edges
       UNION
