@@ -33,6 +33,8 @@ object SparkEntry {
     "q_events_asof" -> ((s, d) => AsOf.eventsAsof(s, d)),
     "q_events_range_join" -> ((s, d) => RangeJoin.eventsWindowPairs(s, d)),
     "q_events_cms" -> ((s, d) => Sketches.eventsCms(s, d)),
+    "q_events_paths" -> ((s, d) => Sketches.eventsPaths(s, d)),
+    "q_text_top_terms" -> ((s, d) => Sketches.topTerms(s, d)),
     "q_text_tokencount" -> ((s, d) => TextOps.tokenCount(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "q_text_langid" -> ((s, d) => TextOps.langId(s, d)),
@@ -77,6 +79,8 @@ object SparkEntry {
     "q_events_asof" -> AsOf.eventsAsofSql,
     "q_events_range_join" -> RangeJoin.eventsWindowPairsSql,
     "q_events_cms" -> Sketches.eventsCmsSql,
+    "q_events_paths" -> Sketches.eventsPathsSql,
+    "q_text_top_terms" -> Sketches.topTermsSql,
     "q_text_tokencount" -> TextOps.tokenCountSql,
     "q_text_quality" -> TextOps.qualityScoreSql,
     "q_text_langid" -> TextOps.langIdSql,

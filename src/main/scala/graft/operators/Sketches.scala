@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Mergeable sketches (SURVEY.md §2 B13) — fixed-size summaries whose merge
+/** Mergeable sketches and bounded-output summaries (SURVEY.md §2 B13-B14) —
+  * fixed-size summaries whose merge
   * is commutative/associative, so they partial-aggregate map-side and cost
   * one tiny state per partition at any corpus size. First resident: a
   * count-min sketch ([[graft.functions.CountMinSketchAgg]], a custom
@@ -55,4 +56,48 @@ object Sketches {
     FROM kc JOIN cells ON kc.d = cells.d AND kc.g = cells.g
     GROUP BY 1, 2
     ORDER BY event_type"""
+
+  /** B14: `q_events_paths` — each user's full event journey as an ordered
+    * path string (funnel/path analysis input). One shuffle on user_id; the
+    * per-user sort happens inside the aggregate on collected structs, and
+    * event times are unique per user so the order — and the hash — is
+    * deterministic. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">", expr(
+          "transform(array_sort(collect_list(struct(ts_us, event_type))), x -> x.event_type)"))
+          .as("path"))
+      .orderBy("user_id")
+
+  val eventsPathsSql: String = """
+    SELECT user_id, count(*) AS n_events,
+      string_agg(event_type, '>' ORDER BY epoch_us(ts)) AS path
+    FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** B15/C19: `q_text_top_terms` — exact top-k vocabulary over the corpus.
+    * Token explode partial-aggregates map-side; the global top-k is a
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge on the
+    * driver) — never a full sort of the vocabulary. Ties broken by token so
+    * the cut is deterministic. */
+  def topTerms(spark: SparkSession, dir: String, k: Int = TopTermsK): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Top-k cut for B15 — shared by operator and oracle. */
+  val TopTermsK: Int = 100
+
+  val topTermsSql: String = s"""
+    SELECT token, count(*) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents)
+    WHERE length(token) > 0
+    GROUP BY token ORDER BY n DESC, token LIMIT $TopTermsK"""
 }

@@ -144,6 +144,23 @@ class OperatorsSpec extends SparkSpec {
     assert(m1.sum == ev.count() * graft.functions.Kernels.CmsDepth)
   }
 
+  test("event paths are complete and top terms are a deterministic cut") {
+    val p = Sketches.eventsPaths(spark, sf).cache()
+    // every event lands in exactly one user's path
+    assert(p.agg(sum("n_events")).head.getLong(0) ==
+      graft.sources.Tables.events(spark, sf).count())
+    assert(p.filter(size(split(col("path"), ">")) =!= col("n_events")).count() == 0)
+    p.unpersist()
+    val t = Sketches.topTerms(spark, sf).collect()
+    assert(t.nonEmpty && t.length <= Sketches.TopTermsK)
+    // descending counts with token tie-break
+    assert(t.sliding(2).forall { case Array(a, b) =>
+      a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+      case _ => true
+    })
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
