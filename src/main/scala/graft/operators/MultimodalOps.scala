@@ -69,4 +69,46 @@ object MultimodalOps {
   /** End-to-end: documents → media rows → decoded feature table. */
   def features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir)).toDF().orderBy("doc_id")
+
+  /** STUB — deterministic fake resize: a real build decodes, scales to
+    * `targetBytes` worth of pixels and re-encodes; the fake keeps every
+    * stride-th byte so output size, determinism and the narrow per-row
+    * shape are the real contract. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val stride = math.max(1, payload.length / targetBytes)
+      payload.indices.collect { case i if i % stride == 0 => payload(i) }
+        .take(targetBytes).toArray
+    }
+
+  /** Resize pass: payloads capped at `targetBytes` — same `mapPartitions`
+    * shape as [[extractFeatures]] (codec init once per partition). */
+  def resize(media: Dataset[MediaRow], targetBytes: Int = 1024): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { partIter =>
+      partIter.map(m => m.copy(payload = resizeStub(m.payload, targetBytes)))
+    }
+  }
+
+  /** One sampled "frame" per media row: frame `frameIdx` is the 256-byte
+    * block at that index (matching [[decodeStub]]'s fake frame geometry),
+    * clamped to the last frame. Output explodes to one row per sampled
+    * frame — the shape a video pipeline feeds to per-frame models. */
+  def frameSample(media: Dataset[MediaRow],
+                  frameIdxs: Seq[Int] = Seq(0)): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = math.max(1, 1 + m.payload.length / 256)
+      frameIdxs.distinct.sorted.map { want =>
+        val idx = math.min(want, nFrames - 1)
+        val from = idx * 256
+        val until = math.min(from + 256, m.payload.length)
+        val frame =
+          if (from >= m.payload.length) Array.emptyByteArray
+          else m.payload.slice(from, until)
+        (m.doc_id, m.media_type, idx, frame)
+      }
+    }.toDF("doc_id", "media_type", "frame_idx", "frame")
+  }
 }

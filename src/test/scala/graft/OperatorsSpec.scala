@@ -328,6 +328,25 @@ class OperatorsSpec extends SparkSpec {
     assert(f.select("doc_id", "byte_len").except(meta).count() == 0)
   }
 
+  test("resize caps payloads; frame sampling clamps to the last frame") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val resized = MultimodalOps.resize(media, targetBytes = 100)
+    assert(resized.filter(length(col("payload")) > 100).count() == 0)
+    assert(resized.count() == media.count())
+    // sampling frames 0 and 9999: every row yields both requests, the
+    // out-of-range one clamped to the last real frame
+    val frames = MultimodalOps.frameSample(media, Seq(0, 9999)).cache()
+    assert(frames.count() == media.count() * 2)
+    assert(frames.filter(length(col("frame")) > 256).count() == 0)
+    val meta = EmbeddingOps.multimodalMeta(spark, sf)
+      .select(col("doc_id"), col("byte_len"))
+    val lastIdx = frames.groupBy("doc_id").agg(max("frame_idx").as("last_idx"))
+    assert(lastIdx.join(meta, "doc_id")
+      .filter(col("last_idx") =!= greatest(lit(0), floor(col("byte_len") / 256)))
+      .count() == 0)
+    frames.unpersist(): Unit
+  }
+
   test("decode stub: empty payload and known bytes") {
     assert(MultimodalOps.decodeStub(Array.emptyByteArray) == (0.0, 0, 0))
     assert(MultimodalOps.decodeStub(Array[Byte](0, 100, -56)) == (100.0, 200, 1))
