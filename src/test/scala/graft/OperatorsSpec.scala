@@ -161,6 +161,35 @@ class OperatorsSpec extends SparkSpec {
     })
   }
 
+  test("asof/range joins match in-memory naive results on random data") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    // unique times so ordering (and therefore both results) is total
+    val times = rnd.shuffle((1L to 2000L).toVector)
+    val rows = times.zipWithIndex.map { case (t, i) =>
+      (rnd.nextInt(8).toLong, t, i.toLong)
+    }
+    val (lRows, rRows) = rows.splitAt(1000)
+    val left = lRows.toDF("k", "t", "id")
+    val right = rRows.toDF("k", "t", "rid")
+    val gotAsof = AsOf.asofJoin(left, right.withColumnRenamed("t", "rt"), "k", "t", "rt")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    val expAsof = lRows.map { case (k, t, id) =>
+      val cand = rRows.filter(r => r._1 == k && r._2 <= t)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toMap
+    assert(gotAsof == expAsof)
+    val all = rows.toDF("k", "t", "id")
+    val gotPairs = RangeJoin.windowPairs(all, "k", "t", "id", 37L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expPairs = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && b._2 > a._2 && b._2 - a._2 <= 37L
+    } yield (a._3, b._3)).toSet
+    assert(gotPairs == expPairs)
+  }
+
   test("dedup_exact covers every doc exactly once") {
     val d = DedupOps.dedupExact(spark, sf)
     val total = d.agg(sum("n_copies")).head.getLong(0)
