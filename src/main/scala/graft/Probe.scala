@@ -12,7 +12,9 @@ object Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q5_nation_revenue", "q_incremental_sync", "q_validate_clients",
-        "q3_top_unshipped", "q1_pricing_summary")
+        "q3_top_unshipped", "q1_pricing_summary", "q_validate_products",
+        "q_corpus_pipeline", "q_events_asof", "q_events_range_join",
+        "q_events_cms", "q_text_top_terms")
     for (q <- qs) {
       println(s"########## $q")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(

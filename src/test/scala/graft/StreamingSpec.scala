@@ -100,6 +100,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-min sketch aggregates across streaming micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    val in = MemoryStream[String]
+    val agg = in.toDF().toDF("event_type")
+      .groupBy().agg(expr("graft_cms_sketch(event_type)").as("m"))
+    val q = agg.writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    try {
+      in.addData("click", "view", "click")
+      q.processAllAvailable()
+      in.addData("click") // second micro-batch merges into existing state
+      q.processAllAvailable()
+      val m = sp.table("cms_out").head.getSeq[Long](0)
+      assert(m.sum == 4L * graft.functions.Kernels.CmsDepth)
+      // batch sketch over the same values is identical (merge = cellwise add)
+      val b = Seq("click", "view", "click", "click").toDF("event_type")
+        .agg(expr("graft_cms_sketch(event_type)")).head.getSeq[Long](0)
+      assert(m == b)
+    } finally q.stop()
+  }
+
   test("D3 UpsertSink merges micro-batches latest-wins into parquet") {
     val sp = spark
     import sp.implicits._
