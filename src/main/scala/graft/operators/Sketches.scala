@@ -74,7 +74,7 @@ object Sketches {
 
   val eventsPathsSql: String = """
     SELECT user_id, count(*) AS n_events,
-      string_agg(event_type, '>' ORDER BY epoch_us(ts)) AS path
+      string_agg(event_type, '>' ORDER BY epoch_us(ts), event_type) AS path
     FROM events GROUP BY user_id ORDER BY user_id"""
 
   /** B15/C19: `q_text_top_terms` — exact top-k vocabulary over the corpus.
