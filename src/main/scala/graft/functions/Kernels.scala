@@ -241,9 +241,15 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Registers the kernels as SQL temp functions (idempotent). */
+  /** Registers the kernels as SQL temp functions. Idempotent AND quiet: a
+    * re-register on a session that already has them would log a "function
+    * replaced" warning per kernel per query — noise in every bench/verify
+    * log — so short-circuit when the marker function exists. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_cells")))
+      return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash32",

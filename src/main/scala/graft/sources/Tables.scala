@@ -39,4 +39,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+
+  /** Headered CSV with an EXPLICIT schema — never schema inference, which
+    * costs a full extra pass over the data at 100 TB and guesses types. */
+  def readCsv(s: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(path)
+
+  /** Line-delimited JSON with an explicit schema (same inference caveat). */
+  def readJsonLines(s: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
 }

@@ -61,4 +61,25 @@ class ExportSpec extends SparkSpec {
     Export.jsonLines(Seq((1L, "x"), (2L, "y")).toDF("id", "name"), dir)
     assert(sp.read.json(dir).count() == 2)
   }
+
+  test("schema'd csv/json readers roundtrip the export sinks") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val cdir = tmpDir("csvr") + "/c"
+    Export.csvReport(df, cdir)
+    val backC = graft.sources.Tables.readCsv(sp, cdir, schema)
+    assert(backC.schema == schema)
+    assert(backC.orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    val jdir = tmpDir("jsonr") + "/j"
+    Export.jsonLines(df, jdir)
+    val backJ = graft.sources.Tables.readJsonLines(sp, jdir, schema)
+    assert(backJ.schema == schema)
+    assert(backJ.orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
 }
