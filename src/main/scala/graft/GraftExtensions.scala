@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_lsh_buckets",
       "per-table sign-LSH bucket ids (multi-table LSH) of a 64-dim float vector",
       args => LshBuckets(args.head)))
+    ext.injectFunction(fn("graft_str_hash",
+      "deterministic polynomial string hash mod 2^31-1 (codepoint fold)",
+      args => StrHash(args.head)))
     ext.injectFunction(fn("graft_cms_cells",
       "flat count-min-sketch cell indices of a string key",
       args => CmsCells(args.head)))

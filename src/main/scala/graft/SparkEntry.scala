@@ -41,6 +41,7 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "q_text_pii_scrub" -> ((s, d) => TextOps.piiScrub(s, d)),
     "q_corpus_pipeline" -> ((s, d) => Pipeline.corpusPipeline(s, d)),
+    "q_corpus_split" -> ((s, d) => Pipeline.corpusSplit(s, d)),
     "q_dedup_exact" -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q_dedup_minhash_lsh" -> ((s, d) => DedupOps.dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => DedupOps.dedupSimhash(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_text_fingerprint" -> TextOps.fingerprintSql,
     "q_text_pii_scrub" -> TextOps.piiScrubSql,
     "q_corpus_pipeline" -> Pipeline.corpusPipelineSql,
+    "q_corpus_split" -> Pipeline.corpusSplitSql,
     "q_dedup_exact" -> DedupOps.dedupExactSql,
     "q_dedup_minhash_lsh" -> DedupOps.dedupMinhashLshSql,
     "q_dedup_simhash" -> DedupOps.dedupSimhashSql,

@@ -264,6 +264,8 @@ object Kernels {
       args => LshBucket(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_lsh_buckets",
       args => LshBuckets(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_str_hash",
+      args => StrHash(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_cells",
       args => CmsCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_sketch",
@@ -354,6 +356,18 @@ case class LshBuckets(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.lshBuckets($c)")
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+case class StrHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cmsBaseHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cmsBaseHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): StrHash =
     copy(child = newChild)
 }
 

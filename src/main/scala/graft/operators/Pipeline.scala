@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sources.Feeds
+import graft.sources.{Feeds, Tables}
 
 /** C17: the end-to-end training-corpus pipeline — the composition a real
   * LLM data pipeline runs over an incoming document feed
@@ -43,6 +43,40 @@ object Pipeline {
         TextOps.redactionsCol(col("text")).as("n_redacciones"))
       .orderBy("doc_id")
   }
+
+  /** Train/val/test percentage bounds for [[corpusSplit]] — 80/10/10. */
+  val SplitTrainPct: Int = 80
+  val SplitValPct: Int = 90
+
+  /** C20: deterministic content-keyed train/val/test split — the split key
+    * is a hash of the NORMALIZED TEXT, not the doc id, so byte-identical
+    * duplicates always land in the same split and can never leak from train
+    * into eval. Narrow codegen'd pass
+    * ([[graft.functions.Kernels.cmsBaseHash]] fold), zero shuffle. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .select(col("doc_id"), col("source"),
+        (expr("graft_str_hash(lower(trim(text)))") % 100).as("h"))
+      .withColumn("split",
+        when(col("h") < SplitTrainPct, "train")
+          .when(col("h") < SplitValPct, "val").otherwise("test"))
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+  }
+
+  val corpusSplitSql: String = s"""
+    SELECT doc_id, source,
+      CASE WHEN h < $SplitTrainPct THEN 'train'
+           WHEN h < $SplitValPct THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source,
+        list_reduce(list_transform(range(1, length(lower(trim(text))) + 1), i ->
+          CAST(ascii(substr(lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) % 100 AS h
+      FROM documents WHERE length(lower(trim(text))) > 0)
+    ORDER BY doc_id"""
 
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),

@@ -332,6 +332,17 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist(): Unit
   }
 
+  test("content-keyed split: identical texts always share a split") {
+    val s = Pipeline.corpusSplit(spark, sf).cache()
+    assert(s.select("split").distinct().count() == 3) // all three populated
+    val withHash = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("nh"))
+      .join(s, "doc_id")
+    assert(withHash.groupBy("nh")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count() == 0)
+    s.unpersist(): Unit
+  }
+
   test("corpus pipeline output is deduped, gated, and scrubbed") {
     val r = Pipeline.corpusPipeline(spark, sf).cache()
     assert(r.count() > 0)
