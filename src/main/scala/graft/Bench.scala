@@ -38,13 +38,20 @@ object Bench {
       else args.toSeq.map(n => n -> SparkEntry.queries(n))
     val reps = if (args.isEmpty) 2 else 1
     val results = selected.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> Seq.fill(reps)(once()).min
+      // min over SUCCESSFUL runs — a fast failure must not masquerade as
+      // steady-state time; if every run failed, report the (slow) failure
+      // time rather than poisoning the JSON with infinities
+      val runs = Seq.fill(reps)(once())
+      val good = runs.filter(_._2)
+      name -> (if (good.nonEmpty) good else runs).map(_._1).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

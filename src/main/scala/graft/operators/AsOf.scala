@@ -23,24 +23,33 @@ object AsOf {
 
   /** Generic as-of join. Right payload columns (everything except `key` and
     * `rightTime`) must not clash with left column names; each left row gains
-    * them, null when no right row precedes it. */
+    * them, null when no right row precedes it.
+    *
+    * The payload is carried as ONE struct: a right row's struct is non-null
+    * as a whole, so `last(..., ignoreNulls)` picks the matched row
+    * atomically — per-column carries would backfill a NULL field of the
+    * matched row from an OLDER row, a mixed row no right row ever
+    * contained (and a divergence from ASOF semantics). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
     val payload = right.schema.fields
       .filterNot(f => f.name == key || f.name == rightTime)
+    val payloadType = StructType(payload)
     val rTagged = right.select(
-      col(key) +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        payload.map(f => col(f.name)): _*)
+      col(key), col(rightTime).as("_t"), lit(0).as("_side"),
+      struct(payload.map(f => col(f.name)): _*).as("_p"))
     val lTagged = left.select(
       col(key) +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        (left.columns.filterNot(_ == key).map(col) ++
-          payload.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
+        lit(null).cast(payloadType).as("_p") +:
+        left.columns.filterNot(_ == key).map(col): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(rTagged.unionByName(lTagged, allowMissingColumns = true)) {
-      (df, f) => df.withColumn(f.name, last(col(f.name), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1).drop("_t", "_side")
+    val carried = rTagged.unionByName(lTagged, allowMissingColumns = true)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried.filter(col("_side") === 1)) { (df, f) =>
+      df.withColumn(f.name, col("_p").getField(f.name))
+    }.drop("_t", "_side", "_p")
   }
 
   /** B11: `q_events_asof` — each error event enriched with the user's most

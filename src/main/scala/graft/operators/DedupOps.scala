@@ -248,9 +248,15 @@ object DedupOps {
     val nodes = Tables.documents(spark, dir)
       .filter(length(lower(trim(col("text")))) >= 5) // the LSH domain
       .select(col("doc_id").as("node"))
+    // sum("label") over zero rows is NULL — treat as 0 so an empty corpus
+    // converges to an empty result instead of NPEing on getLong
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum("label")).head
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
     var labels: DataFrame = nodes.withColumn("label", col("node")).localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
-    var converged = false
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
       // hop: min of own and neighbors' labels
@@ -267,14 +273,14 @@ object DedupOps {
         .select(stepped("node"),
           least(stepped("label"), coalesce(col("_pl"), stepped("label"))).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum("label")).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
     }
+    edges.unpersist() // before the require, so a non-converged throw can't leak the cache
     require(converged, s"component propagation did not converge in $maxIters rounds")
-    edges.unpersist()
     labels
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy("label")))

@@ -48,7 +48,7 @@ object Pipeline {
   val SplitTrainPct: Int = 80
   val SplitValPct: Int = 90
 
-  /** C20: deterministic content-keyed train/val/test split — the split key
+  /** C19: deterministic content-keyed train/val/test split — the split key
     * is a hash of the NORMALIZED TEXT, not the doc id, so byte-identical
     * duplicates always land in the same split and can never leak from train
     * into eval. Narrow codegen'd pass
@@ -83,31 +83,15 @@ object Pipeline {
     scored AS (
       SELECT doc_id, source, lang, text,
         md5(lower(trim(text))) AS norm_hash,
-        stopword_ratio * 2.0 - punct_ratio * 1.0 - digit_ratio * 3.0
-          + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END
-          AS quality_score,
-        CASE WHEN s_zh > 0 THEN 'zh'
-             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-             WHEN s_de >= s_fr THEN 'de'
-             ELSE 'fr' END AS lang_predicho
+        ${TextOps.qualitySqlScore} AS quality_score,
+        ${TextOps.langSqlCase} AS lang_predicho
       FROM (
         SELECT *,
-          CAST(n_punct AS DOUBLE) / n_chars_d AS punct_ratio,
-          CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
-          CAST(n_digit AS DOUBLE) / n_chars_d AS digit_ratio
+          ${TextOps.qualitySqlRatios}
         FROM (
           SELECT doc_id, source, lang, text,
-            CAST(length(text) AS DOUBLE) AS n_chars_d,
-            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
-            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-            len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|for|on|with)\\b')) AS n_stop,
-            len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-            len(regexp_extract_all(lower(text), '\\b(the|and|of|is|this|that|with)\\b')) AS s_en,
-            len(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|y|es)\\b')) AS s_es,
-            len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b')) AS s_de,
-            len(regexp_extract_all(lower(text), '\\b(le|les|et|est|dans|pour|une)\\b')) AS s_fr,
-            len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+            ${TextOps.qualitySqlMeasures},
+            ${TextOps.langSqlScores}
           FROM feed WHERE length(trim(text)) > 0))),
     flt AS (
       SELECT * FROM scored

@@ -129,24 +129,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val qualityScoreSql: String = """
-    SELECT doc_id, lang, n_tok, punct_ratio, stopword_ratio, digit_ratio, avg_token_len,
-      stopword_ratio * 2.0 - punct_ratio * 1.0 - digit_ratio * 3.0
-        + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END AS quality_score
-    FROM (
-      SELECT doc_id, lang, n_tok,
-        CAST(n_punct AS DOUBLE) / n_chars_d AS punct_ratio,
-        CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
-        CAST(n_digit AS DOUBLE) / n_chars_d AS digit_ratio,
-        n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
-      FROM (
-        SELECT doc_id, lang,
-          CAST(length(text) AS DOUBLE) AS n_chars_d,
+  /** Oracle fragments shared with the composite pipeline (C17) so the
+    * formulas cannot drift between the standalone and composed oracles. */
+  private[operators] val qualitySqlMeasures: String = """CAST(length(text) AS DOUBLE) AS n_chars_d,
           CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
           len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS n_stop,
-          len(regexp_extract_all(text, '[0-9]')) AS n_digit
+          len(regexp_extract_all(text, '[0-9]')) AS n_digit"""
+
+  private[operators] val qualitySqlRatios: String = """CAST(n_punct AS DOUBLE) / n_chars_d AS punct_ratio,
+        CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stopword_ratio,
+        CAST(n_digit AS DOUBLE) / n_chars_d AS digit_ratio"""
+
+  private[operators] val qualitySqlScore: String =
+    """stopword_ratio * 2.0 - punct_ratio * 1.0 - digit_ratio * 3.0
+        + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END"""
+
+  val qualityScoreSql: String = s"""
+    SELECT doc_id, lang, n_tok, punct_ratio, stopword_ratio, digit_ratio, avg_token_len,
+      $qualitySqlScore AS quality_score
+    FROM (
+      SELECT doc_id, lang, n_tok,
+        $qualitySqlRatios,
+        n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
+      FROM (
+        SELECT doc_id, lang,
+          $qualitySqlMeasures
         FROM documents)
       WHERE n_chars_d > 0 AND n_tok > 0)
     ORDER BY doc_id"""
@@ -174,20 +183,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  val langIdSql: String = """
-    SELECT doc_id, lang_declarado, s_en, s_es, s_de, s_fr, s_zh,
-      CASE WHEN s_zh > 0 THEN 'zh'
-           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-           WHEN s_de >= s_fr THEN 'de'
-           ELSE 'fr' END AS lang_predicho
-    FROM (
-      SELECT doc_id, lang AS lang_declarado,
-        len(regexp_extract_all(lower(text), '\b(the|and|of|is|this|that|with)\b')) AS s_en,
+  /** Oracle fragments shared with the composite pipeline (C17). */
+  private[operators] val langSqlScores: String = """len(regexp_extract_all(lower(text), '\b(the|and|of|is|this|that|with)\b')) AS s_en,
         len(regexp_extract_all(lower(text), '\b(el|la|los|las|que|de|y|es)\b')) AS s_es,
         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit)\b')) AS s_de,
         len(regexp_extract_all(lower(text), '\b(le|les|et|est|dans|pour|une)\b')) AS s_fr,
-        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh"""
+
+  private[operators] val langSqlCase: String = """CASE WHEN s_zh > 0 THEN 'zh'
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END"""
+
+  val langIdSql: String = s"""
+    SELECT doc_id, lang_declarado, s_en, s_es, s_de, s_fr, s_zh,
+      $langSqlCase AS lang_predicho
+    FROM (
+      SELECT doc_id, lang AS lang_declarado,
+        $langSqlScores
       FROM documents)
     ORDER BY doc_id"""
 

@@ -41,14 +41,25 @@ class ExportSpec extends SparkSpec {
     Export.bucketedTable(o, "b_orders", "o_orderkey", 4)
     Export.bucketedTable(l.withColumnRenamed("l_orderkey", "o_orderkey"),
       "b_lineitem", "o_orderkey", 4)
+    // force the join down the sort-merge path: with auto-broadcast on, the
+    // tiny test tables plan as BHJ and bucketing is never exercised
+    val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val joined = sp.table("b_orders").join(sp.table("b_lineitem"), "o_orderkey")
+      // ShuffleExchangeExec renders as "Exchange hashpartitioning(...)";
+      // both sides pre-bucketed on the key -> SMJ with no such node
       val plan = joined.queryExecution.executedPlan.toString
-      // both sides pre-bucketed on the key -> SMJ with no shuffle exchange
-      assert(!plan.contains("ShuffleExchange"),
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
+      // sanity: the same join over the UNbucketed parquet DOES shuffle
+      val unbucketed = o.join(l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey").queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange hashpartitioning"))
       assert(joined.count() == l.count())
     } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       sp.sql("DROP TABLE IF EXISTS b_orders")
       sp.sql("DROP TABLE IF EXISTS b_lineitem"): Unit
     }

@@ -84,10 +84,11 @@ class OperatorsSpec extends SparkSpec {
   test("asof join picks the latest right row at or before each left time") {
     val sp = spark
     import sp.implicits._
-    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 50.0))
+    val quotes = Seq((1L, 10L, Option(100.0)), (1L, 20L, Option(101.0)),
+      (2L, 15L, Option(50.0)), (3L, 10L, Option(7.0)), (3L, 20L, Option.empty[Double]))
       .toDF("k", "t", "px")
-    val trades = Seq((1L, 9L, "a"), (1L, 10L, "b"), (1L, 25L, "c"), (2L, 14L, "d"))
-      .toDF("k", "ts", "tag")
+    val trades = Seq((1L, 9L, "a"), (1L, 10L, "b"), (1L, 25L, "c"),
+      (2L, 14L, "d"), (3L, 25L, "e")).toDF("k", "ts", "tag")
     val out = AsOf.asofJoin(trades, quotes, "k", "ts", "t")
       .select("k", "ts", "tag", "px").as[(Long, Long, String, Option[Double])]
       .collect().toSet
@@ -95,7 +96,9 @@ class OperatorsSpec extends SparkSpec {
       (1L, 9L, "a", None),          // nothing at/before t=9
       (1L, 10L, "b", Some(100.0)),  // equal time matches (<=)
       (1L, 25L, "c", Some(101.0)),  // latest, not first
-      (2L, 14L, "d", None)))        // other key's quotes invisible
+      (2L, 14L, "d", None),         // other key's quotes invisible
+      (3L, 25L, "e", None)))        // matched row taken WHOLE: its null px
+                                    // must not backfill from the t=10 row
     // invariants on the events query: one row per error, match never future
     val r = AsOf.eventsAsof(spark, sf).cache()
     val nErrors = graft.sources.Tables.events(spark, sf)
