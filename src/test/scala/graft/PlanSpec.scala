@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties §7's scale audit claims
+  * (codegen'd narrow passes, pushdown reaching the scan, broadcast only on
+  * bounded sides) asserted on the actual executed plans, so a refactor that
+  * silently de-optimizes fails here instead of in a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("narrow validation/text queries stay inside WholeStageCodegen") {
+    // AQE finalizes the physical plan only on execution — run the query
+    // through the noop sink, then inspect the final adaptive plan
+    for (q <- Seq("q_validate_clients", "q_validate_details", "q_text_quality",
+        "q_text_tokencount", "q_text_pii_scrub", "q_corpus_split")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect() // executes THIS QueryExecution so AQE finalizes it
+      // FormattedMode tags codegen'd operators with "[codegen id : n]"
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("codegen id"), s"$q lost codegen:\n$plan")
+    }
+  }
+
+  test("incremental sync pushes the date bound into the parquet scan") {
+    val plan = graft.operators.Etl.incrementalSync(spark, sf, "1995-06-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("asof event filters reach the scans") {
+    val plan = planOf("q_events_asof")
+    assert(plan.contains("EqualTo(event_type,click)") &&
+      plan.contains("EqualTo(event_type,error)"), plan)
+  }
+
+  test("no forced broadcast on fact-scaled joins (customer/part/supplier)") {
+    // the LOGICAL plans of the star-join queries must carry no broadcast
+    // hint except via the fixed-size dims path (region/nation)
+    for (q <- Seq("q_customer_stats", "q_top_products", "q_margin_analysis",
+        "q3_top_unshipped", "q_validate_products")) {
+      val logical = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!logical.contains("UnresolvedHint") &&
+        !logical.toLowerCase.contains("broadcast"), s"$q forces a broadcast")
+    }
+  }
+}
