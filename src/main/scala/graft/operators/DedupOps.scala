@@ -221,30 +221,29 @@ object DedupOps {
     * candidate pairs) and the cluster size; keeping `doc_id ==
     * component_id` rows then dedups the corpus one-per-cluster.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbors' labels — a join + min-aggregate,
-    * fully distributed; the driver only orchestrates rounds. Convergence in
-    * O(graph diameter) rounds (near-clique dup clusters converge in 2-3);
-    * detected via the label sum, which strictly decreases until fixpoint.
+    * Iterates the *bipartite* doc↔bucket graph directly — connectivity is
+    * identical to the within-bucket cliques the C2 pair query materializes
+    * (and to the bucket-star edges the oracle walks), but one round is a
+    * full doc→bucket→doc sweep: two min-aggregates, so labels move two
+    * graph hops per round and no star-edge table is ever built (edge volume
+    * stays linear in Σ bucket size at 100 TB). Docs sharing no multi-doc
+    * bucket can never change label — they are pruned from the loop up front
+    * and rejoin as singleton components at the end, so the iterated state
+    * is only the docs that can actually cluster. Convergence is detected
+    * via the label sum, which strictly decreases until fixpoint;
     * `localCheckpoint` truncates the growing plan lineage each round. */
   def dedupComponents(spark: SparkSession, dir: String,
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
-    // Star edges per (band, sig) bucket: bucket-min doc ↔ every member.
-    // Connectivity (and therefore the components) is IDENTICAL to the full
-    // within-bucket clique the C2 pair query materializes, but edge volume
-    // is linear in bucket size instead of quadratic — the difference
-    // between O(n·bands) and O(pairs) input at 100 TB (measured 21s → 3s
-    // at sf0.1).
     val sigs = minhashSigs(spark, dir)
-    val bucketMin = sigs.groupBy("band", "sig").agg(min("doc_id").as("m"))
-    val star = sigs.join(bucketMin, Seq("band", "sig"))
-      .filter(col("doc_id") =!= col("m"))
-      .select(col("m").as("u"), col("doc_id").as("v")).distinct()
-    val edges = star
-      .union(star.select(col("v").as("u"), col("u").as("v")))
-      .cache()
+      .select(col("doc_id"), concat_ws("#", col("band"), col("sig")).as("bucket"))
+    // Loop state is only docs in shared buckets; everyone else is provably
+    // a singleton. On the dup-dense test corpus this halves the iterated
+    // rows; on a mostly-unique real corpus it removes nearly all of them.
+    val shared = sigs.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("bucket")
+    val multi = sigs.join(shared, Seq("bucket")).cache()
     val nodes = Tables.documents(spark, dir)
       .filter(length(lower(trim(col("text")))) >= 5) // the LSH domain
       .select(col("doc_id").as("node"))
@@ -254,34 +253,38 @@ object DedupOps {
       val row = df.agg(sum("label")).head
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
-    var labels: DataFrame = nodes.withColumn("label", col("node")).localCheckpoint()
+    var labels: DataFrame = multi.select(col("doc_id").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
-    var converged = labels.isEmpty
+    var converged = prevSum == 0L && labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
-      // hop: min of own and neighbors' labels
-      val viaNbr = edges.join(labels, edges("v") === labels("node"))
-        .groupBy("u").agg(min("label").as("_nl"))
-      val stepped = labels.join(viaNbr, labels("node") === viaNbr("u"), "left")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("_nl"), labels("label"))).as("label"))
-      // pointer jump: follow the label's own label — halves remaining path
-      // lengths, so rounds are O(log diameter) instead of O(diameter)
-      // (measured 12 → 5 rounds on the sf0.1 bucket-star graph)
-      val parents = stepped.select(col("node").as("_pn"), col("label").as("_pl"))
-      val next = stepped.join(parents, stepped("label") === parents("_pn"), "left")
-        .select(stepped("node"),
-          least(stepped("label"), coalesce(col("_pl"), stepped("label"))).as("label"))
-        .localCheckpoint()
+      // doc→bucket→doc sweep: bucket takes its members' min label, every
+      // member then takes the min over its buckets — two graph hops in two
+      // partial-agg shuffles, no self-join, each subtree computed once.
+      // LAZY localCheckpoint: the logical plan is truncated immediately
+      // (eager vs lazy makes no difference there), so round plans never
+      // nest — re-analyzing a nested plan chain measured O(rounds²) and
+      // dominated wall time — while materialization happens inside the
+      // SAME job as the convergence agg. One driver round trip per round;
+      // an iterative loop's wall time is job-scheduling overhead, not row
+      // work.
+      val bmin = multi.join(labels, multi("doc_id") === labels("node"))
+        .groupBy("bucket").agg(min("label").as("blabel"))
+      val next = multi.join(bmin, Seq("bucket"))
+        .groupBy("doc_id").agg(min("blabel").as("label"))
+        .select(col("doc_id").as("node"), col("label"))
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next
       it += 1
     }
-    edges.unpersist() // before the require, so a non-converged throw can't leak the cache
+    multi.unpersist() // before the require, so a non-converged throw can't leak the cache
     require(converged, s"component propagation did not converge in $maxIters rounds")
-    labels
+    nodes.join(labels, nodes("node") === labels("node"), "left")
+      .select(nodes("node"), coalesce(labels("label"), nodes("node")).as("label"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy("label")))
       .select(col("node").as("doc_id"), col("label").as("component_id"),
