@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_cms_sketch",
       "count-min sketch aggregate of a string column (flat depth x width matrix)",
       args => CountMinSketchAgg(args.head)))
+    ext.injectFunction(fn("graft_hll_sketch",
+      "HyperLogLog register-vector aggregate of a long column (m=64)",
+      args => HllSketchAgg(args.head)))
     ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }

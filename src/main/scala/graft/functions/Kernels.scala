@@ -241,6 +241,35 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** HyperLogLog registers: m = 64 (p = 6 index bits). 64 max-mergeable
+    * bytes summarize a distinct count at any corpus size — the distributed
+    * answer to COUNT(DISTINCT) when exact distinct is a full key shuffle. */
+  val HllM: Int = 64
+
+  /** Max rho: 6 index bits leave 25 hash bits, so rho ∈ [1, 26]. */
+  val HllMaxRho: Int = 26
+
+  /** Universal-hash row used for HLL (k = 13; MinHash uses 1-12, CMS 1-4 —
+    * a dedicated row keeps the sketches independent). */
+  val HllA: Long = (506952114L * 13) % P
+  val HllB: Long = (1013904223L * 13) % P
+
+  /** alpha_64 · m² for the raw HLL estimate, precomputed once so operator
+    * and oracle interpolate the IDENTICAL double literal. */
+  val HllAlphaM2: Double = 0.709 * 64.0 * 64.0
+
+  /** (register index, rho) of a value: h = (A·(x mod p) + B) mod p,
+    * register = h mod 64, rho = leading-zero count of the remaining 25-bit
+    * window + 1 (= 26 − bitlength(h div 64); 26 when the window is zero). */
+  def hllRegRho(x: Long): (Int, Int) = {
+    val h = (HllA * (x % P) + HllB) % P
+    val reg = (h % HllM).toInt
+    val w = h / HllM
+    val rho = if (w == 0L) HllMaxRho
+      else HllMaxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    (reg, rho)
+  }
+
   /** Registers the kernels as SQL temp functions. Idempotent AND quiet: a
     * re-register on a session that already has them would log a "function
     * replaced" warning per kernel per query — noise in every bench/verify
@@ -270,6 +299,8 @@ object Kernels {
       args => CmsCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_sketch",
       args => CountMinSketchAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_sketch",
+      args => HllSketchAgg(args.head), "built-in")
   }
 }
 
@@ -444,5 +475,65 @@ case class CountMinSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** HyperLogLog register vector of a long column as a custom Catalyst
+  * aggregate — buffer is the m = [[Kernels.HllM]] register array; update
+  * max-combines one register per value ([[Kernels.hllRegRho]]); merge is
+  * elementwise max (commutative, associative AND idempotent, so partial
+  * aggregation, any partition order, and re-merges of overlapping partials
+  * all give identical registers). Returns the registers; the raw estimate
+  * alpha·m²/Σ2^(−reg) is computed on top by the caller. */
+case class HllSketchAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Kernels.HllM)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (reg, rho) = Kernels.hllRegRho(v.asInstanceOf[Long])
+      if (rho > buf(reg)) buf(reg) = rho.toLong
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Kernels.HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(Kernels.HllM * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](Kernels.HllM)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
     copy(child = newChildren.head)
 }

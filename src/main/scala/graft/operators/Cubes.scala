@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Multi-dimensional analytics surface (SURVEY.md §2 B16-B19, B21) — the
+  * OLAP shapes a BigQuery-backed reporting layer serves daily: rollup
+  * subtotals, pivoted cross-tabs, windowed customer segmentation (RFM),
+  * anti-join audits and exact group quantiles. The reference exposes its
+  * loaded star schema to exactly this kind of reporting
+  * (/root/reference/app/db/bigquery_client.py:100-137, the Sheets export in
+  * app/db/sheets_sync.py); these queries re-express that surface Spark-first.
+  *
+  * Exactness (SURVEY.md §3): money in integer cents end-to-end, one final
+  * division; quantile indices via integer ceil-division (never `ceil(q*n)`
+  * on doubles — 0.9·n can land an ulp above an integer and shift the pick);
+  * every window totally ordered with a key tie-break.
+  */
+object Cubes {
+
+  /** B16: `q_sales_rollup` — revenue/order-count by (status, year) with
+    * ROLLUP subtotals and grand total, the standard drill-down report. One
+    * pass: Spark expands grouping sets in a single shuffle (each input row
+    * feeds its group, its subtotal and the total via partial aggregation
+    * — no per-level rescan). Subtotal keys surface as explicit grouping
+    * flags + sentinel labels so the output is null-free and deterministic. */
+  def salesRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("anio"),
+        cents(col("o_totalprice")).as("total_c"))
+      .rollup("status", "anio")
+      .agg(grouping(col("status")).cast("int").as("g_status"),
+        grouping(col("anio")).cast("int").as("g_anio"),
+        count(lit(1)).as("n_orders"),
+        sum("total_c").as("rev_c"))
+      .select(coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("anio"), lit(-1)).as("anio"),
+        col("g_status"), col("g_anio"), col("n_orders"),
+        centsToUnits(col("rev_c")).as("revenue"))
+      .orderBy("g_status", "g_anio", "status", "anio")
+
+  val salesRollupSql: String = """
+    SELECT coalesce(status, 'ALL') AS status,
+      coalesce(anio, -1) AS anio,
+      CAST(GROUPING(status) AS INT) AS g_status,
+      CAST(GROUPING(anio) AS INT) AS g_anio,
+      COUNT(*) AS n_orders,
+      CAST(SUM(total_c) AS DOUBLE) / 100.0 AS revenue
+    FROM (
+      SELECT o_orderstatus AS status,
+        CAST(year(o_orderdate) AS INT) AS anio,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders)
+    GROUP BY ROLLUP(status, anio)
+    ORDER BY g_status, g_anio, status, anio"""
+
+  /** The fixed pivot domain for B17 — `o_orderpriority` is a closed enum,
+    * so the pivot is schema-stable (never `pivot(col)` without values, which
+    * costs an extra distinct pass AND makes the schema data-dependent). */
+  val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** B17: `q_segment_pivot` — order counts per market segment pivoted by
+    * priority, plus segment totals. The pivot is one shuffle on the segment
+    * key with the priority dispatch folded into the aggregate (count per
+    * pivot cell), not five filtered scans. */
+  def segmentPivot(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderpriority", "o_totalprice")
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    val slugs = Priorities.map(p => p -> ("n_" + p.split("-")(1)
+      .toLowerCase.replace(" ", "_")))
+    val pivoted = joined.groupBy("c_mktsegment")
+      .pivot("o_orderpriority", Priorities).agg(count(lit(1)))
+    val renamed = slugs.foldLeft(pivoted) { case (df, (p, s)) =>
+      df.withColumnRenamed(p, s)
+    }
+    val totals = joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_total"),
+        sum(cents(col("o_totalprice"))).as("rev_c"))
+      .select(col("c_mktsegment"), col("n_total"),
+        centsToUnits(col("rev_c")).as("revenue"))
+    renamed.join(totals, "c_mktsegment").orderBy("c_mktsegment")
+  }
+
+  val segmentPivotSql: String = """
+    SELECT c_mktsegment,
+      CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+      CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_not_specified,
+      CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      COUNT(*) AS n_total,
+      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** Analysis date for B18's recency — the day after the data's horizon,
+    * a pinned report parameter (recomputing max(o_orderdate) per run would
+    * make the report non-reproducible between runs over a growing table). */
+  val RfmAsOf: String = "2001-08-02"
+
+  /** B18: `q_customer_rfm` — recency/frequency/monetary quartiles WITHIN
+    * each market segment (ntile(4) windows partitioned by segment, totally
+    * ordered with a custkey tie-break so bucket edges are deterministic).
+    *
+    * Scale note: a segment is an unbounded window partition — fine while
+    * segments are few and sortable (Spark range-sorts within partitions);
+    * at a true 100 TB the quartile assignment swaps to comparing against
+    * three exact boundary values per segment (see [[orderQuantiles]] for
+    * the boundary machinery) so no single window ever sees a whole segment. */
+  def customerRfm(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_c"))
+      .groupBy("o_custkey")
+      .agg(datediff(lit(RfmAsOf).cast("date"),
+          max(col("o_orderdate")).cast("date")).cast("int").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("total_c").as("monetary_c"))
+    val seg = perCust.join(
+      Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+    def w(order: Seq[org.apache.spark.sql.Column]) =
+      Window.partitionBy("c_mktsegment").orderBy(order: _*)
+    seg
+      .withColumn("r_q", ntile(4).over(
+        w(Seq(col("recency_days").asc, col("c_custkey").asc))).cast("int"))
+      .withColumn("f_q", ntile(4).over(
+        w(Seq(col("frequency").desc, col("c_custkey").asc))).cast("int"))
+      .withColumn("m_q", ntile(4).over(
+        w(Seq(col("monetary_c").desc, col("c_custkey").asc))).cast("int"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("recency_days"), col("frequency"),
+        centsToUnits(col("monetary_c")).as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat(col("r_q"), col("f_q"), col("m_q")).as("rfm"))
+      .orderBy("c_custkey")
+  }
+
+  val customerRfmSql: String = s"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+        CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+          DATE '$RfmAsOf') AS INT) AS recency_days,
+        COUNT(*) AS frequency,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c
+      FROM orders GROUP BY o_custkey),
+    seg AS (
+      SELECT p.*, c.c_custkey, c.c_mktsegment
+      FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey),
+    q AS (
+      SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary_c,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+          ORDER BY recency_days ASC, c_custkey ASC) AS INT) AS r_q,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+          ORDER BY frequency DESC, c_custkey ASC) AS INT) AS f_q,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+          ORDER BY monetary_c DESC, c_custkey ASC) AS INT) AS m_q
+      FROM seg)
+    SELECT c_custkey, c_mktsegment, recency_days, frequency,
+      CAST(monetary_c AS DOUBLE) / 100.0 AS monetary,
+      r_q, f_q, m_q,
+      CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm
+    FROM q ORDER BY c_custkey"""
+
+  /** Inactivity horizon for B19 — customers with no order at/after this
+    * date count as churned. */
+  val InactiveSince: String = "2001-01-01"
+
+  /** B19: `q_customers_no_orders` — customers with no order since
+    * [[InactiveSince]], by segment: the churn-audit anti-join (the converse
+    * of the reference's MERGE guarantee that every document references a
+    * loaded client). `left_anti` keys on custkey — no row ever crosses as
+    * data — and the date predicate pushes into the orders scan, so the
+    * anti side is only the recent slice, not order history. */
+  def customersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(InactiveSince).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("bal_c").as("bal_sum_c"),
+        min("c_custkey").as("first_custkey"),
+        max("c_custkey").as("last_custkey"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        centsToUnits(col("bal_sum_c")).as("acctbal_sum"),
+        col("first_custkey"), col("last_custkey"))
+      .orderBy("c_mktsegment")
+
+  val customersNoOrdersSql: String = s"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS acctbal_sum,
+      MIN(c_custkey) AS first_custkey,
+      MAX(c_custkey) AS last_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '$InactiveSince 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** B21: `q_order_quantiles` — exact p50/p90/p99 of order value per
+    * segment. The pick index is `ceil(q·n)` computed in INTEGER arithmetic
+    * ((num·n + den − 1) div den) — the double form can land an ulp above an
+    * integer and shift the pick — and the pick itself is a conditional min
+    * over a totally-ordered row_number, so both engines select the same
+    * physical row. Exact selection needs the per-segment sort; at 100 TB
+    * the same report would pre-aggregate to a (segment, cents) value
+    * histogram first — cardinality-bounded — and cumulative-sum that. */
+  def orderQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("total_c").asc, col("o_orderkey").asc)
+    def pick(num: Int, den: Int) =
+      min(when(col("rn") === expr(s"($num * n + $den - 1) DIV $den"),
+        col("total_c")))
+    seg.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        centsToUnits(pick(1, 2)).as("p50"),
+        centsToUnits(pick(9, 10)).as("p90"),
+        centsToUnits(pick(99, 100)).as("p99"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orderQuantilesSql: String = """
+    WITH seg AS (
+      SELECT c_mktsegment, o_orderkey,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    ranked AS (
+      SELECT c_mktsegment, total_c,
+        CAST(row_number() OVER (PARTITION BY c_mktsegment
+          ORDER BY total_c ASC, o_orderkey ASC) AS BIGINT) AS rn,
+        COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM seg)
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(MIN(CASE WHEN rn = (1 * n + 1) // 2 THEN total_c END) AS DOUBLE) / 100.0 AS p50,
+      CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN total_c END) AS DOUBLE) / 100.0 AS p90,
+      CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN total_c END) AS DOUBLE) / 100.0 AS p99
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+}

@@ -78,6 +78,52 @@ object Pipeline {
       FROM documents WHERE length(lower(trim(text))) > 0)
     ORDER BY doc_id"""
 
+  /** Per-language keep-rates (percent) for [[corpusSample]] — the standard
+    * corpus-rebalancing move: downsample the dominant language, keep the
+    * rest. A closed map, so the dispatch compiles to a codegen'd CASE
+    * chain; an open-ended rate table would ride a broadcast join instead
+    * (same plan shape, still no shuffle). */
+  val SampleRates: Map[String, Int] = Map("en" -> 25, "es" -> 50)
+  val SampleDefaultRate: Int = 100
+
+  /** C20: `q_corpus_sample` — deterministic stratified corpus sampling.
+    * The keep decision hashes the NORMALIZED TEXT under a dedicated salt
+    * ("sample|" prefix), so (a) byte-identical duplicates are kept or
+    * dropped together, (b) re-ingesting the corpus reproduces the exact
+    * sample, and (c) the decision is independent of [[corpusSplit]]'s
+    * unsalted hash — sampling doesn't bias the split. Narrow codegen'd
+    * pass, zero shuffle, at any corpus size. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val rate = SampleRates.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(SampleDefaultRate))
+    Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .select(col("doc_id"), col("source"), col("lang"),
+        (expr("graft_str_hash(concat('sample|', lower(trim(text))))") % 100).as("h"),
+        rate.as("keep_rate"))
+      .filter(col("h") < col("keep_rate"))
+      .select("doc_id", "source", "lang", "keep_rate")
+      .orderBy("doc_id")
+  }
+
+  val corpusSampleSql: String = {
+    val cases = SampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""
+    SELECT doc_id, source, lang, keep_rate
+    FROM (
+      SELECT doc_id, source, lang,
+        list_reduce(list_transform(range(1, length('sample|' || lower(trim(text))) + 1), i ->
+          CAST(ascii(substr('sample|' || lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) % 100 AS h,
+        CASE $cases ELSE $SampleDefaultRate END AS keep_rate
+      FROM documents WHERE length(lower(trim(text))) > 0)
+    WHERE h < keep_rate
+    ORDER BY doc_id"""
+  }
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

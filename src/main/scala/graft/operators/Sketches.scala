@@ -57,6 +57,61 @@ object Sketches {
     GROUP BY 1, 2
     ORDER BY event_type"""
 
+  /** B20: `q_events_hll` — approximate distinct users per event type via a
+    * deterministic HyperLogLog ([[graft.functions.HllSketchAgg]], m = 64
+    * max-merged registers) next to the exact COUNT(DISTINCT). The registers
+    * are 64 longs per group at any corpus size, merge idempotently, and
+    * partial-aggregate map-side — where the exact distinct shuffles every
+    * (event_type, user_id) pair. The raw estimate α·m²/Σ2^(−reg) stays in
+    * exact-double territory (powers of two, one division, no ln), so the
+    * oracle reproduces it bit-for-bit in closed form. */
+  def eventsHll(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val am2 = graft.functions.Kernels.HllAlphaM2
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"),
+        expr("graft_hll_sketch(user_id)").as("regs"))
+      .withColumn("hll_est", expr(
+        s"CAST($am2 AS DOUBLE) / aggregate(regs, CAST(0 AS DOUBLE), (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))"))
+      .select("event_type", "n_exact", "hll_est")
+      .orderBy("event_type")
+  }
+
+  val eventsHllSql: String = {
+    import graft.functions.Kernels.{HllA, HllB, HllM, HllMaxRho, HllAlphaM2}
+    s"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+        ($HllA * (user_id % 2147483647) + $HllB) % 2147483647 AS h
+      FROM du),
+    rr AS (
+      SELECT event_type, h % $HllM AS reg,
+        CASE WHEN h // $HllM = 0 THEN $HllMaxRho
+             ELSE $HllMaxRho - length(bin(h // $HllM)) END AS rho
+      FROM h),
+    regs AS (SELECT event_type, reg, MAX(rho) AS r FROM rr GROUP BY 1, 2),
+    full_regs AS (
+      SELECT et.event_type, g.j, coalesce(regs.r, 0) AS r
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(range(0, $HllM)) AS j) g
+      LEFT JOIN regs ON regs.event_type = et.event_type AND regs.reg = g.j),
+    est AS (
+      SELECT event_type,
+        CAST('$HllAlphaM2' AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(r ORDER BY j), x -> pow(CAST(2 AS DOUBLE), -x))),
+          (acc, b) -> acc + b) AS hll_est
+      FROM full_regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT exact.event_type AS event_type, exact.n_exact, est.hll_est
+    FROM exact JOIN est ON exact.event_type = est.event_type
+    ORDER BY exact.event_type"""
+  }
+
   /** B14: `q_events_paths` — each user's full event journey as an ordered
     * path string (funnel/path analysis input). One shuffle on user_id; the
     * per-user sort happens inside the aggregate on collected structs, and

@@ -205,6 +205,58 @@ object TextOps {
       FROM documents)
     ORDER BY doc_id"""
 
+  /** Top TF-IDF terms kept per document (C21). */
+  val TfidfTopK: Int = 3
+
+  /** C21: `q_text_tfidf` — the [[TfidfTopK]] most characteristic terms per
+    * document. Scored as tf · (N / df) — the raw idf ratio instead of
+    * log-idf, deliberately: ln() is libm-dependent and would break
+    * bit-exactness across engines, while tf·N and the single division are
+    * exact doubles, and the per-document ranking is the same either way
+    * (log is monotone). Plan: one token explode → (doc, token) tf counts,
+    * df reuses the same exchange (token-keyed), corpus size N rides a
+    * 1-row broadcast; the final top-k is a bounded per-doc window. Every
+    * shuffle keys on tokens or doc ids — never corpus². */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct("doc_id").as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df").cast("double"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= TfidfTopK)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE length(token) > 0 GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token, n)
+    SELECT doc_id, token, tf, df, tfidf, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, token) AS INT) AS rnk
+      FROM scored) WHERE rnk <= $TfidfTopK
+    ORDER BY doc_id, rnk"""
+
   /** C11: document fingerprinting — whole-doc md5 plus a winnowing-style
     * fingerprint (lexicographic min of md5 over 5-char shingles; min over
     * fixed-width hex == numeric min, and min is order-independent so the

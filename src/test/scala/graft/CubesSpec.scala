@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Invariants for the multi-dimensional analytics surface (B16-B21) and the
+  * round-4 corpus/text additions (C20 sampling, C21 tf-idf, B20 HLL). */
+class CubesSpec extends SparkSpec {
+
+  test("rollup levels are internally consistent") {
+    val r = Cubes.salesRollup(spark, sf).cache()
+    val detail = r.filter(col("g_status") === 0 && col("g_anio") === 0)
+    val subtot = r.filter(col("g_status") === 0 && col("g_anio") === 1)
+    val total = r.filter(col("g_status") === 1 && col("g_anio") === 1)
+    assert(total.count() == 1)
+    val totN = total.select("n_orders").head.getLong(0)
+    // detail rows and subtotal rows both re-sum to the grand total
+    assert(detail.agg(sum("n_orders")).head.getLong(0) == totN)
+    assert(subtot.agg(sum("n_orders")).head.getLong(0) == totN)
+    // subtotal labels carry the sentinel, never nulls
+    assert(r.filter(col("status").isNull || col("anio").isNull).count() == 0)
+    assert(subtot.filter(col("anio") =!= -1).count() == 0)
+    r.unpersist(): Unit
+  }
+
+  test("pivot cells re-sum to the segment total") {
+    val p = Cubes.segmentPivot(spark, sf)
+    val bad = p.filter(
+      col("n_urgent") + col("n_high") + col("n_medium")
+        + col("n_not_specified") + col("n_low") =!= col("n_total"))
+    assert(bad.count() == 0)
+    assert(p.count() == 5) // one row per market segment
+  }
+
+  test("RFM quartiles are 1-4 and balanced within each segment") {
+    val rfm = Cubes.customerRfm(spark, sf).cache()
+    assert(rfm.filter(col("r_q") < 1 || col("r_q") > 4).count() == 0)
+    assert(rfm.filter(!col("rfm").rlike("^[1-4]{3}$")).count() == 0)
+    // ntile balance: within a segment, bucket sizes differ by at most 1
+    val sizes = rfm.groupBy("c_mktsegment", "m_q").count()
+      .groupBy("c_mktsegment")
+      .agg((max("count") - min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() == 0)
+    // quartile 1 of monetary dominates quartile 4 on average
+    val m = rfm.groupBy("m_q").agg(avg("monetary").as("a"))
+      .orderBy("m_q").collect().map(_.getDouble(1))
+    assert(m(0) > m(3))
+    rfm.unpersist(): Unit
+  }
+
+  test("churn anti-join: no kept customer has a recent order") {
+    val inactive = Cubes.customersNoOrders(spark, sf)
+    val nInactive = inactive.agg(sum("n_customers")).head.getLong(0)
+    assert(nInactive > 0)
+    val recent = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit(Cubes.InactiveSince).cast("timestamp"))
+      .select(col("o_custkey")).distinct().count()
+    val total = graft.sources.Tables.customer(spark, sf).count()
+    // partition: recent actives + inactives cover every customer with the
+    // anti-join (recent custkeys are a subset of customers here)
+    assert(nInactive == total - recent)
+  }
+
+  test("exact quantiles are ordered and bracket the data") {
+    val q = Cubes.orderQuantiles(spark, sf).cache()
+    assert(q.filter(col("p50") > col("p90") || col("p90") > col("p99")).count() == 0)
+    val ext = graft.sources.Tables.orders(spark, sf)
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi")).head
+    val bad = q.filter(col("p50") < ext.getDouble(0) - 0.01 ||
+      col("p99") > ext.getDouble(1) + 0.01)
+    assert(bad.count() == 0)
+    q.unpersist(): Unit
+  }
+
+  test("stratified sample keeps rates and is content-deterministic") {
+    val s1 = Pipeline.corpusSample(spark, sf).cache()
+    // kept rows respect the per-lang keep_rate mapping
+    val wrongRate = s1.filter(
+      Pipeline.SampleRates.foldLeft(lit(false)) { case (acc, (l, r)) =>
+        acc || (col("lang") === l && col("keep_rate") =!= r)
+      } || (!col("lang").isin(Pipeline.SampleRates.keys.toSeq.map(lit): _*)
+        && col("keep_rate") =!= Pipeline.SampleDefaultRate))
+    assert(wrongRate.count() == 0)
+    // deterministic: a second evaluation yields the identical id set
+    val s2 = Pipeline.corpusSample(spark, sf)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).count() == 0)
+    assert(s2.select("doc_id").except(s1.select("doc_id")).count() == 0)
+    // the dominant-language stratum is actually downsampled
+    val langs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, r) <- Pipeline.SampleRates if langs.getOrElse(l, 0L) >= 50)
+      assert(kept.getOrElse(l, 0L) < langs(l),
+        s"lang $l not downsampled (rate $r)")
+    s1.unpersist(): Unit
+  }
+
+  test("tf-idf keeps at most top-k per doc, ranked by score") {
+    val t = TextOps.tfidf(spark, sf).cache()
+    assert(t.groupBy("doc_id").count()
+      .filter(col("count") > TextOps.TfidfTopK).count() == 0)
+    // rank 1 score >= rank 2 score within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val mono = t.withColumn("prev", lag("tfidf", 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(mono.count() == 0)
+    // df is global: a token's df must be >= its tf in any single doc
+    assert(t.filter(col("df") < lit(1)).count() == 0)
+    t.unpersist(): Unit
+  }
+
+  test("HLL estimate tracks exact distinct within raw-HLL error") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.Kernels.register(sp)
+    // the raw estimator (no bias corrections on purpose — ln() is
+    // libm-dependent and would break the oracle's bit-exactness) is only
+    // accurate once n >> m; test it where it's specified: n = 5000 >> 64.
+    // std error ≈ 1.04/√64 ≈ 13%; ±40% is a 3σ band.
+    val am2 = graft.functions.Kernels.HllAlphaM2
+    val est = (1L to 5000L).toDF("v")
+      .agg(expr("graft_hll_sketch(v)").as("regs"))
+      .selectExpr(s"CAST($am2 AS DOUBLE) / aggregate(regs, CAST(0 AS DOUBLE), (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r)) AS est")
+      .head.getDouble(0)
+    assert(est > 3000 && est < 7000, s"raw HLL estimate $est for n=5000")
+    // on the tiny corpus the query must still produce positive estimates
+    val h = Sketches.eventsHll(spark, sf)
+    assert(h.count() > 0)
+    assert(h.filter(col("hll_est") <= 0.0).count() == 0)
+  }
+
+  test("HLL registers merge idempotently across partitionings") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.Kernels.register(sp)
+    val vals = (1L to 5000L).toDF("v")
+    def regs(parts: Int): Seq[Long] =
+      vals.repartition(parts).agg(expr("graft_hll_sketch(v)")).head
+        .getSeq[Long](0)
+    // partition count (merge tree shape) must not change the registers
+    assert(regs(1) == regs(7))
+  }
+}
