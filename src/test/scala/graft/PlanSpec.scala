@@ -42,11 +42,40 @@ class PlanSpec extends SparkSpec {
     // the LOGICAL plans of the star-join queries must carry no broadcast
     // hint except via the fixed-size dims path (region/nation)
     for (q <- Seq("q_customer_stats", "q_top_products", "q_margin_analysis",
-        "q3_top_unshipped", "q_validate_products")) {
+        "q3_top_unshipped", "q_validate_products",
+        "q_segment_pivot", "q_customer_rfm", "q_customers_no_orders",
+        "q_order_quantiles")) {
       val logical = SparkEntry.queries(q)(spark, sf)
         .queryExecution.analyzed.toString
       assert(!logical.contains("UnresolvedHint") &&
         !logical.toLowerCase.contains("broadcast"), s"$q forces a broadcast")
+    }
+  }
+
+  test("churn anti-join: date pushed to the orders scan, join stays anti") {
+    val plan = planOf("q_customers_no_orders")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("rollup expands grouping sets in one aggregate, not per-level scans") {
+    // one Expand feeding one (partial+final) aggregate pair over one scan —
+    // a per-level union would show several parquet scans of orders
+    val plan = planOf("q_sales_rollup")
+    assert(plan.contains("Expand"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("sketch aggregates partial-aggregate map-side") {
+    // both the CMS and HLL aggregates must show a partial_ aggregate pass
+    // (objHashAggregate partial before the exchange) — the whole point of a
+    // mergeable sketch is map-side combine
+    for (q <- Seq("q_events_cms", "q_events_hll")) {
+      val plan = planOf(q)
+      assert(plan.contains("partial_graft_cms_sketch")
+        || plan.contains("partial_graft_hll_sketch")
+        || plan.contains("partial_countminsketchagg")
+        || plan.contains("partial_hllsketchagg"), s"$q:\n$plan")
     }
   }
 }

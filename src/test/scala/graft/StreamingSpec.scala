@@ -124,6 +124,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D5 IntervalJoin pairs events within the window across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val inA = MemoryStream[(Long, Timestamp, Long)]
+    val inB = MemoryStream[(Long, Timestamp, Long)]
+    val out = IntervalJoin.pairs(
+      inA.toDF().toDF("user_id", "ts", "event_id"),
+      inB.toDF().toDF("user_id", "ts", "event_id"), windowSec = 60)
+    val q = out.writeStream.format("memory").queryName("d5_out")
+      .outputMode("append").start()
+    try {
+      inA.addData((7L, ts("2024-01-01 10:00:00"), 1L))
+      inB.addData(
+        (7L, ts("2024-01-01 10:00:30"), 2L),  // +30s: in window
+        (7L, ts("2024-01-01 10:02:00"), 3L),  // +120s: out of window
+        (8L, ts("2024-01-01 10:00:10"), 4L))  // other user
+      q.processAllAvailable()
+      // a late-batch right event still joins while inside the watermark
+      inB.addData((7L, ts("2024-01-01 10:00:50"), 5L))
+      q.processAllAvailable()
+      val rows = sp.table("d5_out")
+        .select("user_id", "event_a", "event_b", "delta_us")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(rows == Seq((7L, 1L, 2L, 30000000L), (7L, 1L, 5L, 50000000L)))
+    } finally q.stop()
+  }
+
+  test("D5 IntervalJoin batch mode matches the batch range-join twin") {
+    val sp = spark
+    val ev = graft.sources.Tables.events(sp, sf)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"))
+    val streamed = IntervalJoin.pairs(ev, ev, windowSec = 60)
+      .select("user_id", "event_a", "event_b", "delta_us")
+    val batch = graft.operators.RangeJoin.eventsWindowPairs(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("D3 UpsertSink merges micro-batches latest-wins into parquet") {
     val sp = spark
     import sp.implicits._
