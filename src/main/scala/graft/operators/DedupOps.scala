@@ -271,9 +271,22 @@ object DedupOps {
       // work.
       val bmin = multi.join(labels, multi("doc_id") === labels("node"))
         .groupBy("bucket").agg(min("label").as("blabel"))
-      val next = multi.join(bmin, Seq("bucket"))
+      val swept = multi.join(bmin, Seq("bucket"))
         .groupBy("doc_id").agg(min("blabel").as("label"))
         .select(col("doc_id").as("node"), col("label"))
+      // Pointer jump (path shortcut): label ← min(label, label(label)).
+      // A label is itself a node id in `swept` (labels only ever move
+      // between multi-bucket docs), so one self-join composes the pointer
+      // function with itself — hop distance covered per round DOUBLES,
+      // turning O(diameter) sweep rounds into O(log diameter) total rounds.
+      // One extra partial-agg shuffle per round, but rounds are the cost:
+      // each is a driver-scheduled job, and job latency (not row volume)
+      // dominates this loop's wall time. Measured 10 → 5 rounds at sf0.1.
+      val next = swept.as("x")
+        .join(swept.select(col("node").as("l_node"), col("label").as("l_label")),
+          col("x.label") === col("l_node"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("l_label"), col("x.label"))).as("label"))
         .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
