@@ -257,6 +257,130 @@ object TextOps {
       FROM scored) WHERE rnk <= $TfidfTopK
     ORDER BY doc_id, rnk"""
 
+  /** C22 chunk window (tokens per chunk) and stride — overlap is
+    * `ChunkTokens - ChunkStride` tokens. Sized to the test corpus (10-99
+    * tokens/doc → 1-4 chunks); a real pretraining pipeline sets these to the
+    * model context (e.g. 2048/1920) with the identical plan. */
+  val ChunkTokens: Int = 32
+  val ChunkStride: Int = 24
+
+  /** C22: `q_doc_chunk` — fixed-token-window chunking with overlap, the
+    * doc→training-sample step of a pretraining pipeline. One narrow pass:
+    * tokenize, derive the chunk count with exact integer math
+    * (`1 + ceil((n_tok − W) / S)` via integer division), explode a
+    * `sequence` of chunk indices and slice the token array per chunk — all
+    * codegen'd `functions._`, ZERO shuffle, so a 100 TB corpus chunks in a
+    * single embarrassingly-parallel scan and the output can stream straight
+    * into a partitioned writer. Short docs (≤ W tokens) yield exactly one
+    * chunk; the final chunk is the only one allowed to run short. */
+  def docChunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks", when(col("n_tok") <= ChunkTokens, 1L)
+        .otherwise(expr(
+          s"(n_tok - $ChunkTokens + $ChunkStride - 1) div $ChunkStride + 1")))
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * ChunkStride)
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkTokens.toLong), col("n_tok") - col("start")).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), (col("start") + 1).cast("int"),
+          lit(ChunkTokens)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val docChunkSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    n AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM d),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+        CASE WHEN n_tok <= $ChunkTokens THEN 1
+             ELSE (n_tok - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1
+        END AS n_chunks
+      FROM n),
+    x AS (
+      SELECT doc_id, toks, n_tok, unnest(range(0, n_chunks)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, chunk_idx,
+      least($ChunkTokens, n_tok - chunk_idx * $ChunkStride) AS n_chunk_tokens,
+      array_to_string(toks[CAST(chunk_idx * $ChunkStride + 1 AS INT):
+        CAST(chunk_idx * $ChunkStride + $ChunkTokens AS INT)], ' ') AS chunk_text
+    FROM x ORDER BY doc_id, chunk_idx"""
+
+  /** C23: `q_text_repetition` — repetition-based quality signals in the
+    * style of the Gopher/MassiveText filters: most-frequent-token fraction,
+    * distinct-token fraction and duplicate-2-gram fraction, plus a
+    * composite `repetitive` flag. Computed by explode + partial-agg count
+    * (linear, token-keyed shuffles only) rather than per-row O(n²) array
+    * lambdas — a 100k-token document costs 100k rows, never 10¹⁰
+    * comparisons, and the (doc, token) / (doc, gram) counts partial-agg
+    * map-side before one doc-keyed shuffle each. The flag compares the
+    * same exact doubles on both engines, so it is oracle-stable whatever
+    * the thresholds. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val tf = d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tokStats = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_tok"), max("tf").as("max_tf"),
+      count(lit(1)).as("n_distinct_tok"))
+    val gf = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2), i ->
+             concat_ws(' ', element_at(toks, cast(i + 1 as int)),
+                       element_at(toks, cast(i + 2 as int))))""")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+    val gramStats = gf.groupBy("doc_id").agg(
+      sum("n").as("n_2grams"), count(lit(1)).as("n_distinct_2grams"))
+    tokStats.join(gramStats, "doc_id")
+      .select(col("doc_id"), col("n_tok"),
+        (col("max_tf").cast("double") / col("n_tok").cast("double")).as("top_tok_frac"),
+        (col("n_distinct_tok").cast("double") / col("n_tok").cast("double")).as("distinct_tok_frac"),
+        (lit(1.0) - col("n_distinct_2grams").cast("double")
+          / col("n_2grams").cast("double")).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > 0.1 || col("dup_2gram_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS token FROM d) GROUP BY 1, 2),
+    ts AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, MAX(tf) AS max_tf,
+             COUNT(*) AS n_distinct_tok
+      FROM tf GROUP BY 1),
+    gf AS (
+      SELECT doc_id, gram, COUNT(*) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1), i ->
+          toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)])) AS gram
+        FROM d WHERE len(toks) >= 2)
+      GROUP BY 1, 2),
+    gs AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_2grams,
+             COUNT(*) AS n_distinct_2grams
+      FROM gf GROUP BY 1)
+    SELECT ts.doc_id, n_tok,
+      CAST(max_tf AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_tok_frac,
+      CAST(n_distinct_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_tok_frac,
+      1.0 - CAST(n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) AS dup_2gram_frac,
+      (CAST(max_tf AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.1) OR
+      (1.0 - CAST(n_distinct_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE) > 0.2)
+        AS repetitive
+    FROM ts JOIN gs ON ts.doc_id = gs.doc_id
+    ORDER BY ts.doc_id"""
+
   /** C11: document fingerprinting — whole-doc md5 plus a winnowing-style
     * fingerprint (lexicographic min of md5 over 5-char shingles; min over
     * fixed-width hex == numeric min, and min is order-independent so the

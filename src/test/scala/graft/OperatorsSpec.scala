@@ -394,4 +394,73 @@ class OperatorsSpec extends SparkSpec {
     assert(MultimodalOps.decodeStub(Array.emptyByteArray) == (0.0, 0, 0))
     assert(MultimodalOps.decodeStub(Array[Byte](0, 100, -56)) == (100.0, 200, 1))
   }
+
+  test("doc chunking: full coverage, bounded chunks, only the last runs short") {
+    val chunks = TextOps.docChunk(spark, sf).cache()
+    val docs = TextOps.tokenCount(spark, sf).filter(col("n_tokens_ws") > 0)
+    // every non-empty doc chunked; no chunk exceeds the window
+    assert(chunks.select("doc_id").distinct().count() == docs.count())
+    assert(chunks.filter(col("n_chunk_tokens") > TextOps.ChunkTokens).count() == 0)
+    assert(chunks.filter(col("n_chunk_tokens") < 1).count() == 0)
+    // chunk text token count agrees with the declared n_chunk_tokens
+    assert(chunks.filter(
+      size(split(col("chunk_text"), " ")) =!= col("n_chunk_tokens")).count() == 0)
+    // coverage: last chunk reaches exactly the doc's end (start + len == n_tok)
+    val last = chunks.groupBy("doc_id").agg(max("chunk_idx").as("last_idx"))
+    val lastLen = chunks.as("c").join(last.as("l"),
+        col("c.doc_id") === col("l.doc_id") &&
+        col("c.chunk_idx") === col("l.last_idx"))
+      .select(col("c.doc_id").as("doc_id"),
+        (col("l.last_idx") * TextOps.ChunkStride + col("c.n_chunk_tokens")).as("covered"))
+    assert(lastLen.join(docs, Seq("doc_id"))
+      .filter(col("covered") =!= col("n_tokens_ws")).count() == 0)
+    // only the final chunk may run short
+    assert(chunks.as("c").join(last.as("l"), col("c.doc_id") === col("l.doc_id"))
+      .filter(col("c.chunk_idx") < col("l.last_idx") &&
+        col("c.n_chunk_tokens") =!= TextOps.ChunkTokens).count() == 0)
+    chunks.unpersist(): Unit
+  }
+
+  test("repetition signals: fractions bounded, both flag branches reachable") {
+    val r = TextOps.textRepetition(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("top_tok_frac") <= 0 || col("top_tok_frac") > 1).count() == 0)
+    assert(r.filter(col("distinct_tok_frac") <= 0 ||
+      col("distinct_tok_frac") > 1).count() == 0)
+    assert(r.filter(col("dup_2gram_frac") < 0 || col("dup_2gram_frac") >= 1).count() == 0)
+    // a doc of all-identical tokens maxes every signal; distinct text minimizes
+    assert(r.filter(col("repetitive")).count() > 0)
+    assert(r.filter(!col("repetitive")).count() > 0)
+    r.unpersist(): Unit
+  }
+
+  test("funnel stages are monotone and rates consistent") {
+    val f = Journeys.funnelConversion(spark, sf).cache()
+    assert(f.count() > 0)
+    assert(f.filter(col("n_click_users") > col("n_view_users")).count() == 0)
+    assert(f.filter(col("n_purchase_users") > col("n_click_users")).count() == 0)
+    assert(f.filter(col("click_rate") < 0 || col("click_rate") > 1).count() == 0)
+    // purchase_rate defined exactly when the cohort has clicks
+    assert(f.filter(col("n_click_users") > 0 &&
+      col("purchase_rate").isNull).count() == 0)
+    assert(f.filter(col("n_click_users") === 0 &&
+      col("purchase_rate").isNotNull).count() == 0)
+    f.unpersist(): Unit
+  }
+
+  test("cohort retention: month-0 row equals cohort size, counts positive") {
+    val ret = Journeys.cohortRetention(spark, sf).cache()
+    assert(ret.count() > 0)
+    assert(ret.filter(col("n_customers") < 1).count() == 0)
+    // every cohort has its months_since = 0 row (the first order itself)
+    val cohorts = ret.select("cohort_ym").distinct().count()
+    assert(ret.filter(col("months_since") === 0).count() == cohorts)
+    // month-0 count is the cohort's total distinct customers
+    val sizes = Journeys.cohortRetention(spark, sf)
+      .filter(col("months_since") === 0)
+      .select(col("cohort_ym"), col("n_customers").as("m0"))
+    assert(ret.join(sizes, "cohort_ym")
+      .filter(col("n_customers") > col("m0")).count() == 0)
+    ret.unpersist(): Unit
+  }
 }
