@@ -66,6 +66,29 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("chunking is shuffle-free up to the final presentation sort") {
+    // the doc→chunk explode must stay a narrow Generate over the scan; the
+    // only Exchange allowed is the global orderBy at the end
+    val plan = planOf("q_doc_chunk")
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("funnel windows share ONE user_id exchange") {
+    // three staged conditional-min windows + the per-user collapse must all
+    // ride the same hash partitioning: one Exchange before the windows, one
+    // for the cohort roll-up, one for the final orderBy — never an exchange
+    // per window stage
+    val plan = planOf("q_funnel_conversion")
+    assert("Window".r.findAllIn(plan).length == 3, plan)
+    assert("Exchange".r.findAllIn(plan).length <= 3, plan)
+  }
+
+  test("cohort retention reuses the custkey exchange for window + distinct") {
+    val plan = planOf("q_cohort_retention")
+    assert("Exchange".r.findAllIn(plan).length <= 3, plan)
+  }
+
   test("sketch aggregates partial-aggregate map-side") {
     // both the CMS and HLL aggregates must show a partial_ aggregate pass
     // (objHashAggregate partial before the exchange) — the whole point of a
