@@ -256,4 +256,58 @@ object Cubes {
     FROM ranked
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment"""
+
+  /** B24: `q_order_quantiles_hist` — the SHIPPED 100 TB path for B21, not a
+    * doc note: pre-aggregate to a (segment, cents-value) histogram (bounded
+    * by the distinct money values, not row count), cumulative-sum it within
+    * each segment, and pick each quantile as the minimum value whose
+    * cumulative count reaches the integer ceil-division index. The k-th
+    * smallest row value IS the least histogram value with cum ≥ k, so this
+    * agrees with B21's row-pick bit-for-bit (spec-pinned) — while the only
+    * per-segment window runs over the histogram, never the raw rows: at
+    * 100 TB the sort input shrinks from billions of orders to at most the
+    * distinct price points. Same integer-exact index math as B21. */
+  def orderQuantilesHist(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("total_c"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+    val hist = seg.groupBy("c_mktsegment", "total_c")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("c_mktsegment").orderBy("total_c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(num: Int, den: Int) =
+      min(when(col("cum") >= expr(s"($num * n + $den - 1) DIV $den"),
+        col("total_c")))
+    hist.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("c_mktsegment")))
+      .groupBy("c_mktsegment")
+      .agg(sum("cnt").as("n_orders"),
+        centsToUnits(pick(1, 2)).as("p50"),
+        centsToUnits(pick(9, 10)).as("p90"),
+        centsToUnits(pick(99, 100)).as("p99"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orderQuantilesHistSql: String = """
+    WITH seg AS (
+      SELECT c_mktsegment,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    hist AS (
+      SELECT c_mktsegment, total_c, COUNT(*) AS cnt
+      FROM seg GROUP BY 1, 2),
+    c AS (
+      SELECT c_mktsegment, total_c, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY total_c
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      FROM hist)
+    SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS n_orders,
+      CAST(MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN total_c END) AS DOUBLE) / 100.0 AS p50,
+      CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN total_c END) AS DOUBLE) / 100.0 AS p90,
+      CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN total_c END) AS DOUBLE) / 100.0 AS p99
+    FROM c
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
 }

@@ -326,4 +326,41 @@ object Etl {
     UNION ALL SELECT 'part', COUNT(*), CAST(SUM(p_partkey) AS BIGINT) FROM part
     UNION ALL SELECT 'supplier', COUNT(*), CAST(SUM(s_suppkey) AS BIGINT) FROM supplier
     ORDER BY table_name"""
+
+  // ---- A10: SCD2 history build (the versioned twin of the A5 MERGE) ----
+  /** Slowly-changing-dimension type-2 history over the event stream: each
+    * per-user change event becomes a versioned row with a validity interval
+    * [valid_from, valid_to) — `valid_to` is the NEXT change's time (lead
+    * window), NULL marks the open current version. The reference's MERGE
+    * keeps only latest-wins state (etl_service.py:252-293); this is the
+    * history-preserving load a warehouse runs next to it, and the as-of
+    * join (B11) queries it point-in-time. One shuffle on user_id; version
+    * numbering and the interval lead ride the same totally-ordered window
+    * (event_id tie-break). The tracked attribute passes through untouched —
+    * no arithmetic, so cross-engine exactness is free. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value").as("valor"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "version", "event_id", "valor",
+        "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2HistorySql: String = """
+    SELECT user_id, version, event_id, valor,
+      valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_id, value AS valor,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        epoch_us(ts) AS valid_from_us,
+        lead(epoch_us(ts), 1) OVER w AS valid_to_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    ORDER BY user_id, version"""
 }

@@ -448,6 +448,32 @@ class OperatorsSpec extends SparkSpec {
     f.unpersist(): Unit
   }
 
+  test("histogram quantiles agree bit-for-bit with the row-pick quantiles") {
+    val rowPick = Cubes.orderQuantiles(spark, sf)
+    val hist = Cubes.orderQuantilesHist(spark, sf)
+    assert(hist.schema.fieldNames.toSeq == rowPick.schema.fieldNames.toSeq)
+    assert(hist.except(rowPick).count() == 0)
+    assert(rowPick.except(hist).count() == 0)
+  }
+
+  test("scd2 history: contiguous intervals, one open version per user") {
+    val h = Etl.scd2History(spark, sf).cache()
+    assert(h.count() > 0)
+    // exactly one open (current) version per user
+    val open = h.filter(col("is_current")).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+    assert(open.count() == h.select("user_id").distinct().count())
+    // closed intervals are non-degenerate and contiguous: version k's
+    // valid_to equals version k+1's valid_from
+    assert(h.filter(!col("is_current") &&
+      col("valid_to_us") < col("valid_from_us")).count() == 0)
+    val next = h.select(col("user_id"), (col("version") - 1).as("version"),
+      col("valid_from_us").as("next_from"))
+    assert(h.as("a").join(next.as("b"), Seq("user_id", "version"))
+      .filter(col("valid_to_us") =!= col("next_from")).count() == 0)
+    h.unpersist(): Unit
+  }
+
   test("cohort retention: month-0 row equals cohort size, counts positive") {
     val ret = Journeys.cohortRetention(spark, sf).cache()
     assert(ret.count() > 0)
