@@ -298,6 +298,46 @@ object Analytics {
     GROUP BY hora_epoch, event_type
     ORDER BY hora_epoch, event_type"""
 
+  /** B25 slide width (µs) and slides per window — 15-minute slide, 1-hour
+    * window (4 overlapping slides). */
+  val SlideUs: Long = 900000000L
+  val SlidesPerWindow: Int = 4
+
+  /** B25: `q_events_sliding_window` — sliding-window aggregation (1-hour
+    * windows every 15 minutes), the overlapping generalization of B8's
+    * tumbling hour. Implemented by exact integer bucket math instead of the
+    * engine-specific `window()` helper: each event lands in slide bucket
+    * `ts_us div slide` and contributes to the [[SlidesPerWindow]] windows
+    * starting at that bucket and the 3 before it — a bounded explode (×4),
+    * identical arithmetic in both engines, then one (window, type) shuffle
+    * with map-side partial aggregation. At 100 TB the explode factor stays
+    * the constant window/slide ratio and state is O(active windows), which
+    * is also exactly how the streaming twin's state store scales. */
+  def eventsSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 1000").as("ts_us"), col("event_type"),
+        cents(col("value")).as("val_c"))
+      .withColumn("b", expr(s"ts_us div $SlideUs"))
+      .select(col("event_type"), col("val_c"),
+        explode(expr(s"sequence(b - ${SlidesPerWindow - 1}, b)")).as("w"))
+      .groupBy("w", "event_type")
+      .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("val_c"))
+      .select((col("w") * SlideUs).as("win_start_us"), col("event_type"),
+        col("n_eventos"), centsToUnits(col("val_c")).as("valor_total"))
+      .orderBy("win_start_us", "event_type")
+
+  val eventsSlidingWindowSql: String = s"""
+    SELECT w * $SlideUs AS win_start_us, event_type, COUNT(*) AS n_eventos,
+      CAST(SUM(val_c) AS DOUBLE) / 100.0 AS valor_total
+    FROM (
+      SELECT event_type, val_c, unnest(range(b - ${SlidesPerWindow - 1}, b + 1)) AS w
+      FROM (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS val_c,
+          epoch_us(ts) // $SlideUs AS b
+        FROM events))
+    GROUP BY w, event_type
+    ORDER BY win_start_us, event_type"""
+
   /** B9: gap-based sessionization (batch twin of streaming.Sessionizer).
     * One shuffle on user_id; lag + running sum over integer nanos; 30-min
     * gap threshold. */

@@ -434,6 +434,22 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist(): Unit
   }
 
+  test("sliding windows cover each event exactly window/slide times") {
+    val slid = Analytics.eventsSlidingWindow(spark, sf)
+    val n_events = graft.sources.Tables.events(spark, sf).count()
+    // every event lands in exactly SlidesPerWindow windows
+    assert(slid.agg(sum("n_eventos")).head.getLong(0)
+      == n_events * Analytics.SlidesPerWindow)
+    // window starts align to the slide grid
+    assert(slid.filter(col("win_start_us") % Analytics.SlideUs =!= 0).count() == 0)
+    // an hour-aligned sliding window covers exactly the tumbling hour
+    val tumb = Analytics.eventsWindowAgg(spark, sf)
+      .select((col("hora_epoch") * 3600000000L).as("win_start_us"),
+        col("event_type"), col("n_eventos").as("n_tumb"))
+    assert(slid.join(tumb, Seq("win_start_us", "event_type"))
+      .filter(col("n_eventos") =!= col("n_tumb")).count() == 0)
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)

@@ -76,6 +76,52 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("D6 Scd2Stream emits closed versions across micro-batches, keeps current in state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val out = Scd2Stream.scd2(Scd2Stream.withWatermark(in.toDS()))
+    val q = out.writeStream.format("memory").queryName("d6_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ChangeEvent(1L, ts("2024-01-01 10:00:00"), 10L, 1.0),
+        ChangeEvent(1L, ts("2024-01-01 11:00:00"), 11L, 2.0))
+      q.processAllAvailable()
+      // v1 closed by v2's arrival; v2 is open → state only, not emitted
+      val r1 = sp.table("d6_out").as[VersionOut].collect().toSeq
+      assert(r1 == Seq(VersionOut(1L, 1L, 10L, 1.0,
+        usOf(ts("2024-01-01 10:00:00")), Some(usOf(ts("2024-01-01 11:00:00"))), false)))
+      // a third change in a LATER micro-batch closes v2 from carried state
+      in.addData(ChangeEvent(1L, ts("2024-01-01 12:00:00"), 12L, 3.0))
+      q.processAllAvailable()
+      val r2 = sp.table("d6_out").as[VersionOut].collect().toSeq.sortBy(_.version)
+      assert(r2.map(_.version) == Seq(1L, 2L))
+      assert(r2(1) == VersionOut(1L, 2L, 11L, 2.0,
+        usOf(ts("2024-01-01 11:00:00")), Some(usOf(ts("2024-01-01 12:00:00"))), false))
+    } finally q.stop()
+  }
+
+  test("D6 Scd2Stream batch mode matches the batch twin exactly") {
+    val sp = spark
+    import sp.implicits._
+    val events = graft.sources.Tables.events(sp, sf)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"), col("value").as("valor"))
+      .as[ChangeEvent]
+    val streamed = Scd2Stream.scd2(events, finishAll = true)
+      .select(col("user_id"), col("version"), col("event_id"), col("valor"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    val batch = graft.operators.Etl.scd2History(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  private def usOf(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
   test("D4 DedupStream keeps first occurrence per content hash across batches") {
     val sp = spark
     import sp.implicits._
