@@ -124,6 +124,73 @@ object Pipeline {
     ORDER BY doc_id"""
   }
 
+  /** The simulated benchmark/eval slice for C25 (doc_id ≡ 3 mod 10 — wide
+    * enough that the slice's near-dups exist in the training side, so the
+    * contaminated branch is exercised at test scale) and the
+    * decontamination shingle width. */
+  val BenchMod: Int = 10
+  val BenchRem: Int = 3
+  val DecontamGram: Int = 8
+
+  /** C25: `q_corpus_decontaminate` — benchmark decontamination: flag every
+    * training document sharing ANY [[DecontamGram]]-token shingle with the
+    * eval slice (the standard pre-training hygiene step; n-gram overlap is
+    * how GPT-3/PaLM-style decontamination is defined). Distinct from C4:
+    * no similarity score — one shared shingle is a hit.
+    *
+    * Plan: both sides shingle in the same narrow pass; the eval side
+    * collapses to a DISTINCT gram set that is provably eval-sized (an eval
+    * suite is fixed, never corpus-scaled) and rides a broadcast hash join;
+    * hits partial-aggregate per doc. Clean docs survive via a left join —
+    * short docs (< gram width) are trivially clean and never shingle. */
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val els = (1 to DecontamGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    val base = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val grams = base.filter(size(col("toks")) >= DecontamGram)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $DecontamGram),
+             i -> concat_ws(' ', $els)))""")).as("gram"))
+    val benchGrams = grams
+      .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
+    val hits = grams.filter(col("doc_id") % BenchMod =!= BenchRem)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.filter(col("doc_id") % BenchMod =!= BenchRem)
+      .select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  val corpusDecontaminateSql: String = {
+    val cat = (1 to DecontamGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, len(toks) - ${DecontamGram - 1}), i ->
+          $cat))) AS gram
+      FROM d WHERE len(toks) >= $DecontamGram),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = $BenchRem),
+    h AS (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN b ON g.gram = b.gram
+      WHERE g.doc_id % $BenchMod <> $BenchRem GROUP BY 1)
+    SELECT d.doc_id, d.source, coalesce(h.n_hits, 0) AS n_hits,
+      coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % $BenchMod <> $BenchRem
+    ORDER BY d.doc_id"""
+  }
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

@@ -381,6 +381,58 @@ object TextOps {
     FROM ts JOIN gs ON ts.doc_id = gs.doc_id
     ORDER BY ts.doc_id"""
 
+  /** C24: `q_doc_rarity` — unigram-rarity scoring, the engine-exact stand-in
+    * for LM-perplexity corpus filters (CCNet-style): each token scores
+    * N_total/tf (raw rational instead of −log p — log is libm-dependent and
+    * would break bit-exactness; the ranking is the same since log is
+    * monotone in the per-token factor), and a document's score is the MEAN
+    * over its tokens. The double sum is a SEQUENTIAL FOLD in token-position
+    * order on both engines (Spark `aggregate` over a position-sorted
+    * collect_list, DuckDB `list_reduce` over `list(... ORDER BY pos)`) —
+    * a distributed SUM of doubles is order-nondeterministic and would
+    * hash-mismatch. Plan: one token-keyed shuffle for global tf (map-side
+    * partials; AQE splits the Zipf-hot tokens), a 1-row N broadcast, one
+    * doc-keyed shuffle for the fold; the per-doc list is bounded by doc
+    * length. */
+  def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "token")))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val n = toks.select(count(lit(1)).as("n_total"))
+    toks.join(tf, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("pos"),
+        (col("n_total").cast("double") / col("tf").cast("double")).as("rarity"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sort_array(collect_list(struct(col("pos"), col("rarity")))).as("arr"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("aggregate(arr, 0D, (a, x) -> a + x.rarity)").as("rarity_sum"))
+      .withColumn("rarity_mean", col("rarity_sum") / col("n_tok").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val docRaritySql: String = """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    t AS (
+      SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
+      FROM d),
+    tf AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_total FROM t),
+    scored AS (
+      SELECT t.doc_id, t.pos,
+        CAST(n.n_total AS DOUBLE) / CAST(tf.tf AS DOUBLE) AS rarity
+      FROM t JOIN tf ON t.token = tf.token, n)
+    SELECT doc_id, COUNT(*) AS n_tok,
+      list_reduce(list(rarity ORDER BY pos), (a, b) -> a + b) AS rarity_sum,
+      list_reduce(list(rarity ORDER BY pos), (a, b) -> a + b)
+        / CAST(COUNT(*) AS DOUBLE) AS rarity_mean
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id"""
+
   /** C11: document fingerprinting — whole-doc md5 plus a winnowing-style
     * fingerprint (lexicographic min of md5 over 5-char shingles; min over
     * fixed-width hex == numeric min, and min is order-independent so the

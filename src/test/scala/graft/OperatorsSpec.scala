@@ -450,6 +450,30 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("n_eventos") =!= col("n_tumb")).count() == 0)
   }
 
+  test("decontamination: both branches, eval slice excluded, exact dups flagged") {
+    val d = Pipeline.corpusDecontaminate(spark, sf).cache()
+    // eval-slice docs never appear in the output
+    assert(d.filter(col("doc_id") % Pipeline.BenchMod === Pipeline.BenchRem)
+      .count() == 0)
+    // both branches reachable at test scale
+    assert(d.filter(col("contaminated")).count() > 0)
+    assert(d.filter(!col("contaminated")).count() > 0)
+    assert(d.filter(col("contaminated") =!= (col("n_hits") > 0)).count() == 0)
+    d.unpersist(): Unit
+  }
+
+  test("rarity: mean positive, bounded by corpus size, ordered fold exact") {
+    val r = TextOps.docRarity(spark, sf).cache()
+    val nTotal = r.agg(sum("n_tok")).head.getLong(0)
+    assert(r.count() > 0)
+    // every token's rarity is in [1, N]: mean must be too
+    assert(r.filter(col("rarity_mean") < 1.0 ||
+      col("rarity_mean") > nTotal.toDouble).count() == 0)
+    // a doc of globally-unique tokens would score N; common-word docs score low
+    assert(r.agg(min("rarity_mean")).head.getDouble(0) < nTotal.toDouble / 10)
+    r.unpersist(): Unit
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)
