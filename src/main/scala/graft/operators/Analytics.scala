@@ -338,6 +338,67 @@ object Analytics {
     GROUP BY w, event_type
     ORDER BY win_start_us, event_type"""
 
+  /** B26 anomaly threshold on |z|. */
+  val AnomalyZ: Double = 2.0
+
+  /** B26: `q_events_anomaly` — hourly event-rate anomaly detection per
+    * event type (the monitoring query the reference's scheduler loop
+    * implies: flag hours whose event count deviates from that type's
+    * baseline). Every statistical moment is derived from EXACT integer
+    * aggregates — Σn and Σn² over hourly counts — so mean, variance and
+    * z-score are identical doubles on both engines; a naive
+    * `stddev(count)` would fold doubles in partition order and
+    * hash-mismatch. Plan: one (hour, type) partial-agg shuffle, one tiny
+    * per-type roll-up joined back (broadcast — one row per event type),
+    * zero-variance types yield NULL z instead of ±inf. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(expr("ts div 3600000000000").as("hora_epoch"), col("event_type"))
+      .groupBy("hora_epoch", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n_horas"),
+        sum("n").as("sum_n"), sum(col("n") * col("n")).as("sum_n2"))
+    val mean = col("sum_n").cast("double") / col("n_horas").cast("double")
+    val variance = col("sum_n2").cast("double") / col("n_horas").cast("double") -
+      (col("sum_n").cast("double") / col("n_horas").cast("double")) *
+      (col("sum_n").cast("double") / col("n_horas").cast("double"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("media_h", mean)
+      .withColumn("varianza", variance)
+      .withColumn("z", when(col("varianza") > 0,
+        (col("n").cast("double") - col("media_h")) / sqrt(col("varianza"))))
+      .withColumn("anomalo", abs(col("z")) > AnomalyZ)
+      .select("event_type", "hora_epoch", "n", "media_h", "z", "anomalo")
+      .orderBy("event_type", "hora_epoch")
+  }
+
+  val eventsAnomalySql: String = s"""
+    WITH hourly AS (
+      SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hora_epoch,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n_horas,
+        CAST(SUM(n) AS BIGINT) AS sum_n,
+        CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      FROM hourly GROUP BY 1),
+    j AS (
+      SELECT h.event_type, h.hora_epoch, h.n,
+        CAST(s.sum_n AS DOUBLE) / CAST(s.n_horas AS DOUBLE) AS media_h,
+        CAST(s.sum_n2 AS DOUBLE) / CAST(s.n_horas AS DOUBLE) -
+          (CAST(s.sum_n AS DOUBLE) / CAST(s.n_horas AS DOUBLE)) *
+          (CAST(s.sum_n AS DOUBLE) / CAST(s.n_horas AS DOUBLE)) AS varianza
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+    SELECT event_type, hora_epoch, n, media_h,
+      CASE WHEN varianza > 0
+           THEN (CAST(n AS DOUBLE) - media_h) / sqrt(varianza) END AS z,
+      abs(CASE WHEN varianza > 0
+           THEN (CAST(n AS DOUBLE) - media_h) / sqrt(varianza) END)
+        > $AnomalyZ AS anomalo
+    FROM j
+    ORDER BY event_type, hora_epoch"""
+
   /** B9: gap-based sessionization (batch twin of streaming.Sessionizer).
     * One shuffle on user_id; lag + running sum over integer nanos; 30-min
     * gap threshold. */

@@ -474,6 +474,21 @@ class OperatorsSpec extends SparkSpec {
     r.unpersist(): Unit
   }
 
+  test("anomaly z-scores: exact-moment identity, flag matches threshold") {
+    val a = Analytics.eventsAnomaly(spark, sf).cache()
+    assert(a.count() > 0)
+    // flag is exactly |z| > threshold (null z never anomalous)
+    assert(a.filter(col("anomalo") =!=
+      (abs(col("z")) > Analytics.AnomalyZ)).count() == 0)
+    assert(a.filter(col("z").isNull && col("anomalo")).count() == 0)
+    // per type, mean of n equals the reported baseline (integer-exact Σn)
+    val chk = a.groupBy("event_type")
+      .agg((sum("n").cast("double") / count(lit(1)).cast("double")).as("m2"),
+        first("media_h").as("m1"))
+    assert(chk.filter(col("m1") =!= col("m2")).count() == 0)
+    a.unpersist(): Unit
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)
