@@ -27,6 +27,35 @@ object Export {
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Small-file compaction — the operational chore every incremental lake
+    * accumulates (a streaming sink or hourly batch leaves thousands of
+    * KB-sized files; scans then pay one task + one open per file). Sizes
+    * the rewrite from the ACTUAL bytes on disk: output file count =
+    * ceil(total / targetFileBytes), repartitioned round-robin so files come
+    * out even, then published with the same write-new → rename swap as
+    * [[graft.streaming.UpsertSink]] (Hadoop FileSystem API — local, HDFS,
+    * S3A alike). Returns (files before, files after). At 100 TB this runs
+    * per partition directory, not whole-table — pass the partition path. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path + ".compact")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(target, old)) sys.error(s"could not stage out $path")
+    if (!fs.rename(tmp, target)) sys.error(s"could not publish $tmp")
+    fs.delete(old, true)
+    (parts.length, nOut)
+  }
+
   /** Bucketed catalog table — pre-shuffled on the join key at write time so
     * repeated key joins/aggregations between tables bucketed the same way
     * run WITHOUT a shuffle (Spark reads bucket files as pre-partitioned,

@@ -93,4 +93,28 @@ class ExportSpec extends SparkSpec {
     assert(backJ.orderBy("id").as[(Long, String, Double)].collect().toSeq
       == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
+
+  test("compact bin-packs small files, preserves rows, publishes atomically") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("compact") + "/t"
+    // a streaming-sink-shaped mess: 16 tiny files
+    sp.range(0, 1000).selectExpr("id", "id % 7 AS k")
+      .repartition(16).write.parquet(dir)
+    val before = sp.read.parquet(dir)
+    val expect = before.as[(Long, Long)].collect().toSeq.sorted
+    val (nBefore, nAfter) = Export.compact(sp, dir, targetFileBytes = 1L << 30)
+    assert(nBefore == 16 && nAfter == 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(files.length == 1)
+    // no stray staging dirs left behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    // identical content modulo order
+    val after = sp.read.parquet(dir).as[(Long, Long)].collect().toSeq.sorted
+    assert(after == expect)
+  }
 }
