@@ -338,6 +338,38 @@ object Analytics {
     GROUP BY w, event_type
     ORDER BY win_start_us, event_type"""
 
+  /** B27 top-k pair count. */
+  val AffinityTopK: Int = 50
+
+  /** B27: `q_part_affinity` — market-basket co-occurrence mining: part
+    * pairs bought in the same order, ranked by support (number of orders).
+    * The self-join keys on l_orderkey, so pair expansion is C(items, 2)
+    * WITHIN one order (TPC-H orders hold ≤ 7 lines) — bounded per key,
+    * never catalog²; per-order parts dedup first so support counts orders,
+    * not line pairs. Top-k goes through TakeOrderedAndProject (per-partition
+    * top-k, k-row driver merge) with a full (support, pair) tie-break so
+    * the cut is deterministic. */
+  def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(AffinityTopK)
+  }
+
+  val partAffinitySql: String = s"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT $AffinityTopK"""
+
   /** B26 anomaly threshold on |z|. */
   val AnomalyZ: Double = 2.0
 

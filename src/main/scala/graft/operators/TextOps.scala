@@ -311,6 +311,37 @@ object TextOps {
         CAST(chunk_idx * $ChunkStride + $ChunkTokens AS INT)], ' ') AS chunk_text
     FROM x ORDER BY doc_id, chunk_idx"""
 
+  /** C26: `q_chunk_dedup` — dedup at CHUNK granularity, composed from C22's
+    * chunker and C1's hash-groupBy: training pipelines dedup chunks (the
+    * unit that actually enters a batch), not just whole documents —
+    * boilerplate headers/footers repeat across distinct docs and survive
+    * doc-level dedup. The chunk's md5 keys one shuffle (16 bytes/chunk, the
+    * text never moves); keep = lexicographic-min (doc_id, chunk_idx). Emits
+    * one row per distinct chunk content with its copy count. */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunk(spark, dir)
+      // lexicographic (doc_id, chunk_idx) min as ONE integer min: chunk_idx
+      // is bounded far below the 1e6 encoder, so the encoded order is the
+      // pair order — portable exact arithmetic instead of struct comparison
+      .select(md5(col("chunk_text").cast("binary")).as("chunk_hash"),
+        (col("doc_id") * 1000000L + col("chunk_idx")).as("pos_code"))
+      .groupBy("chunk_hash")
+      .agg(min("pos_code").as("keep_code"), count(lit(1)).as("n_copies"))
+      .select(col("chunk_hash"),
+        expr("keep_code div 1000000").as("keep_doc_id"),
+        (col("keep_code") % 1000000L).as("keep_chunk_idx"), col("n_copies"))
+      .orderBy("keep_doc_id", "keep_chunk_idx")
+
+  val chunkDedupSql: String = s"""
+    WITH chunks AS ($docChunkSql)
+    SELECT md5(chunk_text) AS chunk_hash,
+      min(doc_id * 1000000 + chunk_idx) // 1000000 AS keep_doc_id,
+      min(doc_id * 1000000 + chunk_idx) % 1000000 AS keep_chunk_idx,
+      count(*) AS n_copies
+    FROM chunks
+    GROUP BY md5(chunk_text)
+    ORDER BY keep_doc_id, keep_chunk_idx"""
+
   /** C23: `q_text_repetition` — repetition-based quality signals in the
     * style of the Gopher/MassiveText filters: most-frequent-token fraction,
     * distinct-token fraction and duplicate-2-gram fraction, plus a

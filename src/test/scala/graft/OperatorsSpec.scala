@@ -489,6 +489,26 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist(): Unit
   }
 
+  test("chunk dedup: copy counts conserve chunks, duplicate chunks collapse") {
+    val chunks = TextOps.docChunk(spark, sf)
+    val ded = TextOps.chunkDedup(spark, sf).cache()
+    // conservation: sum of copies == total chunks; distinct hashes == rows
+    assert(ded.agg(sum("n_copies")).head.getLong(0) == chunks.count())
+    assert(ded.select("chunk_hash").distinct().count() == ded.count())
+    // keeper decodes to a real chunk position
+    assert(ded.filter(col("keep_chunk_idx") < 0 ||
+      col("keep_chunk_idx") > 1000).count() == 0)
+    ded.unpersist(): Unit
+  }
+
+  test("part affinity: ordered pairs, support ≥ 1, k-bounded") {
+    val a = Analytics.partAffinity(spark, sf).cache()
+    assert(a.count() > 0 && a.count() <= Analytics.AffinityTopK)
+    assert(a.filter(col("part_a") >= col("part_b")).count() == 0)
+    assert(a.filter(col("support") < 1).count() == 0)
+    a.unpersist(): Unit
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)
