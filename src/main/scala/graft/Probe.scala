@@ -14,7 +14,9 @@ object Probe {
       else Seq("q5_nation_revenue", "q_incremental_sync", "q_validate_clients",
         "q3_top_unshipped", "q1_pricing_summary", "q_validate_products",
         "q_corpus_pipeline", "q_events_asof", "q_events_range_join",
-        "q_events_cms", "q_text_top_terms")
+        "q_events_cms", "q_text_top_terms",
+        "q_funnel_conversion", "q_doc_chunk", "q_order_quantiles_hist",
+        "q_corpus_decontaminate", "q_part_affinity", "q_events_anomaly")
     for (q <- qs) {
       println(s"########## $q")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(

@@ -380,22 +380,29 @@ object Analytics {
     * aggregates — Σn and Σn² over hourly counts — so mean, variance and
     * z-score are identical doubles on both engines; a naive
     * `stddev(count)` would fold doubles in partition order and
-    * hash-mismatch. Plan: one (hour, type) partial-agg shuffle, one tiny
-    * per-type roll-up joined back (broadcast — one row per event type),
+    * hash-mismatch. Plan: ONE events scan, one (hour, type) partial-agg
+    * shuffle, then per-type moments as whole-partition windows over the
+    * bounded hourly rows (hours per type is calendar-bounded);
     * zero-variance types yield NULL z instead of ±inf. */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .select(expr("ts div 3600000000000").as("hora_epoch"), col("event_type"))
       .groupBy("hora_epoch", "event_type")
       .agg(count(lit(1)).as("n"))
-    val stats = hourly.groupBy("event_type")
-      .agg(count(lit(1)).as("n_horas"),
-        sum("n").as("sum_n"), sum(col("n") * col("n")).as("sum_n2"))
+    // per-type moments as whole-partition windows over the hourly rows —
+    // ONE events scan (a join against a separate stats aggregate re-scans
+    // the fact table); the window partition is hours-per-type, bounded by
+    // the calendar, never by event volume
+    val wt = Window.partitionBy("event_type")
+    val withStats = hourly
+      .withColumn("n_horas", count(lit(1)).over(wt))
+      .withColumn("sum_n", sum("n").over(wt))
+      .withColumn("sum_n2", sum(col("n") * col("n")).over(wt))
     val mean = col("sum_n").cast("double") / col("n_horas").cast("double")
     val variance = col("sum_n2").cast("double") / col("n_horas").cast("double") -
       (col("sum_n").cast("double") / col("n_horas").cast("double")) *
       (col("sum_n").cast("double") / col("n_horas").cast("double"))
-    hourly.join(broadcast(stats), "event_type")
+    withStats
       .withColumn("media_h", mean)
       .withColumn("varianza", variance)
       .withColumn("z", when(col("varianza") > 0,
