@@ -191,6 +191,48 @@ object Pipeline {
     ORDER BY d.doc_id"""
   }
 
+  /** C27: `q_corpus_mix` — data-driven source mixing: downsample every
+    * source to the SMALLEST source's token volume (the uniform-mix special
+    * case of Pile/Dolma-style source weighting; a non-uniform target is the
+    * same plan with a weights map). The keep decision is entirely INTEGER:
+    * per-source threshold = T_min·10⁶ div T_s, doc kept iff its salted
+    * content hash mod 10⁶ falls below — no doubles anywhere, so
+    * cross-engine exactness is structural, and identical docs are kept or
+    * dropped together (content-hash salted independently of C19/C20).
+    * Plan: one narrow token-count pass → 20-row source totals → broadcast
+    * back over a second narrow pass; no fact-side shuffle at any corpus
+    * size. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        (expr("graft_str_hash(concat('mix|', lower(trim(text))))") % 1000000).as("h"))
+    val tok = d.groupBy("source").agg(sum("n_tok").as("t_src"))
+    val tmin = tok.agg(min("t_src").as("t_min"))
+    d.join(broadcast(tok), "source").crossJoin(broadcast(tmin))
+      .withColumn("umbral", expr("(t_min * 1000000) div t_src"))
+      .filter(col("h") < col("umbral"))
+      .select("doc_id", "source", "n_tok", "umbral")
+      .orderBy("doc_id")
+  }
+
+  val corpusMixSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        list_reduce(list_transform(range(1, length('mix|' || lower(trim(text))) + 1), i ->
+          CAST(ascii(substr('mix|' || lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) % 1000000 AS h
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_src FROM d GROUP BY 1),
+    tm AS (SELECT MIN(t_src) AS t_min FROM tok)
+    SELECT doc_id, d.source, n_tok, (t_min * 1000000) // t_src AS umbral
+    FROM d JOIN tok ON d.source = tok.source, tm
+    WHERE h < (t_min * 1000000) // t_src
+    ORDER BY doc_id"""
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

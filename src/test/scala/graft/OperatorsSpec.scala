@@ -509,6 +509,19 @@ class OperatorsSpec extends SparkSpec {
     a.unpersist(): Unit
   }
 
+  test("corpus mix: integer thresholds, min source kept whole, others downsampled") {
+    val m = Pipeline.corpusMix(spark, sf).cache()
+    assert(m.count() > 0)
+    assert(m.filter(col("umbral") < 1 || col("umbral") > 1000000).count() == 0)
+    // at least one source keeps everything (the bottleneck, umbral = 10⁶)
+    assert(m.filter(col("umbral") === 1000000).count() > 0)
+    // and the rest actually downsample: fewer kept rows than the corpus
+    val total = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(m.count() < total)
+    m.unpersist(): Unit
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)
