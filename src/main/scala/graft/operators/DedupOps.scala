@@ -269,11 +269,17 @@ object DedupOps {
       // SAME job as the convergence agg. One driver round trip per round;
       // an iterative loop's wall time is job-scheduling overhead, not row
       // work.
-      val bmin = multi.join(labels, multi("doc_id") === labels("node"))
-        .groupBy("bucket").agg(min("label").as("blabel"))
-      val swept = multi.join(bmin, Seq("bucket"))
-        .groupBy("doc_id").agg(min("blabel").as("label"))
-        .select(col("doc_id").as("node"), col("label"))
+      def sweep(ls: DataFrame): DataFrame = {
+        val bmin = multi.join(ls, multi("doc_id") === ls("node"))
+          .groupBy("bucket").agg(min("label").as("blabel"))
+        multi.join(bmin, Seq("bucket"))
+          .groupBy("doc_id").agg(min("blabel").as("label"))
+          .select(col("doc_id").as("node"), col("label"))
+      }
+      // two sweeps per round (4 graph hops) before the jump — rounds are
+      // driver-scheduled jobs and job latency dominates, so packing more
+      // hops into each round is nearly free row-work
+      val swept = sweep(sweep(labels))
       // Pointer jump (path shortcut): label ← min(label, label(label)).
       // A label is itself a node id in `swept` (labels only ever move
       // between multi-bucket docs), so one self-join composes the pointer

@@ -321,8 +321,12 @@ object TextOps {
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     docChunk(spark, dir)
       // lexicographic (doc_id, chunk_idx) min as ONE integer min: chunk_idx
-      // is bounded far below the 1e6 encoder, so the encoded order is the
-      // pair order — portable exact arithmetic instead of struct comparison
+      // is bounded far below the 1e6 encoder (a 2M-token doc chunks to
+      // ~83k), so the encoded order is the pair order — portable exact
+      // arithmetic instead of struct comparison. Encoder headroom: doc_id
+      // must stay below 2^63/10⁶ ≈ 9.2·10¹² — fine for row-number ids;
+      // hash-valued ids would switch the keeper to min(struct(...)) at the
+      // cost of the oracle needing arg_min twice.
       .select(md5(col("chunk_text").cast("binary")).as("chunk_hash"),
         (col("doc_id") * 1000000L + col("chunk_idx")).as("pos_code"))
       .groupBy("chunk_hash")
