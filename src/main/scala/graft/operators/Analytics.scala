@@ -341,34 +341,61 @@ object Analytics {
   /** B27 top-k pair count. */
   val AffinityTopK: Int = 50
 
-  /** B27: `q_part_affinity` — market-basket co-occurrence mining: part
-    * pairs bought in the same order, ranked by support (number of orders).
+  /** B27: `q_part_affinity` — association-rule mining over order baskets:
+    * part pairs bought in the same order, ranked by support (number of
+    * orders), with confidence (support / orders containing part_a) and
+    * lift (support·N / (n_a·n_b)) — all from EXACT integer counts, one
+    * double division each, identical expression trees on both engines.
     * The self-join keys on l_orderkey, so pair expansion is C(items, 2)
     * WITHIN one order (TPC-H orders hold ≤ 7 lines) — bounded per key,
     * never catalog²; per-order parts dedup first so support counts orders,
-    * not line pairs. Top-k goes through TakeOrderedAndProject (per-partition
-    * top-k, k-row driver merge) with a full (support, pair) tie-break so
-    * the cut is deterministic. */
+    * not line pairs. Per-part order counts join back onto the k-bounded
+    * pair set (part-keyed, unhinted — AQE picks). Top-k goes through a
+    * deterministic full tie-break so the cut is stable. */
   def partAffinity(spark: SparkSession, dir: String): DataFrame = {
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.as("a").join(op.as("b"),
+    val perPart = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val nOrders = op.select(countDistinct("l_orderkey").as("n_orders"))
+    val pairs = op.as("a").join(op.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(AffinityTopK)
+    pairs
+      .join(perPart.withColumnRenamed("l_partkey", "part_a")
+        .withColumnRenamed("n_part", "n_a"), "part_a")
+      .join(perPart.withColumnRenamed("l_partkey", "part_b")
+        .withColumnRenamed("n_part", "n_b"), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("support"),
+        (col("support").cast("double") / col("n_a").cast("double")).as("confianza"),
+        (col("support").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
 
   val partAffinitySql: String = s"""
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
-    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
-                       AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-    ORDER BY support DESC, part_a, part_b
-    LIMIT $AffinityTopK"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    per_part AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      ORDER BY support DESC, part_a, part_b
+      LIMIT $AffinityTopK)
+    SELECT part_a, part_b, support,
+      CAST(support AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS confianza,
+      CAST(support AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+        (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+    FROM pairs
+      JOIN per_part pa ON pairs.part_a = pa.l_partkey
+      JOIN per_part pb ON pairs.part_b = pb.l_partkey, n
+    ORDER BY support DESC, part_a, part_b"""
 
   /** B26 anomaly threshold on |z|. */
   val AnomalyZ: Double = 2.0

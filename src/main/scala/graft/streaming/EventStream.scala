@@ -45,4 +45,21 @@ object EventStream {
       .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("sum_c"))
       .select(col("win.start").as("hora"), col("event_type"),
         col("n_eventos"), centsToUnits(col("sum_c")).as("valor_total"))
+
+  /** D7: sliding-window streaming aggregation — the streaming twin of the
+    * batch `q_events_sliding_window` (B25): 1-hour windows every 15
+    * minutes. Structured Streaming's `window(ts, size, slide)` assigns each
+    * event to its size/slide overlapping windows in the state store; the
+    * watermark closes a window once event time passes its end, so state is
+    * O(open windows × types) — the same constant-factor explode the batch
+    * twin pays, never O(history). */
+  def slidingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour", "15 minutes").as("win"),
+        col("event_type"), cents(col("value")).as("val_c"))
+      .groupBy("win", "event_type")
+      .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("sum_c"))
+      .select(col("win.start").as("inicio"), col("event_type"),
+        col("n_eventos"), centsToUnits(col("sum_c")).as("valor_total"))
 }

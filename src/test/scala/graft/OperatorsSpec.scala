@@ -501,11 +501,14 @@ class OperatorsSpec extends SparkSpec {
     ded.unpersist(): Unit
   }
 
-  test("part affinity: ordered pairs, support ≥ 1, k-bounded") {
+  test("part affinity: ordered pairs, metrics bounded, k-bounded") {
     val a = Analytics.partAffinity(spark, sf).cache()
     assert(a.count() > 0 && a.count() <= Analytics.AffinityTopK)
     assert(a.filter(col("part_a") >= col("part_b")).count() == 0)
     assert(a.filter(col("support") < 1).count() == 0)
+    // confidence is a conditional probability; lift positive
+    assert(a.filter(col("confianza") <= 0 || col("confianza") > 1).count() == 0)
+    assert(a.filter(col("lift") <= 0).count() == 0)
     a.unpersist(): Unit
   }
 

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("D7 slidingAgg assigns each event to window/slide overlapping windows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.slidingAgg(
+      in.toDF().toDF("ts", "event_type", "value"), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("d7_out")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 10:31:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = sp.table("d7_out").orderBy("inicio")
+        .as[(Timestamp, String, Long, Double)].collect().toSeq
+      // one event → exactly 4 windows (1 h / 15 min), each starting ≤ its ts
+      assert(rows.map(_._1) == Seq(
+        ts("2024-01-01 09:45:00"), ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:15:00"), ts("2024-01-01 10:30:00")))
+      assert(rows.forall(r => r._3 == 1L && r._4 == 1.0))
+    } finally q.stop()
+  }
+
   test("D6 Scd2Stream emits closed versions across micro-batches, keeps current in state") {
     val sp = spark
     import sp.implicits._
