@@ -525,6 +525,30 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist(): Unit
   }
 
+  test("funnel matches a naive in-memory staged computation") {
+    val sp = spark
+    import sp.implicits._
+    val ev = graft.sources.Tables.events(sp, sf)
+      .selectExpr("user_id", "ts div 1000 AS ts_us", "event_type")
+      .as[(Long, Long, String)].collect().toSeq
+    val naive = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      def firstAtOrAfter(tpe: String, lo: Option[Long]): Option[Long] =
+        lo.flatMap(l => rows.filter(r => r._3 == tpe && r._2 >= l)
+          .map(_._2).minOption)
+      val v = rows.filter(_._3 == "view").map(_._2).minOption
+      val c = firstAtOrAfter("click", v)
+      val p = firstAtOrAfter("purchase", c)
+      v.map(fv => (fv / 86400000000L, c.isDefined, p.isDefined))
+    }.toSeq
+    val expected = naive.groupBy(_._1).map { case (day, us) =>
+      (day, us.size.toLong, us.count(_._2).toLong, us.count(_._3).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Journeys.funnelConversion(sp, sf)
+      .select("cohort_day", "n_view_users", "n_click_users", "n_purchase_users")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
   test("funnel stages are monotone and rates consistent") {
     val f = Journeys.funnelConversion(spark, sf).cache()
     assert(f.count() > 0)
