@@ -72,7 +72,11 @@ object DedupOps {
     // materialize n²/2 structs in single rows on single threads (measured
     // 12× slower at sf0.1). The self-join streams pairs through codegen and
     // spreads each bucket's expansion across its join partitions.
-    val sigs = minhashSigs(spark, dir)
+    // cache(): both self-join sides canonicalize differently (aliasing), so
+    // ReuseExchange does not fire and the minhash kernel would run twice —
+    // one materialization of the tiny (doc_id, band, sig) rows halves the
+    // O(chars) signature work at any corpus size.
+    val sigs = minhashSigs(spark, dir).cache()
     sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -175,10 +179,13 @@ object DedupOps {
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .select(col("doc_id"), expr("graft_simhash32(toks)").as("simhash"))
       .repartition(par, col("doc_id"))
+    // cache() for the same non-reuse reason as dedupMinhashLsh: the simhash
+    // kernel would otherwise run once per self-join side
     val bands = sig
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) % 256"))
+      .cache()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
@@ -368,7 +375,16 @@ object DedupOps {
     val hot = raw.groupBy("source", "gram")
       .agg(count(lit(1)).as("df")).filter(col("df") > MaxGramDf)
       .select("source", "gram")
+    // cache(): the gram stream feeds THREE consumers (sizes + both pair-join
+    // sides) and per-branch column pruning makes their subtrees canonically
+    // different, so ReuseExchange never fires — measured 8 parquet scans of
+    // the corpus (scan + regex split + explode + anti-join, recomputed per
+    // branch) in the executed plan without this. One materialization of the
+    // pruned (doc, source, gram) rows is strictly smaller than three
+    // recomputes at any scale; at 100 TB it spills MEMORY_AND_DISK like any
+    // cached shuffle-sized intermediate.
     val grams = raw.join(broadcast(hot), Seq("source", "gram"), "left_anti")
+      .cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.source") === col("b.source") && col("a.gram") === col("b.gram") &&

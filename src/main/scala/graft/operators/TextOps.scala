@@ -430,10 +430,14 @@ object TextOps {
     * doc-keyed shuffle for the fold; the per-doc list is bounded by doc
     * length. */
   def docRarity(spark: SparkSession, dir: String): DataFrame = {
+    // cache(): the token stream feeds tf, the N count and the join probe —
+    // per-branch pruning defeats ReuseExchange (measured 3 scans), so the
+    // regex tokenize would run three times without one materialization
     val toks = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "token")))
+      .cache()
     val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     val n = toks.select(count(lit(1)).as("n_total"))
     toks.join(tf, "token").crossJoin(broadcast(n))
