@@ -353,8 +353,13 @@ object Analytics {
     * pair set (part-keyed, unhinted — AQE picks). Top-k goes through a
     * deterministic full tie-break so the cut is stable. */
   def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // cache(): the basket relation feeds five consumers (both self-join
+    // sides, per-part counts, the order count) and per-branch pruning
+    // defeats ReuseExchange — measured 5 lineitem scans with the distinct
+    // recomputed each time without this
     val op = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .cache()
     val perPart = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
     val nOrders = op.select(countDistinct("l_orderkey").as("n_orders"))
     val pairs = op.as("a").join(op.as("b"),

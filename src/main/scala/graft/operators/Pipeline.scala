@@ -209,7 +209,10 @@ object Pipeline {
       .select(col("doc_id"), col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
         (expr("graft_str_hash(concat('mix|', lower(trim(text))))") % 1000000).as("h"))
-    val tok = d.groupBy("source").agg(sum("n_tok").as("t_src"))
+    // cache(): the 20-row source totals feed both the broadcast join and
+    // the global min — without it the min branch re-runs the whole
+    // token-count scan
+    val tok = d.groupBy("source").agg(sum("n_tok").as("t_src")).cache()
     val tmin = tok.agg(min("t_src").as("t_min"))
     d.join(broadcast(tok), "source").crossJoin(broadcast(tmin))
       .withColumn("umbral", expr("(t_min * 1000000) div t_src"))

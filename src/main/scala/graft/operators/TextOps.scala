@@ -223,7 +223,10 @@ object TextOps {
       .select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // cache(): tf feeds df, the corpus count and the scored join — pruning
+    // makes the three subtrees canonically different so the tokenize + tf
+    // shuffle would run three times without one materialization
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).cache()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct("doc_id").as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
