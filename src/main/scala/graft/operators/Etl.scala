@@ -276,6 +276,26 @@ object Etl {
       s"unknown sync entity '$other' (expected orders|events|lineitem)")
   }
 
+  /** The reference's smoke-test extraction — `test_etl(entity, limit)`
+    * (/root/reference/app/api/scheduler_endpoints.py:140-141): the first
+    * `limit` rows of an entity, deterministically keyed (a bare LIMIT is
+    * partition-order-dependent in a distributed engine, so the key sort
+    * makes the smoke slice reproducible). The sort is bounded by
+    * TakeOrderedAndProject — per-partition top-k, never a full sort. */
+  def testSlice(spark: SparkSession, dir: String, entity: String,
+      limit: Int = 10): DataFrame = {
+    require(limit > 0, s"limit must be positive, got $limit")
+    val (df, key) = entity match {
+      case "clients" => (Tables.customer(spark, dir), "c_custkey")
+      case "products" => (Tables.part(spark, dir), "p_partkey")
+      case "documents" => (Tables.orders(spark, dir), "o_orderkey")
+      case "details" => (Tables.lineitem(spark, dir), "l_orderkey")
+      case other => throw new IllegalArgumentException(
+        s"unknown test entity '$other' (expected clients|products|documents|details)")
+    }
+    df.orderBy(key).limit(limit)
+  }
+
   // ---- A7: keep-first dedup (etl_service.py:577-624) -------------------
   /** First line per document — the reference's "first active variant per
     * product" rule as a window dedup (single shuffle on the key). */

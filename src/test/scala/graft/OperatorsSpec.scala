@@ -67,6 +67,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 1), (4L, "d", 2)))
   }
 
+  test("test slice: deterministic first-k per entity, unknown entity rejected") {
+    for (e <- Seq("clients", "products", "documents", "details")) {
+      val s = Etl.testSlice(spark, sf, e, 10)
+      assert(s.count() == 10)
+      // reproducible: two runs pick the same rows
+      assert(s.except(Etl.testSlice(spark, sf, e, 10)).count() == 0)
+    }
+    intercept[IllegalArgumentException] { Etl.testSlice(spark, sf, "nope") }
+    intercept[IllegalArgumentException] { Etl.testSlice(spark, sf, "clients", 0) }
+  }
+
   test("per-entity sync filters on each entity's event-time column") {
     val startNanos = java.time.LocalDate.parse("2024-01-15")
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
