@@ -406,6 +406,32 @@ class OperatorsSpec extends SparkSpec {
     assert(MultimodalOps.decodeStub(Array[Byte](0, 100, -56)) == (100.0, 200, 1))
   }
 
+  test("chunk-count formula matches a naive chunker for all doc lengths") {
+    // pure-math property check: the integer ceil-division formula used by
+    // both engines must agree with an explicit start-stepping chunker far
+    // beyond the test corpus's 10-99 token range
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val (w, s) = (TextOps.ChunkTokens, TextOps.ChunkStride)
+    // a start needs a successor iff its window [start, start+w) ends short
+    def naive(n: Long): Long = {
+      var k = 0L
+      while (k * s + w < n) k += 1
+      k + 1
+    }
+    def formula(n: Long): Long =
+      if (n <= w) 1L else (n - w + s - 1) / s + 1
+    val prop = Prop.forAll(Gen.chooseNum(1L, 5000000L)) { n =>
+      val f = formula(n)
+      // == naive; last chunk reaches the end, is non-empty, and is needed
+      f == naive(n) &&
+        (f - 1) * s + w >= n &&
+        (f - 1) * s < n &&
+        (f == 1 || (f - 2) * s + w < n)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("doc chunking: full coverage, bounded chunks, only the last runs short") {
     val chunks = TextOps.docChunk(spark, sf).cache()
     val docs = TextOps.tokenCount(spark, sf).filter(col("n_tokens_ws") > 0)
