@@ -276,6 +276,40 @@ object Etl {
       s"unknown sync entity '$other' (expected orders|events|lineitem)")
   }
 
+  /** Audit instant for the A12 snapshot — epoch µs of 2024-01-15 12:00 UTC,
+    * mid-range of the synthetic event month. */
+  val Scd2SnapshotUs: Long = 1705320000000000L
+
+  /** A12: `q_scd2_snapshot` — the point-in-time read that makes the SCD2
+    * history queryable: each user's version valid AT the audit instant
+    * (valid_from ≤ T < valid_to, open version = current). This is the
+    * time-travel query a warehouse answers from the A10 table — and why a
+    * history-preserving load beats latest-wins MERGE for audits. Same one
+    * user_id shuffle as A10; the interval predicate filters the windowed
+    * rows, ≤ 1 row per user survives by construction. */
+  def scd2Snapshot(spark: SparkSession, dir: String,
+      atUs: Long = Scd2SnapshotUs): DataFrame =
+    scd2History(spark, dir)
+      .filter(col("valid_from_us") <= atUs &&
+        (col("valid_to_us").isNull || col("valid_to_us") > atUs))
+      .select("user_id", "version", "event_id", "valor",
+        "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id")
+
+  val scd2SnapshotSql: String = s"""
+    SELECT user_id, version, event_id, valor,
+      valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_id, value AS valor,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        epoch_us(ts) AS valid_from_us,
+        lead(epoch_us(ts), 1) OVER w AS valid_to_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    WHERE valid_from_us <= $Scd2SnapshotUs
+      AND (valid_to_us IS NULL OR valid_to_us > $Scd2SnapshotUs)
+    ORDER BY user_id"""
+
   /** The reference's smoke-test extraction — `test_etl(entity, limit)`
     * (/root/reference/app/api/scheduler_endpoints.py:140-141): the first
     * `limit` rows of an entity, deterministically keyed (a bare LIMIT is

@@ -626,6 +626,22 @@ class OperatorsSpec extends SparkSpec {
     h.unpersist(): Unit
   }
 
+  test("scd2 snapshot: at most one version per user, interval contains T") {
+    val t = Etl.Scd2SnapshotUs
+    val s = Etl.scd2Snapshot(spark, sf).cache()
+    assert(s.count() > 0)
+    assert(s.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(s.filter(col("valid_from_us") > t).count() == 0)
+    assert(s.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= t).count() == 0)
+    // exactly the users whose history starts at/before T appear
+    val active = Etl.scd2History(spark, sf)
+      .filter(col("valid_from_us") <= t)
+      .select("user_id").distinct().count()
+    assert(s.count() == active)
+    s.unpersist(): Unit
+  }
+
   test("cohort retention: month-0 row equals cohort size, counts positive") {
     val ret = Journeys.cohortRetention(spark, sf).cache()
     assert(ret.count() > 0)
