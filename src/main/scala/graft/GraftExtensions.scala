@@ -91,4 +91,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter join pruning (selective join side injects a
+      // bloom filter into the other side's scan) — Spark 4's default, pinned
+      // here because it is part of this engine's 100 TB story
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
 }
