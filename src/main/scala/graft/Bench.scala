@@ -50,6 +50,13 @@ object Bench {
       // steady-state time; if every run failed, report the (slow) failure
       // time rather than poisoning the JSON with infinities
       val runs = Seq.fill(reps)(once())
+      // Operators cache() intermediates they cannot unpersist themselves
+      // (the cache must outlive the caller's action). Cleared AFTER the
+      // reps — rep 2 legitimately reuses rep 1's cache, but a later query
+      // must not pay memory pressure + CacheManager scans for every cache
+      // the 60+ queries before it leaked: measured q_dedup_components at
+      // 23s inside the full bench vs 5s warm in a clean session.
+      spark.catalog.clearCache()
       val good = runs.filter(_._2)
       name -> (if (good.nonEmpty) good else runs).map(_._1).min
     }
