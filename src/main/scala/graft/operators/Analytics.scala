@@ -298,6 +298,48 @@ object Analytics {
     GROUP BY hora_epoch, event_type
     ORDER BY hora_epoch, event_type"""
 
+  /** B28: `q_events_gapfill` — zero-filled hourly event counts per type: the
+    * gap-fill every time-series chart/model needs (a missing hour must read
+    * as 0, not as an absent row). Each type's span [min hour, max hour] is
+    * densified via an integer `sequence` explode and left-joined back onto
+    * the observed counts; `relleno` marks synthesized rows.
+    *
+    * Scale: the raw scan partial-aggregates map-side into at most
+    * types × hours rows — bounded and tiny (a decade of hours is <90k per
+    * type) — so the explode and the left join run over post-agg cardinality,
+    * never over raw events; AQE broadcasts whichever side it likes. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hora_epoch"))
+      .groupBy("event_type", "hora_epoch").agg(count(lit(1)).as("n"))
+    val spans = hourly.groupBy("event_type")
+      .agg(min("hora_epoch").as("h0"), max("hora_epoch").as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hora_epoch"))
+    spans.join(hourly, Seq("event_type", "hora_epoch"), "left")
+      .select(col("event_type"), col("hora_epoch"),
+        coalesce(col("n"), lit(0L)).as("n_eventos"),
+        col("n").isNull.as("relleno"))
+      .orderBy("event_type", "hora_epoch")
+  }
+
+  val eventsGapfillSql: String = """
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hora_epoch,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    sp AS (
+      SELECT event_type, min(hora_epoch) AS h0, max(hora_epoch) AS h1
+      FROM hourly GROUP BY 1),
+    spans AS (
+      SELECT event_type, unnest(range(h0, h1 + 1)) AS hora_epoch FROM sp)
+    SELECT s.event_type, s.hora_epoch,
+      CAST(coalesce(h.n, 0) AS BIGINT) AS n_eventos,
+      h.n IS NULL AS relleno
+    FROM spans s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hora_epoch = h.hora_epoch
+    ORDER BY s.event_type, s.hora_epoch"""
+
   /** B25 slide width (µs) and slides per window — 15-minute slide, 1-hour
     * window (4 overlapping slides). */
   val SlideUs: Long = 900000000L

@@ -85,7 +85,7 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The (band, sig) CTE chain shared by the C2 and C18 oracles. */
+  /** The (band, sig) CTE chain shared by the C2, C18 and C29 oracles. */
   private val minhashSigsCtes: String = """d AS (
       SELECT doc_id, lower(trim(text)) AS norm FROM documents
       WHERE length(lower(trim(text))) >= 5),
@@ -441,5 +441,61 @@ object DedupOps {
       JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_common AS DOUBLE) /
           CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE) >= 0.2
+    ORDER BY doc_a, doc_b"""
+
+  /** C29: `q_dedup_minhash_est` — signature-based Jaccard ESTIMATION over
+    * the C2 candidate pairs: for each pair the fraction of the 12 minhash
+    * rows (4 bands × 3 rows) that agree is an unbiased estimate of the
+    * shingle-set Jaccard — the number a dedup pipeline thresholds on when
+    * re-shingling every candidate (C4-style exact verification) is too
+    * expensive. At 100 TB this is the whole point of MinHash: verification
+    * touches only the O(1)-size signatures already in hand, never the text.
+    *
+    * Plan: the cached signature rows feed the bucket self-join (pair
+    * generation, same as C2) and both sides of the per-band row comparison;
+    * the row-equality count is codegen'd split/element arithmetic — no
+    * interpreted higher-order lambdas — and the only shuffles key on
+    * (band, sig) buckets and the pair key. */
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(spark, dir).cache()
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("band"),
+      col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("band"),
+      col("sig").as("sig_b"))
+    val pa = split(col("sig_a"), ":")
+    val pb = split(col("sig_b"), ":")
+    val nEqBand = (0 until 3)
+      .map(i => (pa.getItem(i) === pb.getItem(i)).cast("long"))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "band"))
+      .select(col("doc_a"), col("doc_b"), nEqBand.as("n_eq_band"))
+      .groupBy("doc_a", "doc_b").agg(sum("n_eq_band").as("n_eq"))
+      .withColumn("jaccard_est", col("n_eq").cast("double") / lit(12.0d))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashEstSql: String = s"""
+    WITH $minhashSigsCtes,
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
+                              AND a.doc_id < b2.doc_id),
+    be AS (
+      SELECT p.doc_a, p.doc_b,
+        (CAST(string_split(sa.sig, ':')[1] = string_split(sb.sig, ':')[1] AS BIGINT)
+       + CAST(string_split(sa.sig, ':')[2] = string_split(sb.sig, ':')[2] AS BIGINT)
+       + CAST(string_split(sa.sig, ':')[3] = string_split(sb.sig, ':')[3] AS BIGINT))
+          AS n_eq_band
+      FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.band = sa.band)
+    SELECT doc_a, doc_b, CAST(SUM(n_eq_band) AS BIGINT) AS n_eq,
+      CAST(SUM(n_eq_band) AS DOUBLE) / CAST(12 AS DOUBLE) AS jaccard_est
+    FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
 }

@@ -236,6 +236,62 @@ object Pipeline {
     WHERE h < (t_min * 1000000) // t_src
     ORDER BY doc_id"""
 
+  /** C28 pack size (tokens). Sized so test-corpus packs hold a handful of
+    * 10-99-token docs; a real 4k/8k context window is the same arithmetic. */
+  val PackBudget: Int = 256
+
+  /** C28: `q_corpus_pack` — concat-and-cut sequence packing, the batching
+    * step that turns a curated corpus into fixed-size training sequences:
+    * documents are concatenated per source in deterministic doc_id order and
+    * the token stream is cut every [[PackBudget]] tokens (GPT-style packing;
+    * a doc may straddle a cut — `cruza_limite` flags those for loss-masking
+    * policies that drop or re-pad straddlers). Each doc's placement is pure
+    * integer arithmetic on its exclusive prefix token count: pack_id =
+    * offset div budget, pack_pos = offset mod budget.
+    *
+    * One per-source window computes the running offset — a single `source`
+    * shuffle. At 100 TB a source is an unbounded window partition; the scale
+    * path keeps the same output contract but computes offsets hierarchically
+    * (per-partition token subtotals → exclusive scan over the few-thousand
+    * subtotals on the driver → broadcast back), the standard two-pass
+    * distributed prefix sum. Test-scale keeps the declarative window so the
+    * oracle is the same expression. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("tok_offset", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_offset div $PackBudget"))
+      .withColumn("pack_pos", col("tok_offset") % PackBudget)
+      .withColumn("cruza_limite",
+        expr(s"(tok_offset + n_tok - 1) div $PackBudget") =!= col("pack_id"))
+      .select("source", "doc_id", "n_tok", "tok_offset", "pack_id",
+        "pack_pos", "cruza_limite")
+      .orderBy("source", "doc_id")
+  }
+
+  val corpusPackSql: String = s"""
+    WITH d AS (
+      SELECT source, doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0),
+    o AS (
+      SELECT source, doc_id, n_tok,
+        CAST(coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tok_offset
+      FROM d)
+    SELECT source, doc_id, n_tok, tok_offset,
+      tok_offset // $PackBudget AS pack_id,
+      tok_offset % $PackBudget AS pack_pos,
+      (tok_offset + n_tok - 1) // $PackBudget <> tok_offset // $PackBudget
+        AS cruza_limite
+    FROM o ORDER BY source, doc_id"""
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

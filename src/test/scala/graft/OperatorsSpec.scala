@@ -657,4 +657,52 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("n_customers") > col("m0")).count() == 0)
     ret.unpersist(): Unit
   }
+
+  test("corpus pack: offsets are exact prefix sums, placement math consistent") {
+    import org.apache.spark.sql.expressions.Window
+    val b = operators.Pipeline.PackBudget
+    val p = operators.Pipeline.corpusPack(spark, sf).cache()
+    assert(p.count() > 0)
+    // pack_pos/pack_id are pure functions of the offset; pos stays < budget
+    assert(p.filter(col("pack_pos") =!= col("tok_offset") % b).count() == 0)
+    assert(p.filter(col("pack_pos") >= b || col("pack_pos") < 0).count() == 0)
+    assert(p.filter(expr(s"tok_offset div $b") =!= col("pack_id")).count() == 0)
+    // the offset is the exclusive prefix sum: recompute independently
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val chk = p.withColumn("prev_end",
+      lag(col("tok_offset") + col("n_tok"), 1, 0L).over(w))
+    assert(chk.filter(col("tok_offset") =!= col("prev_end")).count() == 0)
+    // a straddler is flagged iff its span crosses a budget multiple
+    assert(p.filter(col("cruza_limite") =!=
+      (expr(s"(tok_offset + n_tok - 1) div $b") =!= col("pack_id"))).count() == 0)
+    p.unpersist(): Unit
+  }
+
+  test("minhash estimate: defined exactly on the LSH pairs, bounded, exact fraction") {
+    val est = operators.DedupOps.dedupMinhashEst(spark, sf).cache()
+    val pairs = operators.DedupOps.dedupMinhashLsh(spark, sf)
+    // same pair set as the candidate query (estimation adds/drops nothing)
+    assert(est.select("doc_a", "doc_b").except(pairs).count() == 0)
+    assert(pairs.except(est.select("doc_a", "doc_b")).count() == 0)
+    // a candidate pair shares ≥1 band, so ≥3 of 12 rows agree; ≤12 always
+    assert(est.filter(col("n_eq") < 3 || col("n_eq") > 12).count() == 0)
+    assert(est.filter(col("jaccard_est") =!=
+      col("n_eq").cast("double") / lit(12.0d)).count() == 0)
+    est.unpersist(): Unit
+  }
+
+  test("events gapfill: spans contiguous, fills zero, counts conserved") {
+    val g = operators.Analytics.eventsGapfill(spark, sf).cache()
+    val total = sources.Tables.events(spark, sf).count()
+    // conservation: filled series sums to the raw event count
+    assert(g.agg(sum("n_eventos")).head.getLong(0) == total)
+    // filled rows are exactly the zero rows
+    assert(g.filter(col("relleno") =!= (col("n_eventos") === 0)).count() == 0)
+    // per type: row count equals the hour span (no holes, no extras)
+    val spans = g.groupBy("event_type").agg(
+      (max("hora_epoch") - min("hora_epoch") + 1).as("span"),
+      count(lit(1)).as("n"))
+    assert(spans.filter(col("span") =!= col("n")).count() == 0)
+    g.unpersist(): Unit
+  }
 }
