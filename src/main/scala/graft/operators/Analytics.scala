@@ -395,19 +395,31 @@ object Analytics {
     * pair set (part-keyed, unhinted — AQE picks). Top-k goes through a
     * deterministic full tie-break so the cut is stable. */
   def partAffinity(spark: SparkSession, dir: String): DataFrame = {
-    // cache(): the basket relation feeds five consumers (both self-join
-    // sides, per-part counts, the order count) and per-branch pruning
-    // defeats ReuseExchange — measured 5 lineitem scans with the distinct
-    // recomputed each time without this
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // Baskets, not a self-join: ONE orderkey shuffle builds each order's
+    // sorted distinct part set (collect_set dedups in-aggregate), and the
+    // in-basket pair expansion is a narrow array transform — basket size is
+    // bounded by order size, so the explode factor is k(k−1)/2 over a SMALL
+    // k, never catalog². The self-join alternative either broadcasts the
+    // fact-scaled basket relation (OOM at 100 TB; measured slower + 3×
+    // noisier locally) or shuffles it twice. A pathological mega-basket
+    // would need a per-order part cap before expansion — the natural guard
+    // at real scale.
+    // cache(): baskets feed three consumers (pairs, per-part counts, the
+    // order count) and per-branch pruning defeats ReuseExchange.
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set("l_partkey")).as("parts"))
       .cache()
-    val perPart = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
-    val nOrders = op.select(countDistinct("l_orderkey").as("n_orders"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    val perPart = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+             transform(slice(parts, i + 2, size(parts)), y ->
+               struct(x AS part_a, y AS part_b))))""")).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(AffinityTopK)
