@@ -309,9 +309,14 @@ object Analytics {
     * type) — so the explode and the left join run over post-agg cardinality,
     * never over raw events; AQE broadcasts whichever side it likes. */
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    // cache(): hourly feeds the span aggregate AND the left join, and
+    // per-branch pruning defeats ReuseExchange — without it the raw events
+    // scan runs twice. The cached relation is post-agg (≤ types × hours
+    // rows), bounded at any event volume.
     val hourly = Tables.events(spark, dir)
       .select(col("event_type"), expr("ts div 3600000000000").as("hora_epoch"))
       .groupBy("event_type", "hora_epoch").agg(count(lit(1)).as("n"))
+      .cache()
     val spans = hourly.groupBy("event_type")
       .agg(min("hora_epoch").as("h0"), max("hora_epoch").as("h1"))
       .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hora_epoch"))

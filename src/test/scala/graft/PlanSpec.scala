@@ -11,6 +11,23 @@ class PlanSpec extends SparkSpec {
   private def planOf(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Leaf kinds of the physical plan, NOT descending into cached relations —
+    * an InMemoryTableScan is a leaf here, so "file" leaves are genuine
+    * re-scans the cache failed to absorb. (toString-based checks over-count:
+    * InMemoryRelation prints its cached subtree including its FileScan.) */
+  private def scanLeaves(q: String): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _: InMemoryTableScanExec => Seq("mem")
+      case _: FileSourceScanExec => Seq("file")
+      case other => other.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+  }
+
   test("narrow validation/text queries stay inside WholeStageCodegen") {
     // AQE finalizes the physical plan only on execution — run the query
     // through the noop sink, then inspect the final adaptive plan
@@ -87,6 +104,33 @@ class PlanSpec extends SparkSpec {
   test("cohort retention reuses the custkey exchange for window + distinct") {
     val plan = planOf("q_cohort_retention")
     assert("Exchange".r.findAllIn(plan).length <= 3, plan)
+  }
+
+  test("corpus pack rides ONE source exchange up to the final sort") {
+    // the packing window is the only required shuffle: one Exchange for the
+    // per-source window, one for the global orderBy — a third would mean
+    // the prefix-sum window stopped reusing the source partitioning
+    val plan = planOf("q_corpus_pack")
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("gapfill joins only post-aggregation cardinality") {
+    // both join inputs must read the CACHED (type, hour) aggregate — a raw
+    // FileScan in the top-level plan would mean the events table is
+    // re-scanned for one of the branches
+    val leaves = scanLeaves("q_events_gapfill")
+    assert(!leaves.contains("file") && leaves.contains("mem"), leaves)
+    assert(planOf("q_events_gapfill").contains("Generate")) // sequence explode
+  }
+
+  test("basket pair expansion is narrow over ONE orderkey shuffle") {
+    // pair generation must be Generate (array explode) over the cached
+    // basket aggregate — a join-shaped expansion would re-scan or
+    // re-shuffle the fact-scaled order-part relation per side
+    val leaves = scanLeaves("q_part_affinity")
+    assert(!leaves.contains("file") && leaves.contains("mem"), leaves)
+    assert(planOf("q_part_affinity").contains("Generate"))
   }
 
   test("sketch aggregates partial-aggregate map-side") {
