@@ -292,6 +292,58 @@ object Pipeline {
         AS cruza_limite
     FROM o ORDER BY source, doc_id"""
 
+  /** C31: `q_corpus_datasheet` — the per-(source, language) composition
+    * report every corpus release publishes (a "datasheet"): document /
+    * token / char volumes, exact-duplicate counts, and share-of-corpus
+    * ratios. Every aggregate is an order-independent integer (counts,
+    * BIGINT sums, distinct hashes) — the two ratio columns are single
+    * final divisions of those integers, so the report is bit-identical on
+    * any engine at any parallelism. One partial-agg shuffle on the tiny
+    * (source, lang) key; the duplicate count shuffles 16-byte hashes. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+    val stats = d.groupBy("source", "lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chr").as("n_chars"),
+      countDistinct("norm_hash").as("n_distinct"))
+    val total = d.agg(sum("n_tok").as("t_total"))
+    stats.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("tasa_dup"),
+        (col("n_tokens").cast("double") / col("t_total").cast("double"))
+          .as("fraccion_tokens"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusDatasheetSql: String = """
+    WITH d AS (
+      SELECT source, lang, md5(lower(trim(text))) AS norm_hash,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        CAST(length(text) AS BIGINT) AS n_chr
+      FROM documents WHERE length(trim(text)) > 0),
+    stats AS (
+      SELECT source, lang, count(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+        count(DISTINCT norm_hash) AS n_distinct
+      FROM d GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_total FROM d)
+    SELECT source, lang, n_docs, n_tokens, n_chars, n_distinct,
+      n_docs - n_distinct AS n_dup_docs,
+      CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS tasa_dup,
+      CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE) AS fraccion_tokens
+    FROM stats, t
+    ORDER BY source, lang"""
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

@@ -495,4 +495,67 @@ object TextOps {
         i -> md5(substr(norm, i + 1, 5))), 'min') AS winnow_fp
     FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
     ORDER BY doc_id"""
+
+  /** C30 thresholds: a bigram must occur [[BigramMin]]+ times to be
+    * reported (noise floor), and only the top [[BigramTopK]] continuations
+    * per head word survive (bounds the model size by vocab × k). */
+  val BigramMin: Int = 3
+  val BigramTopK: Int = 3
+
+  /** C30: `q_text_bigram_lm` — bigram conditional-probability estimation,
+    * the count side of an n-gram language model (quality filtering via LM
+    * perplexity starts exactly here): P(w2|w1) = c(w1 w2) / c(w1 ·) from
+    * exact integer counts, one final double division. The head count c1 is
+    * DERIVED as the sum of its bigram counts (single source of truth — a
+    * separate unigram count would disagree at document boundaries).
+    *
+    * Plan: bigram explode is a narrow array transform over the scan; one
+    * (w1, w2) partial-agg shuffle counts bigrams, then ONE w1 shuffle
+    * carries both the head-total window and the top-k rank window. All
+    * window partitions are vocabulary-fanout-bounded (continuations of one
+    * word), never corpus-sized. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(toks) - 2), i ->
+             struct(element_at(toks, i + 1) AS w1,
+                    element_at(toks, i + 2) AS w2))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bg.withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+      .filter(col("c12") >= BigramMin)
+      .withColumn("rnk", row_number().over(Window.partitionBy("w1")
+        .orderBy(col("c12").desc, col("w2"))).cast("long"))
+      .filter(col("rnk") <= BigramTopK)
+      .withColumn("p_cond",
+        col("c12").cast("double") / col("c1").cast("double"))
+      .select("w1", "w2", "c12", "c1", "p_cond", "rnk")
+      .orderBy("w1", "rnk")
+  }
+
+  val bigramLmSql: String = s"""
+    WITH d AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    b AS (
+      SELECT toks[CAST(i + 1 AS INT)] AS w1, toks[CAST(i + 2 AS INT)] AS w2
+      FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    c AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+    w AS (
+      SELECT w1, w2, c12,
+        CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      FROM c)
+    SELECT w1, w2, c12, c1,
+      CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_cond, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY w1
+                                   ORDER BY c12 DESC, w2) AS rnk
+      FROM w WHERE c12 >= $BigramMin)
+    WHERE rnk <= $BigramTopK
+    ORDER BY w1, rnk"""
 }

@@ -40,6 +40,32 @@ object Tables {
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 
+  /** Schema-drift-tolerant parquet read: conform files written under
+    * EVOLVING schemas (new columns added, old ones retired, files reordered)
+    * to one canonical schema — the read side of the lake chore `compact` is
+    * the write side of. Per canonical column: present in the file → cast to
+    * the canonical type; absent → NULL of that type. Extra file columns are
+    * dropped by the projection.
+    *
+    * Scale: `mergeSchema` footer-merges ALL files (a parallel job, but
+    * still O(files) work) — at true lake scale a catalog (Delta/Iceberg)
+    * tracks the schema instead and this read drops the option; the conform
+    * projection is the part that stays. It is a narrow codegen'd Project
+    * that fuses into the scan, and column pruning still reaches the reader
+    * because the projection is per-column. */
+  def readParquetEvolved(s: SparkSession,
+                         schema: org.apache.spark.sql.types.StructType,
+                         paths: String*): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // one read over all paths; files missing a sampled column yield NULLs
+    val raw = s.read.option("mergeSchema", "true").parquet(paths: _*)
+    val have = raw.schema.fieldNames.toSet
+    raw.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** Headered CSV with an EXPLICIT schema — never schema inference, which
     * costs a full extra pass over the data at 100 TB and guesses types. */
   def readCsv(s: SparkSession, path: String,

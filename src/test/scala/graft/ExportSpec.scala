@@ -32,6 +32,31 @@ class ExportSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || onlyA.inputFiles.forall(_.contains("seg=A")))
   }
 
+  test("evolved read conforms drifted files to the canonical schema") {
+    import org.apache.spark.sql.types._
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("evo")
+    // v1 files: (id, name); v2 files: (id, name2 renamed-away, score added)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(dir + "/v1")
+    Seq((3L, 9.5, "x"), (4L, 8.0, "y")).toDF("id", "score", "extra")
+      .write.parquet(dir + "/v2")
+    val canonical = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val out = graft.sources.Tables.readParquetEvolved(sp, canonical,
+      dir + "/v1", dir + "/v2")
+    // exact canonical shape: names, order, types
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      canonical.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 4)
+    // v1 rows: score NULL-filled; v2 rows: name NULL-filled, extra dropped
+    assert(rows(0).getString(1) == "a" && rows(0).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).getDouble(2) == 9.5)
+  }
+
   test("bucketedTable joins without a shuffle on the bucket key") {
     val sp = spark
     val o = graft.sources.Tables.orders(sp, sf)

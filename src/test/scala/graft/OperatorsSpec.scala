@@ -691,6 +691,34 @@ class OperatorsSpec extends SparkSpec {
     est.unpersist(): Unit
   }
 
+  test("datasheet: integer identities hold, fractions sum to one") {
+    val ds = operators.Pipeline.corpusDatasheet(spark, sf).cache()
+    assert(ds.count() > 0)
+    // dup identity and bounds
+    assert(ds.filter(col("n_dup_docs") =!=
+      col("n_docs") - col("n_distinct")).count() == 0)
+    assert(ds.filter(col("n_distinct") > col("n_docs")).count() == 0)
+    assert(ds.filter(col("tasa_dup") < 0 || col("tasa_dup") > 1).count() == 0)
+    // token shares partition the corpus
+    val s = ds.agg(sum("fraccion_tokens")).head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9, s)
+    ds.unpersist(): Unit
+  }
+
+  test("bigram lm: probabilities bounded, top-k per head, counts consistent") {
+    val lm = operators.TextOps.bigramLm(spark, sf).cache()
+    assert(lm.count() > 0)
+    assert(lm.filter(col("c12") < operators.TextOps.BigramMin).count() == 0)
+    assert(lm.filter(col("c12") > col("c1")).count() == 0)
+    assert(lm.filter(col("p_cond") <= 0 || col("p_cond") > 1).count() == 0)
+    // at most k continuations per head, ranks dense from 1
+    val perHead = lm.groupBy("w1").agg(
+      count(lit(1)).as("n"), max("rnk").as("mr"), min("rnk").as("lo"))
+    assert(perHead.filter(col("n") > operators.TextOps.BigramTopK).count() == 0)
+    assert(perHead.filter(col("mr") =!= col("n") || col("lo") =!= 1).count() == 0)
+    lm.unpersist(): Unit
+  }
+
   test("events gapfill: spans contiguous, fills zero, counts conserved") {
     val g = operators.Analytics.eventsGapfill(spark, sf).cache()
     val total = sources.Tables.events(spark, sf).count()
