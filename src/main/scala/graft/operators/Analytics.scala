@@ -345,6 +345,55 @@ object Analytics {
       ON s.event_type = h.event_type AND s.hora_epoch = h.hora_epoch
     ORDER BY s.event_type, s.hora_epoch"""
 
+  /** B29: `q_orders_backlog` — open-order aging report: non-finalized
+    * orders bucketed by days outstanding at the audit instant (the
+    * dataset's latest order date, so the query is self-contained), with
+    * exact integer-cents amounts per (status, bucket). The ops-side twin
+    * of the reference's scheduler monitoring: what's stuck, how old, how
+    * much money it holds.
+    *
+    * Plan: the status filter pushes into BOTH scans; the 1-row audit date
+    * is a partial-agged broadcast (a global max-window would serialize the
+    * table through one partition); bucketing is codegen'd date arithmetic;
+    * one (status, bucket) shuffle over ≤ statuses × 4 groups. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    def open = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_orderstatus"), col("o_orderdate").cast("date").as("d"),
+        cents(col("o_totalprice")).as("monto_c"))
+    val audit = open.agg(max("d").as("fecha_auditoria"))
+    open.crossJoin(broadcast(audit))
+      .withColumn("dias", datediff(col("fecha_auditoria"), col("d")))
+      .withColumn("tramo",
+        when(col("dias") <= 30, "0-30")
+          .when(col("dias") <= 90, "31-90")
+          .when(col("dias") <= 365, "91-365")
+          .otherwise(">365"))
+      .groupBy(col("o_orderstatus").as("estado"), col("tramo"))
+      .agg(count(lit(1)).as("n_pedidos"), sum("monto_c").as("monto_c"))
+      .select(col("estado"), col("tramo"), col("n_pedidos"),
+        centsToUnits(col("monto_c")).as("monto_total"))
+      .orderBy("estado", "tramo")
+  }
+
+  val ordersBacklogSql: String = """
+    WITH o AS (
+      SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS monto_c
+      FROM orders WHERE o_orderstatus <> 'F'),
+    a AS (SELECT MAX(d) AS fecha_auditoria FROM o),
+    b AS (
+      SELECT o_orderstatus, date_diff('day', d, fecha_auditoria) AS dias,
+             monto_c
+      FROM o, a)
+    SELECT o_orderstatus AS estado,
+      CASE WHEN dias <= 30 THEN '0-30' WHEN dias <= 90 THEN '31-90'
+           WHEN dias <= 365 THEN '91-365' ELSE '>365' END AS tramo,
+      COUNT(*) AS n_pedidos,
+      CAST(SUM(monto_c) AS DOUBLE) / 100.0 AS monto_total
+    FROM b GROUP BY 1, 2
+    ORDER BY estado, tramo"""
+
   /** B25 slide width (µs) and slides per window — 15-minute slide, 1-hour
     * window (4 overlapping slides). */
   val SlideUs: Long = 900000000L

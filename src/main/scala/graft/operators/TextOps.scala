@@ -496,6 +496,45 @@ object TextOps {
     FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
     ORDER BY doc_id"""
 
+  /** C32: `q_text_lang_confusion` — the confusion matrix of the C8
+    * language identifier against the declared language, with per-cell
+    * recall share: the evaluation artifact any classifier in the curation
+    * loop needs before its predictions gate data. Cells are exact integer
+    * counts off ONE narrow scoring pass (the same codegen'd marker-n-gram
+    * expressions as C8); the row total rides a declared-lang window over
+    * the ≤ langs² matrix, and the share is one final division. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("lang").as("lang_declarado"),
+        langPredCol(col("text")).as("lang_predicho"))
+      .groupBy("lang_declarado", "lang_predicho")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_declarado",
+        sum("n_docs").over(Window.partitionBy("lang_declarado")))
+      .withColumn("fraccion",
+        col("n_docs").cast("double") / col("n_declarado").cast("double"))
+      .select("lang_declarado", "lang_predicho", "n_docs", "n_declarado",
+        "fraccion")
+      .orderBy("lang_declarado", "lang_predicho")
+  }
+
+  val langConfusionSql: String = s"""
+    WITH scored AS (
+      SELECT lang AS lang_declarado, $langSqlCase AS lang_predicho
+      FROM (SELECT lang, $langSqlScores FROM documents)),
+    cells AS (
+      SELECT lang_declarado, lang_predicho, count(*) AS n_docs
+      FROM scored GROUP BY 1, 2)
+    SELECT lang_declarado, lang_predicho, n_docs,
+      CAST(SUM(n_docs) OVER (PARTITION BY lang_declarado) AS BIGINT)
+        AS n_declarado,
+      CAST(n_docs AS DOUBLE) /
+        CAST(SUM(n_docs) OVER (PARTITION BY lang_declarado) AS DOUBLE)
+        AS fraccion
+    FROM cells
+    ORDER BY lang_declarado, lang_predicho"""
+
   /** C30 thresholds: a bigram must occur [[BigramMin]]+ times to be
     * reported (noise floor), and only the top [[BigramTopK]] continuations
     * per head word survive (bounds the model size by vocab × k). */

@@ -719,6 +719,30 @@ class OperatorsSpec extends SparkSpec {
     lm.unpersist(): Unit
   }
 
+  test("lang confusion: cells conserve docs, fractions sum to one per row") {
+    val cm = operators.TextOps.langConfusion(spark, sf).cache()
+    val total = sources.Tables.documents(spark, sf).count()
+    assert(cm.agg(sum("n_docs")).head.getLong(0) == total)
+    // row totals: each declared lang's cells sum to its n_declarado
+    val rows = cm.groupBy("lang_declarado").agg(
+      sum("n_docs").as("s"), max("n_declarado").as("d"),
+      sum("fraccion").as("f"))
+    assert(rows.filter(col("s") =!= col("d")).count() == 0)
+    assert(rows.filter(abs(col("f") - 1.0) > 1e-9).count() == 0)
+    cm.unpersist(): Unit
+  }
+
+  test("orders backlog: only open orders, buckets partition the filtered set") {
+    val b = operators.Analytics.ordersBacklog(spark, sf).cache()
+    val open = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "F")
+    assert(b.agg(sum("n_pedidos")).head.getLong(0) == open.count())
+    assert(b.filter(col("estado") === "F").count() == 0)
+    assert(b.filter(!col("tramo").isin("0-30", "31-90", "91-365", ">365"))
+      .count() == 0)
+    b.unpersist(): Unit
+  }
+
   test("events gapfill: spans contiguous, fills zero, counts conserved") {
     val g = operators.Analytics.eventsGapfill(spark, sf).cache()
     val total = sources.Tables.events(spark, sf).count()
