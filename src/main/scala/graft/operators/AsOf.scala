@@ -38,11 +38,11 @@ object AsOf {
     val payloadType = StructType(payload)
     val rTagged = right.select(
       col(key), col(rightTime).as("_t"), lit(0).as("_side"),
-      struct(payload.map(f => col(f.name)): _*).as("_p"))
+      struct(payload.toIndexedSeq.map(f => col(f.name)): _*).as("_p"))
     val lTagged = left.select(
-      col(key) +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+      (col(key) +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(payloadType).as("_p") +:
-        left.columns.filterNot(_ == key).map(col): _*)
+        left.columns.filterNot(_ == key).toIndexedSeq.map(col)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.unionByName(lTagged, allowMissingColumns = true)

@@ -257,7 +257,7 @@ object DedupOps {
     // sum("label") over zero rows is NULL — treat as 0 so an empty corpus
     // converges to an empty result instead of NPEing on getLong
     def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum("label")).head
+      val row = df.agg(sum("label")).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
     var labels: DataFrame = multi.select(col("doc_id").as("node")).distinct()
