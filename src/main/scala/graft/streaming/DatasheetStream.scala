@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** D8: streaming twin of Pipeline.corpusDatasheet (C31) — a continuously
+  * maintained per-(source, language) corpus composition report over a
+  * document stream (the "how much of what am I ingesting" dashboard an
+  * ingestion pipeline watches, the streaming face of the reference's
+  * scheduled sync monitoring).
+  *
+  * The batch datasheet's volumes (docs/tokens/chars) are plain mergeable
+  * integer aggregates, so they stream exactly. Its exact-duplicate count
+  * (`countDistinct(norm_hash)`) does NOT: exact streaming distinct needs
+  * state linear in distinct content — unbounded on a corpus stream. The
+  * streaming twin swaps in the repo's HyperLogLog sketch aggregate
+  * (`graft_hll_sketch`, a 64-register max-merged state — O(1) per group,
+  * idempotent merge, same algebra as the batch B20 query), trading the
+  * exact count for a bounded-state estimate. State is keyed on
+  * (source, lang) — a closed, tiny key space — so the running aggregate
+  * holds O(sources × langs) rows of O(1) state at any stream length.
+  */
+object DatasheetStream {
+
+  /** Running composition aggregate. Works on a streaming OR batch
+    * DataFrame with columns (source, lang, text) — specs drive both from
+    * the same rows and compare results row-for-row (the sketch algebra is
+    * deterministic, so even `hll_distintos` matches bit-for-bit). */
+  def runningDatasheet(docs: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(docs.sparkSession)
+    val am2 = graft.functions.Kernels.HllAlphaM2
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"),
+        // 60-bit md5 prefix as the sketch's long input — the same content
+        // identity the batch datasheet distinct-counts
+        expr("""CAST(conv(substr(md5(CAST(lower(trim(text)) AS BINARY)),
+                 1, 15), 16, 10) AS BIGINT)""").as("content_key"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chr").as("n_chars"),
+        expr("graft_hll_sketch(content_key)").as("regs"))
+      .withColumn("hll_distintos", expr(
+        s"""CAST($am2 AS DOUBLE) / aggregate(regs, CAST(0 AS DOUBLE),
+             (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))"""))
+      .select("source", "lang", "n_docs", "n_tokens", "n_chars",
+        "hll_distintos")
+  }
+}

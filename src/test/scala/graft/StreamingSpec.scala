@@ -168,6 +168,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D8 DatasheetStream running composition matches the batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val b1 = Seq(("web", "en", "hello world"), ("web", "en", "  Hello World "),
+      ("web", "es", "hola que tal"), ("books", "en", "a longer document here"))
+    val b2 = Seq(("web", "en", "hello world"), ("books", "en", "fresh text"),
+      ("web", "en", ""))  // empty doc must be ignored
+    val in = MemoryStream[(String, String, String)]
+    val agg = DatasheetStream.runningDatasheet(
+      in.toDF().toDF("source", "lang", "text"))
+    val q = agg.writeStream.format("memory").queryName("d8_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val stream = sp.table("d8_out")
+        .orderBy("source", "lang").collect().toSeq
+      // the running state over two micro-batches must equal one batch pass
+      // over the union — bit-for-bit, including the sketch estimate
+      val batch = DatasheetStream.runningDatasheet(
+        (b1 ++ b2).toDF("source", "lang", "text"))
+        .orderBy("source", "lang").collect().toSeq
+      assert(stream == batch)
+      // volumes are exact: "web/en" saw 3 non-empty docs, 6 tokens
+      val webEn = stream.find(r => r.getString(0) == "web" &&
+        r.getString(1) == "en").get
+      assert(webEn.getLong(2) == 3 && webEn.getLong(3) == 6)
+      // the RAW (uncorrected) HLL estimate reads ~α·m for tiny
+      // cardinalities (≈45 with m=64) — same algebra as the batch B20
+      // query; assert it is positive, finite, and below the small-range
+      // plateau's ceiling rather than near the true count of 2
+      assert(webEn.getDouble(5) > 0.0 &&
+        webEn.getDouble(5) < graft.functions.Kernels.HllAlphaM2 / 32.0)
+    } finally q.stop()
+  }
+
   test("count-min sketch aggregates across streaming micro-batches") {
     val sp = spark
     import sp.implicits._
