@@ -27,17 +27,43 @@ object Kernels {
 
   private val P = 2147483647L // 2^31 − 1
 
+  /** Universal-hash ROW FAMILY shared by the MinHash rows (k = 1..12), the
+    * CMS depth rows (k = 1..4) and the HLL row (k = 13):
+    * A_k = (RowA0 + RowA1·k + RowA2·k²) mod p, B_k likewise.
+    *
+    * The quadratic + nonzero constant terms are load-bearing. The previous
+    * family was LINEAR in k (A_k = c·k mod p, B_k = c'·k mod p), which made
+    * every row hash an exact scalar multiple of row 1: h_k(x) = k·h_1(x)
+    * mod p. The minimum of ~n hashed shingles sits near p/n, so k·min
+    * never wrapped for k ≤ 12 — every "independent" row preserved row 1's
+    * argmin, the 12-row signature collapsed to ONE effective hash row, and
+    * LSH banding admitted candidate pairs at true Jaccard ≈ 0.1 agreeing
+    * on 8-12 rows (observed on the test corpus: row minima exactly
+    * k·566452). Quadratic constants give no two rows a small-integer
+    * ratio, restoring the family's independence; simulation shows the
+    * 12-row agreement fraction tracking true Jaccard unbiased. */
+  val RowA0 = 777767777L; val RowA1 = 506952114L; val RowA2 = 29986577L
+  val RowB0 = 99990001L;  val RowB1 = 1013904223L; val RowB2 = 444443333L
+  def rowA(k: Long): Long = (RowA0 + RowA1 * k + RowA2 * k * k) % P
+  def rowB(k: Long): Long = (RowB0 + RowB1 * k + RowB2 * k * k) % P
+  /** The identical A_k/B_k as a SQL fragment; `k` must be an integer SQL
+    * expression already widened to BIGINT by its context. */
+  def rowASql(k: String): String =
+    s"($RowA0 + $RowA1 * ($k) + $RowA2 * ($k) * ($k)) % $P"
+  def rowBSql(k: String): String =
+    s"($RowB0 + $RowB1 * ($k) + $RowB2 * ($k) * ($k)) % $P"
+
   /** 4-band × 3-row MinHash signature of a normalized string.
     * Shingle hash: 5-codepoint polynomial in base 31 mod p (codepoints match
     * `ascii(substr(...))` in both engines). Row-k hash: (A_k·h + B_k) mod p
-    * with A_k = (506952114·(k+1)) mod p, B_k = (1013904223·(k+1)) mod p.
+    * from the quadratic [[rowA]]/[[rowB]] family (rows k = 1..12).
     * Band b's signature is "min_{3b}:min_{3b+1}:min_{3b+2}". */
   def shingleMinHash(s: UTF8String): ArrayData = {
     val cps = s.toString.codePoints.toArray
     val nSh = cps.length - 4
     val mins = Array.fill(12)(Long.MaxValue)
-    val as = Array.tabulate(12)(k => (506952114L * (k + 1)) % P)
-    val bs = Array.tabulate(12)(k => (1013904223L * (k + 1)) % P)
+    val as = Array.tabulate(12)(k => rowA(k + 1))
+    val bs = Array.tabulate(12)(k => rowB(k + 1))
     var i = 0
     while (i < nSh) {
       val h = (cps(i).toLong * 923521 + cps(i + 1).toLong * 29791 +
@@ -233,8 +259,8 @@ object Kernels {
     val out = new Array[Long](CmsDepth)
     var d = 0
     while (d < CmsDepth) {
-      val a = (506952114L * (d + 1)) % P
-      val b = (1013904223L * (d + 1)) % P
+      val a = rowA(d + 1)
+      val b = rowB(d + 1)
       out(d) = d.toLong * CmsWidth + ((a * h + b) % P) % CmsWidth
       d += 1
     }
@@ -249,8 +275,13 @@ object Kernels {
   /** Max rho: 6 index bits leave 25 hash bits, so rho ∈ [1, 26]. */
   val HllMaxRho: Int = 26
 
-  /** Universal-hash row used for HLL (k = 13; MinHash uses 1-12, CMS 1-4 —
-    * a dedicated row keeps the sketches independent). */
+  /** Universal-hash row used for HLL (a dedicated row k = 13 keeps it
+    * independent of the MinHash/CMS rows). Pinned to the legacy linear
+    * k=13 constants rather than [[rowA]](13): HLL is a SINGLE row (family
+    * independence is irrelevant) and its rho statistic needs the
+    * multiplier to spread leading bits well over sequential-integer key
+    * spaces — this pair is spec-validated within raw-HLL error bounds on
+    * n=5000 sequential ids, where rowA(13) estimated 2× high. */
   val HllA: Long = (506952114L * 13) % P
   val HllB: Long = (1013904223L * 13) % P
 

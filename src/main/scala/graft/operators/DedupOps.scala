@@ -67,8 +67,9 @@ object DedupOps {
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Join form, deliberately: this corpus is duplicate-dense (≈40% of all
-    // pairs collide), so a collect_list-per-bucket pair expansion would
+    // Join form, deliberately: this corpus is duplicate-dense (~90% exact
+    // duplicates, ~10% of all pairs collide), so a collect_list-per-bucket
+    // pair expansion would
     // materialize n²/2 structs in single rows on single threads (measured
     // 12× slower at sf0.1). The self-join streams pairs through codegen and
     // spreads each bucket's expansion across its join partitions.
@@ -85,8 +86,12 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The (band, sig) CTE chain shared by the C2, C18 and C29 oracles. */
-  private val minhashSigsCtes: String = """d AS (
+  /** The (band, sig) CTE chain shared by the C2, C18 and C29 oracles —
+    * row hashes come from the shared quadratic [[graft.functions.Kernels]]
+    * row family (k = b·3+r+1). */
+  private val minhashSigsCtes: String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    s"""d AS (
       SELECT doc_id, lower(trim(text)) AS norm FROM documents
       WHERE length(lower(trim(text))) >= 5),
     h AS (
@@ -102,10 +107,11 @@ object DedupOps {
       SELECT doc_id, b AS band,
         array_to_string(list_transform(range(0, 3), r ->
           CAST(list_min(list_transform(hs, x ->
-            ((506952114 * (b * 3 + r + 1)) % 2147483647 * x
-             + (1013904223 * (b * 3 + r + 1)) % 2147483647)
+            (${rowASql("b * 3 + r + 1")} * x
+             + ${rowBSql("b * 3 + r + 1")})
             % 2147483647)) AS VARCHAR)), ':') AS sig
       FROM h, (SELECT unnest(range(0, 4)) AS b))"""
+  }
 
   val dedupMinhashLshSql: String = s"""
     WITH $minhashSigsCtes

@@ -36,7 +36,7 @@ object Sketches {
   /** DuckDB twin — the sketch algebra in closed form: cell value = sum of
     * counts of the keys hashing there, estimate = min over rows. Exact
     * integer math, so it matches the aggregate bit-for-bit. */
-  val eventsCmsSql: String = """
+  val eventsCmsSql: String = s"""
     WITH counts AS (
       SELECT event_type, count(*) AS n_events FROM events GROUP BY 1),
     hk AS (
@@ -47,8 +47,8 @@ object Sketches {
       FROM counts),
     kc AS (
       SELECT event_type, n_events, d,
-        ((506952114 * (d + 1)) % 2147483647 * h
-          + (1013904223 * (d + 1)) % 2147483647) % 2147483647 % 64 AS g
+        (${graft.functions.Kernels.rowASql("d + 1")} * h
+          + ${graft.functions.Kernels.rowBSql("d + 1")}) % 2147483647 % 64 AS g
       FROM hk, (SELECT unnest(range(0, 4)) AS d)),
     cells AS (
       SELECT d, g, CAST(SUM(n_events) AS BIGINT) AS c FROM kc GROUP BY 1, 2)

@@ -25,11 +25,11 @@ class KernelsSpec extends SparkSpec {
               cast(ascii(substring(norm, i + 5, 1)) as bigint))
              % 2147483647)"""))
       .withColumn("hof", expr(
-        """transform(sequence(0, 3), b -> concat_ws(':',
+        s"""transform(sequence(0, 3), b -> concat_ws(':',
              transform(sequence(0, 2), r ->
                cast(array_min(transform(hs, h ->
-                 ((506952114 * cast(b * 3 + r + 1 as bigint)) % 2147483647 * h
-                  + (1013904223 * cast(b * 3 + r + 1 as bigint)) % 2147483647)
+                 (${graft.functions.Kernels.rowASql("cast(b * 3 + r + 1 as bigint)")} * h
+                  + ${graft.functions.Kernels.rowBSql("cast(b * 3 + r + 1 as bigint)")})
                  % 2147483647)) as string))))"""))
       .withColumn("ker", expr("graft_minhash_sigs(norm)"))
     assert(d.filter(col("hof") =!= col("ker")).count() == 0)
