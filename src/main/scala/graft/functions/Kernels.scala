@@ -53,6 +53,19 @@ object Kernels {
   def rowBSql(k: String): String =
     s"($RowB0 + $RowB1 * ($k) + $RowB2 * ($k) * ($k)) % $P"
 
+  /** LSH plane weight for global plane g, dimension j: a deterministic
+    * integer in [−6, 6]. The wide intermediate modulus (1000003, prime)
+    * is load-bearing: quantizing `(g·31 + j·17) mod 13` directly made the
+    * plane family linear mod 13, so only 13 distinct planes existed among
+    * the 40 the tables think they draw — correlated tables, wasted OR-ing.
+    * Hashing (g, j) into a large space first gives 40/40 distinct planes
+    * with a balanced weight histogram. */
+  def planeW(g: Long, j: Long): Long =
+    (((g + 1) * 92821L + (j + 1) * 68917L) % 1000003L) % 13L - 6L
+  /** The identical weight as a SQL fragment (g, j integer expressions). */
+  def planeWSql(g: String, j: String): String =
+    s"((($g + 1) * 92821 + ($j + 1) * 68917) % 1000003) % 13 - 6"
+
   /** 4-band × 3-row MinHash signature of a normalized string.
     * Shingle hash: 5-codepoint polynomial in base 31 mod p (codepoints match
     * `ascii(substr(...))` in both engines). Row-k hash: (A_k·h + B_k) mod p
@@ -180,7 +193,7 @@ object Kernels {
       var s = 0.0
       var j = 0
       while (j < 64) {
-        s += a.getFloat(j).toDouble * (((p * 31 + j * 17) % 13) - 6).toDouble
+        s += a.getFloat(j).toDouble * planeW(p, j).toDouble
         j += 1
       }
       if (s > 0.0) acc |= 1 << p
@@ -199,14 +212,15 @@ object Kernels {
   /** Planes (bucket bits) per LSH table — 2^5 = 32 buckets per table;
     * fewer planes than the single-table kernel on purpose: wider buckets
     * raise per-table recall, the table union multiplies it. Measured
-    * recall@10 at 8×5: 0.40 (sf0.001) / 0.30 (sf0.01) vs 0.08 single-table,
+    * recall@10 at 8×5: 0.46 (sf0.001, distinct-plane family; 0.40 with the
+    * old 13-plane-collapsed family) vs 0.08 single-table,
     * at ≤ T/2^planes = 25% of the brute-force candidate volume. */
   val LshPlanes: Int = 5
 
   /** One sign-LSH bucket per table: table t uses planes with GLOBAL index
-    * g = t·[[LshPlanes]]+p, weights w_j = ((g·31 + j·17) mod 13) − 6 over
-    * dims 0..63 — the same plane family as [[lshBucket]], so the DuckDB twin
-    * is the same closed-form arithmetic. */
+    * g = t·[[LshPlanes]]+p, weights [[planeW]](g, j) over dims 0..63 — the
+    * same plane family as [[lshBucket]], so the DuckDB twin is the same
+    * closed-form arithmetic. */
   def lshBuckets(a: ArrayData): ArrayData = {
     if (a.numElements() < 64)
       throw new IllegalArgumentException(
@@ -221,7 +235,7 @@ object Kernels {
         var s = 0.0
         var j = 0
         while (j < 64) {
-          s += a.getFloat(j).toDouble * (((g * 31 + j * 17) % 13) - 6).toDouble
+          s += a.getFloat(j).toDouble * planeW(g, j).toDouble
           j += 1
         }
         if (s > 0.0) acc |= 1 << p

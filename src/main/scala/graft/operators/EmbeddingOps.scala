@@ -129,7 +129,7 @@ object EmbeddingOps {
         CAST(list_sum(list_transform(range(0, ${graft.functions.Kernels.LshPlanes}), p ->
           CASE WHEN list_reduce(list_transform(range(0, 64), j ->
               CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
-              CAST((CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT) * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
+              CAST(${graft.functions.Kernels.planeWSql(s"CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT)", "j")} AS DOUBLE)), (x, y) -> x + y)
               > CAST(0 AS DOUBLE)
           THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
       FROM v, (SELECT unnest(range(0, ${graft.functions.Kernels.LshTables})) AS t))
@@ -235,7 +235,7 @@ object EmbeddingOps {
         CAST(list_sum(list_transform(range(0, ${graft.functions.Kernels.LshPlanes}), p ->
           CASE WHEN list_reduce(list_transform(range(0, 64), j ->
               CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
-              CAST((CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT) * 31 + j * 17) % 13 - 6 AS DOUBLE)), (x, y) -> x + y)
+              CAST(${graft.functions.Kernels.planeWSql(s"CAST(t * ${graft.functions.Kernels.LshPlanes} + p AS BIGINT)", "j")} AS DOUBLE)), (x, y) -> x + y)
               > CAST(0 AS DOUBLE)
           THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
       FROM v, (SELECT unnest(range(0, ${graft.functions.Kernels.LshTables})) AS t)),

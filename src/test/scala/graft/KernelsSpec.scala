@@ -78,10 +78,10 @@ class KernelsSpec extends SparkSpec {
   test("graft_lsh_bucket matches the HOF sign-plane formulation") {
     val b = embs
       .withColumn("hof", expr(
-        """aggregate(sequence(0, 7), 0, (acc, p) ->
+        s"""aggregate(sequence(0, 7), 0, (acc, p) ->
              acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
                  s + cast(element_at(embedding, j + 1) as double) *
-                     cast((p * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
+                     cast(${graft.functions.Kernels.planeWSql("p", "j")} as double)) > cast(0 as double)
                THEN shiftleft(1, p) ELSE 0 END)"""))
       .withColumn("ker", expr("graft_lsh_bucket(embedding)"))
     assert(b.filter(col("hof") =!= col("ker")).count() == 0)
@@ -95,7 +95,7 @@ class KernelsSpec extends SparkSpec {
               aggregate(sequence(0, ${LshPlanes - 1}, 1), 0, (acc, p) ->
                 acc + CASE WHEN aggregate(sequence(0, 63), cast(0 as double), (s, j) ->
                     s + cast(element_at(embedding, j + 1) as double) *
-                        cast(((t * $LshPlanes + p) * 31 + j * 17) % 13 - 6 as double)) > cast(0 as double)
+                        cast(${graft.functions.Kernels.planeWSql(s"(t * $LshPlanes + p)", "j")} as double)) > cast(0 as double)
                   THEN shiftleft(1, p) ELSE 0 END))"""))
       .withColumn("ker", expr("graft_lsh_buckets(embedding)"))
     assert(b.filter(col("hof") =!= col("ker")).count() == 0)
