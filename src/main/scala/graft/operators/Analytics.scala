@@ -177,6 +177,87 @@ object Analytics {
             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c FROM orders)
     GROUP BY mes ORDER BY mes"""
 
+  /** B30: `q_sales_forecast_features` — the lag/rolling feature matrix a
+    * demand-forecasting model trains on: per month, revenue plus lag-1,
+    * lag-12 (year-over-year), a trailing 3-month sum, and the month-over-
+    * month delta. All features are windows over the MONTHLY aggregate —
+    * calendar-bounded, a few thousand rows a century — so the window
+    * partition is trivially bounded no matter how many raw orders feed it;
+    * the raw scan contributes one partial-agg shuffle. Exact integer cents
+    * throughout; divisions happen once per emitted column. */
+  def salesForecastFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("mes")
+    val monthly = Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("mes"),
+        cents(col("o_totalprice")).as("total_c"))
+      .groupBy("mes").agg(sum("total_c").as("rev_c"))
+    monthly
+      .withColumn("lag1_c", lag("rev_c", 1).over(w))
+      .withColumn("lag12_c", lag("rev_c", 12).over(w))
+      .withColumn("roll3_c", sum("rev_c").over(w.rowsBetween(-2, 0)))
+      .select(col("mes"),
+        centsToUnits(col("rev_c")).as("ingresos"),
+        centsToUnits(col("lag1_c")).as("lag_1m"),
+        centsToUnits(col("lag12_c")).as("lag_12m"),
+        centsToUnits(col("roll3_c")).as("suma_movil_3m"),
+        centsToUnits(col("rev_c") - col("lag1_c")).as("delta_mensual"))
+      .orderBy("mes")
+  }
+
+  val salesForecastFeaturesSql: String = """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1)
+    SELECT mes,
+      CAST(rev_c AS DOUBLE) / 100.0 AS ingresos,
+      CAST(lag(rev_c, 1) OVER (ORDER BY mes) AS DOUBLE) / 100.0 AS lag_1m,
+      CAST(lag(rev_c, 12) OVER (ORDER BY mes) AS DOUBLE) / 100.0 AS lag_12m,
+      CAST(SUM(rev_c) OVER (ORDER BY mes
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        AS suma_movil_3m,
+      CAST(rev_c - lag(rev_c, 1) OVER (ORDER BY mes) AS DOUBLE) / 100.0
+        AS delta_mensual
+    FROM monthly ORDER BY mes"""
+
+  /** B31: `q_events_markov` — first-order event-type transition matrix
+    * (the Markov chain a journey model estimates): per user, consecutive
+    * event pairs ordered by time feed exact integer transition counts and
+    * P(next|cur) = c(cur,next)/c(cur,·). The head total is DERIVED from
+    * the transition sums (single source of truth, same discipline as the
+    * C30 bigram LM). ONE user_id shuffle orders each user's events (the
+    * lead window); the (cur, next) aggregate and the tiny cur-total window
+    * ride type-cardinality-bounded keys. Deterministic because per-user
+    * event times are unique in this corpus. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy("ts")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type").as("cur"))
+      .withColumn("next", lead("cur", 1).over(wu))
+      .filter(col("next").isNotNull)
+      .groupBy("cur", "next").agg(count(lit(1)).as("c_trans"))
+    trans
+      .withColumn("c_cur", sum("c_trans").over(Window.partitionBy("cur")))
+      .withColumn("p_trans",
+        col("c_trans").cast("double") / col("c_cur").cast("double"))
+      .select("cur", "next", "c_trans", "c_cur", "p_trans")
+      .orderBy("cur", "next")
+  }
+
+  val eventsMarkovSql: String = """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS next
+      FROM events),
+    trans AS (
+      SELECT cur, next, count(*) AS c_trans
+      FROM seq WHERE next IS NOT NULL GROUP BY 1, 2)
+    SELECT cur, next, c_trans,
+      CAST(SUM(c_trans) OVER (PARTITION BY cur) AS BIGINT) AS c_cur,
+      CAST(c_trans AS DOUBLE) /
+        CAST(SUM(c_trans) OVER (PARTITION BY cur) AS DOUBLE) AS p_trans
+    FROM trans ORDER BY cur, next"""
+
   /** B5: top products per brand — revenue rank window over the exact cents
     * aggregate (deterministic with partkey tie-break). part scales with SF
     * so the join is unhinted (AQE chooses). */

@@ -785,6 +785,44 @@ class OperatorsSpec extends SparkSpec {
     joined.unpersist(): Unit
   }
 
+  test("forecast features: lags reference real months, rolling sum exact") {
+    val f = operators.Analytics.salesForecastFeatures(spark, sf).cache()
+    val n = f.count()
+    assert(n > 13) // need enough months for lag-12 to populate
+    // exactly one NULL lag-1 (the first month), exactly 12 NULL lag-12
+    assert(f.filter(col("lag_1m").isNull).count() == 1)
+    assert(f.filter(col("lag_12m").isNull).count() == 12)
+    // recompute lag-1 and the rolling sum independently and compare
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("mes")
+    val chk = f.withColumn("prev", lag("ingresos", 1).over(w))
+      .withColumn("roll", sum("ingresos").over(w.rowsBetween(-2, 0)))
+    assert(chk.filter(col("prev") =!= col("lag_1m")).count() == 0)
+    assert(chk.filter(abs(col("roll") - col("suma_movil_3m")) > 1e-6)
+      .count() == 0)
+    // delta is computed in integer cents then divided ONCE; a double
+    // ingresos − lag_1m differs in the last bits, so compare with tolerance
+    assert(chk.filter(abs(col("delta_mensual") -
+      (col("ingresos") - col("lag_1m"))) > 1e-6).count() == 0)
+    f.unpersist(): Unit
+  }
+
+  test("markov transitions: probabilities normalize, counts conserve steps") {
+    val m = operators.Analytics.eventsMarkov(spark, sf).cache()
+    // rows per cur sum to c_cur; probabilities per cur sum to 1
+    val perCur = m.groupBy("cur").agg(sum("c_trans").as("s"),
+      max("c_cur").as("c"), sum("p_trans").as("p"))
+    assert(perCur.filter(col("s") =!= col("c")).count() == 0)
+    assert(perCur.filter(abs(col("p") - 1.0) > 1e-9).count() == 0)
+    // total transitions = events - distinct users (each user chain of
+    // length k contributes k-1 steps)
+    val ev = sources.Tables.events(spark, sf)
+    val expected = ev.count() -
+      ev.select("user_id").distinct().count()
+    assert(m.agg(sum("c_trans")).head().getLong(0) == expected)
+    m.unpersist(): Unit
+  }
+
   test("events gapfill: spans contiguous, fills zero, counts conserved") {
     val g = operators.Analytics.eventsGapfill(spark, sf).cache()
     val total = sources.Tables.events(spark, sf).count()
