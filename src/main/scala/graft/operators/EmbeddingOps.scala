@@ -369,4 +369,60 @@ object EmbeddingOps {
       sha256(text) AS sha256_hex,
       substr(lower(hex(CAST(text AS BLOB))), 1, 16) AS header_hex
     FROM documents ORDER BY doc_id"""
+
+  /** C33 thresholds: a pair must look textually similar (signature-Jaccard
+    * ≥ [[ModalEstMin]]) to be audited, and its embeddings agree when
+    * cosine ≥ [[ModalCosMin]]. */
+  val ModalEstMin: Double = 0.5
+  val ModalCosMin: Double = 0.5
+
+  /** C33: `q_modal_consistency` — cross-modal QA audit: do the embeddings
+    * agree with the text? Every confidently-text-similar pair (signature
+    * Jaccard ≥ [[ModalEstMin]], from C29's estimates — signatures only,
+    * text never re-read) is scored with its embedding cosine; pairs where
+    * the modalities disagree (`consistente = false`) are exactly the rows
+    * a pipeline investigates before trusting either signal for dedup.
+    * (On this synthetic corpus embeddings are independent of text, so the
+    * audit flags nearly everything — which is the correct report.)
+    *
+    * Plan: the audited pair set is the small high-similarity slice; the
+    * two vector joins key on doc id, and the cosine is the codegen'd
+    * sequential-fold kernel — bit-exact vs the oracle's list_reduce. */
+  def modalConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val est = DedupOps.dedupMinhashEst(spark, dir)
+      .filter(col("jaccard_est") >= ModalEstMin)
+    val v = vectors(spark, dir)
+    est
+      .join(v.select(col("vec_id").as("doc_a"), col("embedding").as("e_a"),
+        col("n2").as("n2_a")), Seq("doc_a"))
+      .join(v.select(col("vec_id").as("doc_b"), col("embedding").as("e_b"),
+        col("n2").as("n2_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_est"),
+        (expr(dotExpr("e_a", "e_b")) /
+          (sqrt(col("n2_a")) * sqrt(col("n2_b")))).as("coseno"))
+      .withColumn("consistente", col("coseno") >= ModalCosMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val modalConsistencySql: String = s"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings)
+    SELECT est.doc_a, est.doc_b, est.jaccard_est,
+      list_reduce(list_transform(range(1, len(va.embedding) + 1), i ->
+        CAST(va.embedding[CAST(i AS INT)] AS DOUBLE) *
+        CAST(vb.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(va.n2) * sqrt(vb.n2)) AS coseno,
+      list_reduce(list_transform(range(1, len(va.embedding) + 1), i ->
+        CAST(va.embedding[CAST(i AS INT)] AS DOUBLE) *
+        CAST(vb.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+        / (sqrt(va.n2) * sqrt(vb.n2)) >= $ModalCosMin AS consistente
+    FROM (${DedupOps.dedupMinhashEstSql}) est
+      JOIN v va ON va.vec_id = est.doc_a
+      JOIN v vb ON vb.vec_id = est.doc_b
+    WHERE est.jaccard_est >= $ModalEstMin
+    ORDER BY est.doc_a, est.doc_b"""
 }

@@ -823,6 +823,22 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist(): Unit
   }
 
+  test("modal consistency audits exactly the confident text-similar pairs") {
+    val mc = operators.EmbeddingOps.modalConsistency(spark, sf).cache()
+    val est = operators.DedupOps.dedupMinhashEst(spark, sf)
+      .filter(col("jaccard_est") >= operators.EmbeddingOps.ModalEstMin)
+    // the audit covers the confident slice exactly — nothing added/dropped
+    assert(mc.count() == est.count())
+    assert(mc.select("doc_a", "doc_b")
+      .except(est.select("doc_a", "doc_b")).count() == 0)
+    // cosine is a genuine cosine and the flag matches the threshold
+    assert(mc.filter(col("coseno") < -1.0001 || col("coseno") > 1.0001)
+      .count() == 0)
+    assert(mc.filter(col("consistente") =!=
+      (col("coseno") >= operators.EmbeddingOps.ModalCosMin)).count() == 0)
+    mc.unpersist(): Unit
+  }
+
   test("events gapfill: spans contiguous, fills zero, counts conserved") {
     val g = operators.Analytics.eventsGapfill(spark, sf).cache()
     val total = sources.Tables.events(spark, sf).count()
