@@ -417,4 +417,63 @@ object Etl {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
     ORDER BY user_id, version"""
+
+  /** A13: `q_sync_report` — the run report the reference's sync endpoints
+    * return ({processed, loaded, skipped} per entity,
+    * /root/reference/app/api/endpoints.py): for each entity one row with
+    * input volume, loaded volume, rejected volume (input − loaded, the
+    * validators' hard filters) and warning volume (soft flags on loaded
+    * rows — invalid RUT/email/negative balance, negative margin, amount
+    * incoherence). Every number is an exact integer count off the same
+    * validator plans the load itself runs; the four per-entity aggregates
+    * are 1-row reductions, so the report costs four partial-agg scans and
+    * no join wider than a 1-row broadcast. */
+  def syncReport(spark: SparkSession, dir: String): DataFrame = {
+    def entityRow(entity: String, input: DataFrame, loaded: DataFrame,
+        warn: org.apache.spark.sql.Column): DataFrame =
+      loaded.agg(count(lit(1)).as("n_cargados"),
+          sum(warn.cast("long")).as("n_adv"))
+        .crossJoin(broadcast(input.agg(count(lit(1)).as("n_entrada"))))
+        .select(lit(entity).as("entidad"), col("n_entrada"), col("n_cargados"),
+          (col("n_entrada") - col("n_cargados")).as("n_rechazados"),
+          coalesce(col("n_adv"), lit(0L)).as("n_advertencias"))
+    entityRow("clientes", Tables.customer(spark, dir),
+        validateClients(spark, dir),
+        !(col("rut_valido") && col("email_valido") && col("saldo_ok")))
+      .unionByName(entityRow("productos", Tables.part(spark, dir),
+        validateProducts(spark, dir), col("margen_negativo")))
+      .unionByName(entityRow("documentos", Tables.orders(spark, dir),
+        validateDocuments(spark, dir), !col("montos_coherentes")))
+      .unionByName(entityRow("detalles", Tables.lineitem(spark, dir),
+        validateDetails(spark, dir), !col("linea_coherente")))
+      .orderBy("entidad")
+  }
+
+  val syncReportSql: String = s"""
+    SELECT 'clientes' AS entidad,
+      (SELECT count(*) FROM customer) AS n_entrada,
+      count(*) AS n_cargados,
+      (SELECT count(*) FROM customer) - count(*) AS n_rechazados,
+      CAST(coalesce(SUM(CAST(NOT (rut_valido AND email_valido AND saldo_ok)
+        AS INT)), 0) AS BIGINT) AS n_advertencias
+    FROM ($validateClientsSql)
+    UNION ALL
+    SELECT 'productos',
+      (SELECT count(*) FROM part), count(*),
+      (SELECT count(*) FROM part) - count(*),
+      CAST(coalesce(SUM(CAST(margen_negativo AS INT)), 0) AS BIGINT)
+    FROM ($validateProductsSql)
+    UNION ALL
+    SELECT 'documentos',
+      (SELECT count(*) FROM orders), count(*),
+      (SELECT count(*) FROM orders) - count(*),
+      CAST(coalesce(SUM(CAST(NOT montos_coherentes AS INT)), 0) AS BIGINT)
+    FROM ($validateDocumentsSql)
+    UNION ALL
+    SELECT 'detalles',
+      (SELECT count(*) FROM lineitem), count(*),
+      (SELECT count(*) FROM lineitem) - count(*),
+      CAST(coalesce(SUM(CAST(NOT linea_coherente AS INT)), 0) AS BIGINT)
+    FROM ($validateDetailsSql)
+    ORDER BY entidad"""
 }

@@ -719,6 +719,22 @@ class OperatorsSpec extends SparkSpec {
     lm.unpersist(): Unit
   }
 
+  test("sync report: one row per entity, counts reconcile with validators") {
+    val r = operators.Etl.syncReport(spark, sf).cache()
+    assert(r.count() == 4)
+    assert(r.filter(col("n_entrada") =!=
+      col("n_cargados") + col("n_rechazados")).count() == 0)
+    assert(r.filter(col("n_advertencias") > col("n_cargados")).count() == 0)
+    // products is the entity with a hard reject path (missing price list)
+    val prod = r.filter(col("entidad") === "productos").head()
+    assert(prod.getLong(3) > 0) // n_rechazados
+    // loaded counts match the validator outputs they summarize
+    assert(prod.getLong(2) == operators.Etl.validateProducts(spark, sf).count())
+    val cli = r.filter(col("entidad") === "clientes").head()
+    assert(cli.getLong(2) == operators.Etl.validateClients(spark, sf).count())
+    r.unpersist(): Unit
+  }
+
   test("lang confusion: cells conserve docs, fractions sum to one per row") {
     val cm = operators.TextOps.langConfusion(spark, sf).cache()
     val total = sources.Tables.documents(spark, sf).count()
