@@ -168,6 +168,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D9 MarkovStream emits transitions across micro-batches, twin-equal") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[TransEvent]
+    val out = MarkovStream.steps(
+      MarkovStream.withWatermark(in.toDS(), delay = "10 minutes"))
+    val q = out.writeStream.format("memory").queryName("d9_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        TransEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        TransEvent(1L, ts("2024-01-01 10:01:00"), "click"),
+        TransEvent(2L, ts("2024-01-01 10:02:00"), "view"))
+      q.processAllAvailable()
+      // a later micro-batch continues user 1's chain from state
+      in.addData(
+        TransEvent(1L, ts("2024-01-01 10:03:00"), "purchase"),
+        TransEvent(2L, ts("2024-01-01 10:04:00"), "click"))
+      q.processAllAvailable()
+      val got = sp.table("d9_out").as[TransStep].collect().toSet
+      assert(got == Set(
+        TransStep(1L, "view", "click"), TransStep(1L, "click", "purchase"),
+        TransStep(2L, "view", "click")))
+      // batch mode over the union emits the identical step set
+      val batchSteps = MarkovStream.steps(Seq(
+        TransEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        TransEvent(1L, ts("2024-01-01 10:01:00"), "click"),
+        TransEvent(2L, ts("2024-01-01 10:02:00"), "view"),
+        TransEvent(1L, ts("2024-01-01 10:03:00"), "purchase"),
+        TransEvent(2L, ts("2024-01-01 10:04:00"), "click")).toDS(),
+        withTimeout = false)
+        .collect().toSet
+      assert(batchSteps == got)
+    } finally q.stop()
+  }
+
+  test("D9 MarkovStream batch mode reproduces the batch twin's matrix") {
+    // counts over the step stream == Analytics.eventsMarkov on real data
+    val sp = spark
+    import sp.implicits._
+    val ev = sources.Tables.events(sp, sf)
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"))
+      .as[TransEvent]
+    val fromStream = MarkovStream.steps(ev, withTimeout = false)
+      .groupBy(col("cur"), col("next")).agg(count(lit(1)).as("c_trans"))
+    val fromBatch = graft.operators.Analytics.eventsMarkov(sp, sf)
+      .select("cur", "next", "c_trans")
+    assert(fromStream.except(fromBatch).count() == 0)
+    assert(fromBatch.except(fromStream).count() == 0)
+  }
+
   test("D8 DatasheetStream running composition matches the batch twin") {
     val sp = spark
     import sp.implicits._
