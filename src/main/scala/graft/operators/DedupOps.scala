@@ -467,7 +467,14 @@ object DedupOps {
     * back down (measured ~25% faster at sf0.1, and the fan-out factor is
     * what grows with more bands). Shuffles key on (band, sig) buckets and
     * the pair's doc ids only. */
-  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashEstRaw(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The estimate WITHOUT the presentation sort — consumers that filter or
+    * re-aggregate (C33) compose with this so the optimizer never risks
+    * sorting the full pair set just to throw the order away downstream. */
+  private[operators] def dedupMinhashEstRaw(
+      spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir).cache()
     val pairs = sigs.as("a").join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -490,7 +497,6 @@ object DedupOps {
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nEq.as("n_eq"))
       .withColumn("jaccard_est", col("n_eq").cast("double") / lit(12.0d))
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupMinhashEstSql: String = s"""

@@ -389,7 +389,7 @@ object EmbeddingOps {
     * two vector joins key on doc id, and the cosine is the codegen'd
     * sequential-fold kernel — bit-exact vs the oracle's list_reduce. */
   def modalConsistency(spark: SparkSession, dir: String): DataFrame = {
-    val est = DedupOps.dedupMinhashEst(spark, dir)
+    val est = DedupOps.dedupMinhashEstRaw(spark, dir)
       .filter(col("jaccard_est") >= ModalEstMin)
     val v = vectors(spark, dir)
     est
