@@ -70,8 +70,7 @@ object DedupOps {
     // Join form, deliberately: this corpus is NEAR-dup-dense (templated
     // small-vocabulary texts; ~10% of all pairs collide in some band even
     // with independent rows), so a collect_list-per-bucket pair expansion
-    // would
-    // materialize n²/2 structs in single rows on single threads (measured
+    // would materialize n²/2 structs in single rows on single threads (measured
     // 12× slower at sf0.1). The self-join streams pairs through codegen and
     // spreads each bucket's expansion across its join partitions.
     // cache(): both self-join sides canonicalize differently (aliasing), so
