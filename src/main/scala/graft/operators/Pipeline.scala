@@ -344,6 +344,36 @@ object Pipeline {
     FROM stats, t
     ORDER BY source, lang"""
 
+  /** C34 sample size. */
+  val BottomK: Int = 100
+
+  /** C34: `q_corpus_bottomk` — EXACT-size deterministic sample: the k docs
+    * with the smallest salted content hashes (the classic bottom-k
+    * sketch). Rate-based sampling (C20) can only hit an expected size;
+    * bottom-k delivers exactly k, is reproducible on re-ingest, and merges
+    * trivially (the bottom-k of a union is the bottom-k of the parts'
+    * bottom-ks) — so at 100 TB this runs as per-partition top-k with a
+    * k-row driver merge (TakeOrderedAndProject), never a full sort.
+    * Hash ties break on doc_id; the salt keeps the selection independent
+    * of C19/C20's hashes. */
+  def corpusBottomK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("graft_str_hash(concat('bottomk|', lower(trim(text))))").as("h"))
+      .orderBy("h", "doc_id")
+      .limit(BottomK)
+  }
+
+  val corpusBottomKSql: String = s"""
+    SELECT doc_id, source, lang,
+      list_reduce(list_transform(range(1, length('bottomk|' || lower(trim(text))) + 1), i ->
+        CAST(ascii(substr('bottomk|' || lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+    FROM documents WHERE length(lower(trim(text))) > 0
+    ORDER BY h, doc_id LIMIT $BottomK"""
+
   val corpusPipelineSql: String = s"""
     WITH feed AS (${Feeds.documentsWithPiiSql}),
     scored AS (

@@ -855,6 +855,29 @@ class OperatorsSpec extends SparkSpec {
     mc.unpersist(): Unit
   }
 
+  test("bottom-k sample: exact size, globally minimal, never a full sort") {
+    import org.apache.spark.sql.expressions.Window
+    val k = operators.Pipeline.BottomK
+    val s = operators.Pipeline.corpusBottomK(spark, sf).cache()
+    assert(s.count() == k)
+    // global minimality: an independent row_number over the same ordering
+    // picks the identical doc set
+    val ranked = sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .select(col("doc_id"),
+        expr("graft_str_hash(concat('bottomk|', lower(trim(text))))").as("h"))
+      .withColumn("rn", row_number().over(Window.orderBy("h", "doc_id")))
+      .filter(col("rn") <= k)
+    assert(s.select("doc_id").except(ranked.select("doc_id")).count() == 0)
+    assert(ranked.select("doc_id").except(s.select("doc_id")).count() == 0)
+    // plan: TakeOrderedAndProject (per-partition top-k + driver merge),
+    // not a global Sort+Limit
+    val plan = operators.Pipeline.corpusBottomK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    s.unpersist(): Unit
+  }
+
   test("events gapfill: spans contiguous, fills zero, counts conserved") {
     val g = operators.Analytics.eventsGapfill(spark, sf).cache()
     val total = sources.Tables.events(spark, sf).count()
