@@ -221,6 +221,43 @@ class StreamingSpec extends SparkSpec {
     assert(fromBatch.except(fromStream).count() == 0)
   }
 
+  test("D10 PackStream places docs across micro-batches, equals batch C28") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[PackDoc]
+    val q = PackStream.pack(in.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("d10_out")
+      .outputMode("append").start()
+    try {
+      in.addData(PackDoc("w", 1L, 4L), PackDoc("w", 2L, 4L), PackDoc("b", 1L, 3L))
+      q.processAllAvailable()
+      // the running offset continues from state into the next micro-batch
+      in.addData(PackDoc("w", 3L, 4L), PackDoc("b", 2L, 12L))
+      q.processAllAvailable()
+      val got = sp.table("d10_out").as[PackOut].collect()
+        .map(o => (o.source, o.doc_id) -> o).toMap
+      assert(got(("w", 3L)).tok_offset == 8L)     // 4 + 4 from batch 1
+      assert(got(("w", 3L)).pack_id == 0L && got(("w", 3L)).cruza_limite)
+      assert(got(("b", 2L)).tok_offset == 3L && got(("b", 2L)).cruza_limite)
+      assert(got.values.forall(o => o.pack_pos == o.tok_offset % 10))
+    } finally q.stop()
+  }
+
+  test("D10 PackStream batch mode equals Pipeline.corpusPack row-for-row") {
+    val sp = spark
+    import sp.implicits._
+    val docs = sources.Tables.documents(sp, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[PackDoc]
+    val streamed = PackStream.pack(docs).toDF()
+    val batch = graft.operators.Pipeline.corpusPack(sp, sf)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
   test("D8 DatasheetStream running composition matches the batch twin") {
     val sp = spark
     import sp.implicits._
