@@ -714,6 +714,71 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** B34: `q_supplier_scorecard` — per-supplier performance report: line
+    * volume, discounted revenue, catalog breadth (distinct parts shipped),
+    * mean discount given and return rate, with the supplier's nation
+    * attached — the vendor-management twin of the customer-side reports
+    * (the reference scores its product feed per provider the same way,
+    * /root/reference/app/services/etl_service.py:59-107).
+    *
+    * Exactness: revenue in integer hundredth-of-cent units; mean discount
+    * and return rate are single final divisions of exact integer sums;
+    * deterministic ORDER BY (revenue DESC, suppkey).
+    *
+    * Scale: the lineitem scan partial-aggregates everything per suppkey in
+    * ONE exchange — count, revenue, discount sum, return count are plain
+    * longs and the distinct-parts count is Spark's two-phase partial
+    * distinct on the same key — so the fact table shuffles once, keyed on
+    * the natural supplier key. The supplier join then runs on
+    * supplier-catalog-sized rows (AQE picks the strategy) and nation is a
+    * fixed dim, explicitly broadcast. */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_partkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
+          .as("rev_u"),
+        cents(col("l_discount")).as("disc_pct"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_ret"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("rev_u").as("rev_u"),
+        countDistinct("l_partkey").as("n_parts"),
+        sum("disc_pct").as("disc_sum"),
+        sum("is_ret").as("n_returns"))
+    perSupp
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_lines"), col("n_parts"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"),
+        (col("disc_sum").cast("double") / col("n_lines").cast("double"))
+          .as("avg_disc_pct"),
+        (col("n_returns").cast("double") / col("n_lines").cast("double"))
+          .as("return_rate"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
+  val supplierScorecardSql: String = """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+        COUNT(*) AS n_lines,
+        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+            (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_u,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_sum,
+        SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, n_name, n_lines, n_parts,
+      CAST(rev_u AS DOUBLE) / 10000.0 AS revenue,
+      CAST(disc_sum AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_disc_pct,
+      CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS return_rate
+    FROM per_supp
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY revenue DESC, s_suppkey"""
+
   val eventsJsonSql: String = """
     SELECT event_type, COUNT(*) AS n_eventos,
       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS suma_k,

@@ -315,4 +315,130 @@ object Cubes {
     FROM c
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment"""
+
+  /** B32: `q_abc_classification` — Pareto / ABC inventory classification of
+    * the part catalog by discounted revenue: class A = items inside the
+    * first 80% of cumulative revenue, B = 80-95%, C = the tail — the
+    * stock-policy report every retail ETL (the reference loads a product
+    * catalog, /root/reference/app/services/etl_service.py:59-107) feeds
+    * purchasing with.
+    *
+    * Exactness: revenue in integer hundredth-of-cent units (cents ×
+    * (100−disc)); the class boundaries compare `cum·100 ≤ 80·total` /
+    * `cum·100 ≤ 95·total` in integer arithmetic — never a double share —
+    * so the A/B/C cut is bit-deterministic. The reported `cum_share` is one
+    * final double division. The cumulative window is totally ordered
+    * (revenue DESC, partkey ASC).
+    *
+    * Scale: the fact scan partial-aggregates to one row PER PART before any
+    * window, so the cumulative sort runs over the catalog (bounded,
+    * ~10⁵-10⁷ rows — Spark range-partitions the sort), never the lineitem
+    * table; the part join attaches brand to catalog-sized rows and AQE
+    * picks its strategy. Long-overflow headroom: 100·total fits a signed
+    * long up to $9.2e14 of discounted revenue. */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
+          .as("rev_u"))
+      .groupBy("l_partkey")
+      .agg(sum("rev_u").as("rev_u"), count(lit(1)).as("n_lines"))
+    val wCum = Window.orderBy(col("rev_u").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum_u", sum("rev_u").over(wCum))
+      .withColumn("total_u", sum("rev_u").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("n_lines"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"),
+        (col("cum_u").cast("double") / col("total_u").cast("double"))
+          .as("cum_share"),
+        when(col("cum_u") * 100 <= col("total_u") * 80, "A")
+          .when(col("cum_u") * 100 <= col("total_u") * 95, "B")
+          .otherwise("C").as("clase"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+  }
+
+  val abcClassificationSql: String = """
+    WITH per_part AS (
+      SELECT l_partkey,
+        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+            (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_u,
+        COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT l_partkey, rev_u, n_lines,
+        CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_u,
+        CAST(SUM(rev_u) OVER () AS BIGINT) AS total_u
+      FROM per_part)
+    SELECT p_partkey, p_brand, n_lines,
+      CAST(rev_u AS DOUBLE) / 10000.0 AS revenue,
+      CAST(cum_u AS DOUBLE) / CAST(total_u AS DOUBLE) AS cum_share,
+      CASE WHEN cum_u * 100 <= total_u * 80 THEN 'A'
+           WHEN cum_u * 100 <= total_u * 95 THEN 'B'
+           ELSE 'C' END AS clase
+    FROM cum JOIN part ON l_partkey = p_partkey
+    ORDER BY revenue DESC, p_partkey"""
+
+  /** Interval histogram cap for B33 — gaps of [[IntervalCapWeeks]] weeks or
+    * more collapse into one open-ended bucket so the report is
+    * schema-stable. */
+  val IntervalCapWeeks: Int = 12
+
+  /** B33: `q_order_intervals` — inter-purchase time distribution: the gap in
+    * days between each customer's consecutive orders, bucketed by week and
+    * rolled up per market segment (the repurchase-cadence report behind
+    * replenishment marketing). Same-day repeat orders land in bucket 0.
+    *
+    * Exactness: gaps are exact integer day differences off a lag window
+    * totally ordered by (orderdate, orderkey); the per-bucket mean is one
+    * final division of integer sums.
+    *
+    * Scale: ONE custkey-keyed exchange for the lag window (a customer's
+    * order history is human-bounded), then a partial-aggregated shuffle onto
+    * the tiny (segment × ≤13 buckets) grid. The customer join attaches the
+    * segment BEFORE the roll-up so the wide fact rows never shuffle twice. */
+  def orderIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date"))
+          .cast("long").as("gap_days"))
+    gaps
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        least(expr("gap_days DIV 7"), lit(IntervalCapWeeks.toLong))
+          .cast("long").as("week_bucket"), col("gap_days"))
+      .groupBy("c_mktsegment", "week_bucket")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_days").as("sum_days"))
+      .select(col("c_mktsegment"), col("week_bucket"), col("n_gaps"),
+        (col("sum_days").cast("double") / col("n_gaps").cast("double"))
+          .as("avg_gap_days"))
+      .orderBy("c_mktsegment", "week_bucket")
+  }
+
+  val orderIntervalsSql: String = s"""
+    WITH gaps AS (
+      SELECT o_custkey,
+        CAST(date_diff('day',
+          CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+          CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+      FROM orders),
+    g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT c_mktsegment,
+      CAST(least(gap_days // 7, $IntervalCapWeeks) AS BIGINT) AS week_bucket,
+      COUNT(*) AS n_gaps,
+      CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days
+    FROM g JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
 }

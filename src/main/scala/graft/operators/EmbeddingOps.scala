@@ -267,22 +267,36 @@ object EmbeddingOps {
     * broadcast is O(k) — fixed, never a corpus fraction — assignment is a
     * single scan, and per-probe work is bounded by cell volume — the corpus
     * is never cross-joined. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
-      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = vectors(spark, dir)
-    val cents = v.filter(col("vec_id") % 100 === 50 &&
-        col("vec_id") < lit(k.toLong * 100L))
+  /** Deterministic coarse centroids (vec_id ≡ 50 mod 100, capped at k) —
+    * the stand-in for a trained quantizer, shared by C13 and C35. */
+  private def ivfCentroids(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") % 100 === 50 && col("vec_id") < lit(k.toLong * 100L))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
-    def centCos = (expr(dotExpr("embedding", "c_emb")) /
-      (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos")
-    val assigned = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"), centCos)
+
+  /** Nearest-centroid cell assignment (argmax cosine, centroid-id
+    * tie-break): ONE narrow pass over the corpus against the broadcast
+    * centroid set. Shared by C13 (IVF search) and C35 (semantic dedup). */
+  private def ivfAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+        (expr(dotExpr("embedding", "c_emb")) /
+          (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos"))
       .withColumn("arnk", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("c_cos").desc, col("cent_id"))))
       .filter(col("arnk") === 1)
       .select("vec_id", "embedding", "n2", "cent_id")
+  }
+
+  def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val cents = ivfCentroids(v, k)
+    def centCos = (expr(dotExpr("embedding", "c_emb")) /
+      (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos")
+    val assigned = ivfAssigned(v, cents)
     val probeCells = v.filter(probeFilter(probeLo, probeBatch))
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
@@ -425,4 +439,147 @@ object EmbeddingOps {
       JOIN v vb ON vb.vec_id = est.doc_b
     WHERE est.jaccard_est >= $ModalEstMin
     ORDER BY est.doc_a, est.doc_b"""
+
+  /** C35 cosine threshold — a pair inside one IVF cell with cosine ≥ this
+    * is a semantic duplicate (kept aligned with C5's near-dup bar). */
+  val SemTau: Double = 0.30
+
+  /** C35: `q_semantic_dedup` — SemDeDup-style semantic deduplication
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with the
+    * coarse quantizer, then WITHIN each cell mark every vector that has a
+    * smaller-id neighbor at cosine ≥ [[SemTau]] as a duplicate; the
+    * smallest id of such a group survives. Output is the full per-vector
+    * keep/drop verdict with the evidence (how many prior dups, and the
+    * smallest one).
+    *
+    * Spark-first plan: reuses C13's broadcast-centroid assignment (ONE
+    * narrow corpus pass), then a cell-keyed self-join generates candidate
+    * pairs — per-cell volume is bounded by quantizer sizing (k scales with
+    * the corpus), so no hot label ever goes all-pairs the way a naive
+    * global join would. The verdict join keys on vec_id. At 100 TB this is
+    * exactly the published recipe: k-means cells ≈ √N, per-cell pair work
+    * bounded, embeddings never shuffle except keyed on their cell. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = IvfK): DataFrame = {
+    val v = vectors(spark, dir)
+    val assigned = ivfAssigned(v, ivfCentroids(v, k))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("prior_id"),
+        (expr(dotExpr("a.embedding", "b.embedding")) /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cosine"))
+      .filter(col("cosine") >= SemTau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_prior_dups"), min("prior_id").as("dup_of"))
+    assigned.select("vec_id", "cent_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("dup_of"),
+        col("n_prior_dups").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = s"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+      FROM v WHERE vec_id % 100 = 50 AND vec_id < ${IvfK * 100}),
+    asg AS (
+      SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(v.embedding) + 1), i ->
+              CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(v.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS arnk
+        FROM v, c) WHERE arnk = 1),
+    dups AS (
+      SELECT vec_id, COUNT(*) AS n_prior_dups, MIN(prior_id) AS dup_of
+      FROM (
+        SELECT a.vec_id, b.vec_id AS prior_id,
+          list_reduce(list_transform(range(1, len(a.embedding) + 1), i ->
+            CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) *
+            CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+            / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+        FROM asg a JOIN asg b ON a.cent_id = b.cent_id
+          AND b.vec_id < a.vec_id)
+      WHERE cosine >= $SemTau
+      GROUP BY vec_id)
+    SELECT a.vec_id, a.cent_id,
+      coalesce(d.n_prior_dups, 0) AS n_prior_dups,
+      d.dup_of,
+      d.n_prior_dups IS NULL AS keep
+    FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id"""
+
+  /** C36: `q_embed_quantize` — symmetric int8 scalar quantization of the
+    * embedding column (the 4× compression every vector store applies before
+    * ANN serving): per-vector scale = max |x|, code_i = round(x_i·127 /
+    * scale), plus the quality report a pipeline gates on — saturated-code
+    * count and reconstruction MSE. Codes are emitted as an md5 digest of
+    * the comma-joined ints (stable to compare, no engine-specific array
+    * formatting).
+    *
+    * Exactness: scale is a max over |x| (order-independent, exact doubles);
+    * each code is one double expression with identical operation order in
+    * both engines, and round() is half-away-from-zero in both; the MSE is
+    * a SEQUENTIAL left fold over positions (a distributed double sum would
+    * be shuffle-order-nondeterministic) with one final division.
+    *
+    * Scale: zero shuffle — a single narrow codegen'd pass over the corpus,
+    * embarrassingly parallel at any size (the per-vector fold is O(dim)).
+    * Zero vectors quantize to all-zero codes (scale-0 guard, no NaNs). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val codeExpr = "CASE WHEN scale = CAST(0 AS DOUBLE) THEN 0 ELSE " +
+      "CAST(round((CAST(x AS DOUBLE) * CAST(127 AS DOUBLE)) / scale) AS INT) END"
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))").as("scale"))
+      .withColumn("codes",
+        expr(s"transform(embedding, x -> $codeExpr)"))
+      .select(col("vec_id"), col("scale"),
+        md5(expr("concat_ws(',', transform(codes, c -> CAST(c AS STRING)))")
+          .cast("binary")).as("codes_md5"),
+        expr("size(filter(codes, c -> abs(c) = 127))").cast("long").as("n_sat"),
+        (expr(("aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + " +
+          "(CAST(x AS DOUBLE) - CAST(CODE AS DOUBLE) * scale / CAST(127 AS DOUBLE)) * " +
+          "(CAST(x AS DOUBLE) - CAST(CODE AS DOUBLE) * scale / CAST(127 AS DOUBLE)))")
+          .replace("CODE", codeExpr)) /
+          expr("CAST(size(embedding) AS DOUBLE)")).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeSql: String = {
+    val code = "CASE WHEN scale = CAST(0 AS DOUBLE) THEN 0 ELSE " +
+      "CAST(round((CAST(x AS DOUBLE) * CAST(127 AS DOUBLE)) / scale) AS INT) END"
+    s"""
+    WITH sc AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+          (acc, x) -> greatest(acc, x)) AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, scale,
+        list_transform(embedding, x -> $code) AS codes
+      FROM sc)
+    SELECT vec_id, scale,
+      md5(array_to_string(codes, ',')) AS codes_md5,
+      CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(embedding, x ->
+          (CAST(x AS DOUBLE) - CAST(($code) AS DOUBLE) * scale / CAST(127 AS DOUBLE)) *
+          (CAST(x AS DOUBLE) - CAST(($code) AS DOUBLE) * scale / CAST(127 AS DOUBLE)))),
+        (acc, x) -> acc + x) / CAST(len(embedding) AS DOUBLE) AS mse
+    FROM q
+    ORDER BY vec_id"""
+  }
 }
