@@ -892,4 +892,89 @@ class OperatorsSpec extends SparkSpec {
     assert(spans.filter(col("span") =!= col("n")).count() == 0)
     g.unpersist(): Unit
   }
+
+  test("ABC classification: classes monotone, shares close, catalog complete") {
+    import org.apache.spark.sql.expressions.Window
+    val abc = operators.Cubes.abcClassification(spark, sf).cache()
+    // one row per part that sold
+    assert(abc.count() ==
+      sources.Tables.lineitem(spark, sf).select("l_partkey").distinct().count())
+    // walking down by revenue, the class never goes back up (A→B→C)
+    val w = Window.orderBy(col("revenue").desc, col("p_partkey"))
+    assert(abc.withColumn("prev", lag("clase", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("clase"))
+      .count() == 0)
+    // cum_share reaches exactly 1.0 at the tail and every class is present
+    assert(math.abs(abc.agg(max("cum_share")).head.getDouble(0) - 1.0) < 1e-12)
+    assert(abc.select("clase").distinct().count() == 3)
+    // the integer boundary rule: every A row sits at or under 80% cum share
+    assert(abc.filter(col("clase") === "A" &&
+      col("cum_share") > 0.8 + 1e-9).count() == 0)
+    abc.unpersist(): Unit
+  }
+
+  test("order intervals: gap conservation and bucket bounds") {
+    val iv = operators.Cubes.orderIntervals(spark, sf).cache()
+    // total gaps = orders − customers-with-orders (each customer's history
+    // of n orders yields n−1 consecutive gaps)
+    val o = sources.Tables.orders(spark, sf)
+    val expected = o.count() - o.select("o_custkey").distinct().count()
+    assert(iv.agg(sum("n_gaps")).head.getLong(0) == expected)
+    // buckets capped; means sit inside their week bucket (except the cap)
+    val cap = operators.Cubes.IntervalCapWeeks.toLong
+    assert(iv.filter(col("week_bucket") > cap).count() == 0)
+    assert(iv.filter(col("week_bucket") < cap &&
+      (col("avg_gap_days") < col("week_bucket") * 7 ||
+       col("avg_gap_days") >= col("week_bucket") * 7 + 7)).count() == 0)
+    iv.unpersist(): Unit
+  }
+
+  test("supplier scorecard: line conservation, rates bounded") {
+    val sc = operators.Analytics.supplierScorecard(spark, sf).cache()
+    val li = sources.Tables.lineitem(spark, sf)
+    assert(sc.agg(sum("n_lines")).head.getLong(0) == li.count())
+    assert(sc.count() == li.select("l_suppkey").distinct().count())
+    assert(sc.filter(col("n_parts") > col("n_lines")).count() == 0)
+    assert(sc.filter(col("return_rate") < 0 || col("return_rate") > 1)
+      .count() == 0)
+    sc.unpersist(): Unit
+  }
+
+  test("semantic dedup: keep verdict matches the pair evidence") {
+    val sd = operators.EmbeddingOps.semanticDedup(spark, sf).cache()
+    val n = sources.Tables.embeddings(spark, sf).count()
+    // total verdict: one row per vector
+    assert(sd.count() == n)
+    // keep ⟺ no prior dup; dup_of is always a smaller id when present
+    assert(sd.filter(col("keep") =!= (col("n_prior_dups") === 0)).count() == 0)
+    assert(sd.filter(col("dup_of").isNotNull &&
+      col("dup_of") >= col("vec_id")).count() == 0)
+    // the globally smallest id can have no prior dup
+    assert(sd.orderBy("vec_id").limit(1)
+      .filter(col("keep")).count() == 1)
+    // both verdicts occur on this corpus (non-vacuous)
+    assert(sd.filter(col("keep")).count() > 0)
+    assert(sd.filter(!col("keep")).count() > 0)
+    sd.unpersist(): Unit
+  }
+
+  test("embed quantize: saturation, error bound, shuffle-free plan") {
+    val q = operators.EmbeddingOps.embedQuantize(spark, sf).cache()
+    val n = sources.Tables.embeddings(spark, sf).count()
+    assert(q.count() == n)
+    // the max-|x| element always quantizes to ±127 → at least one
+    // saturated code per (nonzero) vector
+    assert(q.filter(col("scale") > 0 && col("n_sat") < 1).count() == 0)
+    // per-element quantization error ≤ scale/254 (half a step), so
+    // mse ≤ (scale/254)²
+    assert(q.filter(col("mse") >
+      (col("scale") / 254) * (col("scale") / 254) * 1.0000001 + 1e-15)
+      .count() == 0)
+    // zero shuffle: a narrow pass (no Exchange) up to the output sort
+    val plan = operators.EmbeddingOps.embedQuantize(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.replace("Exchange rangepartitioning", "")
+      .contains("Exchange hashpartitioning"), plan)
+    q.unpersist(): Unit
+  }
 }

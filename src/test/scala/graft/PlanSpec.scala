@@ -61,7 +61,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_customer_stats", "q_top_products", "q_margin_analysis",
         "q3_top_unshipped", "q_validate_products",
         "q_segment_pivot", "q_customer_rfm", "q_customers_no_orders",
-        "q_order_quantiles")) {
+        "q_order_quantiles", "q_abc_classification", "q_order_intervals")) {
       val logical = SparkEntry.queries(q)(spark, sf)
         .queryExecution.analyzed.toString
       assert(!logical.contains("UnresolvedHint") &&
