@@ -380,4 +380,47 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(rows == Seq((1L, "a", 1L), (2L, "B", 3L), (3L, "c", 1L)))
   }
+
+  test("D11 AnomalyStream max-rev generation equals the batch twin exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // real hour buckets, split into two micro-batches mid-stream
+    val hours = sources.Tables.events(sp, sf)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hora_epoch"))
+      .as[HourEvent].collect().toSeq
+    val (b1, b2) = hours.splitAt(hours.size / 2)
+    val in = MemoryStream[HourEvent]
+    val q = AnomalyStream.rows(in.toDS()).writeStream.format("memory")
+      .queryName("d11_out").outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val all = sp.table("d11_out")
+      // keep the newest generation per type
+      val latest = all.join(
+        all.groupBy(col("event_type").as("t")).agg(max("rev").as("mr")),
+        col("event_type") === col("t") && col("rev") === col("mr"))
+        .select("event_type", "hora_epoch", "n", "media_h", "z", "anomalo")
+      val batch = graft.operators.Analytics.eventsAnomaly(sp, sf)
+      // bit-exact: the doubles use the same integer moments and op order
+      assert(latest.count() == batch.count())
+      assert(latest.except(batch).count() == 0)
+      assert(batch.except(latest).count() == 0)
+    } finally q.stop()
+  }
+
+  test("D11 AnomalyStream batch mode is one rev-1 generation") {
+    val sp = spark
+    import sp.implicits._
+    val hours = sources.Tables.events(sp, sf)
+      .select(col("event_type"), expr("ts div 3600000000000").as("hora_epoch"))
+      .as[HourEvent]
+    val rows = AnomalyStream.rows(hours).cache()
+    assert(rows.filter(col("rev") =!= 1L).count() == 0)
+    val batch = graft.operators.Analytics.eventsAnomaly(sp, sf)
+    val got = rows.select("event_type", "hora_epoch", "n", "media_h", "z", "anomalo")
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+    rows.unpersist(): Unit
+  }
 }
