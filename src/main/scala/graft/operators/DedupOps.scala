@@ -481,10 +481,14 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // one (tiny) row per doc: its 4 band signatures in band order — rides
-    // the cache's doc_id partitioning, so this aggregate is shuffle-free
+    // the cache's doc_id partitioning, so this aggregate is shuffle-free.
+    // cache(): the relation feeds BOTH pair-side joins under different
+    // aliases, and alias-divergent projections defeat ReuseExchange — the
+    // collect_list aggregate would otherwise run twice (measured in C33's
+    // physical plan: two ObjectHashAggregate subtrees over the same scan).
     val full = sigs.groupBy("doc_id")
       .agg(expr("transform(sort_array(collect_list(struct(band, sig))),"
-        + " s -> s.sig)").as("bands"))
+        + " s -> s.sig)").as("bands")).cache()
     val nEq = (for (b <- 0 until 4; r <- 0 until 3) yield
       (element_at(split(element_at(col("sig_a"), b + 1), ":"), r + 1) ===
         element_at(split(element_at(col("sig_b"), b + 1), ":"), r + 1))
