@@ -521,4 +521,74 @@ object DedupOps {
       CAST(SUM(n_eq_band) AS DOUBLE) / CAST(12 AS DOUBLE) AS jaccard_est
     FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
+
+  /** C38: `q_dedup_savings` — the before/after accounting of exact dedup
+    * (C1), per source: how many docs / tokens / chars dedup REMOVES — the
+    * number a pipeline reports next to its datasheet (C31) when deciding
+    * whether a source's volume is real or copies. Keeper = global
+    * min-doc_id per normalized-content hash, exactly C1's rule, so cross-
+    * source copies charge the removal to the non-keeper's source.
+    *
+    * Exactness: every aggregate is an order-independent integer sum; the
+    * removal share is one final division. Token/char counts follow the
+    * datasheet's definitions (whitespace tokens on trimmed text; empty
+    * docs count zero tokens).
+    *
+    * Scale: ONE shuffle keyed on the 16-byte content hash (the window min
+    * rides it; text never moves — per-doc counts are computed in the
+    * narrow scan), then a partial-aggregated roll-up onto the tiny source
+    * key space. Same shuffle discipline as C1 itself. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"),
+        length(col("text")).cast("long").as("n_chr"))
+    docs
+      .withColumn("keeper",
+        min("doc_id").over(Window.partitionBy("norm_hash")))
+      .withColumn("removed", (col("doc_id") =!= col("keeper")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("removed").as("docs_removed"),
+        sum("n_tok").as("n_tokens"),
+        sum(col("removed") * col("n_tok")).as("tokens_removed"),
+        sum("n_chr").as("n_chars"),
+        sum(col("removed") * col("n_chr")).as("chars_removed"))
+      .select(col("source"), col("n_docs"), col("docs_removed"),
+        col("n_tokens"), col("tokens_removed"),
+        col("n_chars"), col("chars_removed"),
+        (col("docs_removed").cast("double") / col("n_docs").cast("double"))
+          .as("removal_share"))
+      .orderBy("source")
+  }
+
+  val dedupSavingsSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+        md5(lower(trim(text))) AS norm_hash,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        END AS n_tok,
+        CAST(length(text) AS BIGINT) AS n_chr
+      FROM documents),
+    k AS (
+      SELECT d.*,
+        CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash)
+             THEN 1 ELSE 0 END AS removed
+      FROM d)
+    SELECT source,
+      COUNT(*) AS n_docs,
+      CAST(SUM(removed) AS BIGINT) AS docs_removed,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(removed * n_tok) AS BIGINT) AS tokens_removed,
+      CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+      CAST(SUM(removed * n_chr) AS BIGINT) AS chars_removed,
+      CAST(SUM(removed) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS removal_share
+    FROM k
+    GROUP BY source
+    ORDER BY source"""
 }

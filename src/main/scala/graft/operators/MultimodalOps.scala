@@ -111,4 +111,67 @@ object MultimodalOps {
       }
     }.toDF("doc_id", "media_type", "frame_idx", "frame")
   }
+
+  /** Frame size in bytes for [[multimodalFrames]] — matches the fake frame
+    * geometry of [[decodeStub]]/[[frameSample]]. */
+  val FrameBytes: Int = 256
+
+  /** C37: `q_multimodal_frames` — the oracle-checked frame INVENTORY over
+    * the media table: every payload split into its ⌈bytes/[[FrameBytes]]⌉
+    * fixed-stride frames (empty payloads keep one empty frame), each frame
+    * identified by content hash + byte length — the manifest a video
+    * pipeline materializes before farming frames out to per-frame models
+    * (the decode itself stays behind [[decodeStub]]; this is the real
+    * Spark-side schema/explode/identity plumbing).
+    *
+    * Exactness: both engines slice the payload in the HEX-string domain
+    * (the oracle's DuckDB build has no blob substring) — hex is ASCII so
+    * sha256 over the hex slice is byte-identical; lengths are integer
+    * arithmetic on the hex length.
+    *
+    * Scale: ZERO shuffle up to the presentation sort — a codegen'd
+    * `sequence` explode (bounded per row by payload size) over a narrow
+    * scan, embarrassingly parallel at any corpus size, exactly like C22's
+    * token chunking. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val hexPerFrame = FrameBytes * 2
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        hex(col("text").cast("binary")).as("payload_hex"),
+        octet_length(col("text")).cast("long").as("blen"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L),
+          greatest(lit(1L),
+            expr(s"(blen + ${FrameBytes - 1}) DIV $FrameBytes")) - 1L)))
+      .withColumn("frame_hex",
+        expr(s"substr(payload_hex, frame_idx * $hexPerFrame + 1, $hexPerFrame)"))
+      .select(col("doc_id"), col("media_type"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr("length(frame_hex) DIV 2").cast("long").as("frame_len"),
+        sha2(col("frame_hex").cast("binary"), 256).as("frame_sha"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val multimodalFramesSql: String = {
+    val hexPerFrame = FrameBytes * 2
+    s"""
+    WITH m AS (
+      SELECT doc_id,
+        (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+        hex(encode(text)) AS payload_hex,
+        CAST(octet_length(encode(text)) AS BIGINT) AS blen
+      FROM documents),
+    f AS (
+      SELECT doc_id, media_type, payload_hex, CAST(u.f AS BIGINT) AS frame_idx
+      FROM m, LATERAL unnest(range(0,
+        greatest(1, (blen + ${FrameBytes - 1}) // $FrameBytes))) u(f))
+    SELECT doc_id, media_type, frame_idx,
+      CAST(length(substr(payload_hex, frame_idx * $hexPerFrame + 1, $hexPerFrame)) // 2
+        AS BIGINT) AS frame_len,
+      sha256(substr(payload_hex, frame_idx * $hexPerFrame + 1, $hexPerFrame)) AS frame_sha
+    FROM f
+    ORDER BY doc_id, frame_idx"""
+  }
 }

@@ -958,6 +958,44 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("multimodal frames: byte conservation, geometry, matches frameSample") {
+    val fr = operators.MultimodalOps.multimodalFrames(spark, sf).cache()
+    val docs = sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("blen"))
+    // per doc: frame lengths sum to the payload bytes, count = ceil(b/256)
+    val perDoc = fr.groupBy("doc_id")
+      .agg(sum("frame_len").as("bytes"), count(lit(1)).as("n_frames"))
+      .join(docs, Seq("doc_id"))
+    assert(perDoc.filter(col("bytes") =!= col("blen")).count() == 0)
+    assert(perDoc.filter(col("n_frames") =!=
+      greatest(lit(1L), expr("(blen + 255) DIV 256"))).count() == 0)
+    // frame 0 byte length agrees with the Dataset-side frameSample plumbing
+    val fs = operators.MultimodalOps.frameSample(
+      operators.MultimodalOps.mediaTable(spark, sf), Seq(0))
+      .select(col("doc_id"), octet_length(col("frame")).cast("long").as("fl"))
+    val j = fr.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("frame_len")).join(fs, Seq("doc_id"))
+    assert(j.filter(col("frame_len") =!= col("fl")).count() == 0)
+    fr.unpersist(): Unit
+  }
+
+  test("dedup savings: removal counts reconcile with exact dedup") {
+    val sv = operators.DedupOps.dedupSavings(spark, sf).cache()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(sv.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // total removed = docs − distinct normalized contents (C1's keepers)
+    val distinctContents = docs
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("h"))
+      .distinct().count()
+    assert(sv.agg(sum("docs_removed")).head.getLong(0) ==
+      docs.count() - distinctContents)
+    assert(sv.filter(col("docs_removed") > col("n_docs")).count() == 0)
+    assert(sv.filter(col("removal_share") < 0 || col("removal_share") > 1)
+      .count() == 0)
+    assert(sv.filter(col("tokens_removed") > col("n_tokens")).count() == 0)
+    sv.unpersist(): Unit
+  }
+
   test("embed quantize: saturation, error bound, shuffle-free plan") {
     val q = operators.EmbeddingOps.embedQuantize(spark, sf).cache()
     val n = sources.Tables.embeddings(spark, sf).count()
