@@ -714,6 +714,104 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** B35: `q_nation_trade_matrix` — customer-nation × supplier-nation
+    * revenue matrix (TPC-H Q7 flavor without the year split): who buys
+    * from whom, the cross-border trade report over the star schema.
+    *
+    * Scale: ONE fact-fact shuffle (lineitem⋈orders on orderkey); the
+    * customer/supplier joins are unhinted (AQE picks BHJ at test scale,
+    * SMJ at 100 TB) and both nation lookups broadcast a fixed dim. The
+    * final aggregate lands on the ≤ nations² key space with map-side
+    * partials. Exact cents revenue, deterministic matrix order. */
+  def nationTradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
+          .as("rev_u"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_u").as("rev_u"))
+      .select(col("cust_nation"), col("supp_nation"), col("n_lines"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
+  val nationTradeMatrixSql: String = """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+        (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+        AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  /** B36: `q_shipping_delay` — order-to-ship latency per order priority
+    * (TPC-H Q4 flavor as a latency report): exact integer day gaps between
+    * o_orderdate and each line's l_shipdate, with mean/extremes and the
+    * late-line share (> 90 days) per priority — the fulfilment-SLA report.
+    *
+    * Exactness: day gaps are exact integers; mean and late share are one
+    * final division each; priority is a closed enum so the output is
+    * schema-stable.
+    *
+    * Scale: ONE fact-fact shuffle (lineitem⋈orders on orderkey — the date
+    * columns ride it), then map-side partials onto the 5-row priority key
+    * space. No window, no second scan. */
+  def shippingDelay(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("delay_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("delay_days").as("delay_sum"),
+        min("delay_days").as("min_delay"),
+        max("delay_days").as("max_delay"),
+        sum(when(col("delay_days") > 90, 1L).otherwise(0L)).as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        (col("delay_sum").cast("double") / col("n_lines").cast("double"))
+          .as("avg_delay_days"),
+        col("min_delay"), col("max_delay"),
+        (col("n_late").cast("double") / col("n_lines").cast("double"))
+          .as("late_share"))
+      .orderBy("o_orderpriority")
+
+  val shippingDelaySql: String = """
+    WITH d AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+      CAST(SUM(delay_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_delay_days,
+      MIN(delay_days) AS min_delay,
+      MAX(delay_days) AS max_delay,
+      CAST(SUM(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS late_share
+    FROM d
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   /** B34: `q_supplier_scorecard` — per-supplier performance report: line
     * volume, discounted revenue, catalog breadth (distinct parts shipped),
     * mean discount given and return rate, with the supplier's nation

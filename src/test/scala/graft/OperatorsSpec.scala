@@ -958,6 +958,27 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("nation trade matrix: line conservation, bounded cells") {
+    val m = operators.Analytics.nationTradeMatrix(spark, sf).cache()
+    val li = sources.Tables.lineitem(spark, sf)
+    assert(m.agg(sum("n_lines")).head.getLong(0) == li.count())
+    val nNations = sources.Tables.nation(spark, sf).count()
+    assert(m.count() <= nNations * nNations)
+    assert(m.filter(col("revenue") < 0).count() == 0)
+    m.unpersist(): Unit
+  }
+
+  test("shipping delay: conservation, ordered stats, bounded share") {
+    val d = operators.Analytics.shippingDelay(spark, sf).cache()
+    assert(d.agg(sum("n_lines")).head.getLong(0) ==
+      sources.Tables.lineitem(spark, sf).count())
+    assert(d.filter(col("min_delay") > col("avg_delay_days") ||
+      col("avg_delay_days") > col("max_delay")).count() == 0)
+    assert(d.filter(col("late_share") < 0 || col("late_share") > 1)
+      .count() == 0)
+    d.unpersist(): Unit
+  }
+
   test("multimodal frames: byte conservation, geometry, matches frameSample") {
     val fr = operators.MultimodalOps.multimodalFrames(spark, sf).cache()
     val docs = sources.Tables.documents(spark, sf)
