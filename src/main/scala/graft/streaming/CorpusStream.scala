@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** D12: streaming twin of Pipeline.corpusPipeline (C17) — the whole
+  * training-corpus curation chain run CONTINUOUSLY over an incoming
+  * document stream: quality gate → language gate → exact content dedup →
+  * PII scrub, the online face of the reference's scheduled ingest
+  * (/root/reference/app/api/scheduler_endpoints.py runs the batch version
+  * on a timer; this never stops).
+  *
+  * The gates and the scrub are the SAME narrow column primitives the batch
+  * pipeline composes ([[TextOps.qualityScoreCol]]/[[TextOps.langPredCol]]/
+  * [[TextOps.scrubCol]]) — stateless, codegen'd, zero per-row state. The
+  * only stateful stage is the dedup, delegated to [[DedupStream.dedup]]:
+  * 16-byte-hash state, watermark-evicted, O(horizon distinct hashes)
+  * regardless of document size.
+  *
+  * Keeper semantics: the batch twin keeps min doc_id per content hash; the
+  * stream keeps the FIRST ARRIVAL. When arrival order follows doc_id (an
+  * append-only feed), the two agree row-for-row — spec-pinned with
+  * duplicates straddling micro-batches.
+  */
+object CorpusStream {
+
+  /** Continuous curation. Input needs (doc_id, source, lang, text, `tsCol`:
+    * timestamp); emits the batch twin's schema. Works on a streaming or
+    * batch DataFrame (batch degrades the dedup to dropDuplicates). */
+  def curate(docs: DataFrame, minQuality: Double = 0.0,
+             tsCol: String = "ts",
+             watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("quality_score", TextOps.qualityScoreCol(col("text")))
+      .withColumn("lang_predicho", TextOps.langPredCol(col("text")))
+      .filter(col("quality_score") >= minQuality &&
+        col("lang_predicho") === col("lang"))
+    DedupStream.dedup(gated, "text", tsCol, watermark)
+      .select(col("doc_id"), col("source"), col("lang_predicho"),
+        col("quality_score"),
+        TextOps.scrubCol(col("text")).as("texto_limpio"),
+        TextOps.redactionsCol(col("text")).as("n_redacciones"))
+  }
+}

@@ -381,6 +381,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", 1L), (2L, "B", 3L), (3L, "c", 1L)))
   }
 
+  test("D12 CorpusStream curation equals batch C17 with dups across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the same feed the batch pipeline curates, arriving in doc_id order
+    // (append-only feed) with a synthetic event time
+    val rows = graft.sources.Feeds.documentsWithPii(sp, sf)
+      .orderBy("doc_id")
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Long, String, String, String)]
+    val out = CorpusStream.curate(
+      in.toDF().toDF("doc_id", "source", "lang", "text")
+        .withColumn("ts", expr("timestamp_millis(1700000000000 + doc_id)")))
+      .drop("ts")
+    val q = out.writeStream.format("memory").queryName("d12_out")
+      .outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d12_out")
+      val batch = graft.operators.Pipeline.corpusPipeline(sp, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("D11 AnomalyStream max-rev generation equals the batch twin exactly") {
     val sp = spark
     import sp.implicits._
