@@ -27,6 +27,13 @@ object Export {
   def partitionedParquet(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** ORC export — the interchange format for warehouse stacks standardized
+    * on ORC (Hive/Trino lakes); columnar + predicate-pushdown-capable like
+    * parquet, so the engine's scan-side pruning guarantees carry over.
+    * Snappy to match the parquet sinks' codec choice. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "snappy").orc(path)
+
   /** Small-file compaction — the operational chore every incremental lake
     * accumulates (a streaming sink or hourly batch leaves thousands of
     * KB-sized files; scans then pay one task + one open per file). Sizes

@@ -40,6 +40,13 @@ object Tables {
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
 
+  /** ORC read — the scan-side twin of [[Export.orc]]. Plain `spark.read`
+    * so Catalyst pushes filters and prunes columns into the ORC reader
+    * exactly as it does for parquet (PushedFilters/ReadSchema verified in
+    * the roundtrip spec). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-drift-tolerant parquet read: conform files written under
     * EVOLVING schemas (new columns added, old ones retired, files reordered)
     * to one canonical schema — the read side of the lake chore `compact` is

@@ -119,6 +119,26 @@ class ExportSpec extends SparkSpec {
       == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("orc roundtrip preserves rows; filters push into the ORC scan") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("orc") + "/t"
+    val df = sources.Tables.lineitem(sp, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    Export.orc(df, dir)
+    val back = sources.Tables.readOrc(sp, dir)
+    assert(back.count() == df.count())
+    assert(back.schema == df.schema)
+    // exact row fidelity
+    assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+    // scan-side pruning carries over: pushed filter + minimal ReadSchema
+    val plan = back.filter(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+      .select("l_partkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"), plan)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), plan)
+  }
+
   test("compact bin-packs small files, preserves rows, publishes atomically") {
     val sp = spark
     import sp.implicits._
