@@ -168,6 +168,79 @@ object Etl {
     WHERE cantidad > 0 AND precio_neto_unitario > 0
     ORDER BY id_documento, numero_linea"""
 
+  /** Sample size per (entity, reason) for [[quarantineSamples]]. */
+  val QuarantineK: Int = 5
+
+  /** A14: `q_quarantine_samples` — the first-k quarantined rows per
+    * (entity, reason): hard rejects (product with no price-list-2 row —
+    * the reference's "SIN PRECIO en lista 2 - OMITIDO" log line,
+    * etl_service.py:588-594) and soft warnings (incoherent document
+    * amounts, incoherent line totals, negative margins) — the sample a
+    * sync operator reads FIRST when a run report (A13) shows nonzero
+    * skips, mirroring the reference's per-row skip logging.
+    *
+    * Determinism: samples are the k SMALLEST ids per reason (id +
+    * line tie-break), never "any k".
+    *
+    * Scale: each quarantine slice is a narrow filter off the SAME
+    * validator plans the load runs (no second rule encoding that could
+    * drift); the per-reason window is rank ≤ k over a closed 4-reason key
+    * space, so Spark's WindowGroupLimit prunes to k rows per partition
+    * map-side before the single tiny shuffle. */
+  def quarantineSamples(spark: SparkSession, dir: String): DataFrame = {
+    val noPrice = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id_producto"))
+      .join(Feeds.priceList(spark, dir), Seq("id_producto"), "left_anti")
+      .select(lit("producto").as("entidad"),
+        lit("SIN_PRECIO_LISTA_2").as("motivo"),
+        col("id_producto").as("id_registro"), lit(0).cast("int").as("id_detalle"))
+    val negMargin = validateProducts(spark, dir)
+      .filter(col("margen_negativo"))
+      .select(lit("producto").as("entidad"),
+        lit("MARGEN_NEGATIVO").as("motivo"),
+        col("id_producto").as("id_registro"), lit(0).cast("int").as("id_detalle"))
+    val docsIncoherent = validateDocuments(spark, dir)
+      .filter(!col("montos_coherentes"))
+      .select(lit("documento").as("entidad"),
+        lit("MONTOS_INCOHERENTES").as("motivo"),
+        col("id_documento").as("id_registro"), lit(0).cast("int").as("id_detalle"))
+    val linesIncoherent = validateDetails(spark, dir)
+      .filter(!col("linea_coherente"))
+      .select(lit("detalle").as("entidad"),
+        lit("LINEA_INCOHERENTE").as("motivo"),
+        col("id_documento").as("id_registro"),
+        col("numero_linea").cast("int").as("id_detalle"))
+    val w = Window.partitionBy("entidad", "motivo")
+      .orderBy(col("id_registro").asc, col("id_detalle").asc)
+    noPrice.unionByName(negMargin).unionByName(docsIncoherent)
+      .unionByName(linesIncoherent)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= QuarantineK)
+      .orderBy("entidad", "motivo", "rn")
+  }
+
+  val quarantineSamplesSql: String = s"""
+    WITH q AS (
+      SELECT 'producto' AS entidad, 'SIN_PRECIO_LISTA_2' AS motivo,
+        p_partkey AS id_registro, 0 AS id_detalle
+      FROM part WHERE p_partkey NOT IN (
+        SELECT id_producto FROM (${Feeds.priceListSql}))
+      UNION ALL
+      SELECT 'producto', 'MARGEN_NEGATIVO', id_producto, 0
+      FROM ($validateProductsSql) WHERE margen_negativo
+      UNION ALL
+      SELECT 'documento', 'MONTOS_INCOHERENTES', id_documento, 0
+      FROM ($validateDocumentsSql) WHERE NOT montos_coherentes
+      UNION ALL
+      SELECT 'detalle', 'LINEA_INCOHERENTE', id_documento,
+        CAST(numero_linea AS INT)
+      FROM ($validateDetailsSql) WHERE NOT linea_coherente)
+    SELECT entidad, motivo, id_registro, id_detalle, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY entidad, motivo
+        ORDER BY id_registro ASC, id_detalle ASC) AS BIGINT) AS rn
+      FROM q) WHERE rn <= $QuarantineK
+    ORDER BY entidad, motivo, rn"""
+
   // ---- A5: keyed upsert / MERGE (etl_service.py:252-293) ---------------
   /** Generic latest-wins keyed merge: one shuffle on the key, window
     * row_number, no driver-side loop (the reference loops 50-row MERGE

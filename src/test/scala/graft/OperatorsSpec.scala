@@ -958,6 +958,23 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("quarantine samples: k-bounded, smallest ids, all reasons populated") {
+    val q = operators.Etl.quarantineSamples(spark, sf).cache()
+    val k = operators.Etl.QuarantineK
+    // every (entity, reason) group is non-empty and capped at k
+    val groups = q.groupBy("entidad", "motivo")
+      .agg(count(lit(1)).as("n"), max("rn").as("mr"))
+    assert(groups.count() == 4, "all four quarantine reasons populated")
+    assert(groups.filter(col("n") > k || col("mr") > k).count() == 0)
+    // the no-price sample is exactly the k smallest rejected part ids
+    val expect = sources.Tables.part(spark, sf)
+      .filter(col("p_partkey") % 53 === 0)
+      .agg(min("p_partkey")).head.getLong(0)
+    assert(q.filter(col("motivo") === "SIN_PRECIO_LISTA_2" && col("rn") === 1)
+      .head.getLong(2) == expect)
+    q.unpersist(): Unit
+  }
+
   test("nation trade matrix: line conservation, bounded cells") {
     val m = operators.Analytics.nationTradeMatrix(spark, sf).cache()
     val li = sources.Tables.lineitem(spark, sf)
