@@ -714,6 +714,54 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** B37: `q_events_dau_wau` — daily/weekly active users over the event
+    * stream, the engagement report every product dashboard leads with.
+    * WAU(d) counts distinct users active in [d−6, d].
+    *
+    * Exactness: days are exact integer epoch-day indices off the nanos
+    * column; both distincts are exact; the stickiness ratio is one final
+    * division.
+    *
+    * Scale: the raw scan partial-aggregates to DISTINCT (user, day) first
+    * (one shuffle, map-side combine collapses each user's intra-day
+    * events); the rolling window is a CONSTANT ×7 integer explode of those
+    * collapsed rows — never a per-day rescan or an unbounded window — and
+    * the second distinct shuffles (user, report_day) once more. Report
+    * days are clamped to the observed day span so trailing partial windows
+    * don't fabricate days. */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .distinct()
+      .groupBy("report_day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("report_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val eventsDauWauSql: String = """
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+        CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+      FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day),
+    wau AS (
+      SELECT report_day, COUNT(*) AS wau FROM (
+        SELECT DISTINCT user_id, CAST(u.rd AS BIGINT) AS report_day
+        FROM user_days, LATERAL unnest(range(day, day + 7)) u(rd))
+      GROUP BY report_day)
+    SELECT day, dau, wau,
+      CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON day = report_day
+    ORDER BY day"""
+
   /** B35: `q_nation_trade_matrix` — customer-nation × supplier-nation
     * revenue matrix (TPC-H Q7 flavor without the year split): who buys
     * from whom, the cross-border trade report over the star schema.

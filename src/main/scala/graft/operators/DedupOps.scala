@@ -522,6 +522,42 @@ object DedupOps {
     FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
 
+  /** C39: `q_dedup_cluster_sizes` — the duplicate-cluster size distribution
+    * over C18's connected components: how many clusters of each size the
+    * candidate graph contains, how many docs they hold, and how many a
+    * cluster-collapse would remove — the QA report that tells a pipeline
+    * whether its near-dup graph looks like scattered pairs or one
+    * pathological mega-cluster (the classic LSH failure mode a stop-gram /
+    * banding bug produces — exactly what the round-5 hash-family fix was
+    * about; this report is how you SEE it).
+    *
+    * Scale: rides the C18 component labels (O(log diameter) rounds, its
+    * own audit); the roll-ups shuffle label-keyed then land on the ≤
+    * max-cluster-size key space. All integer counts. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupComponents(spark, dir)
+      .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("docs_removable"))
+      .orderBy("cluster_size")
+
+  val dedupClusterSizesSql: String = s"""
+    WITH comp AS ($dedupComponentsSql)
+    SELECT cluster_size, n_clusters,
+      cluster_size * n_clusters AS n_docs,
+      (cluster_size - 1) * n_clusters AS docs_removable
+    FROM (
+      SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        COUNT(*) AS n_clusters
+      FROM (
+        SELECT component_id, COUNT(*) AS cluster_size
+        FROM comp GROUP BY component_id)
+      GROUP BY 1)
+    ORDER BY cluster_size"""
+
   /** C38: `q_dedup_savings` — the before/after accounting of exact dedup
     * (C1), per source: how many docs / tokens / chars dedup REMOVES — the
     * number a pipeline reports next to its datasheet (C31) when deciding

@@ -958,6 +958,28 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("DAU/WAU: wau bounds dau, first day equal, stickiness bounded") {
+    val d = operators.Analytics.eventsDauWau(spark, sf).cache()
+    assert(d.filter(col("wau") < col("dau")).count() == 0)
+    // the first observed day has no prior days in its window
+    val first = d.orderBy("day").limit(1).head
+    assert(first.getLong(1) == first.getLong(2))
+    assert(d.filter(col("stickiness") <= 0 || col("stickiness") > 1)
+      .count() == 0)
+    d.unpersist(): Unit
+  }
+
+  test("cluster sizes: doc conservation against the components run") {
+    val cs = operators.DedupOps.dedupClusterSizes(spark, sf).cache()
+    val comp = operators.DedupOps.dedupComponents(spark, sf)
+    assert(cs.agg(sum("n_docs")).head.getLong(0) == comp.count())
+    // removable = docs − clusters, rowwise and in total
+    assert(cs.filter(col("docs_removable") =!=
+      col("n_docs") - col("n_clusters")).count() == 0)
+    assert(cs.filter(col("cluster_size") < 1).count() == 0)
+    cs.unpersist(): Unit
+  }
+
   test("quarantine samples: k-bounded, smallest ids, all reasons populated") {
     val q = operators.Etl.quarantineSamples(spark, sf).cache()
     val k = operators.Etl.QuarantineK
