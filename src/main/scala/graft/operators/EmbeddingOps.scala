@@ -523,6 +523,59 @@ object EmbeddingOps {
     FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""
 
+  /** C40: `q_ann_recall_report` — the ANN evaluation artifact: recall@10 of
+    * the LSH (C7) and IVF (C13) indexes against the exact brute-force
+    * baseline (C6), per method — the number that decides whether an
+    * approximate index is deployable. The spec-pinned recall floors
+    * (OperatorsSpec) gate regressions; this query MATERIALIZES the metric
+    * so the curation loop can trend it per corpus snapshot, like C32 does
+    * for language ID.
+    *
+    * Exactness: hits/probes/recall are exact integer counts + one final
+    * division (recall is micro-averaged over all probe-neighbor pairs).
+    *
+    * Scale: composes the three ANN plans (each already scale-audited);
+    * the verdict joins key on (probe_id, neighbor_id) — top-k-bounded
+    * rows, k·|probes| each side, dimension-free. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = annBruteforce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = base.join(approx.select(col("probe_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("probe_id", "neighbor_id"), "left")
+      hits.agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(method).as("metodo"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall_at_10"))
+    }
+    recallOf("lsh", annLsh(spark, dir))
+      .unionByName(recallOf("ivf", annIvf(spark, dir)))
+      .orderBy("metodo")
+  }
+
+  val annRecallReportSql: String = s"""
+    WITH base AS (
+      SELECT probe_id, neighbor_id FROM ($annBruteforceSql)),
+    lsh AS (
+      SELECT probe_id, neighbor_id FROM ($annLshSql)),
+    ivf AS (
+      SELECT probe_id, neighbor_id FROM ($annIvfSql))
+    SELECT metodo, n_true, n_hit,
+      CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_at_10
+    FROM (
+      SELECT 'lsh' AS metodo, COUNT(*) AS n_true,
+        CAST(SUM(CASE WHEN l.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM base b LEFT JOIN lsh l
+        ON b.probe_id = l.probe_id AND b.neighbor_id = l.neighbor_id
+      UNION ALL
+      SELECT 'ivf', COUNT(*),
+        CAST(SUM(CASE WHEN i.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base b LEFT JOIN ivf i
+        ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id)
+    ORDER BY metodo"""
+
   /** C36: `q_embed_quantize` — symmetric int8 scalar quantization of the
     * embedding column (the 4× compression every vector store applies before
     * ANN serving): per-vector scale = max |x|, code_i = round(x_i·127 /

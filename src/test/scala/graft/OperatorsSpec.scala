@@ -958,6 +958,19 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("ann recall report: bounded, consistent with the exact baseline") {
+    val r = operators.EmbeddingOps.annRecallReport(spark, sf).cache()
+    assert(r.count() == 2)
+    assert(r.filter(col("n_hit") > col("n_true")).count() == 0)
+    assert(r.filter(col("recall_at_10") < 0 || col("recall_at_10") > 1)
+      .count() == 0)
+    // n_true = 10 per probe in the exact baseline
+    val probes = operators.EmbeddingOps.annBruteforce(spark, sf)
+      .select("probe_id").distinct().count()
+    assert(r.filter(col("n_true") =!= probes * 10).count() == 0)
+    r.unpersist(): Unit
+  }
+
   test("DAU/WAU: wau bounds dau, first day equal, stickiness bounded") {
     val d = operators.Analytics.eventsDauWau(spark, sf).cache()
     assert(d.filter(col("wau") < col("dau")).count() == 0)
