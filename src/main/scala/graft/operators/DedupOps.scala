@@ -522,6 +522,61 @@ object DedupOps {
     FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
 
+  /** C41: `q_doc_novelty` — per-doc 3-gram novelty: the share of a doc's
+    * distinct word-3-grams that appear NOWHERE else in the corpus (df = 1).
+    * Low novelty = boilerplate assembled from phrases the corpus already
+    * contains even when no single document matches (which is why C2/C4
+    * pair-dedup can't see it); the Gopher-style repetition signals (C23)
+    * catch WITHIN-doc repetition, this catches ACROSS-doc phrase reuse.
+    *
+    * Exactness: integer gram counts, one final division; docs with < 3
+    * tokens carry no grams and are excluded (novelty undefined).
+    *
+    * Scale: linear — the distinct (doc, gram) stream shuffles keyed on the
+    * gram for the df count and the df join (the same bounded-fanout keying
+    * as C4, no pair expansion at all), then once on doc_id for the roll-up.
+    * The gram stream is cache()d: its two consumers prune different
+    * columns, which defeats ReuseExchange (same lesson as C4). */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+                       element_at(toks, i + 3))))""")).as("gram"))
+      .cache()
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val docNoveltySql: String = """
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
+          toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)] || ' ' ||
+          toks[CAST(i + 3 AS INT)]))) AS gram
+      FROM d WHERE len(toks) >= 3),
+    df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+      CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM g JOIN df ON g.gram = df.gram
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id"""
+
   /** C39: `q_dedup_cluster_sizes` — the duplicate-cluster size distribution
     * over C18's connected components: how many clusters of each size the
     * candidate graph contains, how many docs they hold, and how many a

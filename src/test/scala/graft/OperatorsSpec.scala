@@ -958,6 +958,21 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("doc novelty: bounded, exact dups have zero novelty, non-vacuous") {
+    val nv = operators.DedupOps.docNovelty(spark, sf).cache()
+    assert(nv.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    assert(nv.filter(col("n_unique") > col("n_grams")).count() == 0)
+    // a doc with an exact duplicate shares every gram → novelty 0
+    val dupDocs = operators.DedupOps.dedupExact(spark, sf)
+      .filter(col("n_copies") > 1).select(col("keep_doc_id").as("doc_id"))
+    assert(nv.join(dupDocs, Seq("doc_id"))
+      .filter(col("novelty") =!= 0.0).count() == 0)
+    // both signal levels occur on this corpus
+    assert(nv.filter(col("novelty") === 0.0).count() > 0)
+    assert(nv.filter(col("novelty") > 0.5).count() > 0)
+    nv.unpersist(): Unit
+  }
+
   test("ann recall report: bounded, consistent with the exact baseline") {
     val r = operators.EmbeddingOps.annRecallReport(spark, sf).cache()
     assert(r.count() == 2)
