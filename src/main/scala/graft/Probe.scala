@@ -16,7 +16,9 @@ object Probe {
         "q_corpus_pipeline", "q_events_asof", "q_events_range_join",
         "q_events_cms", "q_text_top_terms",
         "q_funnel_conversion", "q_doc_chunk", "q_order_quantiles_hist",
-        "q_corpus_decontaminate", "q_part_affinity", "q_events_anomaly")
+        "q_corpus_decontaminate", "q_part_affinity", "q_events_anomaly",
+        "q_modal_consistency", "q_abc_classification", "q_semantic_dedup",
+        "q_events_dau_wau", "q_doc_novelty")
     for (q <- qs) {
       println(s"########## $q")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
