@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Dev tool: whole-surface plan hazard sweep. For every registered query,
+  * flags the two shapes that pass local tests but die at 100 TB:
+  *
+  *  - an EXPLICIT `broadcast()` hint over a subtree that scans a FACT
+  *    table (orders / lineitem / events / documents / embeddings) with no
+  *    aggregate reduction below the hint — the build side scales with the
+  *    data, so the forced driver-side build OOMs at scale. (Planner-chosen
+  *    broadcasts are NOT flagged: AQE re-decides them per scale. Hinted
+  *    subtrees that are filter-bounded — probe batches, centroid caps,
+  *    eval slices — are vetted in [[knownBounded]], justification in the
+  *    operator's scaladoc.)
+  *  - a Window with an empty partition spec — every row lands in ONE
+  *    partition; fine only when the input is provably bounded (catalog,
+  *    histogram, matrix), vetted the same way.
+  *
+  * Anything NEW is a regression to investigate. Run:
+  * `sbt "runMain graft.Audit"`. */
+object Audit {
+
+  private val factTables =
+    Set("orders", "lineitem", "events", "documents", "embeddings")
+
+  /** (query, hazard) pairs audited as fine — see each operator's scaladoc. */
+  val knownBounded: Set[(String, String)] = Set(
+    // catalog-bounded cumulative windows (one row per part before the sort)
+    ("q_abc_classification", "global-window"),
+    // histogram-bounded cumulative window (distinct cents values)
+    ("q_order_quantiles_hist", "global-window"),
+    // ≤ types² transition matrix / ≤ langs² confusion matrix windows
+    ("q_events_markov", "global-window"),
+    ("q_text_lang_confusion", "global-window"),
+    // calendar-bounded monthly feature matrix
+    ("q_sales_forecast_features", "global-window"),
+    // ANN probe batches: vec_id % 100 under a fixed cap (ProbeBatch) —
+    // filter-bounded, no aggregate, O(batch) at any corpus size
+    ("q_ann_bruteforce", "hinted-fact-broadcast:embeddings"),
+    ("q_ann_lsh", "hinted-fact-broadcast:embeddings"),
+    ("q_ann_ivf", "hinted-fact-broadcast:embeddings"),
+    ("q_ann_recall_report", "hinted-fact-broadcast:embeddings"),
+    // IVF centroid set: vec_id ≡ 50 (mod 100) under the IvfK cap
+    ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
+    // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
+    // whose gram explosion is eval-sized, never corpus-sized
+    ("q_corpus_decontaminate", "hinted-fact-broadcast:documents")
+  )
+
+  /** Explicit broadcast hints whose subtree scans a fact table and carries
+    * no Aggregate below the hint (an aggregate onto bounded keys is the
+    * standard safe reduction; filter-bounded subtrees must be vetted). */
+  private def hintHazards(lp: LogicalPlan): Seq[String] =
+    lp.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }.flatMap { h =>
+      val hasAgg = h.child.collectFirst { case a: Aggregate => a }.isDefined
+      if (hasAgg) Seq.empty
+      else h.child.collect { case r: LogicalRelation =>
+        val path = r.relation match {
+          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            hfs.location.rootPaths.headOption.map(_.getName).getOrElse("")
+          case _ => ""
+        }
+        factTables.find(t => path.contains(t))
+          .map(t => s"hinted-fact-broadcast:$t")
+      }.flatten
+    }
+
+  private def windowHazards(p: SparkPlan): Seq[String] = {
+    val here = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq("global-window")
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(windowHazards)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    var newFindings = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val qe = fn(spark, dir).queryExecution
+        val hazards =
+          (hintHazards(qe.analyzed) ++ windowHazards(qe.executedPlan)).distinct
+        hazards.foreach { h =>
+          if (knownBounded.contains((name, h))) println(s"known   $name  $h")
+          else { newFindings += 1; println(s"NEW     $name  $h") }
+        }
+      } catch { case e: Throwable =>
+        println(s"ERROR   $name  ${e.getMessage.take(120)}")
+      }
+      spark.catalog.clearCache()
+    }
+    println(s"== audit done, $newFindings new finding(s) ==")
+    spark.stop()
+  }
+}
