@@ -523,6 +523,65 @@ object EmbeddingOps {
     FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""
 
+  /** Hard-negative rank band for C42 — neighbors ranked
+    * ([[HardNegLo]], [[HardNegHi]]] by cosine: past the true-neighbor zone
+    * (those are the positives, rank ≤ 10) but still close enough to the
+    * decision boundary to be informative. */
+  val HardNegLo: Int = 10
+  val HardNegHi: Int = 30
+
+  /** C42: `q_ann_hard_negatives` — hard-negative mining for embedding-model
+    * training: for each probe, the neighbors ranked just BELOW the top-k
+    * positives (rank 11-30 by cosine) — semantically close but not
+    * duplicates, exactly the contrastive negatives that make a retrieval
+    * model learn the boundary (random negatives are too easy; top-k are
+    * false negatives). Same exact-scored ranking as C6 so positives and
+    * negatives come from ONE consistent ordering.
+    *
+    * Scale: identical shape to C6 — fixed-size probe batch broadcast, one
+    * corpus pass per batch, per-probe rank window over the probe's scored
+    * stream; the band filter keeps ≤ (hi−lo) rows per probe. */
+  def annHardNegatives(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val probes = v.filter(probeFilter(probeLo, probeBatch))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("n2").as("p_n2"))
+    val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") > HardNegLo && col("rnk") <= HardNegHi)
+      .select("probe_id", "neighbor_id", "cosine", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  val annHardNegativesSql: String = s"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    s AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+        list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+          CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
+      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100}
+                      AND e.vec_id <> p.vec_id)
+    SELECT probe_id, neighbor_id, cosine, rnk FROM (
+      SELECT probe_id, neighbor_id, cosine,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s) WHERE rnk > $HardNegLo AND rnk <= $HardNegHi
+    ORDER BY probe_id, rnk"""
+
   /** C40: `q_ann_recall_report` — the ANN evaluation artifact: recall@10 of
     * the LSH (C7) and IVF (C13) indexes against the exact brute-force
     * baseline (C6), per method — the number that decides whether an

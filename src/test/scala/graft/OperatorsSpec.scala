@@ -958,6 +958,27 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("hard negatives: rank band disjoint from top-k, same ordering as C6") {
+    val hn = operators.EmbeddingOps.annHardNegatives(spark, sf).cache()
+    val lo = operators.EmbeddingOps.HardNegLo
+    val hi = operators.EmbeddingOps.HardNegHi
+    assert(hn.filter(col("rnk") <= lo || col("rnk") > hi).count() == 0)
+    // disjoint from the positives: no (probe, neighbor) also in C6's top-10
+    val top = operators.EmbeddingOps.annBruteforce(spark, sf)
+      .select("probe_id", "neighbor_id")
+    assert(hn.select("probe_id", "neighbor_id").intersect(top).count() == 0)
+    // per probe: exactly hi−lo negatives (corpus is large enough here) and
+    // every negative's cosine ≤ that probe's weakest positive
+    val band = hn.groupBy("probe_id").agg(count(lit(1)).as("n"),
+      max("cosine").as("best_neg"))
+    assert(band.filter(col("n") =!= (hi - lo)).count() == 0)
+    val weakest = operators.EmbeddingOps.annBruteforce(spark, sf)
+      .groupBy(col("probe_id").as("p2")).agg(min("cosine").as("worst_pos"))
+    assert(band.join(weakest, col("probe_id") === col("p2"))
+      .filter(col("best_neg") > col("worst_pos")).count() == 0)
+    hn.unpersist(): Unit
+  }
+
   test("doc novelty: bounded, exact dups have zero novelty, non-vacuous") {
     val nv = operators.DedupOps.docNovelty(spark, sf).cache()
     assert(nv.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
