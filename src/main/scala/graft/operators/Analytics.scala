@@ -714,6 +714,58 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** B39: `q_price_elasticity` — least-squares slope of quantity vs
+    * discount per brand (how much an extra point of discount moves
+    * volume): the demand-side feature a pricing model starts from,
+    * computed like B26's anomaly stats — from EXACT INTEGER MOMENTS
+    * (n, Σx, Σy, Σxy, Σx²) so the fold is order-independent, with the
+    * classic OLS formula (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluated in ONE
+    * double division at the end. Zero x-variance brands → NULL slope,
+    * never ±inf.
+    *
+    * Scale: one partial-aggregated shuffle from the fact scan onto the
+    * brand key space (x = integer discount points, y = integer quantity —
+    * both tiny longs); the part join attaches the brand BEFORE the roll-up
+    * with AQE picking the strategy. Moment magnitudes: Σxy ≤ 10·50·rows —
+    * a long holds it past 10¹⁶ rows. */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), cents(col("l_discount")).as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+    val m = joined.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = m("n") * m("sxx") - m("sx") * m("sx")
+    m.select(col("p_brand"), col("n"),
+        (col("sx").cast("double") / col("n").cast("double")).as("avg_disc_pct"),
+        (col("sy").cast("double") / col("n").cast("double")).as("avg_qty"),
+        when(den > 0, (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / den.cast("double")).as("slope_qty_per_pct"))
+      .orderBy("p_brand")
+  }
+
+  val priceElasticitySql: String = """
+    WITH m AS (
+      SELECT p_brand, COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM (
+        SELECT p_brand,
+          CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+          CAST(l_quantity AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      GROUP BY p_brand)
+    SELECT p_brand, n,
+      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS avg_disc_pct,
+      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS avg_qty,
+      CASE WHEN n * sxx - sx * sx > 0
+        THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      END AS slope_qty_per_pct
+    FROM m
+    ORDER BY p_brand"""
+
   /** B37: `q_events_dau_wau` — daily/weekly active users over the event
     * stream, the engagement report every product dashboard leads with.
     * WAU(d) counts distinct users active in [d−6, d].

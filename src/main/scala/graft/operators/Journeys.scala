@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Exact.{cents, centsToUnits}
 import graft.sources.Tables
 
 /** User-journey analytics over the event stream and order history
@@ -126,4 +127,70 @@ object Journeys {
       FROM w)
     SELECT cohort_ym, months_since, COUNT(*) AS n_customers
     FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** B38: `q_cohort_ltv` — the lifetime-value curve per acquisition cohort:
+    * cumulative revenue per cohort customer by months-since-first-order —
+    * the payback chart next to B23's retention matrix (retention counts
+    * who comes back; LTV counts what they're worth).
+    *
+    * Exactness: revenue accumulates in integer cents along the cumulative
+    * window; cohort size is the month-0 DISTINCT customer count; the
+    * per-customer LTV is one final division.
+    *
+    * Scale: ONE custkey exchange serves both the cohort-month window and
+    * the per-(cohort, month) roll-up feeding it (same reuse as B23); the
+    * cumulative window then runs over the ≤ months² (cohort, k) grid,
+    * never raw orders. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        cents(col("o_totalprice")).as("total_c"))
+      .withColumn("cohort_ym", min("ym").over(Window.partitionBy("o_custkey")))
+    val cohortSize = o.filter(col("ym") === col("cohort_ym"))
+      .groupBy(col("cohort_ym").as("cs_ym"))
+      .agg(countDistinct("o_custkey").as("cohort_n"))
+    val grid = o.groupBy(col("cohort_ym"),
+        (col("ym") - col("cohort_ym")).as("months_since"))
+      .agg(sum("total_c").as("rev_c"))
+    val wCum = Window.partitionBy("cohort_ym").orderBy("months_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_rev_c", sum("rev_c").over(wCum))
+      .join(cohortSize, col("cohort_ym") === col("cs_ym"))
+      .select(col("cohort_ym"), col("months_since"), col("cohort_n"),
+        centsToUnits(col("rev_c")).as("revenue"),
+        centsToUnits(col("cum_rev_c")).as("cum_revenue"),
+        (col("cum_rev_c").cast("double") / col("cohort_n").cast("double") /
+          lit(100.0)).as("ltv_per_customer"))
+      .orderBy("cohort_ym", "months_since")
+  }
+
+  val cohortLtvSql: String = """
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders),
+    w AS (
+      SELECT *, MIN(ym) OVER (PARTITION BY o_custkey) AS cohort_ym FROM o),
+    cs AS (
+      SELECT cohort_ym AS cs_ym, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cohort_n
+      FROM w WHERE ym = cohort_ym GROUP BY 1),
+    grid AS (
+      SELECT cohort_ym, ym - cohort_ym AS months_since,
+        CAST(SUM(total_c) AS BIGINT) AS rev_c
+      FROM w GROUP BY 1, 2),
+    c AS (
+      SELECT *, CAST(SUM(rev_c) OVER (PARTITION BY cohort_ym
+        ORDER BY months_since
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+      FROM grid)
+    SELECT cohort_ym, months_since, cohort_n,
+      CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+      CAST(cum_rev_c AS DOUBLE) / 100.0 AS cum_revenue,
+      CAST(cum_rev_c AS DOUBLE) / CAST(cohort_n AS DOUBLE) / 100.0 AS ltv_per_customer
+    FROM c JOIN cs ON cohort_ym = cs_ym
+    ORDER BY cohort_ym, months_since"""
 }

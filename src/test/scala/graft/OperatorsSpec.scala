@@ -958,6 +958,55 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("cohort LTV: cumulative monotone, month-0 matches retention cohort") {
+    val ltv = operators.Journeys.cohortLtv(spark, sf).cache()
+    // cumulative revenue never decreases along a cohort's curve
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cohort_ym").orderBy("months_since")
+    assert(ltv.withColumn("prev", lag("cum_revenue", 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_revenue") < col("prev"))
+      .count() == 0)
+    // month-0 cohort size equals B23's retention month-0 count
+    val ret = operators.Journeys.cohortRetention(spark, sf)
+      .filter(col("months_since") === 0)
+      .select(col("cohort_ym").as("r_ym"), col("n_customers"))
+    assert(ltv.filter(col("months_since") === 0)
+      .join(ret, col("cohort_ym") === col("r_ym"))
+      .filter(col("cohort_n") =!= col("n_customers")).count() == 0)
+    // total revenue conservation: last cum point summed over cohorts
+    val totalRev = ltv.groupBy("cohort_ym").agg(max("cum_revenue").as("m"))
+      .agg(sum("m")).head.getDouble(0)
+    val expect = sources.Tables.orders(spark, sf)
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")))
+      .head.getLong(0) / 100.0
+    assert(math.abs(totalRev - expect) < 1e-6)
+    ltv.unpersist(): Unit
+  }
+
+  test("price elasticity: moment identity on a hand-checked brand") {
+    val e = operators.Analytics.priceElasticity(spark, sf).cache()
+    assert(e.filter(col("n") <= 0).count() == 0)
+    // recompute one brand's slope from raw rows in driver code
+    val brand = e.head.getString(0)
+    val rows = sources.Tables.lineitem(spark, sf)
+      .join(sources.Tables.part(spark, sf)
+        .filter(col("p_brand") === brand).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select(expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .collect()
+    val n = rows.length.toLong
+    val sx = rows.map(_.getLong(0)).sum; val sy = rows.map(_.getLong(1)).sum
+    val sxy = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val sxx = rows.map(r => r.getLong(0) * r.getLong(0)).sum
+    val den = n * sxx - sx * sx
+    val expect = if (den > 0) (n * sxy - sx * sy).toDouble / den.toDouble
+                 else Double.NaN
+    val got = e.filter(col("p_brand") === brand).head.getDouble(4)
+    assert(got == expect)
+    e.unpersist(): Unit
+  }
+
   test("hard negatives: rank band disjoint from top-k, same ordering as C6") {
     val hn = operators.EmbeddingOps.annHardNegatives(spark, sf).cache()
     val lo = operators.EmbeddingOps.HardNegLo
