@@ -62,4 +62,25 @@ object EventStream {
       .agg(count(lit(1)).as("n_eventos"), sum(col("val_c")).as("sum_c"))
       .select(col("win.start").as("inicio"), col("event_type"),
         col("n_eventos"), centsToUnits(col("sum_c")).as("valor_total"))
+
+  /** D13: streaming daily-active-users (B37's streaming face) — per-day
+    * event count plus an HLL distinct-users sketch. Exact streaming
+    * distinct would hold O(users/day) state per open window; the repo's
+    * mergeable HLL aggregate (`graft_hll_sketch`, same algebra as B20/D8)
+    * holds O(1) registers per day instead, watermark-closed. The estimate
+    * is deterministic, so the two-micro-batch ≡ one-batch equality is
+    * spec-pinned bit-for-bit, sketch column included. */
+  def dailyActive(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    graft.functions.Kernels.register(events.sparkSession)
+    val am2 = graft.functions.Kernels.HllAlphaM2
+    events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 day").as("win"), col("user_id"))
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_eventos"),
+        expr("graft_hll_sketch(user_id)").as("regs"))
+      .select(col("win.start").as("dia"), col("n_eventos"),
+        expr(s"""CAST($am2 AS DOUBLE) / aggregate(regs, CAST(0 AS DOUBLE),
+             (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))""").as("hll_dau"))
+  }
 }

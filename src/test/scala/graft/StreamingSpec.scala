@@ -381,6 +381,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", 1L), (2L, "B", 3L), (3L, "c", 1L)))
   }
 
+  test("D13 dailyActive: two micro-batches equal one batch, sketch included") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = sources.Tables.events(sp, sf)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+      .as[(Timestamp, Long)].collect().toSeq.sortBy(_._1.getTime)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = EventStream.dailyActive(in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("d13_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d13_out")
+      val batch = EventStream.dailyActive(
+        rows.toDF("ts", "user_id"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      // the estimate is positive and events conserve
+      assert(streamed.agg(sum("n_eventos")).head.getLong(0) == rows.size)
+      assert(streamed.filter(col("hll_dau") <= 0).count() == 0)
+    } finally q.stop()
+  }
+
   test("D12 CorpusStream curation equals batch C17 with dups across batches") {
     val sp = spark
     import sp.implicits._
