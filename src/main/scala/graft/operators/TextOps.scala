@@ -597,4 +597,55 @@ object TextOps {
       FROM w WHERE c12 >= $BigramMin)
     WHERE rnk <= $BigramTopK
     ORDER BY w1, rnk"""
+
+  /** C43: `q_text_length_histogram` — token-length distribution per source
+    * in power-of-2 buckets: the planning input for chunking (C22) and
+    * packing (C28) — bucket counts tell you the straddler rate and pad
+    * waste a sequence budget will produce BEFORE running either.
+    *
+    * Exactness: the log2 bucket is PURE INTEGER — `length(bin(n)) − 1`
+    * (bit width of the token count), never a libm `log2` whose boundary
+    * ULP could shift a power-of-two doc into the wrong bucket. Zero-token
+    * docs land in bucket −1 ("vacio").
+    *
+    * Scale: one narrow codegen'd pass + a partial-agg shuffle onto the
+    * (source × ~20 buckets) grid. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") === 0, lit(-1L))
+          .otherwise((length(conv(col("n_tok"), 10, 2)) - 1).cast("long")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .select(col("source"), col("bucket"),
+        when(col("bucket") < 0, 0L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+          .as("bucket_lo"),
+        col("n_docs"), col("n_tokens"))
+      .orderBy("source", "bucket")
+
+  val lengthHistogramSql: String = """
+    WITH d AS (
+      SELECT source,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        END AS n_tok
+      FROM documents),
+    b AS (
+      SELECT source, n_tok,
+        CASE WHEN n_tok = 0 THEN CAST(-1 AS BIGINT)
+             ELSE CAST(length(bin(n_tok)) - 1 AS BIGINT) END AS bucket
+      FROM d)
+    SELECT source, bucket,
+      CASE WHEN bucket < 0 THEN 0
+           ELSE CAST(1 AS BIGINT) << CAST(bucket AS INT) END AS bucket_lo,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b
+    GROUP BY source, bucket
+    ORDER BY source, bucket"""
 }

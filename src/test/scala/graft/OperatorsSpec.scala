@@ -958,6 +958,19 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("length histogram: doc/token conservation, exact bit-width buckets") {
+    val h = operators.TextOps.lengthHistogram(spark, sf).cache()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(h.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    // bucket_lo is 2^bucket, and a bucket's tokens sit in [lo·docs, 2·lo·docs)
+    assert(h.filter(col("bucket") >= 0 &&
+      col("bucket_lo") =!= expr("CAST(pow(2, bucket) AS BIGINT)")).count() == 0)
+    assert(h.filter(col("bucket") >= 0 &&
+      (col("n_tokens") < col("bucket_lo") * col("n_docs") ||
+       col("n_tokens") >= col("bucket_lo") * 2 * col("n_docs"))).count() == 0)
+    h.unpersist(): Unit
+  }
+
   test("cohort LTV: cumulative monotone, month-0 matches retention cohort") {
     val ltv = operators.Journeys.cohortLtv(spark, sf).cache()
     // cumulative revenue never decreases along a cohort's curve
