@@ -142,18 +142,25 @@ object Journeys {
     * cumulative window then runs over the ≤ months² (cohort, k) grid,
     * never raw orders. */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    // collapse to customer-months FIRST (partial-agg shuffle), window the
+    // collapsed relation, and cache it: the month grid AND the cohort-size
+    // count both read this bounded (customers × months) relation — without
+    // the cache the cohort-size branch re-scans orders and repeats the
+    // custkey window (seen in the executed plan; scanLeaves-guarded)
+    val cm = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast("long").as("ym"),
         cents(col("o_totalprice")).as("total_c"))
+      .groupBy("o_custkey", "ym").agg(sum("total_c").as("rev_c"))
       .withColumn("cohort_ym", min("ym").over(Window.partitionBy("o_custkey")))
-    val cohortSize = o.filter(col("ym") === col("cohort_ym"))
+      .cache()
+    val cohortSize = cm.filter(col("ym") === col("cohort_ym"))
       .groupBy(col("cohort_ym").as("cs_ym"))
-      .agg(countDistinct("o_custkey").as("cohort_n"))
-    val grid = o.groupBy(col("cohort_ym"),
+      .agg(count(lit(1)).as("cohort_n"))
+    val grid = cm.groupBy(col("cohort_ym"),
         (col("ym") - col("cohort_ym")).as("months_since"))
-      .agg(sum("total_c").as("rev_c"))
+      .agg(sum("rev_c").as("rev_c"))
     val wCum = Window.partitionBy("cohort_ym").orderBy("months_since")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid

@@ -133,6 +133,41 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_part_affinity").contains("Generate"))
   }
 
+  test("supplier scorecard: fact shuffles only for the two-phase distinct") {
+    // the lineitem scan must reach the final per-suppkey aggregate through
+    // AT MOST the two distinct-phase exchanges ((suppkey, partkey) then
+    // suppkey) plus the presentation sort — a fourth data exchange would
+    // mean the dims stopped broadcasting or an extra fact reshuffle
+    val plan = planOf("q_supplier_scorecard")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+  }
+
+  test("ABC classes: fact partial-aggregates to catalog rows before windows") {
+    // the cumulative windows must sit ABOVE the per-part aggregate — a
+    // Window directly over the lineitem scan would sort fact-scaled rows
+    val plan = planOf("q_abc_classification")
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < plan.lastIndexOf("HashAggregate"),
+      plan)
+    assert("Window".r.findAllIn(plan).length == 2, plan)
+  }
+
+  test("cohort LTV: both branches read the cached customer-month relation") {
+    // the month grid and the cohort-size count must consume the ONE cached
+    // windowed customer-month relation — a file leaf in the top-level plan
+    // means a branch re-scanned orders and repeated the custkey window
+    val leaves = scanLeaves("q_cohort_ltv")
+    assert(!leaves.contains("file") && leaves.contains("mem"), leaves)
+  }
+
+  test("quantize and frames stay narrow (no data shuffle before the sort)") {
+    for (q <- Seq("q_embed_quantize", "q_multimodal_frames")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n$plan")
+    }
+  }
+
   test("sketch aggregates partial-aggregate map-side") {
     // both the CMS and HLL aggregates must show a partial_ aggregate pass
     // (objHashAggregate partial before the exchange) — the whole point of a
