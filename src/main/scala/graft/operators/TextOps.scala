@@ -102,6 +102,48 @@ object TextOps {
         + len(regexp_extract_all(text, '${PhoneRe}')) AS n_redacciones
     FROM feed ORDER BY doc_id"""
 
+  /** Tag pattern for C44 — RE2-safe (no backrefs/lookaround), shared
+    * verbatim by operator and oracle. */
+  val TagRe: String = "<[^>]*>"
+
+  /** C44: `q_text_html_strip` — markup scrubbing over the scraped-page feed
+    * ([[Feeds.documentsWithMarkup]]): strip tags, decode the common HTML
+    * entities, collapse the whitespace the removals leave behind — the
+    * boilerplate-cleaning step every web-crawl corpus runs before any
+    * quality/dedup signal (tags would otherwise pollute shingles and token
+    * counts). Narrow codegen'd regexp passes, one scan at any scale;
+    * per-doc tag counts make the report auditable. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    // same expression structure as the oracle: strip tags → decode the
+    // fixed entity set → collapse whitespace (all codegen'd built-ins)
+    val cleaned = expr(s"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace(text, '$TagRe', ' '),
+          '&nbsp;', ' '), '&amp;', '&'), '&aacute;', 'á'),
+          '&lt;', '<'), '&gt;', '>'),
+        '\\\\s+', ' '))""")
+    Feeds.documentsWithMarkup(spark, dir)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit(TagRe)).cast("long").as("n_tags"),
+        cleaned.as("texto_limpio"))
+      .withColumn("tenia_markup", col("n_tags") > 0)
+      .select("doc_id", "source", "tenia_markup", "n_tags", "texto_limpio")
+      .orderBy("doc_id")
+  }
+
+  val htmlStripSql: String = s"""
+    WITH feed AS (${Feeds.documentsWithMarkupSql})
+    SELECT doc_id, source,
+      len(regexp_extract_all(text, '$TagRe')) > 0 AS tenia_markup,
+      CAST(len(regexp_extract_all(text, '$TagRe')) AS BIGINT) AS n_tags,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(
+          regexp_replace(text, '$TagRe', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '&aacute;', 'á'),
+          '&lt;', '<'), '&gt;', '>'),
+        '\\s+', ' ', 'g')) AS texto_limpio
+    FROM feed ORDER BY doc_id"""
+
   /** C9: quality scoring — length/punctuation/stopword/digit ratios folded
     * into a composite score. Per-row double math is bit-identical across
     * engines as long as the expression tree matches the oracle's. */

@@ -154,6 +154,29 @@ object Feeds {
       .select(col("p_partkey").as("id_producto"),
         col("p_retailprice").as("precio_lista"))
 
+  /** Document corpus with a deterministic MARKUP slice — docs with
+    * doc_id % 11 == 0 arrive wrapped in scraped-page debris (tags + HTML
+    * entities), the shape a web-crawl feed actually has; the clean slice
+    * carries none. Gives the markup scrubber
+    * ([[graft.operators.TextOps.htmlStrip]]) real work, like the PII slice
+    * does for the PII scrubber. */
+  def documentsWithMarkup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("<div class=\"post\"><p>"), col("text"),
+            lit("</p><br/>&nbsp;m&aacute;s &amp; info</div>")))
+          .otherwise(col("text")).as("text"))
+
+  /** DuckDB twin of [[documentsWithMarkup]]. */
+  val documentsWithMarkupSql: String = """
+    SELECT doc_id, source, lang,
+      CASE WHEN doc_id % 11 = 0
+        THEN '<div class="post"><p>' || text ||
+             '</p><br/>&nbsp;m&aacute;s &amp; info</div>'
+        ELSE text END AS text
+    FROM documents"""
+
   /** DuckDB twin of [[priceList]]. */
   val priceListSql: String = """
     SELECT p_partkey AS id_producto, p_retailprice AS precio_lista

@@ -958,6 +958,24 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("html strip: markup slice cleaned, clean slice untouched") {
+    val h = operators.TextOps.htmlStrip(spark, sf).cache()
+    // the markup slice is exactly doc_id % 11 == 0, and no tags survive
+    assert(h.filter(col("tenia_markup") =!= (col("doc_id") % 11 === 0))
+      .count() == 0)
+    assert(h.filter(col("texto_limpio")
+      .rlike(operators.TextOps.TagRe)).count() == 0)
+    // clean docs come through with whitespace-normalized text only
+    val clean = h.filter(!col("tenia_markup"))
+      .join(sources.Tables.documents(spark, sf), Seq("doc_id"))
+    assert(clean.filter(col("texto_limpio") =!=
+      trim(regexp_replace(col("text"), "\\s+", " "))).count() == 0)
+    // entities decoded: the injected '&amp;' renders as a bare '&'
+    assert(h.filter(col("tenia_markup") &&
+      !col("texto_limpio").contains("más & info")).count() == 0)
+    h.unpersist(): Unit
+  }
+
   test("length histogram: doc/token conservation, exact bit-width buckets") {
     val h = operators.TextOps.lengthHistogram(spark, sf).cache()
     val docs = sources.Tables.documents(spark, sf)
