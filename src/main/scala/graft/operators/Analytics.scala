@@ -714,6 +714,63 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** B40: `q_seasonality_index` — month-of-year seasonality factors: each
+    * calendar month's average monthly revenue relative to the overall
+    * monthly average (index 1.0 = typical month) — the multiplicative
+    * decomposition factor that pairs with B30's lag features in a demand
+    * forecast.
+    *
+    * Exactness: revenue and month counts are exact integer sums off ONE
+    * (year, month) partial-agg shuffle; the index is computed from those
+    * integers in a fixed double expression (per-month mean / grand mean)
+    * with identical operation order in both engines. The grand totals ride
+    * a 1-row broadcast join (never a global window over the grid).
+    *
+    * Scale: the fact scan collapses to the calendar-bounded (year, month)
+    * grid first; everything after is grid-sized. */
+  def seasonalityIndex(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("anio"),
+        month(col("o_orderdate")).cast("long").as("mes"),
+        cents(col("o_totalprice")).as("total_c"))
+      .groupBy("anio", "mes")
+      .agg(sum("total_c").as("rev_c"), count(lit(1)).as("n_orders"))
+    val perMonth = monthly.groupBy("mes")
+      .agg(sum("rev_c").as("rev_c"), sum("n_orders").as("n_orders"),
+        count(lit(1)).as("n_months"))
+    val totals = monthly.agg(sum("rev_c").as("t_rev"),
+      count(lit(1)).as("t_months"))
+    perMonth.join(broadcast(totals))
+      .select(col("mes"), col("n_months"), col("n_orders"),
+        centsToUnits(col("rev_c")).as("revenue"),
+        ((col("rev_c").cast("double") / col("n_months").cast("double")) /
+          (col("t_rev").cast("double") / col("t_months").cast("double")))
+          .as("index"))
+      .orderBy("mes")
+  }
+
+  val seasonalityIndexSql: String = """
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS anio,
+        CAST(month(o_orderdate) AS BIGINT) AS mes,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2),
+    per_month AS (
+      SELECT mes, CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+        COUNT(*) AS n_months
+      FROM monthly GROUP BY mes),
+    totals AS (
+      SELECT CAST(SUM(rev_c) AS BIGINT) AS t_rev, COUNT(*) AS t_months
+      FROM monthly)
+    SELECT mes, n_months, n_orders,
+      CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+      (CAST(rev_c AS DOUBLE) / CAST(n_months AS DOUBLE)) /
+        (CAST(t_rev AS DOUBLE) / CAST(t_months AS DOUBLE)) AS index
+    FROM per_month, totals
+    ORDER BY mes"""
+
   /** B39: `q_price_elasticity` — least-squares slope of quantity vs
     * discount per brand (how much an extra point of discount moves
     * volume): the demand-side feature a pricing model starts from,

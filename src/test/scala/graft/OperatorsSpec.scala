@@ -958,6 +958,21 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("seasonality index: weighted mean is 1, revenue conserves") {
+    val idx = operators.Analytics.seasonalityIndex(spark, sf).cache()
+    assert(idx.count() == 12)
+    // Σ (index · n_months) / Σ n_months == 1 exactly up to fp assoc error
+    val r = idx.agg(sum(col("index") * col("n_months")).as("wi"),
+      sum("n_months").as("w")).head
+    assert(math.abs(r.getDouble(0) / r.getLong(1).toDouble - 1.0) < 1e-9)
+    val totalRev = idx.agg(sum("revenue")).head.getDouble(0)
+    val expect = sources.Tables.orders(spark, sf)
+      .agg(sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")))
+      .head.getLong(0) / 100.0
+    assert(math.abs(totalRev - expect) < 1e-6)
+    idx.unpersist(): Unit
+  }
+
   test("html strip: markup slice cleaned, clean slice untouched") {
     val h = operators.TextOps.htmlStrip(spark, sf).cache()
     // the markup slice is exactly doc_id % 11 == 0, and no tags survive
