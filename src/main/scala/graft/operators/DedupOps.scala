@@ -522,6 +522,54 @@ object DedupOps {
     FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
 
+  /** Edit-similarity floor for C45 — a candidate pair is a confirmed
+    * near-edit when 1 − lev/maxlen ≥ this. */
+  val EditSimMin: Double = 0.8
+
+  /** C45: `q_dedup_edit_distance` — edit-distance VERIFICATION of the
+    * simhash-band candidates (C14): exact Levenshtein over the normalized
+    * texts of each candidate pair, with the relative edit similarity
+    * (1 − lev/maxlen) and the ≥ [[EditSimMin]] verdict — the classic
+    * fuzzy-dedup two-phase: cheap signatures propose, exact DP disposes.
+    * Levenshtein is uniquely defined, so both engines agree integer-exactly.
+    *
+    * Scale: the O(L²)-per-pair DP runs ONLY on the band-blocked candidate
+    * set — work ∝ candidates, never corpus²; text moves only for those
+    * pairs (two doc-id joins). This is why the banding exists: at 100 TB
+    * the verifier is the expensive step you must keep off the full pair
+    * space. */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
+    dedupSimhashBand(spark, dir)
+      .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("t_a")),
+        Seq("doc_a"))
+      .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("t_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"),
+        (lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b"))).cast("double"))
+          .as("edit_sim"))
+      .withColumn("es_casi_duplicado", col("edit_sim") >= EditSimMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupEditDistanceSql: String = s"""
+    WITH cand AS ($dedupSimhashBandSql),
+    norm AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents)
+    SELECT c.doc_a, c.doc_b, c.hamming,
+      CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev,
+      1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE) /
+        CAST(greatest(length(a.norm), length(b.norm)) AS DOUBLE) AS edit_sim,
+      1.0 - CAST(levenshtein(a.norm, b.norm) AS DOUBLE) /
+        CAST(greatest(length(a.norm), length(b.norm)) AS DOUBLE)
+        >= $EditSimMin AS es_casi_duplicado
+    FROM cand c
+      JOIN norm a ON a.doc_id = c.doc_a
+      JOIN norm b ON b.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b"""
+
   /** C41: `q_doc_novelty` — per-doc 3-gram novelty: the share of a doc's
     * distinct word-3-grams that appear NOWHERE else in the corpus (df = 1).
     * Low novelty = boilerplate assembled from phrases the corpus already

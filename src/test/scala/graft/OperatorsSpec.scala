@@ -958,6 +958,22 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("edit distance: verifies exactly the band candidates, both verdicts") {
+    val ed = operators.DedupOps.dedupEditDistance(spark, sf).cache()
+    val cand = operators.DedupOps.dedupSimhashBand(spark, sf)
+    // one verdict per candidate pair, no pairs invented or lost
+    assert(ed.count() == cand.count())
+    assert(ed.select("doc_a", "doc_b").except(
+      cand.select("doc_a", "doc_b")).count() == 0)
+    // similarity bounded; identical texts → lev 0, sim 1
+    assert(ed.filter(col("edit_sim") > 1).count() == 0)
+    assert(ed.filter(col("lev") === 0 && col("edit_sim") =!= 1.0).count() == 0)
+    // the corpus exercises both verdict branches
+    assert(ed.filter(col("es_casi_duplicado")).count() > 0)
+    assert(ed.filter(!col("es_casi_duplicado")).count() > 0)
+    ed.unpersist(): Unit
+  }
+
   test("seasonality index: weighted mean is 1, revenue conserves") {
     val idx = operators.Analytics.seasonalityIndex(spark, sf).cache()
     assert(idx.count() == 12)
