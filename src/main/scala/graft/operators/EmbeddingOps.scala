@@ -448,6 +448,78 @@ object EmbeddingOps {
     * is a semantic duplicate (kept aligned with C5's near-dup bar). */
   val SemTau: Double = 0.30
 
+  /** |z| threshold for C46's norm outliers. */
+  val NormZ: Double = 3.0
+
+  /** C46: `q_embed_norm_audit` — unit-norm drift QA: embedding stores
+    * normalize their vectors, so every |x|² should sit at 1.0 up to float
+    * rounding; a vector whose drift e = n2 − 1 is a corpus-wide z-score
+    * outlier is the classic symptom of a broken encoder batch (zeros,
+    * double-normalized, truncated) and gets flagged BEFORE any cosine
+    * trusts it. The moments are computed over the drift QUANTIZED to
+    * integer nano-units (round(e·10⁹) — a distributed double sum is
+    * shuffle-order-nondeterministic, integer sums are exact, B26's
+    * pattern); quantizing the DRIFT, not the norm, is what keeps the
+    * spread visible (norm ≈ 1 everywhere) and the squares inside a long
+    * (|e_u| ~ 10³ → Σe² fits past 10¹⁰ rows). Zero variance → NULL z.
+    *
+    * Scale: one narrow kernel pass for n2, a 1-row moments aggregate
+    * broadcast back over the corpus. */
+  def embedNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+      .select(col("vec_id"), col("label"), col("n2"),
+        round((col("n2") - lit(1.0)) * lit(1.0e9)).cast("long").as("eu"))
+    val stats = v.agg(count(lit(1)).as("n"), sum("eu").as("s1"),
+      sum(col("eu") * col("eu")).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val variance = col("s2").cast("double") / col("n").cast("double") -
+      (col("s1").cast("double") / col("n").cast("double")) *
+      (col("s1").cast("double") / col("n").cast("double"))
+    v.crossJoin(broadcast(stats))
+      .withColumn("media_u", mean)
+      .withColumn("varianza_u", variance)
+      .withColumn("z", when(col("varianza_u") > 0,
+        (col("eu").cast("double") - col("media_u")) / sqrt(col("varianza_u"))))
+      .withColumn("atipico", abs(col("z")) > NormZ)
+      .select("vec_id", "label", "n2", "z", "atipico")
+      .orderBy("vec_id")
+  }
+
+  val embedNormAuditSql: String = s"""
+    WITH v AS (
+      SELECT vec_id, label,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    u AS (
+      SELECT vec_id, label, n2,
+        CAST(round((n2 - 1.0) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS eu
+      FROM v),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(eu) AS BIGINT) AS s1,
+        CAST(SUM(eu * eu) AS BIGINT) AS s2
+      FROM u)
+    SELECT vec_id, label, n2,
+      CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        THEN (CAST(eu AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+          sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      END AS z,
+      abs(CASE WHEN CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+          (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+        THEN (CAST(eu AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) /
+          sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+            (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+      END) > $NormZ AS atipico
+    FROM u, stats
+    ORDER BY vec_id"""
+
   /** C35: `q_semantic_dedup` — SemDeDup-style semantic deduplication
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with the
     * coarse quantizer, then WITHIN each cell mark every vector that has a

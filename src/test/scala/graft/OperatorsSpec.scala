@@ -958,6 +958,19 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("norm audit: full coverage, centered z, flag consistent") {
+    val a = operators.EmbeddingOps.embedNormAudit(spark, sf).cache()
+    assert(a.count() == sources.Tables.embeddings(spark, sf).count())
+    // z is standardized: mean ~0 (fp association error only), some spread
+    val stats = a.agg(avg("z").as("m"), max(abs(col("z"))).as("mx")).head
+    assert(math.abs(stats.getDouble(0)) < 1e-6)
+    assert(stats.getDouble(1) > 1.0) // non-degenerate spread
+    // the flag is exactly the |z| > NormZ rule
+    assert(a.filter(col("z").isNotNull && (col("atipico") =!=
+      (abs(col("z")) > operators.EmbeddingOps.NormZ))).count() == 0)
+    a.unpersist(): Unit
+  }
+
   test("edit distance: verifies exactly the band candidates, both verdicts") {
     val ed = operators.DedupOps.dedupEditDistance(spark, sf).cache()
     val cand = operators.DedupOps.dedupSimhashBand(spark, sf)
