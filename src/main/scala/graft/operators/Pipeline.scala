@@ -403,4 +403,73 @@ object Pipeline {
         + len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS n_redacciones
     FROM ded WHERE _rn = 1
     ORDER BY doc_id"""
+  /** C47: `q_source_health` — the per-source curation GATE report: the
+    * signals a pipeline thresholds when deciding whether a source ships
+    * into the next training mix — mean quality score, language-declaration
+    * agreement, exact-duplicate share — next to the volumes C31's
+    * datasheet carries. One documents scan; the only shuffle beyond the
+    * tiny source roll-up is the 16-byte content-hash window for the dup
+    * share.
+    *
+    * Exactness: the per-doc quality score is a deterministic double (same
+    * expression tree as C9), but a distributed double SUM is shuffle-order
+    * nondeterministic — so the mean is computed over the score quantized
+    * to integer nano-units, summed exactly, divided once. All shares are
+    * integer counts with one final division. */
+  def sourceHealth(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        round(TextOps.qualityScoreCol(col("text")) * lit(1.0e9))
+          .cast("long").as("qu"),
+        (TextOps.langPredCol(col("text")) === col("lang"))
+          .cast("long").as("lang_ok"))
+    d.withColumn("keeper",
+        min("doc_id").over(Window.partitionBy("norm_hash")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("qu").as("squ"),
+        sum("lang_ok").as("n_lang_ok"),
+        sum((col("doc_id") =!= col("keeper")).cast("long")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("squ").cast("double") / col("n_docs").cast("double") /
+          lit(1.0e9)).as("quality_media"),
+        (col("n_lang_ok").cast("double") / col("n_docs").cast("double"))
+          .as("lang_match_share"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_share"))
+      .orderBy("source")
+  }
+
+  val sourceHealthSql: String = s"""
+    WITH m AS (
+      SELECT source, doc_id, lang,
+        md5(lower(trim(text))) AS norm_hash,
+        ${TextOps.qualitySqlMeasures},
+        ${TextOps.langSqlScores}
+      FROM documents WHERE length(trim(text)) > 0),
+    r AS (
+      SELECT source, doc_id, norm_hash, n_tok,
+        ${TextOps.qualitySqlRatios},
+        CASE WHEN (${TextOps.langSqlCase}) = lang THEN 1 ELSE 0 END AS lang_ok
+      FROM m),
+    q AS (
+      SELECT source, doc_id, norm_hash, n_tok, lang_ok,
+        CAST(round((${TextOps.qualitySqlScore}) * CAST(1000000000.0 AS DOUBLE))
+          AS BIGINT) AS qu,
+        CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash)
+             THEN 1 ELSE 0 END AS dup
+      FROM r)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(qu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+        AS quality_media,
+      CAST(SUM(lang_ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lang_match_share,
+      CAST(SUM(dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_share
+    FROM q
+    GROUP BY source
+    ORDER BY source"""
 }

@@ -958,6 +958,20 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("source health: shares bounded, dup share reconciles with savings") {
+    val h = operators.Pipeline.sourceHealth(spark, sf).cache()
+    assert(h.filter(col("lang_match_share") < 0 || col("lang_match_share") > 1 ||
+      col("dup_share") < 0 || col("dup_share") > 1).count() == 0)
+    // dup counts agree with C38's per-source accounting (same keeper rule)
+    val sv = operators.DedupOps.dedupSavings(spark, sf)
+      .select(col("source").as("s2"), col("docs_removed"), col("n_docs").as("nd2"))
+    val j = h.join(sv, col("source") === col("s2"))
+    // C38 counts empty docs too; health skips them — compare dup counts
+    assert(j.filter(round(col("dup_share") * col("n_docs")).cast("long")
+      =!= col("docs_removed")).count() == 0)
+    h.unpersist(): Unit
+  }
+
   test("norm audit: full coverage, centered z, flag consistent") {
     val a = operators.EmbeddingOps.embedNormAudit(spark, sf).cache()
     assert(a.count() == sources.Tables.embeddings(spark, sf).count())
