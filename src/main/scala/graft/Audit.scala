@@ -47,6 +47,7 @@ object Audit {
     ("q_ann_lsh", "hinted-fact-broadcast:embeddings"),
     ("q_ann_ivf", "hinted-fact-broadcast:embeddings"),
     ("q_ann_recall_report", "hinted-fact-broadcast:embeddings"),
+    ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // IVF centroid set: vec_id ≡ 50 (mod 100) under the IvfK cap
     ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
