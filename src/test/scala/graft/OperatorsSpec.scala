@@ -992,9 +992,15 @@ class OperatorsSpec extends SparkSpec {
     assert(ed.count() == cand.count())
     assert(ed.select("doc_a", "doc_b").except(
       cand.select("doc_a", "doc_b")).count() == 0)
-    // similarity bounded; identical texts → lev 0, sim 1
+    // similarity bounded and within the verdict band; identical → sim 1
     assert(ed.filter(col("edit_sim") > 1).count() == 0)
-    assert(ed.filter(col("lev") === 0 && col("edit_sim") =!= 1.0).count() == 0)
+    assert(ed.filter(col("lev_capped") === 0 &&
+      col("edit_sim") =!= 1.0).count() == 0)
+    // the verdict IS the band: sim defined ⟺ near-dup, and ≥ EditSimMin
+    assert(ed.filter(col("es_casi_duplicado") =!=
+      col("edit_sim").isNotNull).count() == 0)
+    assert(ed.filter(col("edit_sim").isNotNull &&
+      col("edit_sim") < operators.DedupOps.EditSimMin - 1e-12).count() == 0)
     // the corpus exercises both verdict branches
     assert(ed.filter(col("es_casi_duplicado")).count() > 0)
     assert(ed.filter(!col("es_casi_duplicado")).count() > 0)
