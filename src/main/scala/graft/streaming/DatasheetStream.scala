@@ -47,4 +47,40 @@ object DatasheetStream {
       .select("source", "lang", "n_docs", "n_tokens", "n_chars",
         "hll_distintos")
   }
+
+  /** D14: streaming twin of Pipeline.sourceHealth (C47) — the per-source
+    * curation gate maintained continuously: mean quality (EXACT — the
+    * nano-quantized integer sum streams losslessly, one division at read
+    * time), language-agreement share (exact integer counters) and a
+    * duplicate-share ESTIMATE (exact streaming dup-share needs
+    * O(distinct-content) state; the HLL sketch holds O(1) registers per
+    * source, same swap D8 makes for the datasheet's distinct count).
+    * State is keyed on `source` — a tiny closed key space. Two-micro-batch
+    * ≡ one-batch equality is spec-pinned bit-for-bit, estimate included. */
+  def runningSourceHealth(docs: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(docs.sparkSession)
+    val am2 = graft.functions.Kernels.HllAlphaM2
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        expr("""CAST(conv(substr(md5(CAST(lower(trim(text)) AS BINARY)),
+                 1, 15), 16, 10) AS BIGINT)""").as("content_key"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        round(graft.operators.TextOps.qualityScoreCol(col("text")) *
+          lit(1.0e9)).cast("long").as("qu"),
+        (graft.operators.TextOps.langPredCol(col("text")) === col("lang"))
+          .cast("long").as("lang_ok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("qu").as("squ"), sum("lang_ok").as("n_lang_ok"),
+        expr("graft_hll_sketch(content_key)").as("regs"))
+      .withColumn("hll_distintos", expr(
+        s"""CAST($am2 AS DOUBLE) / aggregate(regs, CAST(0 AS DOUBLE),
+             (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))"""))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("squ").cast("double") / col("n_docs").cast("double") /
+          lit(1.0e9)).as("quality_media"),
+        (col("n_lang_ok").cast("double") / col("n_docs").cast("double"))
+          .as("lang_match_share"),
+        col("hll_distintos"))
+  }
 }

@@ -381,6 +381,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", 1L), (2L, "B", 3L), (3L, "c", 1L)))
   }
 
+  test("D14 runningSourceHealth: stream equals batch, exact columns match C47") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = sources.Tables.documents(sp, sf)
+      .select("source", "lang", "text")
+      .as[(String, String, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(String, String, String)]
+    val q = DatasheetStream.runningSourceHealth(
+        in.toDF().toDF("source", "lang", "text"))
+      .writeStream.format("memory").queryName("d14_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d14_out")
+      val batch = DatasheetStream.runningSourceHealth(
+        rows.toDF("source", "lang", "text"))
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      // the EXACT columns agree with the batch C47 gate report
+      val c47 = graft.operators.Pipeline.sourceHealth(sp, sf)
+        .select(col("source").as("s2"), col("quality_media").as("qm"),
+          col("lang_match_share").as("lm"), col("n_docs").as("nd"))
+      val j = streamed.join(c47, col("source") === col("s2"))
+      assert(j.count() > 0)
+      assert(j.filter(col("quality_media") =!= col("qm") ||
+        col("lang_match_share") =!= col("lm") ||
+        col("n_docs") =!= col("nd")).count() == 0)
+    } finally q.stop()
+  }
+
   test("D13 dailyActive: two micro-batches equal one batch, sketch included") {
     val sp = spark
     import sp.implicits._
