@@ -714,6 +714,54 @@ object Analytics {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Peak events-per-minute at or above which B41 flags a user. */
+  val BotPeakPerMin: Long = 5L
+
+  /** B41: `q_events_bot_detection` — abuse/bot screening over the event
+    * stream: per user, total events, distinct active minutes, the PEAK
+    * events-per-minute burst and the mean rate while active; users whose
+    * peak hits [[BotPeakPerMin]] get flagged — the traffic-hygiene filter
+    * a pipeline runs before user events feed any training signal (bot
+    * sessions poison sessionization, funnels and Markov matrices alike).
+    *
+    * Exactness: every measure is an exact integer off integer-nano minute
+    * buckets; the mean rate is one final division. Deterministic order.
+    *
+    * Scale: the raw scan partial-aggregates onto (user, minute) — bursts
+    * collapse map-side — then one user-keyed roll-up; both shuffles carry
+    * tiny long rows. The flag threshold is a constant, so no second pass
+    * or join. */
+  def eventsBotDetection(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 60000000000").as("minute"))
+      .groupBy("user_id", "minute")
+      .agg(count(lit(1)).as("n_in_min"))
+      .groupBy("user_id")
+      .agg(sum("n_in_min").as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max("n_in_min").as("peak_per_min"))
+      .select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("peak_per_min"),
+        (col("n_events").cast("double") / col("active_minutes").cast("double"))
+          .as("mean_rate"),
+        (col("peak_per_min") >= BotPeakPerMin).as("sospechoso"))
+      .orderBy("user_id")
+
+  val eventsBotDetectionSql: String = s"""
+    WITH pm AS (
+      SELECT user_id, CAST(epoch_ns(ts) // 60000000000 AS BIGINT) AS minute,
+        COUNT(*) AS n_in_min
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+      CAST(SUM(n_in_min) AS BIGINT) AS n_events,
+      COUNT(*) AS active_minutes,
+      CAST(MAX(n_in_min) AS BIGINT) AS peak_per_min,
+      CAST(SUM(n_in_min) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rate,
+      MAX(n_in_min) >= $BotPeakPerMin AS sospechoso
+    FROM pm
+    GROUP BY user_id
+    ORDER BY user_id"""
+
   /** B40: `q_seasonality_index` — month-of-year seasonality factors: each
     * calendar month's average monthly revenue relative to the overall
     * monthly average (index 1.0 = typical month) — the multiplicative

@@ -958,6 +958,19 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("bot detection: conservation, peak bounds, flag rule") {
+    val b = operators.Analytics.eventsBotDetection(spark, sf).cache()
+    val ev = sources.Tables.events(spark, sf)
+    assert(b.agg(sum("n_events")).head.getLong(0) == ev.count())
+    assert(b.count() == ev.select("user_id").distinct().count())
+    // peak ≥ mean rate ≥ 1; flag is exactly the threshold rule
+    assert(b.filter(col("peak_per_min").cast("double") < col("mean_rate") ||
+      col("mean_rate") < 1.0).count() == 0)
+    assert(b.filter(col("sospechoso") =!=
+      (col("peak_per_min") >= operators.Analytics.BotPeakPerMin)).count() == 0)
+    b.unpersist(): Unit
+  }
+
   test("source health: shares bounded, dup share reconciles with savings") {
     val h = operators.Pipeline.sourceHealth(spark, sf).cache()
     assert(h.filter(col("lang_match_share") < 0 || col("lang_match_share") > 1 ||
