@@ -522,6 +522,48 @@ object DedupOps {
     FROM be GROUP BY doc_a, doc_b
     ORDER BY doc_a, doc_b"""
 
+  /** Prefix width (normalized chars) for C48's truncation-family key. */
+  val PrefixChars: Int = 256
+
+  /** C48: `q_dedup_prefix` — truncation/extension duplicate families:
+    * documents sharing their first [[PrefixChars]] normalized characters
+    * but NOT their full content — the crawler failure class (truncated
+    * fetches, pages re-scraped with an appended footer) that exact dedup
+    * (C1) is blind to by construction and pair-dedup only catches when the
+    * shared prefix dominates the shingle set. One row per prefix family
+    * that actually mixes distinct contents, with the canonical keeper.
+    *
+    * Exactness: md5 keys on both engines; counts exact; deterministic
+    * keeper (min doc_id).
+    *
+    * Scale: narrow hash pass (two md5s per doc, text never shuffles), ONE
+    * 16-byte prefix-hash shuffle with map-side partials, families filtered
+    * to the interesting (mixed-content) minority before the tiny sort. */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) >= PrefixChars)
+      .select(col("doc_id"),
+        md5(substring(lower(trim(col("text"))), 1, PrefixChars)
+          .cast("binary")).as("prefix_hash"),
+        md5(lower(trim(col("text"))).cast("binary")).as("norm_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("norm_hash").as("n_contents"),
+        min("doc_id").as("keep_doc_id"))
+      .filter(col("n_contents") > 1)
+      .orderBy("keep_doc_id")
+
+  val dedupPrefixSql: String = s"""
+    SELECT md5(substr(lower(trim(text)), 1, $PrefixChars)) AS prefix_hash,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_contents,
+      MIN(doc_id) AS keep_doc_id
+    FROM documents
+    WHERE length(lower(trim(text))) >= $PrefixChars
+    GROUP BY 1
+    HAVING COUNT(DISTINCT md5(lower(trim(text)))) > 1
+    ORDER BY keep_doc_id"""
+
   /** Edit-similarity floor for C45 — a candidate pair is a confirmed
     * near-edit when 1 − lev/maxlen ≥ this. */
   val EditSimMin: Double = 0.8

@@ -958,6 +958,23 @@ class OperatorsSpec extends SparkSpec {
     sd.unpersist(): Unit
   }
 
+  test("prefix dedup: mixed families only, keeper in family, bounded") {
+    val p = operators.DedupOps.dedupPrefix(spark, sf).cache()
+    assert(p.filter(col("n_contents") <= 1 ||
+      col("n_contents") > col("n_docs")).count() == 0)
+    // every family's keeper really carries that prefix
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) >= operators.DedupOps.PrefixChars)
+      .select(col("doc_id").as("keep_doc_id"),
+        md5(substring(lower(trim(col("text"))), 1,
+          operators.DedupOps.PrefixChars).cast("binary")).as("ph"))
+    assert(p.join(docs, Seq("keep_doc_id"))
+      .filter(col("prefix_hash") =!= col("ph")).count() == 0)
+    // the corpus exercises the signal (it carries near-dup families)
+    assert(p.count() > 0)
+    p.unpersist(): Unit
+  }
+
   test("bot detection: conservation, peak bounds, flag rule") {
     val b = operators.Analytics.eventsBotDetection(spark, sf).cache()
     val ev = sources.Tables.events(spark, sf)
