@@ -250,12 +250,13 @@ object Pipeline {
     * offset div budget, pack_pos = offset mod budget.
     *
     * One per-source window computes the running offset — a single `source`
-    * shuffle. At 100 TB a source is an unbounded window partition; the scale
-    * path keeps the same output contract but computes offsets hierarchically
-    * (per-partition token subtotals → exclusive scan over the few-thousand
-    * subtotals on the driver → broadcast back), the standard two-pass
-    * distributed prefix sum. Test-scale keeps the declarative window so the
-    * oracle is the same expression. */
+    * shuffle. At 100 TB a source is an unbounded window partition (one task
+    * scans a whole source), so the scale path is SHIPPED as
+    * [[corpusPackHier]] (`q_corpus_pack_hier`): same output contract,
+    * offsets computed by the standard hierarchical two-pass prefix sum,
+    * row-for-row equality spec-pinned. This declarative window form stays
+    * registered as the test-scale reference the oracle mirrors directly
+    * (vetted in [[graft.Audit.knownBounded]]). */
   def corpusPack(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
@@ -291,6 +292,56 @@ object Pipeline {
       (tok_offset + n_tok - 1) // $PackBudget <> tok_offset // $PackBudget
         AS cruza_limite
     FROM o ORDER BY source, doc_id"""
+
+  /** Chunk width (docs) for [[corpusPackHier]]'s first pass. Small here so
+    * the test corpus (500 docs) exercises multi-chunk offset composition;
+    * production sizing is ~10⁵-10⁶ docs per chunk so the subtotal relation
+    * is corpus/PackChunk — a 10⁵× reduction per level (recursable if a
+    * single level is still too wide). */
+  val PackChunk: Int = 64
+
+  /** C49: `q_corpus_pack_hier` — C28's 100 TB path SHIPPED (the B21→B24
+    * precedent): identical output contract to [[corpusPack]], but the
+    * exclusive prefix token count is computed hierarchically instead of one
+    * per-source window (where one window partition = one source = one task —
+    * a single-task prefix-sum scale-killer at 100 TB):
+    *
+    *   1. docs get a deterministic integer chunk id (`doc_id div PackChunk`
+    *      — pure arithmetic, no sampling, so the assignment is reproducible
+    *      and needs no materialization barrier),
+    *   2. per-(source, chunk) token subtotals via ONE partial-agg shuffle,
+    *   3. exclusive scan over the subtotal relation (corpus/PackChunk rows —
+    *      tiny; its per-source window sits ABOVE the aggregate),
+    *   4. chunk base offsets broadcast back; each doc's offset = chunk base
+    *      + its within-chunk running sum, whose window partition
+    *      (source, chunk) is ≤ PackChunk rows BY CONSTRUCTION.
+    *
+    * Row-for-row equality with the window-based [[corpusPack]] is
+    * spec-pinned; the oracle is the same SQL. */
+  def corpusPackHier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("chunk", expr(s"doc_id div $PackChunk"))
+    val wChunk = Window.partitionBy("source").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = d.groupBy("source", "chunk").agg(sum("n_tok").as("t_chunk"))
+      .withColumn("base_offset", coalesce(sum("t_chunk").over(wChunk), lit(0L)))
+      .select("source", "chunk", "base_offset")
+    val wIn = Window.partitionBy("source", "chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("local_offset", coalesce(sum("n_tok").over(wIn), lit(0L)))
+      .join(broadcast(bases), Seq("source", "chunk"))
+      .withColumn("tok_offset", col("base_offset") + col("local_offset"))
+      .withColumn("pack_id", expr(s"tok_offset div $PackBudget"))
+      .withColumn("pack_pos", col("tok_offset") % PackBudget)
+      .withColumn("cruza_limite",
+        expr(s"(tok_offset + n_tok - 1) div $PackBudget") =!= col("pack_id"))
+      .select("source", "doc_id", "n_tok", "tok_offset", "pack_id",
+        "pack_pos", "cruza_limite")
+      .orderBy("source", "doc_id")
+  }
 
   /** C31: `q_corpus_datasheet` — the per-(source, language) composition
     * report every corpus release publishes (a "datasheet"): document /

@@ -678,6 +678,22 @@ class OperatorsSpec extends SparkSpec {
     p.unpersist(): Unit
   }
 
+  test("hierarchical pack equals the window pack row-for-row (C28 100TB path)") {
+    val win = operators.Pipeline.corpusPack(spark, sf)
+    val hier = operators.Pipeline.corpusPackHier(spark, sf).cache()
+    assert(hier.schema.fieldNames.toSeq == win.schema.fieldNames.toSeq)
+    assert(hier.except(win).count() == 0)
+    assert(win.except(hier).count() == 0)
+    // non-degeneracy: the chunked first pass must actually compose offsets
+    // ACROSS chunks (a single-chunk corpus would make equality vacuous —
+    // the hier path would degenerate to the window path's shape)
+    val c = operators.Pipeline.PackChunk
+    val chunks = hier.select(expr(s"doc_id div $c").as("chunk"), col("source"))
+      .groupBy("source").agg(countDistinct("chunk").as("n"))
+    assert(chunks.filter(col("n") > 1).count() > 0)
+    hier.unpersist(): Unit
+  }
+
   test("minhash estimate: defined exactly on the LSH pairs, bounded, exact fraction") {
     val est = operators.DedupOps.dedupMinhashEst(spark, sf).cache()
     val pairs = operators.DedupOps.dedupMinhashLsh(spark, sf)

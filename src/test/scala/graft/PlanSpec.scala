@@ -115,6 +115,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 2, plan)
   }
 
+  test("hier pack: two bounded windows, chunk bases broadcast back") {
+    // the scale path must show exactly the two-pass shape: the within-chunk
+    // window + the subtotal exclusive scan (2 Windows), with the subtotal
+    // side reduced by an Aggregate BEFORE its window and re-joined as a
+    // broadcast — a shuffle join here would mean the fact side re-keys on
+    // (source, chunk) a second time
+    val plan = planOf("q_corpus_pack_hier")
+    assert("Window".r.findAllIn(plan).length == 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 1, plan)
+  }
+
   test("gapfill joins only post-aggregation cardinality") {
     // both join inputs must read the CACHED (type, hour) aggregate — a raw
     // FileScan in the top-level plan would mean the events table is
