@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import graft.operators.EmbeddingOps
+
+/** Dev tool: proves the ANN operator ↔ oracle PARAMETER coupling on
+  * NON-DEFAULT arguments. The registered oracle rows cover the default
+  * constants; each ANN oracle is a `...SqlFor(params)` builder, and this
+  * main dumps the operators called with non-default `probeBatch`/`probeLo`/
+  * `k` next to the SQL re-interpolated from the SAME values — so
+  * `tools/selfcheck.py` can hash-compare them exactly like the driver's
+  * gate. A desync (operator honoring a parameter the SQL builder ignores,
+  * or vice versa) fails here instead of silently shipping.
+  *
+  * Run: `sbt "runMain graft.ParamCheck <sfDir> <outDir>"` then
+  * `python3 tools/selfcheck.py <sfDir> <outDir>`. */
+object ParamCheck {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    // probeLo = 1, probeBatch = 2 → probe ids [100, 300); k = 2 → centroid
+    // ids {50, 150} — all present at every test SF, all ≠ the defaults
+    val variants: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+      ("q_ann_bruteforce_pb2lo1",
+        (s, d) => EmbeddingOps.annBruteforce(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annBruteforceSqlFor(probeBatch = 2, probeLo = 1)),
+      ("q_ann_lsh_pb2lo1",
+        (s, d) => EmbeddingOps.annLsh(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annLshSqlFor(probeBatch = 2, probeLo = 1)),
+      ("q_ann_ivf_k2_pb2lo1",
+        (s, d) => EmbeddingOps.annIvf(s, d, k = 2, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annIvfSqlFor(k = 2, probeBatch = 2, probeLo = 1)),
+      ("q_ann_hard_negatives_pb2lo1",
+        (s, d) => EmbeddingOps.annHardNegatives(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annHardNegativesSqlFor(probeBatch = 2, probeLo = 1)),
+      ("q_semantic_dedup_k2",
+        (s, d) => EmbeddingOps.semanticDedup(s, d, k = 2),
+        EmbeddingOps.semanticDedupSqlFor(k = 2)))
+    variants.foreach { case (name, fn, _) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[paramcheck] $name failed: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = variants
+      .map { case (k, _, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

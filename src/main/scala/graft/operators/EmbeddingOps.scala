@@ -31,10 +31,11 @@ object EmbeddingOps {
     * (vec_id % 100 == 0 AND probeLo*100 <= vec_id < (probeLo+batch)*100)
     * keeps the probe side a bounded broadcast at any corpus size; callers
     * with more probes run successive batches by advancing `probeLo` (each
-    * batch is one corpus pass). The paired oracle SQL is built from these
-    * constants and covers the DEFAULT batch (probeLo = 0) — non-default
-    * calls are a library surface, not an oracle row. Not binding at test
-    * SFs, so oracle results are unchanged. */
+    * batch is one corpus pass). Each ANN oracle is a `...SqlFor(params)`
+    * builder interpolating the SAME argument values the operator takes
+    * (the registered `val` is the builder at defaults), so a non-default
+    * call re-generates its oracle instead of silently desyncing from a
+    * default-constant SQL. */
   val ProbeBatch: Int = 64
 
   /** Probe-batch predicate: every 100th vector id, windowed to
@@ -43,6 +44,15 @@ object EmbeddingOps {
     col("vec_id") % 100 === 0 &&
       col("vec_id") >= lit(lo.toLong * 100L) &&
       col("vec_id") < lit((lo.toLong + batch) * 100L)
+
+  /** SQL twin of [[probeFilter]] — the one place the probe-window predicate
+    * is spelled for oracles, parameterized identically. */
+  private def probeSqlPred(c: String, lo: Int, batch: Int): String =
+    s"$c % 100 = 0 AND $c >= ${lo.toLong * 100L} AND $c < ${(lo.toLong + batch) * 100L}"
+
+  /** SQL twin of [[ivfCentroids]]'s selection predicate. */
+  private def centSqlPred(c: String, k: Int): String =
+    s"$c % 100 = 50 AND $c < ${k.toLong * 100L}"
 
   /** Coarse-centroid count cap for IVF — fixed k (real deployments train
     * k ≈ thousands of centroids); never a corpus fraction. */
@@ -167,7 +177,8 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annBruteforceSql: String = s"""
+  def annBruteforceSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -180,7 +191,7 @@ object EmbeddingOps {
           CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
           / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
-      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100}
+      FROM v p, v e WHERE ${probeSqlPred("p.vec_id", probeLo, probeBatch)}
                       AND e.vec_id <> p.vec_id)
     SELECT probe_id, neighbor_id, cosine, rnk FROM (
       SELECT probe_id, neighbor_id, cosine,
@@ -188,6 +199,8 @@ object EmbeddingOps {
                            ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM s) WHERE rnk <= 10
     ORDER BY probe_id, rnk"""
+
+  val annBruteforceSql: String = annBruteforceSqlFor()
 
   /** C7: multi-table LSH ANN — [[graft.functions.Kernels.LshTables]]
     * independent sign-LSH tables of [[graft.functions.Kernels.LshPlanes]]
@@ -223,7 +236,8 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annLshSql: String = s"""
+  def annLshSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -248,7 +262,7 @@ object EmbeddingOps {
       FROM tb pb JOIN tb eb ON pb.t = eb.t AND pb.bucket = eb.bucket
         JOIN v p ON p.vec_id = pb.vec_id
         JOIN v e ON e.vec_id = eb.vec_id
-      WHERE pb.vec_id % 100 = 0 AND pb.vec_id < ${ProbeBatch * 100}
+      WHERE ${probeSqlPred("pb.vec_id", probeLo, probeBatch)}
         AND eb.vec_id <> pb.vec_id
       GROUP BY 1, 2)
     SELECT probe_id, neighbor_id, cosine, rnk FROM (
@@ -257,6 +271,8 @@ object EmbeddingOps {
                            ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM s) WHERE rnk <= 10
     ORDER BY probe_id, rnk"""
+
+  val annLshSql: String = annLshSqlFor()
 
   /** C13: IVF ANN — the inverted-file scale path next to C6 (exact) and C7
     * (LSH). A deterministic coarse quantizer (vectors with vec_id ≡ 50 mod
@@ -319,7 +335,8 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annIvfSql: String = s"""
+  def annIvfSqlFor(k: Int = IvfK, probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -328,7 +345,7 @@ object EmbeddingOps {
       FROM embeddings),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-      FROM v WHERE vec_id % 100 = 50 AND vec_id < ${IvfK * 100}),
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
     asg AS (
       SELECT vec_id, embedding, n2, cent_id FROM (
         SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
@@ -347,7 +364,7 @@ object EmbeddingOps {
               CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
               CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
               / (sqrt(p.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS prnk
-        FROM v p, c WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100})
+        FROM v p, c WHERE ${probeSqlPred("p.vec_id", probeLo, probeBatch)})
         WHERE prnk <= 2),
     s AS (
       SELECT pc.probe_id, a.vec_id AS neighbor_id, pc.cent_id,
@@ -363,6 +380,8 @@ object EmbeddingOps {
                            ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM s) WHERE rnk <= 10
     ORDER BY probe_id, rnk"""
+
+  val annIvfSql: String = annIvfSqlFor()
 
   /** C12: multimodal binary-column plumbing — the corpus text stands in for
     * an opaque media payload (utf-8 encode = the only codec in this
@@ -557,7 +576,7 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  val semanticDedupSql: String = s"""
+  def semanticDedupSqlFor(k: Int = IvfK): String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -566,7 +585,7 @@ object EmbeddingOps {
       FROM embeddings),
     c AS (
       SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
-      FROM v WHERE vec_id % 100 = 50 AND vec_id < ${IvfK * 100}),
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
     asg AS (
       SELECT vec_id, embedding, n2, cent_id FROM (
         SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
@@ -594,6 +613,8 @@ object EmbeddingOps {
       d.n_prior_dups IS NULL AS keep
     FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""
+
+  val semanticDedupSql: String = semanticDedupSqlFor()
 
   /** Hard-negative rank band for C42 — neighbors ranked
     * ([[HardNegLo]], [[HardNegHi]]] by cosine: past the true-neighbor zone
@@ -632,7 +653,8 @@ object EmbeddingOps {
       .orderBy("probe_id", "rnk")
   }
 
-  val annHardNegativesSql: String = s"""
+  def annHardNegativesSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
     WITH v AS (
       SELECT vec_id, embedding,
         list_reduce(list_transform(range(1, len(embedding) + 1), i ->
@@ -645,7 +667,7 @@ object EmbeddingOps {
           CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
           CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
           / (sqrt(p.n2) * sqrt(e.n2)) AS cosine
-      FROM v p, v e WHERE p.vec_id % 100 = 0 AND p.vec_id < ${ProbeBatch * 100}
+      FROM v p, v e WHERE ${probeSqlPred("p.vec_id", probeLo, probeBatch)}
                       AND e.vec_id <> p.vec_id)
     SELECT probe_id, neighbor_id, cosine, rnk FROM (
       SELECT probe_id, neighbor_id, cosine,
@@ -653,6 +675,8 @@ object EmbeddingOps {
                            ORDER BY cosine DESC, neighbor_id) AS rnk
       FROM s) WHERE rnk > $HardNegLo AND rnk <= $HardNegHi
     ORDER BY probe_id, rnk"""
+
+  val annHardNegativesSql: String = annHardNegativesSqlFor()
 
   /** C40: `q_ann_recall_report` — the ANN evaluation artifact: recall@10 of
     * the LSH (C7) and IVF (C13) indexes against the exact brute-force

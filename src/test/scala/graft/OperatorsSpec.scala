@@ -314,6 +314,30 @@ class OperatorsSpec extends SparkSpec {
     assert(l.filter(col("probe_id") === col("neighbor_id")).count() == 0)
   }
 
+  test("ann params: non-default call ≡ default restricted + oracle re-interpolates") {
+    // probeLo=1, batch=2 → probe window [100, 300). Per-probe rankings are
+    // independent of the probe set, so the non-default call must equal the
+    // default result restricted to that window — the operator honoring the
+    // parameters exactly as the probe predicate defines them...
+    val narrow = EmbeddingOps.annBruteforce(spark, sf, probeBatch = 2, probeLo = 1)
+    val wide = EmbeddingOps.annBruteforce(spark, sf)
+      .filter(col("probe_id") >= 100 && col("probe_id") < 300)
+    assert(narrow.count() > 0) // window non-empty, equality non-vacuous
+    assert(narrow.except(wide).count() == 0)
+    assert(wide.except(narrow).count() == 0)
+    // ...and the oracle builder interpolating the SAME values (not the
+    // default constants — the round-5 desync). DuckDB-side equality of
+    // these non-default variants is checked by `runMain graft.ParamCheck`
+    // + tools/selfcheck.py; here we pin the bounds that SQL carries.
+    val sql = EmbeddingOps.annBruteforceSqlFor(probeBatch = 2, probeLo = 1)
+    assert(sql.contains("p.vec_id >= 100 AND p.vec_id < 300"), sql)
+    assert(EmbeddingOps.annBruteforceSqlFor() == EmbeddingOps.annBruteforceSql)
+    val ivfSql = EmbeddingOps.annIvfSqlFor(k = 2, probeBatch = 2, probeLo = 1)
+    assert(ivfSql.contains("vec_id % 100 = 50 AND vec_id < 200"), ivfSql)
+    assert(EmbeddingOps.semanticDedupSqlFor(k = 2)
+      .contains("vec_id % 100 = 50 AND vec_id < 200"))
+  }
+
   test("ann recall@10 vs the exact baseline stays above the pinned floor") {
     // deterministic arithmetic → recall is exactly reproducible; floors sit
     // just under the measured values (lsh 0.40, ivf 0.46 at sf0.001) so a
