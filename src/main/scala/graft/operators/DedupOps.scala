@@ -40,6 +40,38 @@ object DedupOps {
            min(doc_id) AS keep_doc_id, count(*) AS n_copies
     FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
 
+  /** Band-bucket volume cap for the C2/C14 pair joins: a (band, signature)
+    * bucket holding more than this many documents is a DEGENERATE family
+    * (boilerplate/template content, near-empty normalized text) whose
+    * quadratic pair expansion concentrates in one join partition — the LSH
+    * analog of C4's hot grams ([[MaxGramDf]]). Buckets past the cap are
+    * dropped from PAIR GENERATION on both engines (the C4 broadcast
+    * anti-join pattern), so per-bucket pair work is bounded by cap²/2 at
+    * any corpus size; C18's component propagation intentionally keeps the
+    * FULL doc↔bucket graph (its per-round sweeps are LINEAR in bucket
+    * volume, so giant families still cluster and are still reported
+    * there). Far above the largest observed test bucket (3,253 at sf0.1)
+    * → test-scale results unchanged. Sub-cap hot buckets spread at runtime
+    * via AQE's skew split; [[Skew.saltedJoin]] is the deterministic
+    * fallback, pair-set equivalence spec-pinned in SkewSpec.
+    * Declared BEFORE every SQL val that interpolates it — object vals
+    * initialize in declaration order, and a forward reference silently
+    * reads 0 (caught by the oracle gate: every bucket went "hot"). */
+  val MaxBucketDocs: Int = 10000
+
+  /** C4's hot-key prune applied to a bucket relation: drop every row of a
+    * bucket whose member count exceeds [[MaxBucketDocs]]. The count
+    * partial-aggregates map-side (hot keys combine before the shuffle) and
+    * the hot set is Zipf-small → one broadcast anti-join, no reshuffle of
+    * the bucket stream. */
+  private def dropHotBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > MaxBucketDocs)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** C2: MinHash+LSH near-dup candidates — 5-char shingles hashed with a
     * pure-arithmetic polynomial hash (no md5 in the O(chars) hot loop), 4
     * bands × 3 rows: row-k minhash is min over shingles of the universal hash
@@ -78,7 +110,8 @@ object DedupOps {
     // one materialization of the tiny (doc_id, band, sig) rows halves the
     // O(chars) signature work at any corpus size.
     val sigs = minhashSigs(spark, dir).cache()
-    sigs.as("a").join(sigs.as("b"),
+    val cold = dropHotBuckets(sigs, Seq("band", "sig"))
+    cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -113,10 +146,19 @@ object DedupOps {
       FROM h, (SELECT unnest(range(0, 4)) AS b))"""
   }
 
+  /** Hot-bucket prune + surviving bucket rows, the oracle twin of
+    * [[dropHotBuckets]] over the `sigs` CTE (shared by C2 and C29). */
+  private val coldSigsCtes: String = s"""
+    hotb AS (
+      SELECT band, sig FROM sigs GROUP BY 1, 2
+      HAVING count(*) > $MaxBucketDocs),
+    cold AS (SELECT * FROM sigs ANTI JOIN hotb USING (band, sig))"""
+
   val dedupMinhashLshSql: String = s"""
-    WITH $minhashSigsCtes
+    WITH $minhashSigsCtes,
+    $coldSigsCtes
     SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-    FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
+    FROM cold a JOIN cold b2 ON a.band = b2.band AND a.sig = b2.sig
                             AND a.doc_id < b2.doc_id
     ORDER BY doc_a, doc_b"""
 
@@ -192,7 +234,8 @@ object DedupOps {
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_val", expr("shiftright(simhash, band * 8) % 256"))
       .cache()
-    val cand = bands.as("a").join(bands.as("b"),
+    val cold = dropHotBuckets(bands, Seq("band", "band_val"))
+    val cand = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -210,10 +253,14 @@ object DedupOps {
     bands AS (
       SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) % 256 AS band_val
       FROM s, (SELECT unnest(range(0, 4)) AS b)),
+    hotb AS (
+      SELECT band, band_val FROM bands GROUP BY 1, 2
+      HAVING count(*) > $MaxBucketDocs),
+    coldb AS (SELECT * FROM bands ANTI JOIN hotb USING (band, band_val)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              a.simhash AS sig_a, b2.simhash AS sig_b
-      FROM bands a JOIN bands b2 ON a.band = b2.band
+      FROM coldb a JOIN coldb b2 ON a.band = b2.band
         AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id)
     SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $SimhashMaxHamming
@@ -475,7 +522,11 @@ object DedupOps {
   private[operators] def dedupMinhashEstRaw(
       spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir).cache()
-    val pairs = sigs.as("a").join(sigs.as("b"),
+    // pair generation inherits C2's hot-bucket cap (the pair sets must stay
+    // identical — spec-pinned); the per-doc signature rows below keep ALL
+    // bands, capped or not, so a hot-bucket doc still compares all 12 rows
+    val cold = dropHotBuckets(sigs, Seq("band", "sig"))
+    val pairs = cold.as("a").join(cold.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -504,9 +555,10 @@ object DedupOps {
 
   val dedupMinhashEstSql: String = s"""
     WITH $minhashSigsCtes,
+    $coldSigsCtes,
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      FROM sigs a JOIN sigs b2 ON a.band = b2.band AND a.sig = b2.sig
+      FROM cold a JOIN cold b2 ON a.band = b2.band AND a.sig = b2.sig
                               AND a.doc_id < b2.doc_id),
     be AS (
       SELECT p.doc_a, p.doc_b,
