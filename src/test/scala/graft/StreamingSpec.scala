@@ -144,6 +144,55 @@ class StreamingSpec extends SparkSpec {
   private def usOf(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
+  test("D6 checkpoint recovery: state survives stop + restart mid-feed") {
+    // the fault-tolerance contract Structured Streaming exists for: a
+    // stateful query with a checkpoint dir is stopped after its first
+    // batches, MORE data lands while it is down, and a NEW query instance
+    // over the same checkpoint must (a) not reprocess the consumed files,
+    // (b) restore the per-user open-version state from the state store —
+    // proven by a version whose interval OPENS before the stop and CLOSES
+    // after the restart — and (c) end up row-for-row equal to the batch
+    // twin over the full feed
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("scd2_src")
+    val ckDir = tmpDir("scd2_ck")
+    val outDir = tmpDir("scd2_out")
+    def at(min: Int) = ts(f"2024-01-01 10:$min%02d:00")
+    val part1 = Seq(
+      ChangeEvent(1L, at(0), 100L, 1.0), ChangeEvent(1L, at(10), 101L, 2.0),
+      ChangeEvent(2L, at(5), 200L, 5.0))
+    val part2 = Seq(
+      ChangeEvent(1L, at(20), 102L, 3.0), // closes u1 v2 opened pre-restart
+      ChangeEvent(2L, at(15), 201L, 6.0),
+      ChangeEvent(3L, at(7), 300L, 9.0))
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[ChangeEvent].schema)
+        .parquet(srcDir).as[ChangeEvent]
+      val q = Scd2Stream.scd2(in).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    part1.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    part2.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val streamed = sp.read.parquet(outDir).as[VersionOut]
+      .collect().toSeq.sortBy(v => (v.user_id, v.version))
+    val batch = Scd2Stream.scd2((part1 ++ part2).toDS(), finishAll = true)
+      .collect().filter(!_.is_current).toSeq.sortBy(v => (v.user_id, v.version))
+    assert(streamed == batch)
+    // the cross-restart closure really happened (recovery non-vacuous):
+    // u1's v2 = [10:10, 10:20) — opened in run 1, closed in run 2
+    assert(streamed.contains(VersionOut(1L, 2L, 101L, 2.0,
+      usOf(at(10)), Some(usOf(at(20))), false)))
+    // u3 first appeared after the restart and opened v1 (state only, no
+    // closed row yet) — no spurious closed row for it
+    assert(!streamed.exists(_.user_id == 3L))
+  }
+
   test("D4 DedupStream keeps first occurrence per content hash across batches") {
     val sp = spark
     import sp.implicits._
