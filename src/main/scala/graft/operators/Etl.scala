@@ -549,4 +549,35 @@ object Etl {
       CAST(coalesce(SUM(CAST(NOT linea_coherente AS INT)), 0) AS BIGINT)
     FROM ($validateDetailsSql)
     ORDER BY entidad"""
+
+  /** Replace-partition load — the Spark-native twin of the reference's
+    * DELETE+INSERT fallback (`_bigquery_delete_and_insert`,
+    * /root/reference/app/services/etl_service.py:296-325): when a keyed
+    * MERGE is unavailable or failed, the degraded-but-safe load replaces
+    * the affected slice wholesale. Here the slice is ONE hive-style
+    * partition directory (`col=value`) of a partitioned parquet table:
+    * the new rows are written to a staging dir and swapped in with
+    * [[graft.sources.Export.publish]]'s write-new → rename publish, so
+    * readers see the old slice or the new, never a mix, and re-running a
+    * failed/duplicate load is IDEMPOTENT (run twice ≡ run once —
+    * spec-pinned), which is the whole point of replace-over-append for
+    * retry loops. Rows are filtered to the target partition value first
+    * (a mislabeled row can never leak into the slice), and untouched
+    * partitions are never rewritten — at 100 TB the cost is the slice,
+    * not the table. */
+  def replaceSlice(spark: SparkSession, tablePath: String,
+      partitionCol: String, partitionValue: String, slice: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$tablePath/$partitionCol=$partitionValue")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (slice.columns.contains(partitionCol))
+        slice.filter(col(partitionCol) === lit(partitionValue))
+          .drop(partitionCol) // hive layout: the value lives in the path
+      else slice
+    val tmp = new Path(dir.toString + ".staging")
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    graft.sources.Export.publish(fs, tmp, dir)
+  }
 }

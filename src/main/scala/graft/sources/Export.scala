@@ -55,12 +55,25 @@ object Export {
     val tmp = new Path(path + ".compact")
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val old = new Path(path + ".old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(target, old)) sys.error(s"could not stage out $path")
-    if (!fs.rename(tmp, target)) sys.error(s"could not publish $tmp")
-    fs.delete(old, true)
+    publish(fs, tmp, target)
     (parts.length, nOut)
+  }
+
+  /** The write-new → rename swap that makes a directory replacement
+    * atomic-ish on rename-capable filesystems (local, HDFS; S3A via its
+    * committers): stage the old dir out, rename the new one in, drop the
+    * old. Readers see the old contents or the new, never a mix. Shared by
+    * [[compact]] and [[graft.operators.Etl.replaceSlice]]. */
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val old = new Path(target.toString + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      sys.error(s"could not stage out $target")
+    if (!fs.rename(tmp, target)) sys.error(s"could not publish $tmp")
+    fs.delete(old, true): Unit
   }
 
   /** Bucketed catalog table — pre-shuffled on the join key at write time so

@@ -32,6 +32,40 @@ class ExportSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || onlyA.inputFiles.forall(_.contains("seg=A")))
   }
 
+  test("replaceSlice swaps exactly one partition, idempotently") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("repl") + "/t"
+    val base = Seq((1L, "d1", 10.0), (2L, "d1", 20.0),
+      (3L, "d2", 30.0), (4L, "d3", 40.0)).toDF("id", "fecha", "v")
+    Export.partitionedParquet(base, dir, Seq("fecha"))
+    val before = new java.io.File(dir, "fecha=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    // the slice carries the partition column AND a mislabeled row — the
+    // operator must filter to the target value, so the stray row cannot leak
+    val slice = Seq((30L, "d2", 99.0), (31L, "d2", 77.0),
+      (99L, "d1", 1.0)).toDF("id", "fecha", "v")
+    graft.operators.Etl.replaceSlice(sp, dir, "fecha", "d2", slice)
+    def readAll = sp.read.parquet(dir)
+      .select(col("id"), col("fecha").cast("string"), col("v"))
+      .orderBy("id").collect().toSeq
+    val once = readAll
+    assert(once.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) ==
+      Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (4L, "d3", 40.0),
+        (30L, "d2", 99.0), (31L, "d2", 77.0)))
+    // idempotence: re-running the same load changes nothing (run 2 ≡ run 1)
+    graft.operators.Etl.replaceSlice(sp, dir, "fecha", "d2", slice)
+    assert(readAll == once)
+    // untouched partitions were not rewritten (same files, same mtimes)
+    val after = new java.io.File(dir, "fecha=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
+    assert(after == before)
+    // no staging/old leftovers
+    assert(!new java.io.File(dir, "fecha=d2.staging").exists())
+    assert(!new java.io.File(dir, "fecha=d2.old").exists())
+  }
+
   test("evolved read conforms drifted files to the canonical schema") {
     import org.apache.spark.sql.types._
     val sp = spark
