@@ -673,12 +673,19 @@ object DedupOps {
       FROM cand c
         JOIN norm a ON a.doc_id = c.doc_a
         JOIN norm b ON b.doc_id = c.doc_b),
+    lv AS (
+      -- |Δlen| pre-gate first (lev ≥ the length gap, always), then ONE
+      -- levenshtein evaluation per surviving pair — the old twin spelled
+      -- the call twice (threshold test + value) and ran the O(L²) DP twice
+      SELECT doc_a, doc_b, hamming, maxlen, k,
+        CASE WHEN abs(length(t_a) - length(t_b)) > k THEN NULL
+             ELSE CAST(levenshtein(t_a, t_b) AS BIGINT) END AS lev
+      FROM j),
     d AS (
       SELECT doc_a, doc_b, hamming, maxlen,
-        CASE WHEN abs(length(t_a) - length(t_b)) > k THEN CAST(-1 AS BIGINT)
-             WHEN levenshtein(t_a, t_b) > k THEN CAST(-1 AS BIGINT)
-             ELSE CAST(levenshtein(t_a, t_b) AS BIGINT) END AS lev_capped
-      FROM j)
+        CASE WHEN lev IS NULL OR lev > k THEN CAST(-1 AS BIGINT)
+             ELSE lev END AS lev_capped
+      FROM lv)
     SELECT doc_a, doc_b, hamming, lev_capped,
       CASE WHEN lev_capped >= 0
         THEN 1.0 - CAST(lev_capped AS DOUBLE) / CAST(maxlen AS DOUBLE)
