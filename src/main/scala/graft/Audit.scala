@@ -22,6 +22,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - a Window with an empty partition spec — every row lands in ONE
   *    partition; fine only when the input is provably bounded (catalog,
   *    histogram, matrix), vetted the same way.
+  *  - a RUNNING-aggregate Window (ordered, UnboundedPreceding frame)
+  *    whose child scans a FACT table with no aggregate reduction below —
+  *    one window partition = one task sequentially scanning every row of
+  *    its key (the q_corpus_pack-shaped hazard: a per-source prefix sum
+  *    puts a whole source in one task at 100 TB). Keys whose partitions
+  *    are bounded by construction (chunk ids, per-user sessions with
+  *    upstream bot screening) are vetted in [[knownBounded]].
   *
   * Anything NEW is a regression to investigate. Run:
   * `sbt "runMain graft.Audit"`. */
@@ -52,7 +59,20 @@ object Audit {
     ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
-    ("q_corpus_decontaminate", "hinted-fact-broadcast:documents")
+    ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),
+    // the test-scale declarative reference: its 100 TB path SHIPS as
+    // q_corpus_pack_hier, row-for-row spec-pinned (the B21→B24 precedent)
+    ("q_corpus_pack", "running-window-over-fact:documents"),
+    // the hier path's WITHIN-CHUNK running sum: partition (source, chunk)
+    // holds ≤ PackChunk rows BY CONSTRUCTION (chunk = doc_id div PackChunk);
+    // the cross-chunk scan sits above an aggregate and is already exempt
+    ("q_corpus_pack_hier", "running-window-over-fact:documents"),
+    // per-user event-order carries are sequential BY DEFINITION (a session
+    // id / latest-click can't be known out of order): partition = one
+    // user's events, hot users bounded by the B41 bot screen upstream, and
+    // the streaming twins (D2/D5) hold O(1)-per-user state instead
+    ("q_events_sessionize", "running-window-over-fact:events"),
+    ("q_events_asof", "running-window-over-fact:events")
   )
 
   /** Explicit broadcast hints whose subtree scans a fact table and carries
@@ -76,9 +96,46 @@ object Audit {
       }.flatten
     }
 
+  /** First fact-table scan reachable below `p` without crossing an
+    * aggregate (an aggregate onto bounded keys is the standard safe
+    * reduction — a window above one sorts the reduced relation, not the
+    * fact rows). Descends into cached subtrees. */
+  private def factBelow(p: SparkPlan): Option[String] = p match {
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => None
+    case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+      val path = f.relation.location.rootPaths.headOption
+        .map(_.getName).getOrElse("")
+      factTables.find(t => path.contains(t))
+    case a: AdaptiveSparkPlanExec => factBelow(a.executedPlan)
+    case m: InMemoryTableScanExec => factBelow(m.relation.cachedPlan)
+    case other => other.children.flatMap(factBelow).headOption
+  }
+
+  /** True when the window computes a running aggregate: ordered, with an
+    * agg expression framed from UnboundedPreceding but NOT the full
+    * partition (a full-partition frame is a per-group aggregate, not a
+    * sequential scan). Offset functions (lag/lead) and rank functions
+    * (row_number — not an AggregateExpression) don't match. */
+  private def runningAggFrame(w: WindowExec): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      SpecifiedWindowFrame, UnboundedFollowing, UnboundedPreceding,
+      WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    w.orderSpec.nonEmpty && w.windowExpression.exists { ne =>
+      ne.collectFirst {
+        case WindowExpression(_: AggregateExpression,
+            WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(_, UnboundedPreceding, upper)))
+            if upper != UnboundedFollowing => ()
+      }.isDefined
+    }
+  }
+
   private def windowHazards(p: SparkPlan): Seq[String] = {
     val here = p match {
       case w: WindowExec if w.partitionSpec.isEmpty => Seq("global-window")
+      case w: WindowExec if runningAggFrame(w) =>
+        factBelow(w.child).map(t => s"running-window-over-fact:$t").toSeq
       case _ => Seq.empty
     }
     val kids = p match {

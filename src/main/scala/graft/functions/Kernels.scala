@@ -27,9 +27,13 @@ object Kernels {
 
   private val P = 2147483647L // 2^31 − 1
 
-  /** Universal-hash ROW FAMILY shared by the MinHash rows (k = 1..12), the
-    * CMS depth rows (k = 1..4) and the HLL row (k = 13):
-    * A_k = (RowA0 + RowA1·k + RowA2·k²) mod p, B_k likewise.
+  /** Universal-hash ROW FAMILY shared by the MinHash rows (k = 1..12) and
+    * the CMS depth rows (k = 1..4) — and ONLY those:
+    * A_k = (RowA0 + RowA1·k + RowA2·k²) mod p, B_k likewise. The HLL row
+    * deliberately does NOT draw from this family: [[HllA]]/[[HllB]] stay
+    * pinned to their own spec-validated constants (see the note on their
+    * declaration — rowA(13) estimated ~2× high), so do not "clean up" the
+    * HLL estimator onto rowA/rowB(13).
     *
     * The quadratic + nonzero constant terms are load-bearing. The previous
     * family was LINEAR in k (A_k = c·k mod p, B_k = c'·k mod p), which made

@@ -883,9 +883,12 @@ object Analytics {
     * (one shuffle, map-side combine collapses each user's intra-day
     * events); the rolling window is a CONSTANT ×7 integer explode of those
     * collapsed rows — never a per-day rescan or an unbounded window — and
-    * the second distinct shuffles (user, report_day) once more. Report
-    * days are clamped to the observed day span so trailing partial windows
-    * don't fabricate days. */
+    * the second distinct shuffles (user, report_day) once more. Output
+    * contract: a row is emitted only for days with at least one ACTIVE
+    * user (the inner join to the DAU side) — an in-span day with zero
+    * events has no row (dau=0 would be the B28-gapfill variant), and days
+    * past the observed span are likewise absent, so trailing partial
+    * windows can't fabricate days. */
   def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
     val userDays = Tables.events(spark, dir)
       .select(col("user_id"), expr("ts div 86400000000000").as("day"))

@@ -518,7 +518,16 @@ object DedupOps {
 
   /** The estimate WITHOUT the presentation sort — consumers that filter or
     * re-aggregate (C33) compose with this so the optimizer never risks
-    * sorting the full pair set just to throw the order away downstream. */
+    * sorting the full pair set just to throw the order away downstream.
+    *
+    * Cache ownership: this operator cache()s two relations (the signature
+    * rows and the per-doc band aggregate) whose lifetime must cover the
+    * CALLER's action, so it cannot unpersist them itself — the caller owns
+    * reclamation via `spark.catalog.clearCache()` once its action is done
+    * (Bench/Verify/Audit do this between queries). An embedder invoking
+    * graft operators repeatedly in one session without clearing accretes
+    * one dead cache entry pair per invocation. This is the library-wide
+    * contract for every operator whose scaladoc notes a cache(). */
   private[operators] def dedupMinhashEstRaw(
       spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(spark, dir).cache()
