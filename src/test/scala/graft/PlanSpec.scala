@@ -173,6 +173,24 @@ class PlanSpec extends SparkSpec {
     assert(!leaves.contains("file") && leaves.contains("mem"), leaves)
   }
 
+  test("edit distance reuses the cached simhash-band relation on every side") {
+    // four consumers of the band relation (both pair-join sides + their
+    // hot-bucket prunes) must all read the ONE cache; the only file leaves
+    // are the two text joins — more means a band consumer re-ran the
+    // simhash kernel scan, fewer means a text side vanished
+    val leaves = scanLeaves("q_dedup_edit_distance")
+    assert(leaves.count(_ == "mem") == 4, leaves)
+    assert(leaves.count(_ == "file") == 2, leaves)
+  }
+
+  test("minhash LSH pair join reads only the cached signature relation") {
+    // all four signature consumers (pair sides + hot prunes) hit the cache
+    // and NO branch re-scans the corpus: text must never be read twice
+    val leaves = scanLeaves("q_dedup_minhash_lsh")
+    assert(!leaves.contains("file"), leaves)
+    assert(leaves.count(_ == "mem") == 4, leaves)
+  }
+
   test("quantize and frames stay narrow (no data shuffle before the sort)") {
     for (q <- Seq("q_embed_quantize", "q_multimodal_frames")) {
       val plan = planOf(q)
