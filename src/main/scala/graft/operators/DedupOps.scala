@@ -283,7 +283,12 @@ object DedupOps {
     *
     * Iterates the *bipartite* doc↔bucket graph directly — connectivity is
     * identical to the within-bucket cliques the C2 pair query materializes
-    * (and to the bucket-star edges the oracle walks), but one round is a
+    * (and to the bucket-star edges the oracle walks) UP TO the
+    * [[MaxBucketDocs]] cap: C2 drops degenerate buckets from its pair
+    * MATERIALIZATION (quadratic), while this keeps the full graph because
+    * its sweeps are linear in bucket volume — equal on every test corpus
+    * (cap non-binding, spec-asserted), a superset of C2's reachability on
+    * a corpus with capped buckets. One round is a
     * full doc→bucket→doc sweep: two min-aggregates, so labels move two
     * graph hops per round and no star-edge table is ever built (edge volume
     * stays linear in Σ bucket size at 100 TB). Docs sharing no multi-doc
