@@ -343,6 +343,52 @@ object Pipeline {
       .orderBy("source", "doc_id")
   }
 
+  /** C50: `q_pack_efficiency` — the packing QA report a trainer reads
+    * before committing a corpus to a context budget: per source, how many
+    * [[PackBudget]]-token sequences the token stream cuts into, how many
+    * documents straddle a cut (loss-masking candidates — the cost side of
+    * concat-and-cut), the final pack's padding, and the fill efficiency.
+    * Together with C43's length histogram this is the input for tuning the
+    * budget; it composes [[corpusPackHier]] (the 100 TB path), so the
+    * straddler flags come from the same offsets the packer ships.
+    *
+    * Exactness: counts and token sums are exact integers; n_packs is
+    * integer ceil-division; efficiency is ONE final division of exact
+    * integers — bit-identical on any engine.
+    *
+    * Scale: the packer's plan plus one tiny source roll-up (partial-agg
+    * shuffle onto the ≤ sources key space). */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    corpusPackHier(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(col("cruza_limite").cast("long")).as("n_cruzan"))
+      .withColumn("n_packs",
+        expr(s"(n_tokens + ${PackBudget - 1}) div $PackBudget"))
+      .withColumn("relleno_final",
+        col("n_packs") * PackBudget - col("n_tokens"))
+      .withColumn("eficiencia",
+        col("n_tokens").cast("double") /
+          (col("n_packs") * PackBudget).cast("double"))
+      .orderBy("source")
+
+  val packEfficiencySql: String = s"""
+    WITH pk AS ($corpusPackSql),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(cruza_limite AS INT)) AS BIGINT) AS n_cruzan
+      FROM pk GROUP BY source)
+    SELECT source, n_docs, n_tokens, n_cruzan,
+      (n_tokens + ${PackBudget - 1}) // $PackBudget AS n_packs,
+      ((n_tokens + ${PackBudget - 1}) // $PackBudget) * $PackBudget - n_tokens
+        AS relleno_final,
+      CAST(n_tokens AS DOUBLE) /
+        CAST(((n_tokens + ${PackBudget - 1}) // $PackBudget) * $PackBudget
+          AS DOUBLE) AS eficiencia
+    FROM agg ORDER BY source"""
+
   /** C31: `q_corpus_datasheet` — the per-(source, language) composition
     * report every corpus release publishes (a "datasheet"): document /
     * token / char volumes, exact-duplicate counts, and share-of-corpus

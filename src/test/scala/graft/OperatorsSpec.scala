@@ -718,6 +718,31 @@ class OperatorsSpec extends SparkSpec {
     hier.unpersist(): Unit
   }
 
+  test("pack efficiency: integer identities hold, both straddler branches real") {
+    val b = operators.Pipeline.PackBudget
+    val e = operators.Pipeline.packEfficiency(spark, sf).cache()
+    assert(e.count() > 0)
+    // ceil-division pack count brackets the token volume exactly
+    assert(e.filter(col("n_packs") * b < col("n_tokens")).count() == 0)
+    assert(e.filter((col("n_packs") - 1) * b >= col("n_tokens")).count() == 0)
+    // padding is the identity n_packs·B − n_tokens, inside [0, B)
+    assert(e.filter(col("relleno_final") =!=
+      col("n_packs") * b - col("n_tokens")).count() == 0)
+    assert(e.filter(col("relleno_final") < 0 ||
+      col("relleno_final") >= b).count() == 0)
+    // efficiency is the same identity as a ratio, in (0, 1]
+    assert(e.filter(col("eficiencia") <= 0 || col("eficiencia") > 1).count() == 0)
+    // non-degenerate: straddlers exist and are a strict minority somewhere
+    assert(e.filter(col("n_cruzan") > 0).count() > 0)
+    assert(e.filter(col("n_cruzan") >= col("n_docs")).count() == 0)
+    // straddler count reconciles with the packer's own flags
+    val fromPack = operators.Pipeline.corpusPack(spark, sf)
+      .groupBy("source").agg(sum(col("cruza_limite").cast("long")).as("c"))
+    assert(e.join(fromPack, "source")
+      .filter(col("n_cruzan") =!= col("c")).count() == 0)
+    e.unpersist(): Unit
+  }
+
   test("minhash estimate: defined exactly on the LSH pairs, bounded, exact fraction") {
     val est = operators.DedupOps.dedupMinhashEst(spark, sf).cache()
     val pairs = operators.DedupOps.dedupMinhashLsh(spark, sf)
