@@ -53,4 +53,53 @@ object PackStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(packFunc(budget))
   }
+
+  private def effFunc(budget: Long)(
+      source: String, docs: Iterator[PackDoc],
+      state: GroupState[EffState]): Iterator[EffOut] = {
+    val s0 = state.getOption.getOrElse(EffState(0L, 0L, 0L, 0L))
+    var total = s0.total; var n = s0.n_docs; var cr = s0.n_cruzan
+    docs.toVector.sortBy(_.doc_id).foreach { d =>
+      val packId = total / budget
+      if ((total + d.n_tok - 1) / budget != packId) cr += 1
+      total += d.n_tok; n += 1
+    }
+    val rev = s0.rev + 1
+    state.update(EffState(total, n, cr, rev))
+    val packs = (total + budget - 1) / budget
+    Iterator.single(EffOut(source, rev, n, total, cr, packs,
+      packs * budget - total,
+      total.toDouble / (packs * budget).toDouble))
+  }
+
+  /** D15: streaming twin of Pipeline.packEfficiency (C50) — the packing QA
+    * report maintained continuously: every aggregate the batch report
+    * derives (pack count, straddlers, padding, fill efficiency) is a pure
+    * function of (running total, doc count, straddler count), so the state
+    * extends D10's single long by TWO more and stays O(sources) forever —
+    * no watermark, no eviction. Straddler detection uses the same integer
+    * arithmetic as the packer itself, at the same running offset. Each
+    * micro-batch that touches a source emits a REVISION of its row (D11's
+    * pattern — an append stream can't retract); readers take the max-rev
+    * row per source, and the max-rev generation equals the batch C50
+    * report bit-for-bit (spec-pinned, the division included — same two
+    * exact longs on both sides). */
+  def runningEfficiency(docs: Dataset[PackDoc],
+      budget: Long = graft.operators.Pipeline.PackBudget.toLong): Dataset[EffOut] = {
+    implicit val outEnc = Encoders.product[EffOut]
+    implicit val stEnc = Encoders.product[EffState]
+    docs.groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(effFunc(budget))
+  }
 }
+
+/** Running per-source packing totals for D15: the packer offset plus the
+  * doc/straddler counters and an emit revision. */
+case class EffState(total: Long, n_docs: Long, n_cruzan: Long, rev: Long)
+
+/** One revision of a source's efficiency report (columns mirror C50,
+  * plus the revision number). */
+case class EffOut(source: String, rev: Long, n_docs: Long, n_tokens: Long,
+                  n_cruzan: Long, n_packs: Long, relleno_final: Long,
+                  eficiencia: Double)

@@ -293,6 +293,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D15 runningEfficiency: max-rev generation equals batch C50 bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the real corpus through TWO micro-batches (split on doc_id keeps the
+    // per-source arrival-order contract), state carrying totals across
+    val docs = sources.Tables.documents(sp, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[PackDoc].collect().sortBy(_.doc_id)
+    val (p1, p2) = docs.splitAt(docs.length / 2)
+    val in = MemoryStream[PackDoc]
+    val q = PackStream.runningEfficiency(in.toDS())
+      .writeStream.format("memory").queryName("d15_out")
+      .outputMode("append").start()
+    try {
+      in.addData(p1.toSeq); q.processAllAvailable()
+      in.addData(p2.toSeq); q.processAllAvailable()
+      val revs = sp.table("d15_out").as[EffOut].collect().toSeq
+      // revisions are real: at least one source was touched by both batches
+      assert(revs.exists(_.rev == 2L))
+      val streamed = revs.groupBy(_.source).map(_._2.maxBy(_.rev))
+        .map(e => (e.source, e.n_docs, e.n_tokens, e.n_cruzan,
+          e.n_packs, e.relleno_final, e.eficiencia)).toSet
+      val batch = operators.Pipeline.packEfficiency(sp, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("D10 PackStream batch mode equals Pipeline.corpusPack row-for-row") {
     val sp = spark
     import sp.implicits._
