@@ -67,6 +67,9 @@ object Audit {
     // holds ≤ PackChunk rows BY CONSTRUCTION (chunk = doc_id div PackChunk);
     // the cross-chunk scan sits above an aggregate and is already exempt
     ("q_corpus_pack_hier", "running-window-over-fact:documents"),
+    // C50 composes the hier packer, so it inherits exactly that vetted
+    // chunk-bounded window — same justification
+    ("q_pack_efficiency", "running-window-over-fact:documents"),
     // per-user event-order carries are sequential BY DEFINITION (a session
     // id / latest-click can't be known out of order): partition = one
     // user's events, hot users bounded by the B41 bot screen upstream, and
