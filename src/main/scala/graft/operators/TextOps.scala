@@ -640,6 +640,81 @@ object TextOps {
     WHERE rnk <= $BigramTopK
     ORDER BY w1, rnk"""
 
+  /** C51: `q_doc_lm_coverage` — per-document language-model coverage
+    * scoring, the perplexity-filter front end over C30's pruned bigram
+    * model: for every document, how many of its bigram transitions the
+    * corpus LM knows (`n_known / n_bigrams`) and the probability of its
+    * rarest known transition (`min_p_cond`). Low-coverage documents are
+    * the out-of-distribution / noise candidates an LM-perplexity quality
+    * filter would cut — this is that filter with CROSS-ENGINE-EXACT
+    * arithmetic: integer counts, ONE final division, and a `min` over
+    * already-exact conditional probabilities (each a single c12/c1
+    * division). A sum of per-bigram log-probs would hit float-summation
+    * order nondeterminism across partitions; min and integer counts are
+    * order-free, so the oracle comparison stays bit-exact (SURVEY §3).
+    *
+    * Plan: the corpus explodes to (doc_id, w1, w2) bigrams — narrow — and
+    * joins the LM keyed on (w1, w2). The LM is VOCABULARY-scaled (every
+    * ≥[[BigramMin]]-frequency head × top-[[BigramTopK]]), not bounded, so
+    * both corpus-scaled joins carry a `shuffle_hash` hint: at 100 TB the
+    * planner must never pick a broadcast of the LM or of the per-doc
+    * score relation (the C33 lesson), and a hash join avoids the sort.
+    * Per-join-key fanout is ≤ 1 LM row, so no skew; the doc_id re-agg
+    * partial-aggregates map-side. */
+  def docLmCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val lm = bigramLm(spark, dir).select("w1", "w2", "p_cond")
+    val bg = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2), i ->
+             struct(element_at(toks, i + 1) AS w1,
+                    element_at(toks, i + 2) AS w2))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val scored = bg.join(lm.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("p_cond")).as("n_known"),
+        min(col("p_cond")).as("min_p_cond"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("n_known").cast("double") /
+            col("n_bigrams").cast("double")).as("coverage"),
+        col("min_p_cond"))
+      .orderBy("doc_id")
+  }
+
+  val docLmCoverageSql: String = s"""
+    WITH lm AS ($bigramLmSql),
+    d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    b AS (
+      SELECT doc_id, toks[CAST(i + 1 AS INT)] AS w1,
+             toks[CAST(i + 2 AS INT)] AS w2
+      FROM d, unnest(range(0, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2),
+    s AS (
+      SELECT b.doc_id, count(*) AS n_bigrams, count(lm.p_cond) AS n_known,
+             min(lm.p_cond) AS min_p_cond
+      FROM b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      GROUP BY 1)
+    SELECT doc.doc_id,
+      COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      COALESCE(s.n_known, 0) AS n_known,
+      CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN NULL
+           ELSE CAST(s.n_known AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+      END AS coverage,
+      s.min_p_cond
+    FROM documents doc LEFT JOIN s ON doc.doc_id = s.doc_id
+    ORDER BY doc.doc_id"""
+
   /** C43: `q_text_length_histogram` — token-length distribution per source
     * in power-of-2 buckets: the planning input for chunking (C22) and
     * packing (C28) — bucket counts tell you the straddler rate and pad

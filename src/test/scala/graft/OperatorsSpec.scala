@@ -784,6 +784,36 @@ class OperatorsSpec extends SparkSpec {
     lm.unpersist(): Unit
   }
 
+  test("doc lm coverage: one row per doc, count identities, non-degenerate") {
+    val cov = operators.TextOps.docLmCoverage(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(cov.count() == docs.count()) // every doc scored, even empty ones
+    assert(cov.filter(col("n_known") > col("n_bigrams")).count() == 0)
+    assert(cov.filter(col("coverage") < 0 || col("coverage") > 1).count() == 0)
+    // coverage is null exactly when a doc has no bigrams
+    assert(cov.filter(col("n_bigrams") === 0 &&
+      col("coverage").isNotNull).count() == 0)
+    assert(cov.filter(col("n_bigrams") > 0 &&
+      col("coverage").isNull).count() == 0)
+    // min_p_cond only over LM-known transitions: present iff n_known > 0,
+    // and a valid conditional probability
+    assert(cov.filter((col("n_known") > 0) =!=
+      col("min_p_cond").isNotNull).count() == 0)
+    assert(cov.filter(col("min_p_cond") <= 0 ||
+      col("min_p_cond") > 1).count() == 0)
+    // the filter discriminates: known and unknown transitions both occur
+    assert(cov.filter(col("n_known") > 0).count() > 0)
+    assert(cov.filter(col("n_known") < col("n_bigrams")).count() > 0)
+    // bigram count reconciles with tokenization: sum = sum(max(len-1, 0))
+    val totBg = cov.agg(sum("n_bigrams")).head().getLong(0)
+    val totTok = docs.filter(length(trim(col("text"))) > 0)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(totBg == totTok)
+    cov.unpersist(): Unit
+  }
+
   test("sync report: one row per entity, counts reconcile with validators") {
     val r = operators.Etl.syncReport(spark, sf).cache()
     assert(r.count() == 4)
@@ -827,7 +857,7 @@ class OperatorsSpec extends SparkSpec {
   test("minhash estimate is calibrated against true shingle jaccard") {
     // ground truth: exact 5-char-shingle Jaccard per candidate pair,
     // computed the brute-force way (fine at sf0.001)
-    val docs = sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
     val sh = docs.select(col("doc_id"), explode(expr(
@@ -1028,7 +1058,7 @@ class OperatorsSpec extends SparkSpec {
     assert(p.filter(col("n_contents") <= 1 ||
       col("n_contents") > col("n_docs")).count() == 0)
     // every family's keeper really carries that prefix
-    val docs = sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
       .filter(length(lower(trim(col("text")))) >= operators.DedupOps.PrefixChars)
       .select(col("doc_id").as("keep_doc_id"),
         md5(substring(lower(trim(col("text"))), 1,
@@ -1137,7 +1167,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("length histogram: doc/token conservation, exact bit-width buckets") {
     val h = operators.TextOps.lengthHistogram(spark, sf).cache()
-    val docs = sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
     assert(h.agg(sum("n_docs")).head.getLong(0) == docs.count())
     // bucket_lo is 2^bucket, and a bucket's tokens sit in [lo·docs, 2·lo·docs)
     assert(h.filter(col("bucket") >= 0 &&
@@ -1308,7 +1338,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("multimodal frames: byte conservation, geometry, matches frameSample") {
     val fr = operators.MultimodalOps.multimodalFrames(spark, sf).cache()
-    val docs = sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("blen"))
     // per doc: frame lengths sum to the payload bytes, count = ceil(b/256)
     val perDoc = fr.groupBy("doc_id")
@@ -1329,7 +1359,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("dedup savings: removal counts reconcile with exact dedup") {
     val sv = operators.DedupOps.dedupSavings(spark, sf).cache()
-    val docs = sources.Tables.documents(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
     assert(sv.agg(sum("n_docs")).head.getLong(0) == docs.count())
     // total removed = docs − distinct normalized contents (C1's keepers)
     val distinctContents = docs
