@@ -569,4 +569,96 @@ object Pipeline {
     FROM q
     GROUP BY source
     ORDER BY source"""
+
+  /** Shingle width for the C52 source-overlap matrix. 5-word grams catch
+    * shared phrasing/boilerplate BETWEEN sources; doc-level contamination
+    * (C25) stays at the stricter [[DecontamGram]] = 8. Declared before the
+    * SQL val that interpolates it (object-val init order). */
+  val OverlapGram: Int = 5
+
+  /** C52: `q_source_overlap` — cross-source content-overlap matrix: for
+    * every source pair, the count of shared distinct word-[[OverlapGram]]-
+    * grams and their Jaccard similarity. The datasheet-level contamination
+    * report next to C31 (which is per-source) and C25 (which is per-doc):
+    * a high-Jaccard pair means two "different" sources are mirrors or
+    * share boilerplate, so their token budgets double-count — the input a
+    * source-weighting decision (C27) needs. Exact-hash overlap (C1's
+    * norm_hash) is structurally zero on disjoint crawls; gram overlap is
+    * the standard corpus-level signal (Pile/Dolma-style analyses).
+    *
+    * Exactness: distinct-gram counts are integers, Jaccard is ONE final
+    * division shared/(n_a + n_b − shared) of exact longs.
+    *
+    * Plan: grams explode narrow (per-doc `array_distinct` first, so a
+    * repetitive doc contributes each gram once to the explode); the
+    * corpus-wide distinct (gram_hash, source) set — 16-byte md5, never
+    * full gram text, so shuffle rows are fixed-width — is cached and read
+    * three ways (per-source totals, pair join a-side, b-side). The
+    * self-join keys on gram_hash with per-key fanout structurally ≤
+    * #sources rows (≤ S² pairs per gram): bounded by the SOURCE count, not
+    * by any data property, so no hot-bucket cap is needed (unlike C2/C14's
+    * doc-level buckets). The pair aggregate lands on a ≤ S²-row grid and
+    * the final matrix assembles from broadcast S-row totals.
+    * Cache ownership: caller reclaims via `spark.catalog.clearCache()`
+    * after its action (the C29 contract; Bench/Verify already do). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val els = (1 to OverlapGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    val grams = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= OverlapGram)
+      .select(col("source"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $OverlapGram),
+             i -> concat_ws(' ', $els)))""")).as("gram"))
+      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .distinct()
+      .cache()
+    val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.gram_hash") === col("b.gram_hash") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    totals.select(col("source").as("source_a"), col("n_grams").as("n_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n_grams").as("n_b"))), col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String = {
+    val cat = (1 to OverlapGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT DISTINCT source, md5(gram) AS gram_hash FROM (
+        SELECT source, unnest(list_distinct(
+          list_transform(range(0, len(toks) - ${OverlapGram - 1}), i ->
+            $cat))) AS gram
+        FROM d WHERE len(toks) >= $OverlapGram)),
+    t AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+    s AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+      FROM g a JOIN g b ON a.gram_hash = b.gram_hash AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT ta.source AS source_a, tb.source AS source_b,
+      ta.n_grams AS n_a, tb.n_grams AS n_b,
+      COALESCE(s.shared, 0) AS shared,
+      CAST(COALESCE(s.shared, 0) AS DOUBLE) /
+        CAST(ta.n_grams + tb.n_grams - COALESCE(s.shared, 0) AS DOUBLE)
+        AS jaccard
+    FROM t ta JOIN t tb ON ta.source < tb.source
+    LEFT JOIN s ON s.source_a = ta.source AND s.source_b = tb.source
+    ORDER BY source_a, source_b"""
+  }
 }

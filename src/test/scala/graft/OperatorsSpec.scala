@@ -814,6 +814,26 @@ class OperatorsSpec extends SparkSpec {
     cov.unpersist(): Unit
   }
 
+  test("source overlap: full pair grid, jaccard identities, non-degenerate") {
+    val m = operators.Pipeline.sourceOverlap(spark, sf).cache()
+    val s = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select("source").distinct().count()
+    assert(m.count() == s * (s - 1) / 2) // every pair, including zero-overlap
+    assert(m.filter(col("source_a") >= col("source_b")).count() == 0)
+    assert(m.filter(col("shared") > col("n_a") ||
+      col("shared") > col("n_b")).count() == 0)
+    assert(m.filter(col("jaccard") < 0 || col("jaccard") >= 1).count() == 0)
+    // jaccard reconstructs from the integer counts exactly
+    assert(m.filter(col("jaccard") =!= col("shared").cast("double") /
+      (col("n_a") + col("n_b") - col("shared")).cast("double")).count() == 0)
+    // both branches real: overlapping pairs and disjoint pairs both occur
+    assert(m.filter(col("shared") > 0).count() > 0)
+    assert(m.filter(col("shared") === 0).count() > 0)
+    m.unpersist()
+    spark.catalog.clearCache() // operator contract: caller reclaims caches
+  }
+
   test("sync report: one row per entity, counts reconcile with validators") {
     val r = operators.Etl.syncReport(spark, sf).cache()
     assert(r.count() == 4)
