@@ -57,6 +57,9 @@ object Audit {
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // IVF centroid set: vec_id ≡ 50 (mod 100) under the IvfK cap
     ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
+    // C53 cell balance: the same O(IvfK) centroid broadcast as C13, plus
+    // a broadcast 1-row grand total — both fixed-size at any corpus scale
+    ("q_ann_cell_balance", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

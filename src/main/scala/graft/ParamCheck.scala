@@ -42,7 +42,10 @@ object ParamCheck {
         EmbeddingOps.annHardNegativesSqlFor(probeBatch = 2, probeLo = 1)),
       ("q_semantic_dedup_k2",
         (s, d) => EmbeddingOps.semanticDedup(s, d, k = 2),
-        EmbeddingOps.semanticDedupSqlFor(k = 2)))
+        EmbeddingOps.semanticDedupSqlFor(k = 2)),
+      ("q_ann_cell_balance_k2",
+        (s, d) => EmbeddingOps.annCellBalance(s, d, k = 2),
+        EmbeddingOps.annCellBalanceSqlFor(k = 2)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -794,4 +794,66 @@ object EmbeddingOps {
     FROM q
     ORDER BY vec_id"""
   }
+
+  /** C53: `q_ann_cell_balance` — IVF index QA: per-cell population, corpus
+    * share, and load factor (n_vecs · n_cells / n_total — 1.0 = perfectly
+    * uniform). The health report for C13/C35's inverted file: a skewed
+    * quantizer concentrates probe work in hot cells (the ANN analog of a
+    * hot shuffle partition), and recall (C40) silently degrades when
+    * probed cells are unbalanced — this is the report that says REBALANCE
+    * before those bite at 100 TB. Composes C13's exact centroid set and
+    * cell assignment, so the report describes the index the search
+    * queries actually use.
+    *
+    * Exactness: populations are integers; share and load factor are each
+    * ONE division of exact longs. Plan: one narrow assignment pass over
+    * the corpus against the O(k) broadcast centroid set (C13's shape), a
+    * partial-agg shuffle onto the ≤ k-row cell grid, and a broadcast
+    * 1-row total — no corpus-scaled shuffle, no driver data. */
+  def annCellBalance(spark: SparkSession, dir: String,
+      k: Int = IvfK): DataFrame = {
+    val v = vectors(spark, dir)
+    val cells = ivfAssigned(v, ivfCentroids(v, k))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        ((col("n_vecs") * col("n_cells")).cast("double") /
+          col("n_total").cast("double")).as("load_factor"))
+      .orderBy("cent_id")
+  }
+
+  def annCellBalanceSqlFor(k: Int = IvfK): String = s"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
+    asg AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(v.embedding) + 1), i ->
+              CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(v.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS arnk
+        FROM v, c) WHERE arnk = 1),
+    cells AS (SELECT cent_id, count(*) AS n_vecs FROM asg GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+                   count(*) AS n_cells FROM cells)
+    SELECT cent_id, n_vecs,
+      CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      CAST(n_vecs * n_cells AS DOUBLE) / CAST(n_total AS DOUBLE)
+        AS load_factor
+    FROM cells, tot
+    ORDER BY cent_id"""
+
+  val annCellBalanceSql: String = annCellBalanceSqlFor()
 }

@@ -814,6 +814,24 @@ class OperatorsSpec extends SparkSpec {
     cov.unpersist(): Unit
   }
 
+  test("ann cell balance: conservation, share/load identities, skew real") {
+    val b = operators.EmbeddingOps.annCellBalance(spark, sf).cache()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    // every vector lands in exactly one cell
+    assert(b.agg(sum("n_vecs")).head().getLong(0) == nVecs)
+    assert(b.filter(col("n_vecs") <= 0).count() == 0)
+    // shares sum to 1 within float tolerance; each reconstructs exactly
+    assert(math.abs(b.agg(sum("share")).head().getDouble(0) - 1.0) < 1e-9)
+    val nCells = b.count()
+    assert(b.filter(col("load_factor") =!=
+      (col("n_vecs") * lit(nCells)).cast("double") / lit(nVecs.toDouble))
+      .count() == 0)
+    // the report is non-degenerate: the quantizer is NOT uniform here
+    val lf = b.agg(min("load_factor"), max("load_factor")).head()
+    assert(lf.getDouble(1) > lf.getDouble(0))
+    b.unpersist(): Unit
+  }
+
   test("source overlap: full pair grid, jaccard identities, non-degenerate") {
     val m = operators.Pipeline.sourceOverlap(spark, sf).cache()
     val s = graft.sources.Tables.documents(spark, sf)
