@@ -661,9 +661,18 @@ object TextOps {
     * score relation (the C33 lesson), and a hash join avoids the sort.
     * Per-join-key fanout is ≤ 1 LM row, so no skew; the doc_id re-agg
     * partial-aggregates map-side. */
-  def docLmCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val lm = bigramLm(spark, dir).select("w1", "w2", "p_cond")
-    val bg = Tables.documents(spark, dir)
+  def docLmCoverage(spark: SparkSession, dir: String): DataFrame =
+    scoreAgainstLm(Tables.documents(spark, dir), bigramLm(spark, dir))
+      .orderBy("doc_id")
+
+  /** The scoring primitive under C51 (and its streaming face, D16
+    * `CorpusStream.lmScore`): score a document relation against a FROZEN
+    * LM relation — (w1, w2, p_cond) rows, normally [[bigramLm]]'s output.
+    * Separated from [[docLmCoverage]] so the deployed filter shape (score
+    * INCOMING docs against a model trained on yesterday's corpus) is the
+    * same audited plan, batch or per micro-batch. */
+  def scoreAgainstLm(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val bg = docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -672,12 +681,13 @@ object TextOps {
              struct(element_at(toks, i + 1) AS w1,
                     element_at(toks, i + 2) AS w2))""")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val scored = bg.join(lm.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+    val scored = bg.join(lm.select("w1", "w2", "p_cond").hint("shuffle_hash"),
+        Seq("w1", "w2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("p_cond")).as("n_known"),
         min(col("p_cond")).as("min_p_cond"))
-    Tables.documents(spark, dir).select("doc_id")
+    docs.select("doc_id")
       .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -687,7 +697,6 @@ object TextOps {
           .otherwise(col("n_known").cast("double") /
             col("n_bigrams").cast("double")).as("coverage"),
         col("min_p_cond"))
-      .orderBy("doc_id")
   }
 
   val docLmCoverageSql: String = s"""

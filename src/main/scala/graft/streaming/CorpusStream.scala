@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.TextOps
 
 /** D12: streaming twin of Pipeline.corpusPipeline (C17) — the whole
@@ -43,4 +44,30 @@ object CorpusStream {
         TextOps.scrubCol(col("text")).as("texto_limpio"),
         TextOps.redactionsCol(col("text")).as("n_redacciones"))
   }
+
+  /** D16: streaming LM-coverage scoring — C51's quality filter in its
+    * DEPLOYED shape: incoming documents scored per micro-batch against a
+    * FROZEN language model (trained batch-side by [[TextOps.bigramLm]],
+    * passed in as a static relation). This is how LM-based filtering runs
+    * in production ingest — the model does NOT update with the stream, so
+    * scoring is STATELESS: every doc's bigrams arrive in its own row, the
+    * per-doc aggregate completes inside the micro-batch, and no state
+    * store entry outlives the batch (state O(0), vs the unbounded
+    * O(docs-seen) a naive streaming groupBy(doc_id) would accrete).
+    * Vehicle: `foreachBatch` running [[TextOps.scoreAgainstLm]] — the
+    * SAME audited plan as batch C51 — appended to a parquet sink.
+    * Batch-union ≡ C51 equivalence is spec-pinned across a two-batch
+    * feed. */
+  def lmScore(docs: DataFrame, lm: DataFrame, targetDir: String,
+              checkpointDir: String,
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextOps.scoreAgainstLm(batch, lm)
+          .write.mode(SaveMode.Append).parquet(targetDir)
+      }
+      .start()
 }

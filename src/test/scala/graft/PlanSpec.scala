@@ -69,6 +69,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("lm coverage: vocabulary-scaled LM is hash-joined, never broadcast") {
+    // both corpus-scaled joins carry shuffle_hash hints; at 100 TB a
+    // planner-chosen broadcast of the LM (or of the per-doc score
+    // relation) is the C33 failure mode — the finalized adaptive plan
+    // must contain hash joins only
+    val df = SparkEntry.queries("q_doc_lm_coverage")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("source overlap: cached gram set absorbs all three consumers") {
+    // totals + pair-join a/b sides must all read the cached 16-byte
+    // (gram_hash, source) relation — a "file" leaf means one consumer
+    // silently re-derived the gram explode from parquet
+    SparkEntry.queries("q_source_overlap")(spark, sf).collect()
+    val leaves = scanLeaves("q_source_overlap")
+    assert(!leaves.contains("file"), leaves.toString)
+    assert(leaves.count(_ == "mem") >= 3, leaves.toString)
+    spark.catalog.clearCache() // C52's cache contract: caller reclaims
+  }
+
   test("churn anti-join: date pushed to the orders scan, join stays anti") {
     val plan = planOf("q_customers_no_orders")
     assert(plan.contains("LeftAnti"), plan)

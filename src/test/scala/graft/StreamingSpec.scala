@@ -551,6 +551,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D16 streaming LM scoring over two batches equals batch C51") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // freeze the LM batch-side (production shape: trained on yesterday's
+    // corpus), then stream the same docs through in two micro-batches
+    val lm = graft.operators.TextOps.bigramLm(sp, sf).cache()
+    val rows = graft.sources.Tables.documents(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d16_target") + "/scores"
+    val ckpt = tmpDir("d16_ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = CorpusStream.lmScore(in.toDF().toDF("doc_id", "text"),
+        lm, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    val batch = graft.operators.TextOps.docLmCoverage(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    lm.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D11 AnomalyStream max-rev generation equals the batch twin exactly") {
     val sp = spark
     import sp.implicits._
