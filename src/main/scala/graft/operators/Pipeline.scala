@@ -236,6 +236,61 @@ object Pipeline {
     WHERE h < (t_min * 1000000) // t_src
     ORDER BY doc_id"""
 
+  /** C54: `q_corpus_mix_temp` — temperature-smoothed source mixing, the
+    * non-uniform target C27's scaladoc promises: keep rate
+    * (T_min/T_s)^τ with τ = 1/2 (Pile/Dolma-style smoothing — large
+    * sources still downsample, but less brutally than C27's full
+    * leveling; τ → 0 keeps everything, τ = 1 IS C27). Same salted hash as
+    * C27 ON PURPOSE: `h < umbral` decisions NEST as τ varies, so C27's
+    * kept set is a guaranteed subset of this one (spec-pinned) and a
+    * τ-sweep downsamples monotonically instead of re-rolling the dice
+    * per doc.
+    *
+    * Exactness: the threshold chain is floor(10⁶ · sqrt(t_min/t_src)) —
+    * division, sqrt, multiply are each IEEE correctly-rounded on
+    * identical sub-2⁵³ integer inputs, so both engines produce the SAME
+    * double before the floor (no summation-order hazard: every input is
+    * an exact integer aggregate). The C27 integer form (t_min·10¹² div
+    * t_src, integer sqrt) would overflow BIGINT at corpus scale
+    * (t_min ~ 10¹² tokens at 100 TB); this chain never exceeds the
+    * inputs' magnitudes. Plan: identical to C27 — one narrow token-count
+    * pass, 20-row cached source totals, broadcast back; no fact-side
+    * shuffle at any corpus size. */
+  def corpusMixTemp(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        (expr("graft_str_hash(concat('mix|', lower(trim(text))))") % 1000000).as("h"))
+    val tok = d.groupBy("source").agg(sum("n_tok").as("t_src")).cache()
+    val tmin = tok.agg(min("t_src").as("t_min"))
+    d.join(broadcast(tok), "source").crossJoin(broadcast(tmin))
+      .withColumn("umbral", floor(lit(1000000.0) *
+        sqrt(col("t_min").cast("double") / col("t_src").cast("double"))))
+      .filter(col("h") < col("umbral"))
+      .select("doc_id", "source", "n_tok", "umbral")
+      .orderBy("doc_id")
+  }
+
+  val corpusMixTempSql: String = """
+    WITH d AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        list_reduce(list_transform(range(1, length('mix|' || lower(trim(text))) + 1), i ->
+          CAST(ascii(substr('mix|' || lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) % 1000000 AS h
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS t_src FROM d GROUP BY 1),
+    tm AS (SELECT MIN(t_src) AS t_min FROM tok)
+    SELECT doc_id, d.source, n_tok,
+      CAST(floor(1000000 * sqrt(CAST(t_min AS DOUBLE) / CAST(t_src AS DOUBLE)))
+        AS BIGINT) AS umbral
+    FROM d JOIN tok ON d.source = tok.source, tm
+    WHERE h < CAST(floor(1000000 * sqrt(CAST(t_min AS DOUBLE) / CAST(t_src AS DOUBLE)))
+        AS BIGINT)
+    ORDER BY doc_id"""
+
   /** C28 pack size (tokens). Sized so test-corpus packs hold a handful of
     * 10-99-token docs; a real 4k/8k context window is the same arithmetic. */
   val PackBudget: Int = 256

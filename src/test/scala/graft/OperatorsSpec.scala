@@ -586,6 +586,25 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist(): Unit
   }
 
+  test("corpus mix temp: nests above C27, smooths monotonically, real smoothing") {
+    val full = Pipeline.corpusMix(spark, sf).cache()
+    val temp = Pipeline.corpusMixTemp(spark, sf).cache()
+    // same salted hash ⇒ kept sets NEST: everything τ=1 keeps, τ=1/2 keeps
+    assert(full.select("doc_id").except(temp.select("doc_id")).count() == 0)
+    // τ=1/2 keeps strictly more here (smoothing is real on this corpus)
+    assert(temp.count() > full.count())
+    // per-source thresholds dominate C27's and stay valid rates
+    val j = temp.select(col("source"), col("umbral").as("u_t")).distinct()
+      .join(full.select(col("source"), col("umbral").as("u_1")).distinct(),
+        "source")
+    assert(j.filter(col("u_t") < col("u_1")).count() == 0)
+    assert(temp.filter(col("umbral") < 1 || col("umbral") > 1000000).count() == 0)
+    // the bottleneck source still keeps everything (sqrt(1) = 1)
+    assert(temp.filter(col("umbral") === 1000000).count() > 0)
+    full.unpersist(); temp.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
   test("funnel matches a naive in-memory staged computation") {
     val sp = spark
     import sp.implicits._
