@@ -60,6 +60,9 @@ object Audit {
     // C53 cell balance: the same O(IvfK) centroid broadcast as C13, plus
     // a broadcast 1-row grand total — both fixed-size at any corpus scale
     ("q_ann_cell_balance", "hinted-fact-broadcast:embeddings"),
+    // C55 PQ: the O(PqK) codebook broadcast — fixed-size at any scale;
+    // the ×k fanout collapses in a map-side struct-MIN before the shuffle
+    ("q_embed_pq", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

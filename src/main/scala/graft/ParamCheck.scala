@@ -45,7 +45,10 @@ object ParamCheck {
         EmbeddingOps.semanticDedupSqlFor(k = 2)),
       ("q_ann_cell_balance_k2",
         (s, d) => EmbeddingOps.annCellBalance(s, d, k = 2),
-        EmbeddingOps.annCellBalanceSqlFor(k = 2)))
+        EmbeddingOps.annCellBalanceSqlFor(k = 2)),
+      ("q_embed_pq_k2",
+        (s, d) => EmbeddingOps.embedPq(s, d, k = 2),
+        EmbeddingOps.embedPqSqlFor(k = 2)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

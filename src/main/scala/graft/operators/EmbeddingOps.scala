@@ -856,4 +856,80 @@ object EmbeddingOps {
     ORDER BY cent_id"""
 
   val annCellBalanceSql: String = annCellBalanceSqlFor()
+
+  /** PQ geometry: 4 subspaces × 16 dims over the 64-dim embeddings;
+    * codeword cap per subspace (deterministic stand-in codebook — the
+    * vec_id ≡ 50 (mod 100) family C13 uses; a trained PQ learns a
+    * DIFFERENT codebook per subspace, but the assignment/reporting
+    * plumbing is identical). */
+  val PqSub: Int = 4
+  val PqSubDim: Int = 16
+  val PqK: Int = 256
+
+  /** C55: `q_embed_pq` — product quantization, the memory-compression
+    * half of the canonical billion-scale ANN index (IVF routes to cells =
+    * C13; PQ compresses residents 64-float → [[PqSub]] bytes): every
+    * vector's subspace slices are assigned to their nearest codeword by
+    * L2², with the per-subspace reconstruction MSE the index-quality gate
+    * (next to C36's scalar-quantize MSE and C53's cell balance).
+    *
+    * Exactness: each distance is a SEQUENTIAL fold of per-dimension
+    * squared differences (both engines fold the 16 slice elements in
+    * order); the argmin is a lexicographic (dist, cent_id) MIN —
+    * order-independent, tie-broken on codeword id — and sub_mse is one
+    * final division.
+    *
+    * Plan: subspace explode is a narrow ×[[PqSub]] transform; the
+    * codebook is an O([[PqK]]) broadcast (never a corpus fraction); the
+    * argmin is a partial-aggregating struct-MIN onto the (vec, subspace)
+    * grid — map-side combine collapses the ×k fanout BEFORE the shuffle,
+    * unlike a window argmin which would sort the full expansion. */
+  def embedPq(spark: SparkSession, dir: String, k: Int = PqK): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
+    val distExpr = expr(s"""aggregate(
+      zip_with(
+        slice(embedding, CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
+        slice(c_emb,     CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
+        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+    v.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))"))
+          .as("sub_id"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("sub_id"), col("cent_id"),
+        distExpr.as("dist"))
+      .groupBy("vec_id", "sub_id")
+      .agg(min(struct(col("dist").as("dist"), col("cent_id").as("cent_id")))
+        .as("m"))
+      .select(col("vec_id"), col("sub_id"), col("m.cent_id").as("code"),
+        (col("m.dist") / lit(PqSubDim.toDouble)).as("sub_mse"))
+      .orderBy("vec_id", "sub_id")
+  }
+
+  def embedPqSqlFor(k: Int = PqK): String = s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
+    d AS (
+      SELECT v.vec_id, u.sub_id, c.cent_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, ${PqSubDim + 1}), i ->
+            (CAST(v.embedding[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)) *
+            (CAST(v.embedding[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)))),
+          (acc, x) -> acc + x) AS dist
+      FROM v, unnest(range(0, $PqSub)) AS u(sub_id), c)
+    SELECT vec_id, sub_id, cent_id AS code,
+      dist / CAST($PqSubDim AS DOUBLE) AS sub_mse
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                   ORDER BY dist, cent_id) AS r
+      FROM d) WHERE r = 1
+    ORDER BY vec_id, sub_id"""
+
+  val embedPqSql: String = embedPqSqlFor()
 }

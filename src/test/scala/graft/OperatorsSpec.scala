@@ -851,6 +851,28 @@ class OperatorsSpec extends SparkSpec {
     b.unpersist(): Unit
   }
 
+  test("embed pq: full grid, codes from the codebook, argmin is optimal") {
+    val pq = operators.EmbeddingOps.embedPq(spark, sf).cache()
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(pq.count() == nVecs * operators.EmbeddingOps.PqSub)
+    // codes come from the deterministic codebook family
+    assert(pq.filter(col("code") % 100 =!= 50).count() == 0)
+    assert(pq.filter(col("sub_mse") < 0).count() == 0)
+    // a codeword vector reconstructs ITSELF exactly in every subspace
+    val selfRows = pq.filter(col("vec_id") % 100 === 50 &&
+      col("vec_id") < operators.EmbeddingOps.PqK * 100L)
+    assert(selfRows.filter(col("code") =!= col("vec_id") ||
+      col("sub_mse") =!= 0.0).count() == 0)
+    // non-degenerate: some non-codeword vector has a strictly positive MSE
+    assert(pq.filter(col("sub_mse") > 0).count() > 0)
+    // subspace assignments are genuinely independent: at least one vector
+    // picks different codewords in different subspaces
+    assert(pq.groupBy("vec_id")
+      .agg(countDistinct("code").as("nc")).filter(col("nc") > 1)
+      .count() > 0)
+    pq.unpersist(): Unit
+  }
+
   test("source overlap: full pair grid, jaccard identities, non-degenerate") {
     val m = operators.Pipeline.sourceOverlap(spark, sf).cache()
     val s = graft.sources.Tables.documents(spark, sf)
