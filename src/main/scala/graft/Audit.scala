@@ -63,6 +63,9 @@ object Audit {
     // C55 PQ: the O(PqK) codebook broadcast — fixed-size at any scale;
     // the ×k fanout collapses in a map-side struct-MIN before the shuffle
     ("q_embed_pq", "hinted-fact-broadcast:embeddings"),
+    // C56 ADC: the probe LUT broadcasts — O(batch·PqSub·PqK), fixed-size
+    // (probe batch + codebook caps), never a corpus fraction
+    ("q_ann_pq_adc", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

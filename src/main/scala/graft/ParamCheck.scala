@@ -48,7 +48,10 @@ object ParamCheck {
         EmbeddingOps.annCellBalanceSqlFor(k = 2)),
       ("q_embed_pq_k2",
         (s, d) => EmbeddingOps.embedPq(s, d, k = 2),
-        EmbeddingOps.embedPqSqlFor(k = 2)))
+        EmbeddingOps.embedPqSqlFor(k = 2)),
+      ("q_ann_pq_adc_k2_pb2lo1",
+        (s, d) => EmbeddingOps.annPqAdc(s, d, k = 2, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annPqAdcSqlFor(k = 2, probeBatch = 2, probeLo = 1)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -884,16 +884,21 @@ object EmbeddingOps {
     * argmin is a partial-aggregating struct-MIN onto the (vec, subspace)
     * grid — map-side combine collapses the ×k fanout BEFORE the shuffle,
     * unlike a window argmin which would sort the full expansion. */
-  def embedPq(spark: SparkSession, dir: String, k: Int = PqK): DataFrame = {
-    val v = vectors(spark, dir)
-    val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
-    val distExpr = expr(s"""aggregate(
+  /** Sequential-fold L2² between the `sub_id`-th subspace slices of two
+    * float-vector columns (both engines fold the [[PqSubDim]] elements in
+    * order) — shared by C55 (assignment) and C56 (probe LUT). */
+  private def pqDistExpr(a: String, b: String) = expr(s"""aggregate(
       zip_with(
-        slice(embedding, CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
-        slice(c_emb,     CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
+        slice($a, CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
+        slice($b, CAST(sub_id * $PqSubDim + 1 AS INT), $PqSubDim),
         (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
                   (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
       CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+
+  def embedPq(spark: SparkSession, dir: String, k: Int = PqK): DataFrame = {
+    val v = vectors(spark, dir)
+    val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
+    val distExpr = pqDistExpr("embedding", "c_emb")
     v.select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))"))
           .as("sub_id"))
@@ -932,4 +937,124 @@ object EmbeddingOps {
     ORDER BY vec_id, sub_id"""
 
   val embedPqSql: String = embedPqSqlFor()
+
+  /** C56: `q_ann_pq_adc` — asymmetric-distance ANN search over the PQ
+    * codes: the QUERY path of IVF-PQ (C55 compresses, this searches the
+    * compressed corpus). Each probe precomputes a lookup table of
+    * subspace distances to every codeword (O(batch · [[PqSub]] ·
+    * [[PqK]]) — fixed-size, broadcast); a compressed vector's
+    * approximate distance is then FOUR TABLE LOOKUPS AND THREE ADDS,
+    * never a 64-dim fold — exactly why PQ search scans billions of codes
+    * per node while exact search (C6) cannot.
+    *
+    * Exactness: LUT entries are C55's sequential folds; the ADC sum is a
+    * FIXED left-associated chain ((d0+d1)+d2)+d3 spelled identically in
+    * both engines (a groupBy SUM over the 4 parts would be
+    * partition-order-nondeterministic); top-k ties break on neighbor_id.
+    *
+    * Plan: codes assemble map-side (the C55 struct-MIN, conditional per
+    * subspace, ONE aggregate); the LUT joins are 4 broadcast hash joins —
+    * the first fans out ×batch, the rest are 1:1 on (probe, code) — and
+    * the top-k window partitions per probe (the C6-vetted shape). No
+    * corpus-side shuffle before the window. */
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = PqK,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
+    val subSeq =
+      expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))")
+    val assigned = v
+      .select(col("vec_id"), col("embedding"), explode(subSeq).as("sub_id"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("sub_id"), col("cent_id"),
+        pqDistExpr("embedding", "c_emb").as("dist"))
+    val codeCols = (0 until PqSub).map(s =>
+      min(when(col("sub_id") === s,
+        struct(col("dist").as("dist"), col("cent_id").as("cent_id"))))
+        .as(s"m$s"))
+    val codes = assigned.groupBy("vec_id")
+      .agg(codeCols.head, codeCols.tail: _*)
+      .select(col("vec_id") +:
+        (0 until PqSub).map(s => col(s"m$s.cent_id").as(s"code_$s")): _*)
+    val lut = v.filter(probeFilter(probeLo, probeBatch))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .select(col("probe_id"), col("p_emb"), explode(subSeq).as("sub_id"))
+      .crossJoin(cb)
+      .select(col("probe_id"), col("sub_id"), col("cent_id"),
+        pqDistExpr("p_emb", "c_emb").as("d"))
+    def lutS(s: Int) = broadcast(lut.filter(col("sub_id") === s)
+      .select(col("probe_id"), col("cent_id").as(s"code_$s"),
+        col("d").as(s"d_$s")))
+    val scored = codes
+      .join(lutS(0), Seq("code_0"))
+      .join(lutS(1), Seq("probe_id", "code_1"))
+      .join(lutS(2), Seq("probe_id", "code_2"))
+      .join(lutS(3), Seq("probe_id", "code_3"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (((col("d_0") + col("d_1")) + col("d_2")) + col("d_3"))
+          .as("adc_dist"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("adc_dist").asc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("probe_id", "rnk")
+  }
+
+  def annPqAdcSqlFor(k: Int = PqK, probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = {
+    val fold = (a: String, b: String) => s"""
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, ${PqSubDim + 1}), i ->
+            (CAST($a[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST($b[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)) *
+            (CAST($a[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST($b[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)))),
+          (acc, x) -> acc + x)"""
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
+    sub AS (
+      SELECT v.vec_id, u.sub_id, c.cent_id,
+        ${fold("v.embedding", "c.c_emb")} AS dist
+      FROM v, unnest(range(0, $PqSub)) AS u(sub_id), c),
+    pick AS (
+      SELECT vec_id, sub_id, cent_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist, cent_id) AS r
+        FROM sub) WHERE r = 1),
+    codes AS (
+      SELECT vec_id,
+        ${(0 until PqSub).map(s =>
+          s"MAX(CASE WHEN sub_id = $s THEN code END) AS code_$s")
+          .mkString(",\n        ")}
+      FROM pick GROUP BY 1),
+    lut AS (
+      SELECT p.vec_id AS probe_id, u.sub_id, c.cent_id,
+        ${fold("p.embedding", "c.c_emb")} AS d
+      FROM v p, unnest(range(0, $PqSub)) AS u(sub_id), c
+      WHERE ${probeSqlPred("p.vec_id", probeLo, probeBatch)}),
+    s AS (
+      SELECT l0.probe_id, codes.vec_id AS neighbor_id,
+        ((l0.d + l1.d) + l2.d) + l3.d AS adc_dist
+      FROM codes
+        JOIN lut l0 ON l0.sub_id = 0 AND l0.cent_id = codes.code_0
+        JOIN lut l1 ON l1.sub_id = 1 AND l1.cent_id = codes.code_1
+          AND l1.probe_id = l0.probe_id
+        JOIN lut l2 ON l2.sub_id = 2 AND l2.cent_id = codes.code_2
+          AND l2.probe_id = l0.probe_id
+        JOIN lut l3 ON l3.sub_id = 3 AND l3.cent_id = codes.code_3
+          AND l3.probe_id = l0.probe_id
+      WHERE codes.vec_id <> l0.probe_id)
+    SELECT probe_id, neighbor_id, adc_dist, rnk FROM (
+      SELECT probe_id, neighbor_id, adc_dist,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM s) WHERE rnk <= 10
+    ORDER BY probe_id, rnk"""
+  }
+
+  val annPqAdcSql: String = annPqAdcSqlFor()
 }

@@ -873,6 +873,31 @@ class OperatorsSpec extends SparkSpec {
     pq.unpersist(): Unit
   }
 
+  test("ann pq adc: top-10 per probe, ADC reconstructs from the LUT parts") {
+    val adc = operators.EmbeddingOps.annPqAdc(spark, sf).cache()
+    val probes = adc.select("probe_id").distinct().count()
+    assert(probes > 0 && adc.count() == probes * 10)
+    assert(adc.filter(col("adc_dist") < 0).count() == 0)
+    assert(adc.filter(col("probe_id") === col("neighbor_id")).count() == 0)
+    // ranks dense 1..10, distances non-decreasing in rank per probe
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy("rnk")
+    assert(adc.withColumn("prev", lag("adc_dist", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("adc_dist"))
+      .count() == 0)
+    val perProbe = adc.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(perProbe.filter(col("n") =!= 10 || col("lo") =!= 1 ||
+      col("hi") =!= 10).count() == 0)
+    // ADC is coarse but not vacuous: it agrees with exact top-10 (C6)
+    // on at least one neighbor somewhere in the batch
+    val exact = operators.EmbeddingOps.annBruteforce(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    assert(adc.select("probe_id", "neighbor_id").intersect(exact).count() > 0)
+    adc.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
   test("source overlap: full pair grid, jaccard identities, non-degenerate") {
     val m = operators.Pipeline.sourceOverlap(spark, sf).cache()
     val s = graft.sources.Tables.documents(spark, sf)
