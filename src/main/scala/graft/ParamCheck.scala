@@ -51,7 +51,10 @@ object ParamCheck {
         EmbeddingOps.embedPqSqlFor(k = 2)),
       ("q_ann_pq_adc_k2_pb2lo1",
         (s, d) => EmbeddingOps.annPqAdc(s, d, k = 2, probeBatch = 2, probeLo = 1),
-        EmbeddingOps.annPqAdcSqlFor(k = 2, probeBatch = 2, probeLo = 1)))
+        EmbeddingOps.annPqAdcSqlFor(k = 2, probeBatch = 2, probeLo = 1)),
+      ("q_corpus_sample_stratified_k3",
+        (s, d) => graft.operators.Pipeline.corpusSampleStratified(s, d, k = 3),
+        graft.operators.Pipeline.corpusSampleStratifiedSqlFor(k = 3)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

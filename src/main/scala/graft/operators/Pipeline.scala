@@ -291,6 +291,55 @@ object Pipeline {
         AS BIGINT)
     ORDER BY doc_id"""
 
+  /** Per-stratum sample size for C57. */
+  val StratumK: Int = 10
+
+  /** C57: `q_corpus_sample_stratified` — EXACT-size stratified sampling:
+    * the k lowest-salted-hash docs per (source, lang) stratum. C20's
+    * rate-based sample can only hit an expected size per stratum; this
+    * delivers exactly min(k, |stratum|) — the eval-set builder's contract
+    * (every stratum represented, sizes reproducible on re-ingest) — and
+    * C34's bottom-k merge property holds per stratum. PURE INTEGER: salted
+    * hash, row_number, no doubles anywhere.
+    *
+    * Scale: the window partitions by STRATUM — corpus-scaled partitions,
+    * normally the C28 hazard — but the `rnk <= k` filter directly over
+    * `row_number` triggers Spark's rank-limit pushdown
+    * (WindowGroupLimitExec, PlanSpec-pinned): every map task pre-prunes to
+    * its local bottom-k PER STRATUM before the exchange, so shuffle volume
+    * is ≤ tasks · strata · k rows and the post-shuffle sort handles
+    * ≤ tasks · k rows per stratum — the two-phase bottom-k merge, planned
+    * automatically. */
+  def corpusSampleStratified(spark: SparkSession, dir: String,
+      k: Int = StratumK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Kernels.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("graft_str_hash(concat('strat|', lower(trim(text))))").as("h"))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("source", "lang").orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy("source", "lang", "rnk")
+  }
+
+  def corpusSampleStratifiedSqlFor(k: Int = StratumK): String = s"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+        list_reduce(list_transform(range(1, length('strat|' || lower(trim(text))) + 1), i ->
+          CAST(ascii(substr('strat|' || lower(trim(text)), CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM documents WHERE length(lower(trim(text))) > 0)
+    SELECT doc_id, source, lang, h, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source, lang
+                                   ORDER BY h, doc_id) AS rnk
+      FROM d) WHERE rnk <= $k
+    ORDER BY source, lang, rnk"""
+
+  val corpusSampleStratifiedSql: String = corpusSampleStratifiedSqlFor()
+
   /** C28 pack size (tokens). Sized so test-corpus packs hold a handful of
     * 10-99-token docs; a real 4k/8k context window is the same arithmetic. */
   val PackBudget: Int = 256

@@ -898,6 +898,27 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("stratified sample: exact min(k, stratum) sizes, every stratum present") {
+    val k = Pipeline.StratumK
+    val s = Pipeline.corpusSampleStratified(spark, sf).cache()
+    val strata = graft.sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) > 0)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_total"))
+    val sizes = s.groupBy("source", "lang").agg(count(lit(1)).as("n_kept"))
+    val j = strata.join(sizes, Seq("source", "lang"), "left").cache()
+    // every stratum is represented with exactly min(k, |stratum|) docs
+    assert(j.filter(col("n_kept").isNull).count() == 0)
+    assert(j.filter(col("n_kept") =!= least(col("n_total"), lit(k.toLong)))
+      .count() == 0)
+    // ranks dense from 1 within each stratum
+    assert(s.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+    // non-degenerate: at least one stratum actually truncates to k
+    assert(j.filter(col("n_total") > k).count() > 0)
+    j.unpersist(); s.unpersist(): Unit
+  }
+
   test("source overlap: full pair grid, jaccard identities, non-degenerate") {
     val m = operators.Pipeline.sourceOverlap(spark, sf).cache()
     val s = graft.sources.Tables.documents(spark, sf)

@@ -92,6 +92,14 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // C52's cache contract: caller reclaims
   }
 
+  test("stratified sample: rank limit pushes into a map-side group limit") {
+    // the rnk <= k filter over row_number must plan as WindowGroupLimit —
+    // the map-side per-stratum bottom-k prune that makes corpus-scaled
+    // window partitions safe (shuffle carries ≤ tasks·strata·k rows)
+    val plan = planOf("q_corpus_sample_stratified")
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("churn anti-join: date pushed to the orders scan, join stays anti") {
     val plan = planOf("q_customers_no_orders")
     assert(plan.contains("LeftAnti"), plan)
