@@ -581,6 +581,34 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D17 streaming stratified sample max-rev equals batch C57 exactly") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = SampleStream.docHashes(
+      graft.sources.Tables.documents(sp, sf).orderBy("doc_id"))
+      .collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[DocHash]
+    val q = SampleStream.rows(in.toDS()).writeStream.format("memory")
+      .queryName("d17_out").outputMode("update").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val all = sp.table("d17_out")
+      val latest = all.join(
+        all.groupBy(col("source").as("s"), col("lang").as("l"))
+          .agg(max("rev").as("mr")),
+        col("source") === col("s") && col("lang") === col("l") &&
+          col("rev") === col("mr"))
+        .select("doc_id", "source", "lang", "h", "rnk")
+      val batch = graft.operators.Pipeline.corpusSampleStratified(sp, sf)
+      assert(latest.count() == batch.count())
+      assert(latest.except(batch).count() == 0)
+      assert(batch.except(latest).count() == 0)
+    } finally q.stop()
+  }
+
   test("D11 AnomalyStream max-rev generation equals the batch twin exactly") {
     val sp = spark
     import sp.implicits._
