@@ -609,6 +609,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D17 checkpoint recovery: bottom-k state survives stop + restart") {
+    // the D6 fault-tolerance pin applied to the second stateful family: a
+    // checkpointed sample query is stopped mid-feed, more docs land while
+    // it is down, and the restarted instance must restore every stratum's
+    // kept set — proven by final samples that mix pre-stop and post-stop
+    // arrivals and end row-for-row equal to batch C57 over the full feed
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("d17_src")
+    val ckDir = tmpDir("d17_ck")
+    val outDir = tmpDir("d17_out")
+    val rows = SampleStream.docHashes(
+      graft.sources.Tables.documents(sp, sf).orderBy("doc_id"))
+      .collect().toSeq
+    val (part1, part2) = rows.splitAt(rows.size / 2)
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[DocHash].schema)
+        .parquet(srcDir).as[DocHash]
+      val q = SampleStream.rows(in).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SampleRow], _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    part1.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    part2.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val all = sp.read.parquet(outDir)
+    val latest = all.join(
+      all.groupBy(col("source").as("s"), col("lang").as("l"))
+        .agg(max("rev").as("mr")),
+      col("source") === col("s") && col("lang") === col("l") &&
+        col("rev") === col("mr"))
+      .select("doc_id", "source", "lang", "h", "rnk")
+    val batch = graft.operators.Pipeline.corpusSampleStratified(sp, sf)
+    assert(latest.count() == batch.count())
+    assert(latest.except(batch).count() == 0)
+    assert(batch.except(latest).count() == 0)
+    // recovery non-vacuous: a post-restart generation (rev >= 2) still
+    // carries a doc that arrived BEFORE the stop — only restored state
+    // can know it
+    val part1Ids = part1.map(_.doc_id).toSet
+    assert(all.filter(col("rev") >= 2).collect()
+      .exists(r => part1Ids.contains(r.getAs[Long]("doc_id"))))
+  }
+
   test("D11 AnomalyStream max-rev generation equals the batch twin exactly") {
     val sp = spark
     import sp.implicits._
