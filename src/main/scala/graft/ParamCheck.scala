@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 import graft.operators.EmbeddingOps
 
-/** Dev tool: proves the ANN operator ↔ oracle PARAMETER coupling on
-  * NON-DEFAULT arguments. The registered oracle rows cover the default
-  * constants; each ANN oracle is a `...SqlFor(params)` builder, and this
-  * main dumps the operators called with non-default `probeBatch`/`probeLo`/
-  * `k` next to the SQL re-interpolated from the SAME values — so
+/** Dev tool: proves the operator ↔ oracle PARAMETER coupling on
+  * NON-DEFAULT arguments (the ANN family plus every later parameterized
+  * query: PQ, ADC, the stratified sample). The registered oracle rows
+  * cover the default constants; each parameterized oracle is a
+  * `...SqlFor(params)` builder, and this main dumps the operators called
+  * with non-default `probeBatch`/`probeLo`/`k` next to the SQL
+  * re-interpolated from the SAME values — so
   * `tools/selfcheck.py` can hash-compare them exactly like the driver's
   * gate. A desync (operator honoring a parameter the SQL builder ignores,
   * or vice versa) fails here instead of silently shipping.

@@ -977,12 +977,17 @@ object EmbeddingOps {
       .agg(codeCols.head, codeCols.tail: _*)
       .select(col("vec_id") +:
         (0 until PqSub).map(s => col(s"m$s.cent_id").as(s"code_$s")): _*)
+    // cache(): the four subspace joins each slice this LUT — uncached,
+    // every lutS(s) would re-run the probe scan + distance folds (the C29
+    // alias-divergence lesson). Bounded O(batch·PqSub·k) rows. Cache
+    // ownership: caller reclaims via clearCache after its action.
     val lut = v.filter(probeFilter(probeLo, probeBatch))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .select(col("probe_id"), col("p_emb"), explode(subSeq).as("sub_id"))
       .crossJoin(cb)
       .select(col("probe_id"), col("sub_id"), col("cent_id"),
         pqDistExpr("p_emb", "c_emb").as("d"))
+      .cache()
     def lutS(s: Int) = broadcast(lut.filter(col("sub_id") === s)
       .select(col("probe_id"), col("cent_id").as(s"code_$s"),
         col("d").as(s"d_$s")))
