@@ -87,10 +87,16 @@ object DedupOps {
     * round-robin sort), rows are (long, int, string) — tiny next to the
     * work they unlock. Join branches over this share one exchange
     * (ReusedExchange), so the minhash kernel runs once per doc. */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSigsOf(spark, Tables.documents(spark, dir))
+
+  /** The same sig stage over an arbitrary (doc_id, text) relation — C58
+    * signs the incoming FEED batch with it, so batch and corpus signatures
+    * come from one code path and cannot drift. */
+  private def minhashSigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Kernels.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions
-    Tables.documents(spark, dir)
+    docs
       .withColumn("norm", lower(trim(col("text"))))
       .filter(length(col("norm")) >= 5)
       .select(col("doc_id"),
@@ -119,15 +125,18 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The (band, sig) CTE chain shared by the C2, C18 and C29 oracles —
-    * row hashes come from the shared quadratic [[graft.functions.Kernels]]
+  /** The (band, sig) CTE chain over an arbitrary base relation — the
+    * oracle twin of [[minhashSigsOf]]; CTE names are parameterized so two
+    * chains (corpus + incoming feed, C58) can coexist in one WITH. Row
+    * hashes come from the shared quadratic [[graft.functions.Kernels]]
     * row family (k = b·3+r+1). */
-  private val minhashSigsCtes: String = {
+  private def minhashSigsCtesOver(
+      base: String, d: String, h: String, sigs: String): String = {
     import graft.functions.Kernels.{rowASql, rowBSql}
-    s"""d AS (
-      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+    s"""$d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM $base
       WHERE length(lower(trim(text))) >= 5),
-    h AS (
+    $h AS (
       SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
         (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
          ascii(substr(norm, CAST(i + 2 AS INT), 1)) * 29791 +
@@ -135,16 +144,20 @@ object DedupOps {
          ascii(substr(norm, CAST(i + 4 AS INT), 1)) * 31 +
          ascii(substr(norm, CAST(i + 5 AS INT), 1)))
         % 2147483647) AS hs
-      FROM d),
-    sigs AS (
+      FROM $d),
+    $sigs AS (
       SELECT doc_id, b AS band,
         array_to_string(list_transform(range(0, 3), r ->
           CAST(list_min(list_transform(hs, x ->
             (${rowASql("b * 3 + r + 1")} * x
              + ${rowBSql("b * 3 + r + 1")})
             % 2147483647)) AS VARCHAR)), ':') AS sig
-      FROM h, (SELECT unnest(range(0, 4)) AS b))"""
+      FROM $h, (SELECT unnest(range(0, 4)) AS b))"""
   }
+
+  /** The corpus-wide instance shared by the C2, C18 and C29 oracles. */
+  private val minhashSigsCtes: String =
+    minhashSigsCtesOver("documents", "d", "h", "sigs")
 
   /** Hot-bucket prune + surviving bucket rows, the oracle twin of
     * [[dropHotBuckets]] over the `sigs` CTE (shared by C2 and C29). */
@@ -868,4 +881,153 @@ object DedupOps {
     FROM k
     GROUP BY source
     ORDER BY source"""
+
+  /** C58: `q_dedup_incremental` — the PRODUCTION shape of dedup: today's
+    * crawl batch ([[graft.sources.Feeds.incomingDocs]]) screened against
+    * the standing corpus WITHOUT touching corpus↔corpus pairs. Two
+    * verdicts per incoming doc: `exact_dup` (its normalized content hash
+    * already exists in the corpus, with the canonical standing partner for
+    * the audit trail) and `n_near_partners` (distinct standing docs it
+    * shares a MinHash (band, sig) bucket with — C2's collision rule, one
+    * side frozen); the triage decision is drop_exact / review_near /
+    * admit. A full C2 re-run over corpus+batch would redo the corpus
+    * self-join every day — this is the O(batch) daily path, the same
+    * asymmetry as A6's incremental sync vs A8's clean reload.
+    *
+    * Exactness: md5 hex both sides, integer partner counts, min partner
+    * id; decision is pure CASE.
+    *
+    * Scale: both batch joins key on 16-byte hashes or (band, sig) buckets
+    * — never text, never corpus². The standing sig relation is hot-capped
+    * like C2 ([[MaxBucketDocs]]) and cache()d (the bucket-volume count and
+    * the collision join would otherwise each re-sign the corpus);
+    * ownership follows the C29 contract — embedders reclaim via
+    * `spark.catalog.clearCache()` after their action. At 100 TB the
+    * standing sigs would persist as the INDEX (bucketed parquet, written
+    * once, joined daily); here they rebuild per run because the test
+    * harness owns no state between queries. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Feeds
+    val standing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem)
+    val batch = Feeds.incomingDocs(spark, dir)
+    val batchHash = batch.select(col("doc_id"),
+      md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val indexHash = standing
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("h"),
+        col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("exact_partner"))
+    val indexSigs = minhashSigsOf(spark, standing).cache()
+    val coldIndex = dropHotBuckets(indexSigs, Seq("band", "sig"))
+    val near = minhashSigsOf(spark, batch)
+      .join(coldIndex.select(col("band"), col("sig"),
+        col("doc_id").as("partner")), Seq("band", "sig"))
+      .groupBy("doc_id")
+      .agg(countDistinct("partner").as("n_near_partners"))
+    batchHash.join(indexHash, Seq("h"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("exact_partner").isNotNull.as("exact_dup"),
+        col("exact_partner"),
+        coalesce(col("n_near_partners"), lit(0L)).as("n_near_partners"))
+      .withColumn("decision",
+        when(col("exact_dup"), "drop_exact")
+          .when(col("n_near_partners") > 0, "review_near")
+          .otherwise("admit"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String = s"""
+    WITH incdocs AS (${graft.sources.Feeds.incomingDocsSql}),
+    $minhashSigsCtes,
+    ${minhashSigsCtesOver("incdocs", "fd", "fh", "fsigs")},
+    xsig AS (SELECT * FROM sigs
+      WHERE doc_id % ${graft.sources.Feeds.IncrMod}
+            <> ${graft.sources.Feeds.IncrRem}),
+    hotx AS (
+      SELECT band, sig FROM xsig GROUP BY 1, 2
+      HAVING count(*) > $MaxBucketDocs),
+    coldx AS (SELECT * FROM xsig ANTI JOIN hotx USING (band, sig)),
+    near AS (
+      SELECT f.doc_id, count(DISTINCT x.doc_id) AS n_near_partners
+      FROM fsigs f JOIN coldx x USING (band, sig)
+      GROUP BY 1),
+    ih AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM incdocs),
+    xh AS (
+      SELECT md5(lower(trim(text))) AS h, min(doc_id) AS exact_partner
+      FROM documents
+      WHERE doc_id % ${graft.sources.Feeds.IncrMod}
+            <> ${graft.sources.Feeds.IncrRem}
+      GROUP BY 1)
+    SELECT ih.doc_id,
+      xh.exact_partner IS NOT NULL AS exact_dup,
+      xh.exact_partner,
+      COALESCE(near.n_near_partners, 0) AS n_near_partners,
+      CASE WHEN xh.exact_partner IS NOT NULL THEN 'drop_exact'
+           WHEN COALESCE(near.n_near_partners, 0) > 0 THEN 'review_near'
+           ELSE 'admit' END AS decision
+    FROM ih LEFT JOIN xh USING (h) LEFT JOIN near USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** C59: `q_dedup_canonical` — QUALITY-AWARE keeper selection per
+    * near-dup cluster: C18 labels the clusters, but "keep the minimum
+    * doc_id" is the wrong production rule — a truncated fetch can out-id
+    * the clean copy. Per multi-member cluster this picks the member with
+    * the highest C9 quality score (ties → smallest doc_id, so the rule
+    * stays deterministic), the step that turns a dedup report into a
+    * drop list a curation pipeline can execute.
+    *
+    * Exactness: the score is C17's cross-engine-exact quality formula
+    * ([[graft.operators.TextOps.qualityScoreCol]] ↔ the shared SQL
+    * fragments), so argmax agrees bit-for-bit; counts are integers.
+    *
+    * Scale: the argmax is a lexicographic struct-MAX aggregate that
+    * partial-aggregates MAP-SIDE (the C55 pattern) — giant clusters
+    * collapse before the shuffle, so no window sort and no skew from the
+    * boilerplate mega-cluster; cost on top of C18 is one narrow quality
+    * scan and one cluster-keyed partial-agg shuffle. The oracle twin uses
+    * a row_number window (exactness only — it never runs at scale). */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(spark, dir)
+    val qual = Tables.documents(spark, dir)
+      .filter(length(lower(trim(col("text")))) >= 5) // C18's node domain
+      .select(col("doc_id"), TextOps.qualityScoreCol(col("text")).as("q"))
+    comp.filter(col("component_size") > 1)
+      .join(qual, Seq("doc_id"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("component_id"), col("n_members"),
+        (-col("m.neg_id")).as("keep_doc_id"),
+        col("m.q").as("keep_score"),
+        (col("n_members") - 1L).as("n_dropped"))
+      .orderBy("component_id")
+  }
+
+  val dedupCanonicalSql: String = {
+    import TextOps.{qualitySqlMeasures, qualitySqlRatios, qualitySqlScore}
+    s"""
+    WITH comps AS ($dedupComponentsSql),
+    qual AS (
+      SELECT doc_id, $qualitySqlScore AS q
+      FROM (
+        SELECT doc_id, n_tok, $qualitySqlRatios
+        FROM (
+          SELECT doc_id, $qualitySqlMeasures
+          FROM documents WHERE length(lower(trim(text))) >= 5)) ),
+    mult AS (
+      SELECT c.doc_id, c.component_id, qual.q
+      FROM comps c JOIN qual USING (doc_id)
+      WHERE c.component_size > 1),
+    rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY component_id ORDER BY q DESC, doc_id ASC) AS rn
+      FROM mult)
+    SELECT component_id,
+      count(*) AS n_members,
+      max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+      max(CASE WHEN rn = 1 THEN q END) AS keep_score,
+      count(*) - 1 AS n_dropped
+    FROM rk GROUP BY component_id ORDER BY component_id"""
+  }
 }

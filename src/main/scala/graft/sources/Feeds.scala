@@ -181,4 +181,47 @@ object Feeds {
   val priceListSql: String = """
     SELECT p_partkey AS id_producto, p_retailprice AS precio_lista
     FROM part WHERE p_partkey % 53 <> 0"""
+
+  /** Modulus splitting the corpus into the STANDING slice and the incoming
+    * batch for the incremental-dedup family (C58/D18): docs with
+    * doc_id % [[IncrMod]] == [[IncrRem]] arrive as "today's crawl", the
+    * rest are the already-ingested corpus the new batch dedups against. */
+  val IncrMod: Int = 10
+
+  /** Residue selecting the incoming batch (see [[IncrMod]]). */
+  val IncrRem: Int = 7
+
+  /** Every [[RefetchMod]]-th doc_id is a RE-FETCH (see [[incomingDocs]]). */
+  val RefetchMod: Int = 30
+
+  /** Incoming re-crawl batch for the incremental deduper (C58/D18): the
+    * doc_id % [[IncrMod]] == [[IncrRem]] slice posing as today's crawl,
+    * where every third incoming page (doc_id % [[RefetchMod]] ==
+    * [[IncrRem]]) is a byte-identical RE-FETCH of a standing page (the
+    * doc_id − [[IncrRem]] page, which sits in the standing slice) — the
+    * exact-dup class an incremental deduper must drop on sight. The rest
+    * carry their own text: mostly novel, with the corpus's natural
+    * near-dup families exercising the band-collision class. One id-keyed
+    * equi-join against the standing corpus; the batch side is the small
+    * side at any scale. */
+  def incomingDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    docs.filter(col("doc_id") % IncrMod === IncrRem)
+      .join(src, col("doc_id") - IncrRem === col("src_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % RefetchMod === IncrRem,
+          coalesce(col("src_text"), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+  }
+
+  /** DuckDB twin of [[incomingDocs]] (a full SELECT, usable as a CTE body). */
+  val incomingDocsSql: String = s"""
+    SELECT i.doc_id,
+      CASE WHEN i.doc_id % $RefetchMod = $IncrRem
+        THEN coalesce(s.text, i.text) ELSE i.text END AS text,
+      i.lang, i.source
+    FROM documents i LEFT JOIN documents s ON s.doc_id = i.doc_id - $IncrRem
+    WHERE i.doc_id % $IncrMod = $IncrRem"""
 }
