@@ -765,4 +765,70 @@ object Pipeline {
     LEFT JOIN s ON s.source_a = ta.source AND s.source_b = tb.source
     ORDER BY source_a, source_b"""
   }
+
+  /** Epoch ceiling for [[mixEpochs]] — repeating a source more than this
+    * many times measurably degrades models (the LLaMA/Dolma upsampling
+    * cap), so the report flags sources whose uniform-share target would
+    * need more. Declared before the SQL val that interpolates it. */
+  val MixMaxEpochs: Int = 4
+
+  /** C60: `q_mix_epochs` — the EPOCH-PLANNING view of source mixing:
+    * C27/C54 decide which docs to keep for ONE pass, but a training run
+    * needs the repeat plan — how many full epochs of each source, plus the
+    * partial-epoch token remainder, to hit a uniform per-source token
+    * share of the corpus total. `repeat_factor` > 1 means upsample (small
+    * quality source), < 1 means subsample; `needs_cap` flags sources whose
+    * target would exceed [[MixMaxEpochs]] epochs — the recipe-is-infeasible
+    * signal that tells a curator to shrink the target or find more data.
+    *
+    * Exactness: epoch/remainder arithmetic is pure BIGINT div/mod on
+    * exact token aggregates; `repeat_factor` is one correctly-rounded
+    * division of sub-2⁵³ integers.
+    *
+    * Scale: one narrow token-count pass + one source-keyed partial-agg
+    * shuffle; the source totals are cache()d (the corpus total and the
+    * final report both read them — the C27 lesson) and the 1-row total
+    * rides a broadcast. No fact-side shuffle at any corpus size. Cache
+    * ownership: callers reclaim via `spark.catalog.clearCache()`. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val tok = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")).cache()
+    val tot = tok.agg(sum("n_tokens").as("t_total"),
+      count(lit(1)).as("n_sources"))
+    tok.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("t_total DIV n_sources"))
+      .withColumn("full_epochs", expr("target_tokens DIV n_tokens"))
+      .withColumn("partial_tokens", expr("target_tokens % n_tokens"))
+      .withColumn("repeat_factor",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("needs_cap", col("repeat_factor") > lit(MixMaxEpochs))
+      .select("source", "n_docs", "n_tokens", "target_tokens",
+        "full_epochs", "partial_tokens", "repeat_factor", "needs_cap")
+      .orderBy("source")
+  }
+
+  val mixEpochsSql: String = s"""
+    WITH d AS (
+      SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0),
+    tok AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total, COUNT(*) AS n_sources
+      FROM tok)
+    SELECT source, n_docs, n_tokens,
+      t_total // n_sources AS target_tokens,
+      (t_total // n_sources) // n_tokens AS full_epochs,
+      (t_total // n_sources) % n_tokens AS partial_tokens,
+      CAST(t_total // n_sources AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        AS repeat_factor,
+      CAST(t_total // n_sources AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        > $MixMaxEpochs AS needs_cap
+    FROM tok, tot ORDER BY source"""
 }

@@ -774,4 +774,56 @@ object TextOps {
     FROM b
     GROUP BY source, bucket
     ORDER BY source, bucket"""
+
+  /** C61: `q_tokenizer_fertility` — tokenizer QA by (source, lang):
+    * fertility (BPE-ish tokens per whitespace word) and token density per
+    * 100 characters. Fertility is THE cross-lingual tokenizer health
+    * metric — a language whose fertility runs high pays more sequence
+    * budget per word of content, and a source whose density jumps signals
+    * markup/code that C10's per-doc counts can't see in aggregate. Uses
+    * C10's exact token definitions so the two reports reconcile.
+    *
+    * Exactness: integer sums; each ratio is one correctly-rounded
+    * division of exact sub-2⁵³ integers.
+    *
+    * Scale: narrow codegen'd regexp pass + ONE (source, lang)-keyed
+    * partial-agg shuffle over a source×lang-bounded grid. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("n_words"),
+        sum("n_bpe").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        ((col("n_tokens") * 100L).cast("double") / col("n_chars").cast("double"))
+          .as("tokens_per_100_chars"))
+      .orderBy("source", "lang")
+
+  val tokenizerFertilitySql: String = """
+    WITH d AS (
+      SELECT source, lang,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          AS BIGINT) AS n_bpe
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_ws) AS BIGINT) AS n_words,
+      CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS fertility,
+      CAST(SUM(n_bpe) * 100 AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+        AS tokens_per_100_chars
+    FROM d GROUP BY source, lang
+    ORDER BY source, lang"""
 }

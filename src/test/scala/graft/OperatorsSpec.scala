@@ -1518,4 +1518,97 @@ class OperatorsSpec extends SparkSpec {
       .contains("Exchange hashpartitioning"), plan)
     q.unpersist(): Unit
   }
+
+  test("incremental dedup: batch coverage, decision rule, refetch class") {
+    val r = operators.DedupOps.dedupIncremental(spark, sf).cache()
+    val batch = graft.sources.Feeds.incomingDocs(spark, sf).cache()
+    // one verdict per incoming doc
+    assert(r.count() == batch.count())
+    // decision is exactly the triage rule
+    assert(r.filter(
+      (col("decision") === "drop_exact") =!= col("exact_dup")).count() == 0)
+    assert(r.filter((col("decision") === "review_near") =!=
+      (!col("exact_dup") && col("n_near_partners") > 0)).count() == 0)
+    assert(r.filter((col("decision") === "admit") =!=
+      (!col("exact_dup") && col("n_near_partners") === 0)).count() == 0)
+    // every synthesized re-fetch is caught by the exact class, and its
+    // identical text also collides in every band (cap non-binding here)
+    val refetch = batch.filter(
+      col("doc_id") % graft.sources.Feeds.RefetchMod ===
+        graft.sources.Feeds.IncrRem)
+    assert(refetch.count() > 0)
+    assert(r.join(refetch.select("doc_id"), Seq("doc_id"))
+      .filter(!col("exact_dup") || col("n_near_partners") < 1).count() == 0)
+    // exact partners really are standing docs (never from the batch slice)
+    assert(r.filter(col("exact_partner").isNotNull &&
+      col("exact_partner") % graft.sources.Feeds.IncrMod ===
+        graft.sources.Feeds.IncrRem).count() == 0)
+    // all three triage outcomes occur on this corpus (non-vacuous)
+    assert(r.select("decision").distinct().count() == 3)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("canonical keeper: in-cluster, argmax by quality, count identity") {
+    val k = operators.DedupOps.dedupCanonical(spark, sf).cache()
+    val comp = operators.DedupOps.dedupComponents(spark, sf).cache()
+    // one row per multi-member cluster, count identities hold
+    val multi = comp.filter(col("component_size") > 1)
+    assert(k.count() ==
+      multi.select("component_id").distinct().count())
+    assert(k.filter(col("n_dropped") =!= col("n_members") - 1).count() == 0)
+    assert(k.join(
+      multi.groupBy("component_id").agg(count(lit(1)).as("cs")),
+      Seq("component_id")).filter(col("n_members") =!= col("cs"))
+      .count() == 0)
+    // the keeper belongs to its own cluster
+    assert(k.join(
+      comp.select(col("doc_id").as("keep_doc_id"),
+        col("component_id").as("cid")), Seq("keep_doc_id"))
+      .filter(col("cid") =!= col("component_id")).count() == 0)
+    // keep_score is the true member max, and the quality-aware rule is
+    // NON-VACUOUS: some keeper differs from the min-id rule
+    val qual = graft.sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) >= 5)
+      .select(col("doc_id"),
+        operators.TextOps.qualityScoreCol(col("text")).as("q"))
+    val mx = comp.join(qual, Seq("doc_id"))
+      .groupBy("component_id").agg(max("q").as("qmax"))
+    assert(k.join(mx, Seq("component_id"))
+      .filter(col("keep_score") =!= col("qmax")).count() == 0)
+    assert(k.filter(col("keep_doc_id") =!= col("component_id")).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("mix epochs: token conservation, div/mod identity, flag rule") {
+    val m = operators.Pipeline.mixEpochs(spark, sf).cache()
+    val d = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    assert(m.count() == d.select("source").distinct().count())
+    // per-source tokens reconcile with the corpus
+    val tot = d.select(size(split(trim(col("text")), "\\s+")).cast("long")
+      .as("n")).agg(sum("n")).head.getLong(0)
+    assert(m.agg(sum("n_tokens")).head.getLong(0) == tot)
+    // target is the same uniform share everywhere; div/mod identity holds
+    assert(m.select("target_tokens").distinct().count() == 1)
+    assert(m.filter(col("full_epochs") * col("n_tokens")
+      + col("partial_tokens") =!= col("target_tokens")).count() == 0)
+    // flag is exactly the threshold rule
+    assert(m.filter(col("needs_cap") =!=
+      (col("repeat_factor") > operators.Pipeline.MixMaxEpochs)).count() == 0)
+    m.unpersist(): Unit
+  }
+
+  test("tokenizer fertility: reconciles with C10, fertility >= 1") {
+    val f = operators.TextOps.tokenizerFertility(spark, sf).cache()
+    val tc = operators.TextOps.tokenCount(spark, sf)
+    // aggregate BPE-ish token mass equals C10's (empty docs carry 0)
+    assert(f.agg(sum("n_tokens")).head.getLong(0) ==
+      tc.agg(sum("n_tokens_bpe")).head.getLong(0))
+    // every whitespace word yields at least one BPE-ish token
+    assert(f.filter(col("n_tokens") < col("n_words")).count() == 0)
+    assert(f.filter(col("fertility") < 1.0).count() == 0)
+    // grid is (source, lang)-bounded and non-trivial
+    assert(f.count() > 0)
+    f.unpersist(): Unit
+  }
 }
