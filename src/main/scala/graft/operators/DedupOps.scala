@@ -910,18 +910,42 @@ object DedupOps {
     import graft.sources.Feeds
     val standing = Tables.documents(spark, dir)
       .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem)
-    val batch = Feeds.incomingDocs(spark, dir)
-    val batchHash = batch.select(col("doc_id"),
-      md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val (indexHash, coldIndexSigs) = buildIncrementalIndex(spark, standing)
+    incrementalTriage(Feeds.incomingDocs(spark, dir),
+      indexHash, coldIndexSigs)
+      .orderBy("doc_id")
+  }
+
+  /** The standing-corpus INDEX for incremental dedup — built once, joined
+    * per batch (C58) or per micro-batch (D18): the exact-hash relation
+    * (h, exact_partner) and the hot-capped (band, sig, partner) bucket
+    * rows. The sig relation is cache()d (bucket-volume count + every
+    * collision join read it; at 100 TB this is the bucketed parquet index
+    * written once a day); callers reclaim via `clearCache`. */
+  private[graft] def buildIncrementalIndex(spark: SparkSession,
+      standing: DataFrame): (DataFrame, DataFrame) = {
     val indexHash = standing
       .select(md5(lower(trim(col("text"))).cast("binary")).as("h"),
         col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("exact_partner"))
     val indexSigs = minhashSigsOf(spark, standing).cache()
     val coldIndex = dropHotBuckets(indexSigs, Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id").as("partner"))
+    (indexHash, coldIndex)
+  }
+
+  /** The C58 triage of one incoming batch against a prepared index —
+    * shared by the batch query and D18's per-micro-batch scoring so the
+    * two verdicts cannot drift. Input batch needs (doc_id, text); index
+    * relations come from [[buildIncrementalIndex]]. Unordered (the batch
+    * query sorts, the streaming sink appends). */
+  private[graft] def incrementalTriage(batch: DataFrame,
+      indexHash: DataFrame, coldIndexSigs: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val batchHash = batch.select(col("doc_id"),
+      md5(lower(trim(col("text"))).cast("binary")).as("h"))
     val near = minhashSigsOf(spark, batch)
-      .join(coldIndex.select(col("band"), col("sig"),
-        col("doc_id").as("partner")), Seq("band", "sig"))
+      .join(coldIndexSigs, Seq("band", "sig"))
       .groupBy("doc_id")
       .agg(countDistinct("partner").as("n_near_partners"))
     batchHash.join(indexHash, Seq("h"), "left")
@@ -934,7 +958,6 @@ object DedupOps {
         when(col("exact_dup"), "drop_exact")
           .when(col("n_near_partners") > 0, "review_near")
           .otherwise("admit"))
-      .orderBy("doc_id")
   }
 
   val dedupIncrementalSql: String = s"""

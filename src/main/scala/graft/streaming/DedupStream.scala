@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** D4: streaming twin of DedupOps.dedupExact — continuous exact content
   * dedup of a document stream, the online half of the reference's
@@ -31,4 +32,30 @@ object DedupStream {
         .dropDuplicatesWithinWatermark("norm_hash")
     else hashed.dropDuplicates("norm_hash")
   }
+
+  /** D18: streaming incremental dedup — C58's triage in its DEPLOYED
+    * shape: each micro-batch of today's crawl is screened against a
+    * FROZEN standing-corpus index (built batch-side by
+    * `DedupOps.buildIncrementalIndex` — in production the bucketed
+    * parquet index written by last night's run, here passed in as static
+    * relations). Unlike [[dedup]] (which dedups the stream against
+    * ITSELF and must hold watermark state), scoring against a frozen
+    * index is STATELESS: every verdict completes inside its micro-batch
+    * via two static-side joins, no state store entry outlives the batch
+    * — the D16 pattern. Vehicle: `foreachBatch` running the SAME
+    * `incrementalTriage` plan as batch C58, appended to a parquet sink;
+    * two-batch union ≡ batch C58 is spec-pinned. */
+  def incremental(docs: DataFrame, indexHash: DataFrame,
+      coldIndexSigs: DataFrame, targetDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.DedupOps.incrementalTriage(batch,
+          indexHash, coldIndexSigs)
+          .write.mode(SaveMode.Append).parquet(targetDir)
+      }
+      .start()
 }

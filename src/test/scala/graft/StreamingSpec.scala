@@ -702,4 +702,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
     rows.unpersist(): Unit
   }
+
+  test("D18 streaming incremental dedup over two batches equals batch C58") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // freeze the standing-corpus index batch-side (production shape:
+    // last night's bucketed index), then stream today's crawl through in
+    // two micro-batches
+    val standing = graft.sources.Tables.documents(sp, sf)
+      .filter(col("doc_id") % graft.sources.Feeds.IncrMod =!=
+        graft.sources.Feeds.IncrRem)
+    val (indexHash, coldSigs) =
+      graft.operators.DedupOps.buildIncrementalIndex(sp, standing)
+    val rows = graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d18_target") + "/verdicts"
+    val ckpt = tmpDir("d18_ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = DedupStream.incremental(in.toDF().toDF("doc_id", "text"),
+        indexHash, coldSigs, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    val batch = graft.operators.DedupOps.dedupIncremental(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
 }
