@@ -241,4 +241,32 @@ class PlanSpec extends SparkSpec {
         || plan.contains("partial_hllsketchagg"), s"$q:\n$plan")
     }
   }
+
+  test("incremental dedup: index sigs cached, batch joins never corpus²") {
+    // the standing-index sig relation must absorb BOTH its consumers (the
+    // hot-bucket count and the anti-join probe) — a file leaf there means
+    // the corpus was re-signed; the five file leaves are the exact-hash
+    // scan (1) plus the batch feed's two id-keyed scans, read for the
+    // hash pass and the sig pass (2+2)
+    val leaves = scanLeaves("q_dedup_incremental")
+    assert(leaves.count(_ == "mem") == 2, leaves)
+    assert(leaves.count(_ == "file") == 5, leaves)
+  }
+
+  test("canonical keeper aggregates map-side, no keeper window") {
+    // the keeper argmax must be a partial-aggregating struct-MAX — a
+    // Window-based argmax would sort whole clusters; the single Window in
+    // the plan is C18's component_size count, keyed on the cluster label
+    val plan = planOf("q_dedup_canonical")
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("partial_max"), plan)
+  }
+
+  test("mix epochs: one cached token pass feeds total and report") {
+    // the corpus is scanned ONCE (inside the cached source-totals
+    // materialization); the broadcast total and the final report both
+    // read the cache — a file leaf means a branch re-ran the token scan
+    val leaves = scanLeaves("q_mix_epochs")
+    assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
+  }
 }
