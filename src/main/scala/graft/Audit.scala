@@ -66,6 +66,10 @@ object Audit {
     // C56 ADC: the probe LUT broadcasts — O(batch·PqSub·PqK), fixed-size
     // (probe batch + codebook caps), never a corpus fraction
     ("q_ann_pq_adc", "hinted-fact-broadcast:embeddings"),
+    // C62 k-means: the seed set is the C13 selection rule capped at
+    // KmClusters, and every refined-centroid broadcast sits above the
+    // (cluster, dim)-keyed aggregate — both O(k·64) at any corpus size
+    ("q_embed_kmeans", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

@@ -1062,4 +1062,146 @@ object EmbeddingOps {
   }
 
   val annPqAdcSql: String = annPqAdcSqlFor()
+
+  /** Cluster count for C62's Lloyd refinement. */
+  val KmClusters: Int = 8
+
+  /** Fixed Lloyd rounds for C62 — fixed, not convergence-looped, so the
+    * whole refinement is ONE lazy dataflow with zero driver round trips
+    * (production would loop to convergence with checkpointed rounds, the
+    * C18 pattern). */
+  val KmIters: Int = 2
+
+  /** Centroid-sum quantization for C62: component sums accumulate as
+    * floor(x·10⁷ + 0.5) BIGINTs, because a cross-row DOUBLE sum is
+    * partition-order-nondeterministic — the one floating-point operation
+    * Spark cannot make deterministic at scale. Integer sums are exact and
+    * order-free; the final mean is ONE correctly-rounded division.
+    * Headroom: sums overflow BIGINT only past ~9·10¹¹ rows per
+    * (cluster, dim), and n·10⁷ stays under 2⁵³ to ~9·10⁸ members. */
+  val KmScale: Long = 10000000L
+
+  /** Full-width sequential-fold L2² between a float `embedding` and a
+    * (float or double) `c_emb` — the C55 fold at 64 dims. */
+  private def kmDistExpr = expr("""aggregate(
+      zip_with(embedding, c_emb,
+        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+
+  /** Nearest-centroid assignment for C62: broadcast centroid set,
+    * map-side struct-MIN argmin (ties → smallest cluster id). */
+  private def kmAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), kmDistExpr.as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist").as("dist"), col("cluster").as("cluster")))
+        .as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"),
+        col("m.dist").as("dist"))
+
+  /** Centroid update for C62: per-(cluster, dim) exact scaled-integer
+    * sums (map-side partials over a (cluster, dim)-keyed shuffle bounded
+    * by k·64 groups), means re-assembled into ordered double arrays. */
+  private def kmUpdate(v: DataFrame, asg: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(asg.select("vec_id", "cluster"), Seq("vec_id"))
+      .groupBy("cluster", "dim")
+      .agg(sum(floor(col("x").cast("double") * lit(KmScale.toDouble)
+          + lit(0.5)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"),
+        (col("sx").cast("double") /
+          (col("n").cast("double") * lit(KmScale.toDouble))).as("cval"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
+        " s -> s.cval)").as("c_emb"))
+
+  /** C62: `q_embed_kmeans` — Lloyd's k-means over the embedding corpus:
+    * the REAL training step behind the quantizers the ANN family rides
+    * (C13/C35/C53 select seed vectors as their stand-in codebook; this
+    * refines those seeds through [[KmIters]] assignment→update rounds and
+    * reports the final assignment). Seeds are the C13 selection rule at
+    * k = [[KmClusters]], so the two codebook families stay comparable.
+    *
+    * Exactness: distance is the C55 sequential fold (identical order both
+    * engines); centroid means are exact scaled-integer sums
+    * ([[KmScale]]) with one correctly-rounded division per component;
+    * argmin ties break on cluster id. A cluster that loses all members
+    * simply drops out of later rounds — same rule both engines.
+    *
+    * Scale: per round — ONE broadcast of k·64 doubles + a map-side
+    * struct-MIN argmin (no window, no shuffle of vectors), then ONE
+    * (cluster, dim)-keyed partial-agg shuffle bounded at k·64 groups.
+    * Fixed rounds make the whole refinement a single lazy plan: no
+    * driver loop, no checkpoint, no collect. The vector relation and the
+    * final assignment are cache()d (each feeds ≥ 2 consumers — the C4
+    * lesson); callers reclaim via `spark.catalog.clearCache()`. */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).cache()
+    val seeds = v
+      .filter(col("vec_id") % 100 === 50 &&
+        col("vec_id") < lit(KmClusters.toLong * 100L))
+      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+    var cents = seeds
+    for (_ <- 1 to KmIters)
+      cents = kmUpdate(v, kmAssign(v, cents))
+    val asg = kmAssign(v, cents).cache()
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    asg.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("dist").as("d2"),
+        col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  val embedKmeansSql: String = {
+    // per-round CTE generator — the oracle spells every Lloyd round
+    // explicitly (d_r: distances, a_r: argmin, c_r: updated centroids)
+    def distCte(r: Int, cents: String) = s"""d$r AS (
+      SELECT v.vec_id, c.cluster,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, 65), i ->
+            (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)) *
+            (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)))),
+          (acc, x) -> acc + x) AS dist
+      FROM v, $cents c)"""
+    def argminCte(r: Int) = s"""a$r AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster) AS rk
+        FROM d$r) WHERE rk = 1)"""
+    def updateCte(r: Int) = s"""s$r AS (
+      SELECT a$r.cluster, u.i AS dim,
+        SUM(CAST(floor(CAST(v.embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+          * $KmScale + 0.5) AS BIGINT)) AS sx,
+        COUNT(*) AS n
+      FROM v JOIN a$r USING (vec_id), unnest(range(0, 64)) AS u(i)
+      GROUP BY 1, 2),
+    c$r AS (
+      SELECT cluster,
+        list(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * $KmScale)
+             ORDER BY dim) AS c_emb
+      FROM s$r GROUP BY 1)"""
+    val rounds = (1 to KmIters).map { r =>
+      val cents = if (r == 1) "c0" else s"c${r - 1}"
+      s"${distCte(r, cents)},\n    ${argminCte(r)},\n    ${updateCte(r)}"
+    }.mkString(",\n    ")
+    val fin = KmIters + 1
+    s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cluster, embedding AS c_emb FROM v
+      WHERE vec_id % 100 = 50 AND vec_id < ${KmClusters.toLong * 100L}),
+    $rounds,
+    ${distCte(fin, s"c$KmIters")},
+    ${argminCte(fin)}
+    SELECT a.vec_id, a.cluster, a.dist AS d2, s.n_members
+    FROM a$fin a JOIN (
+      SELECT cluster, COUNT(*) AS n_members FROM a$fin GROUP BY 1) s
+      USING (cluster)
+    ORDER BY vec_id"""
+  }
 }

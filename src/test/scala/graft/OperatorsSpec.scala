@@ -1598,6 +1598,41 @@ class OperatorsSpec extends SparkSpec {
     m.unpersist(): Unit
   }
 
+  test("kmeans: coverage, seeded clusters, Lloyd monotonicity") {
+    val km = operators.EmbeddingOps.embedKmeans(spark, sf).cache()
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).cache()
+    assert(km.count() == emb.count())
+    // clusters are (a subset of) the seed ids; sizes reconcile
+    val k = operators.EmbeddingOps.KmClusters
+    assert(km.filter(col("cluster") % 100 =!= 50 ||
+      col("cluster") >= k * 100).count() == 0)
+    assert(km.select("cluster").distinct().count() <= k)
+    val sz = km.groupBy("cluster").agg(count(lit(1)).as("n"))
+    assert(km.join(sz, Seq("cluster"))
+      .filter(col("n_members") =!= col("n")).count() == 0)
+    assert(km.filter(col("d2") < 0).count() == 0)
+    // Lloyd monotonicity: refined-centroid inertia never exceeds the
+    // seed-assignment inertia (recomputed here against the raw seeds)
+    val seeds = emb.filter(col("vec_id") % 100 === 50 &&
+        col("vec_id") < k * 100)
+      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+    val seedInertia = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), expr("""aggregate(
+          zip_with(embedding, c_emb,
+            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                      (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          CAST(0 AS DOUBLE), (acc, d) -> acc + d)""").as("dist"))
+      .groupBy("vec_id").agg(min("dist").as("d0"))
+      .agg(sum("d0")).head.getDouble(0)
+    val finalInertia = km.agg(sum("d2")).head.getDouble(0)
+    assert(finalInertia <= seedInertia * (1 + 1e-12),
+      s"$finalInertia > $seedInertia")
+    // refinement actually moved something (non-vacuous)
+    assert(finalInertia < seedInertia)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("tokenizer fertility: reconciles with C10, fertility >= 1") {
     val f = operators.TextOps.tokenizerFertility(spark, sf).cache()
     val tc = operators.TextOps.tokenCount(spark, sf)
