@@ -56,7 +56,10 @@ object ParamCheck {
         EmbeddingOps.annPqAdcSqlFor(k = 2, probeBatch = 2, probeLo = 1)),
       ("q_corpus_sample_stratified_k3",
         (s, d) => graft.operators.Pipeline.corpusSampleStratified(s, d, k = 3),
-        graft.operators.Pipeline.corpusSampleStratifiedSqlFor(k = 3)))
+        graft.operators.Pipeline.corpusSampleStratifiedSqlFor(k = 3)),
+      ("q_embed_kmeans_k2_it1",
+        (s, d) => EmbeddingOps.embedKmeans(s, d, k = 2, iters = 1),
+        EmbeddingOps.embedKmeansSqlFor(k = 2, iters = 1)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

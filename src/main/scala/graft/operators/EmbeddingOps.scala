@@ -1137,15 +1137,16 @@ object EmbeddingOps {
     * driver loop, no checkpoint, no collect. The vector relation and the
     * final assignment are cache()d (each feeds ≥ 2 consumers — the C4
     * lesson); callers reclaim via `spark.catalog.clearCache()`. */
-  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+  def embedKmeans(spark: SparkSession, dir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).cache()
     val seeds = v
       .filter(col("vec_id") % 100 === 50 &&
-        col("vec_id") < lit(KmClusters.toLong * 100L))
+        col("vec_id") < lit(k.toLong * 100L))
       .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
     var cents = seeds
-    for (_ <- 1 to KmIters)
+    for (_ <- 1 to iters)
       cents = kmUpdate(v, kmAssign(v, cents))
     val asg = kmAssign(v, cents).cache()
     val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_members"))
@@ -1155,7 +1156,7 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  val embedKmeansSql: String = {
+  def embedKmeansSqlFor(k: Int = KmClusters, iters: Int = KmIters): String = {
     // per-round CTE generator — the oracle spells every Lloyd round
     // explicitly (d_r: distances, a_r: argmin, c_r: updated centroids)
     def distCte(r: Int, cents: String) = s"""d$r AS (
@@ -1185,18 +1186,18 @@ object EmbeddingOps {
         list(CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * $KmScale)
              ORDER BY dim) AS c_emb
       FROM s$r GROUP BY 1)"""
-    val rounds = (1 to KmIters).map { r =>
+    val rounds = (1 to iters).map { r =>
       val cents = if (r == 1) "c0" else s"c${r - 1}"
       s"${distCte(r, cents)},\n    ${argminCte(r)},\n    ${updateCte(r)}"
     }.mkString(",\n    ")
-    val fin = KmIters + 1
+    val fin = iters + 1
     s"""
     WITH v AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS (
       SELECT vec_id AS cluster, embedding AS c_emb FROM v
-      WHERE vec_id % 100 = 50 AND vec_id < ${KmClusters.toLong * 100L}),
+      WHERE vec_id % 100 = 50 AND vec_id < ${k.toLong * 100L}),
     $rounds,
-    ${distCte(fin, s"c$KmIters")},
+    ${distCte(fin, s"c$iters")},
     ${argminCte(fin)}
     SELECT a.vec_id, a.cluster, a.dist AS d2, s.n_members
     FROM a$fin a JOIN (
@@ -1204,4 +1205,6 @@ object EmbeddingOps {
       USING (cluster)
     ORDER BY vec_id"""
   }
+
+  val embedKmeansSql: String = embedKmeansSqlFor()
 }
