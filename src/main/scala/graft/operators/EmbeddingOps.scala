@@ -1090,8 +1090,9 @@ object EmbeddingOps {
       CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
 
   /** Nearest-centroid assignment for C62: broadcast centroid set,
-    * map-side struct-MIN argmin (ties → smallest cluster id). */
-  private def kmAssign(v: DataFrame, cents: DataFrame): DataFrame =
+    * map-side struct-MIN argmin (ties → smallest cluster id). Shared with
+    * D19's per-micro-batch serving path. */
+  private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame =
     v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cluster"), kmDistExpr.as("dist"))
       .groupBy("vec_id")
@@ -1137,7 +1138,10 @@ object EmbeddingOps {
     * driver loop, no checkpoint, no collect. The vector relation and the
     * final assignment are cache()d (each feeds ≥ 2 consumers — the C4
     * lesson); callers reclaim via `spark.catalog.clearCache()`. */
-  def embedKmeans(spark: SparkSession, dir: String,
+  /** The trained C62 codebook — the "model" D19's serving path freezes:
+    * seeds refined through `iters` Lloyd rounds. Callers own the cache of
+    * the vector relation used during training (clearCache contract). */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
       k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).cache()
@@ -1148,6 +1152,14 @@ object EmbeddingOps {
     var cents = seeds
     for (_ <- 1 to iters)
       cents = kmUpdate(v, kmAssign(v, cents))
+    cents
+  }
+
+  def embedKmeans(spark: SparkSession, dir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = kmeansCentroids(spark, dir, k, iters)
     val asg = kmAssign(v, cents).cache()
     val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_members"))
     asg.join(broadcast(sizes), Seq("cluster"))

@@ -15,7 +15,7 @@ class PlanSpec extends SparkSpec {
     * an InMemoryTableScan is a leaf here, so "file" leaves are genuine
     * re-scans the cache failed to absorb. (toString-based checks over-count:
     * InMemoryRelation prints its cached subtree including its FileScan.) */
-  private def scanLeaves(q: String): Seq[String] = {
+  private def scanLeavesOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -25,8 +25,11 @@ class PlanSpec extends SparkSpec {
       case _: FileSourceScanExec => Seq("file")
       case other => other.children.flatMap(walk)
     }
-    walk(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan)
   }
+
+  private def scanLeaves(q: String): Seq[String] =
+    scanLeavesOf(SparkEntry.queries(q)(spark, sf))
 
   test("narrow validation/text queries stay inside WholeStageCodegen") {
     // AQE finalizes the physical plan only on execution — run the query
@@ -260,6 +263,21 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q_dedup_canonical")
     assert("Window".r.findAllIn(plan).length == 1, plan)
     assert(plan.contains("partial_max"), plan)
+  }
+
+  test("kmeans: every round reads the cached vector relation") {
+    // in the REPORT plan the cached final assignment absorbs the whole
+    // training subtree (2 mem leaves: assignment + sizes); the TRAINING
+    // dataflow is pinned separately — its Lloyd rounds (assignment passes,
+    // explode-updates, seeds) must all read the ONE cached embeddings
+    // relation, never re-scan the corpus parquet
+    val report = scanLeaves("q_embed_kmeans")
+    assert(!report.contains("file") && report.count(_ == "mem") == 2, report)
+    val training = scanLeavesOf(
+      graft.operators.EmbeddingOps.kmeansCentroids(spark, sf))
+    assert(!training.contains("file"), training)
+    assert(training.count(_ == "mem") >= 5, training)
+    spark.catalog.clearCache(): Unit
   }
 
   test("mix epochs: one cached token pass feeds total and report") {

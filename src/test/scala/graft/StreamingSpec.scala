@@ -736,4 +736,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
     sp.catalog.clearCache(): Unit
   }
+
+  test("D19 streaming codebook assignment over two batches equals batch C62") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // train and freeze the codebook batch-side (production: last night's
+    // Lloyd refinement), then stream the corpus vectors through in two
+    // micro-batches
+    val cents = graft.operators.EmbeddingOps.kmeansCentroids(sp, sf).cache()
+    cents.count() // materialize the training before the stream starts
+    val rows = graft.sources.Tables.embeddings(sp, sf)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d19_target") + "/cells"
+    val ckpt = tmpDir("d19_ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = EmbedStream.assign(in.toDF().toDF("vec_id", "embedding"),
+        cents, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    val batch = graft.operators.EmbeddingOps.embedKmeans(sp, sf)
+      .select(col("vec_id"), col("cluster"), col("d2").as("dist"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
 }
