@@ -831,4 +831,276 @@ object Pipeline {
       CAST(t_total // n_sources AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         > $MixMaxEpochs AS needs_cap
     FROM tok, tot ORDER BY source"""
+
+  /** C63 grid: min-token thresholds i·[[SweepStep]] for i = 0..[[SweepN]]-1.
+    * The top row (100 tokens) sits above the corpus max, so the sweep
+    * always exercises the zero-survivor edge. Declared before the SQL val
+    * that interpolates them (object-val init order). */
+  val SweepStep: Int = 10
+  val SweepN: Int = 11
+
+  /** Quality cut for C63's pass-share column — strictly between C17's two
+    * observed score levels so both gate outcomes are populated. */
+  val SweepQualityMin: Double = 0.25
+
+  /** C63: `q_filter_threshold_sweep` — filter-calibration curve: for a grid
+    * of min-token-length thresholds (the Gopher/C4-style length gate),
+    * the docs and tokens that would survive, as counts and corpus shares,
+    * plus the share of survivors that also clear the C9 quality gate.
+    * This is the report a curator reads BEFORE picking a cutoff: "t=30
+    * keeps 62% of docs but 81% of tokens" is the knob-vs-yield trade-off,
+    * and a quality-share that RISES with the threshold is the evidence the
+    * length gate is doing its job. One grid, every candidate threshold —
+    * not one corpus pass per candidate.
+    *
+    * Exactness: survivors are pure integer sums (each doc is bucketed by
+    * `n_tok div step` and a threshold keeps buckets ≥ its index); shares
+    * are single divisions of exact longs; the quality flag compares the
+    * C9 score (bit-identical across engines) to a literal.
+    *
+    * Scale: ONE narrow codegen'd corpus pass collapses map-side into a
+    * ≤ [[SweepN]]-row bucket histogram (the B24 histogram move); the
+    * threshold grid then LEFT-joins buckets triangularly (idx ≥ i) —
+    * a ≤ SweepN² driver-scale join, NO window (a reverse-cumulative
+    * window over the grid would be an Audit global-window finding), no
+    * second fact pass at any corpus size. Cache ownership: callers
+    * reclaim the tiny bucket cache via `spark.catalog.clearCache()`. */
+  def filterThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        (TextOps.qualityScoreCol(col("text")) >= SweepQualityMin).as("q_ok"))
+    val b = d
+      .select(least(expr(s"n_tok DIV $SweepStep"), lit((SweepN - 1).toLong))
+          .as("b"), col("n_tok"), col("q_ok"))
+      .groupBy("b").agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("nq"))
+      .cache()
+    val tot = b.agg(sum("nd").as("td"), sum("nt").as("tt"))
+    val grid = spark.range(0, SweepN)
+      .select(col("id").as("i"), (col("id") * SweepStep).as("min_tokens"))
+    grid.join(b, col("b") >= col("i"), "left")
+      .groupBy("i", "min_tokens")
+      .agg(coalesce(sum("nd"), lit(0L)).as("n_docs_kept"),
+        coalesce(sum("nt"), lit(0L)).as("n_tokens_kept"),
+        coalesce(sum("nq"), lit(0L)).as("nq_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("min_tokens"), col("n_docs_kept"), col("n_tokens_kept"),
+        (col("n_docs_kept").cast("double") / col("td").cast("double"))
+          .as("doc_share"),
+        (col("n_tokens_kept").cast("double") / col("tt").cast("double"))
+          .as("token_share"),
+        when(col("n_docs_kept") > 0,
+          col("nq_kept").cast("double") / col("n_docs_kept").cast("double"))
+          .as("quality_pass_share"))
+      .orderBy("min_tokens")
+  }
+
+  val filterThresholdSweepSql: String = s"""
+    WITH m AS (
+      SELECT ${TextOps.qualitySqlMeasures}
+      FROM documents WHERE length(trim(text)) > 0),
+    s AS (
+      SELECT CAST(n_tok AS BIGINT) AS n_tok,
+        CASE WHEN (${TextOps.qualitySqlScore}) >= $SweepQualityMin
+             THEN 1 ELSE 0 END AS q_ok
+      FROM (
+        SELECT n_tok,
+          ${TextOps.qualitySqlRatios}
+        FROM m)),
+    b AS (
+      SELECT least(n_tok // $SweepStep, ${SweepN - 1}) AS b,
+        COUNT(*) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt,
+        CAST(SUM(q_ok) AS BIGINT) AS nq
+      FROM s GROUP BY 1),
+    grid AS (SELECT i, i * $SweepStep AS min_tokens FROM range(0, $SweepN) t(i)),
+    k AS (
+      SELECT grid.i, grid.min_tokens,
+        CAST(coalesce(SUM(nd), 0) AS BIGINT) AS n_docs_kept,
+        CAST(coalesce(SUM(nt), 0) AS BIGINT) AS n_tokens_kept,
+        CAST(coalesce(SUM(nq), 0) AS BIGINT) AS nq_kept
+      FROM grid LEFT JOIN b ON b.b >= grid.i GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS td,
+                   CAST(SUM(nt) AS BIGINT) AS tt FROM b)
+    SELECT min_tokens, n_docs_kept, n_tokens_kept,
+      CAST(n_docs_kept AS DOUBLE) / CAST(td AS DOUBLE) AS doc_share,
+      CAST(n_tokens_kept AS DOUBLE) / CAST(tt AS DOUBLE) AS token_share,
+      CASE WHEN n_docs_kept > 0
+           THEN CAST(nq_kept AS DOUBLE) / CAST(n_docs_kept AS DOUBLE)
+      END AS quality_pass_share
+    FROM k, tot ORDER BY min_tokens"""
+
+  /** C64 gram width — [[DecontamGram]]-class 8-word grams, the width the
+    * repeated-sequence memorization analyses use (long enough that a
+    * repeat is verbatim text, not phrasing). Declared before the SQL val
+    * that interpolates it. */
+  val MemGram: Int = 8
+
+  /** Corpus-wide occurrence count at/above which a C64 gram is "hot". */
+  val MemGramMin: Int = 2
+
+  /** C64: `q_gram_memorization` — memorization-risk exposure per source:
+    * how much of each source's [[MemGram]]-gram mass is verbatim text
+    * repeated elsewhere in the corpus. Training data repeated even a few
+    * times is disproportionately regurgitated by LLMs, so the share of a
+    * source's gram occurrences that belong to corpus-wide-hot grams
+    * (`hot_occ_share`) is the per-source risk number a curator reads next
+    * to C52's pair matrix (which localizes WHO shares text, while this
+    * prices HOW MUCH of a source is repeated, including within itself via
+    * `dup_occ_share`).
+    *
+    * Exactness: all counts are exact integers off two aggregations; the
+    * two shares are single divisions of exact longs.
+    *
+    * Scale: grams explode narrow with occurrence multiplicity KEPT
+    * (unlike C52's per-doc distinct — repeats are the signal here) and
+    * collapse immediately into the (gram_hash, source) occurrence grid:
+    * 16-byte fixed-width keys, map-side partial agg, the only fact-scaled
+    * shuffle. Corpus-wide totals re-aggregate that grid (≤ #sources rows
+    * per gram), and the hot-flag join keys on gram_hash — the same key
+    * the grid is already partitioned by, so it replans shuffle-free under
+    * AQE off the cache()d grid. The final roll-up lands on ≤ #sources
+    * rows. Cache ownership: callers reclaim via
+    * `spark.catalog.clearCache()` (the C29 contract). */
+  def gramMemorization(spark: SparkSession, dir: String): DataFrame = {
+    val els = (1 to MemGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    val occ = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= MemGram)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $MemGram),
+             i -> concat_ws(' ', $els))""")).as("gram"))
+      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .groupBy("gram_hash", "source").agg(count(lit(1)).as("occ"))
+      .cache()
+    val tot = occ.groupBy("gram_hash").agg(sum("occ").as("tot_occ"))
+    occ.join(tot, "gram_hash")
+      .groupBy("source").agg(
+        sum("occ").as("n_gram_occ"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("tot_occ") >= MemGramMin, col("occ")).otherwise(0L))
+          .as("hot_gram_occ"),
+        sum(when(col("tot_occ") >= MemGramMin, 1L).otherwise(0L))
+          .as("n_hot_distinct"))
+      .select(col("source"), col("n_gram_occ"), col("n_distinct_grams"),
+        col("hot_gram_occ"), col("n_hot_distinct"),
+        (col("hot_gram_occ").cast("double") / col("n_gram_occ").cast("double"))
+          .as("hot_occ_share"),
+        (lit(1.0) - col("n_distinct_grams").cast("double")
+          / col("n_gram_occ").cast("double")).as("dup_occ_share"))
+      .orderBy("source")
+  }
+
+  val gramMemorizationSql: String = {
+    val cat = (1 to MemGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT source, md5(gram) AS gram_hash FROM (
+        SELECT source, unnest(
+          list_transform(range(0, len(toks) - ${MemGram - 1}), i ->
+            $cat)) AS gram
+        FROM d WHERE len(toks) >= $MemGram)),
+    o AS (SELECT gram_hash, source, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+    t AS (SELECT gram_hash, CAST(SUM(occ) AS BIGINT) AS tot_occ
+          FROM o GROUP BY 1)
+    SELECT o.source,
+      CAST(SUM(occ) AS BIGINT) AS n_gram_occ,
+      COUNT(*) AS n_distinct_grams,
+      CAST(SUM(CASE WHEN tot_occ >= $MemGramMin THEN occ ELSE 0 END)
+        AS BIGINT) AS hot_gram_occ,
+      CAST(SUM(CASE WHEN tot_occ >= $MemGramMin THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_hot_distinct,
+      CAST(SUM(CASE WHEN tot_occ >= $MemGramMin THEN occ ELSE 0 END)
+        AS DOUBLE) / CAST(SUM(occ) AS DOUBLE) AS hot_occ_share,
+      CAST(1.0 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)
+        / CAST(SUM(occ) AS DOUBLE) AS dup_occ_share
+    FROM o JOIN t USING (gram_hash)
+    GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** C65 output-shard count. A real export picks shards ≈ corpus_bytes /
+    * target_file_size; the arithmetic below is shard-count-agnostic.
+    * Declared before the SQL val that interpolates it. */
+  val NumShards: Int = 8
+
+  /** C65: `q_corpus_shard` — deterministic output-shard MANIFEST: every
+    * kept doc routes to `graft_str_hash('shard|' + normalized content) %
+    * [[NumShards]]` and the report prices each shard (docs, tokens, token
+    * share, balance vs uniform) and fingerprints it with an
+    * order-independent content checksum. This is the plan for the final
+    * corpus EXPORT — the writer is just `df.repartition(NumShards,
+    * col("shard_id")).write.parquet(...)` — and the manifest is what makes
+    * the export REPRODUCIBLE: content-keyed routing means a re-crawl with
+    * different doc_ids lands every unchanged doc in the same shard, and
+    * two exports are byte-equal in content iff their checksum columns
+    * match, with no re-read of either corpus.
+    *
+    * Exactness: counts/sums are exact integers; the checksum is BIT_XOR
+    * of a per-doc salted content hash — XOR is commutative (partition
+    * order can't perturb it) and cannot overflow, where a SUM of hashes
+    * would wrap BIGINT at corpus scale. A second salt (`cksum|` vs
+    * `shard|`) keeps the fingerprint's low bits from degenerating to the
+    * shard id. The shares are single divisions of exact longs.
+    *
+    * Scale: ONE narrow codegen'd pass, partial-aggregated map-side onto
+    * [[NumShards]] groups — the only exchange moves ≤ tasks·shards rows —
+    * plus a 1-row broadcast total. No fact-side shuffle at any corpus
+    * size (the export itself pays the one full shuffle; the manifest
+    * never does). */
+  def corpusShard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(
+        (expr("graft_str_hash(concat('shard|', lower(trim(text))))")
+          % NumShards).as("shard_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        expr("graft_str_hash(concat('cksum|', lower(trim(text))))").as("ck"))
+    val sh = d.groupBy("shard_id").agg(
+      count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+      expr("bit_xor(ck)").as("content_checksum"))
+    val tot = sh.agg(sum("n_tokens").as("t_total"))
+    sh.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("t_total").cast("double"))
+      .withColumn("balance_ratio",
+        col("token_share") * lit(NumShards.toDouble))
+      .select("shard_id", "n_docs", "n_tokens", "token_share",
+        "balance_ratio", "content_checksum")
+      .orderBy("shard_id")
+  }
+
+  private def strHashSqlOn(e: String): String = s"""
+    list_reduce(list_transform(range(1, length($e) + 1), i ->
+      CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT)),
+      (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+  val corpusShardSql: String = s"""
+    WITH d AS (
+      SELECT
+        ${strHashSqlOn("'shard|' || lower(trim(text))")} % $NumShards
+          AS shard_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+          AS n_tok,
+        ${strHashSqlOn("'cksum|' || lower(trim(text))")} AS ck
+      FROM documents WHERE length(trim(text)) > 0),
+    sh AS (
+      SELECT shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        bit_xor(ck) AS content_checksum
+      FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM sh)
+    SELECT shard_id, n_docs, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE) AS token_share,
+      CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE)
+        * CAST($NumShards AS DOUBLE) AS balance_ratio,
+      content_checksum
+    FROM sh, tot ORDER BY shard_id"""
 }

@@ -1646,4 +1646,91 @@ class OperatorsSpec extends SparkSpec {
     assert(f.count() > 0)
     f.unpersist(): Unit
   }
+
+  test("threshold sweep: grid rows, monotone survival, reconciliation") {
+    val sw = Pipeline.filterThresholdSweep(spark, sf).cache()
+    assert(sw.count() == Pipeline.SweepN)
+    val d = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .cache()
+    // threshold 0 keeps everything; shares are exactly 1
+    val base = sw.filter(col("min_tokens") === 0).head
+    assert(base.getAs[Long]("n_docs_kept") == d.count())
+    assert(base.getAs[Double]("doc_share") == 1.0 &&
+      base.getAs[Double]("token_share") == 1.0)
+    // survivors reconcile with a direct count at a mid-grid threshold
+    val at50 = sw.filter(col("min_tokens") === 50).head
+    assert(at50.getAs[Long]("n_docs_kept") ==
+      d.filter(col("n_tok") >= 50).count())
+    assert(at50.getAs[Long]("n_tokens_kept") ==
+      d.filter(col("n_tok") >= 50).agg(sum("n_tok")).head.getLong(0))
+    // survival is monotone nonincreasing in the threshold
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("min_tokens")
+    assert(sw.withColumn("prev", lag("n_docs_kept", 1).over(w))
+      .filter(col("prev").isNotNull && col("n_docs_kept") > col("prev"))
+      .count() == 0)
+    // the top row exercises the zero-survivor edge: counts 0, share NULL
+    val top = sw.orderBy(col("min_tokens").desc).head
+    assert(top.getAs[Long]("n_docs_kept") == 0 &&
+      top.isNullAt(top.fieldIndex("quality_pass_share")))
+    // the quality gate is non-vacuous at threshold 0 (both outcomes seen)
+    val qs = base.getAs[Double]("quality_pass_share")
+    assert(qs > 0.0 && qs < 1.0, qs)
+    d.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("gram memorization: mass reconciliation, hot bounds, non-vacuous") {
+    val g = Pipeline.gramMemorization(spark, sf).cache()
+    // total gram mass equals sum over docs of (len - MemGram + 1)
+    val d = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+        .as("len"))
+      .filter(col("len") >= Pipeline.MemGram)
+    val mass = d.agg(sum(col("len") - Pipeline.MemGram + 1)).head.getLong(0)
+    assert(g.agg(sum("n_gram_occ")).head.getLong(0) == mass)
+    // hot occurrences / distincts bounded by their totals, shares in range
+    assert(g.filter(col("hot_gram_occ") > col("n_gram_occ")).count() == 0)
+    assert(g.filter(col("n_hot_distinct") > col("n_distinct_grams"))
+      .count() == 0)
+    assert(g.filter(col("hot_occ_share") < 0 || col("hot_occ_share") > 1 ||
+      col("dup_occ_share") < 0 || col("dup_occ_share") >= 1).count() == 0)
+    // both hot and cold gram mass exist corpus-wide (non-vacuous cutoff)
+    val hot = g.agg(sum("hot_gram_occ")).head.getLong(0)
+    assert(hot > 0 && hot < mass, s"$hot of $mass")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("corpus shard: conservation, routing range, checksum reconciles") {
+    val m = Pipeline.corpusShard(spark, sf).cache()
+    val d = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).cache()
+    // every doc routed exactly once; token mass conserved
+    assert(m.agg(sum("n_docs")).head.getLong(0) == d.count())
+    val tot = d.select(size(split(trim(col("text")), "\\s+")).cast("long")
+      .as("n")).agg(sum("n")).head.getLong(0)
+    assert(m.agg(sum("n_tokens")).head.getLong(0) == tot)
+    // routing lands in [0, NumShards) and balance is share * NumShards
+    assert(m.filter(col("shard_id") < 0 ||
+      col("shard_id") >= Pipeline.NumShards).count() == 0)
+    assert(m.filter(col("balance_ratio") =!=
+      col("token_share") * Pipeline.NumShards.toDouble).count() == 0)
+    assert(math.abs(m.agg(sum("token_share")).head.getDouble(0) - 1.0) < 1e-9)
+    // the XOR fingerprint reconciles with an independent regroup, and the
+    // second salt keeps it from collapsing onto the shard id
+    graft.functions.Kernels.register(spark)
+    val re = d.select(
+        (expr("graft_str_hash(concat('shard|', lower(trim(text))))")
+          % Pipeline.NumShards).as("shard_id"),
+        expr("graft_str_hash(concat('cksum|', lower(trim(text))))").as("ck"))
+      .groupBy("shard_id").agg(expr("bit_xor(ck)").as("ck2"))
+    assert(m.join(re, Seq("shard_id"))
+      .filter(col("content_checksum") =!= col("ck2")).count() == 0)
+    assert(m.select("content_checksum").distinct().count() > 1)
+    d.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
 }
