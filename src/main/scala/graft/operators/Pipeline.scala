@@ -1051,7 +1051,10 @@ object Pipeline {
     *
     * Scale: ONE narrow codegen'd pass, partial-aggregated map-side onto
     * [[NumShards]] groups — the only exchange moves ≤ tasks·shards rows —
-    * plus a 1-row broadcast total. No fact-side shuffle at any corpus
+    * plus a 1-row broadcast total. The [[NumShards]]-row manifest is
+    * cache()d so the total and the report read it without re-scanning the
+    * corpus (the C27 lesson); callers reclaim via
+    * `spark.catalog.clearCache()`. No fact-side shuffle at any corpus
     * size (the export itself pays the one full shuffle; the manifest
     * never does). */
   def corpusShard(spark: SparkSession, dir: String): DataFrame = {
@@ -1066,6 +1069,7 @@ object Pipeline {
     val sh = d.groupBy("shard_id").agg(
       count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
       expr("bit_xor(ck)").as("content_checksum"))
+      .cache()
     val tot = sh.agg(sum("n_tokens").as("t_total"))
     sh.crossJoin(broadcast(tot))
       .withColumn("token_share",

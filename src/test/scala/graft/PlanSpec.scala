@@ -287,4 +287,32 @@ class PlanSpec extends SparkSpec {
     val leaves = scanLeaves("q_mix_epochs")
     assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
   }
+
+  test("threshold sweep: one cached histogram pass, no window") {
+    // the corpus collapses ONCE into the cached SweepN-row bucket
+    // histogram; the triangular grid join and the broadcast totals both
+    // read the cache — a file leaf means a per-candidate corpus rescan,
+    // and a Window would be the reverse-cumulative global-window hazard
+    // the triangular join exists to avoid
+    val leaves = scanLeaves("q_filter_threshold_sweep")
+    assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
+    assert(!planOf("q_filter_threshold_sweep").contains("Window"),
+      planOf("q_filter_threshold_sweep"))
+  }
+
+  test("gram memorization: cached occurrence grid feeds totals and flags") {
+    // the gram explosion collapses ONCE into the cached (gram_hash,
+    // source) occurrence grid; the corpus-wide totals and the hot-flag
+    // join both read the cache — a file leaf means the explode ran twice
+    val leaves = scanLeaves("q_gram_memorization")
+    assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
+  }
+
+  test("corpus shard: one cached manifest agg feeds total and report") {
+    // the corpus is scanned ONCE (inside the cached NumShards-row
+    // manifest); the broadcast token total and the report both read the
+    // cache — a file leaf means a branch re-ran the full routing pass
+    val leaves = scanLeaves("q_corpus_shard")
+    assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
+  }
 }

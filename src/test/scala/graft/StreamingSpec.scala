@@ -768,4 +768,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(streamed).count() == 0)
     sp.catalog.clearCache(): Unit
   }
+
+  test("D20 ShardStream: max-rev manifest equals batch C65, order-free") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val routed = ShardStream.route(
+      graft.sources.Tables.documents(sp, sf)).collect()
+    // a checksum-parity split scrambles arrival order across shards —
+    // the XOR/counter state commutes, so the final manifest must not care
+    val (p1, p2) = routed.partition(_.ck % 2 == 0)
+    val in = MemoryStream[ShardIn]
+    val q = ShardStream.runningManifest(in.toDS())
+      .writeStream.format("memory").queryName("d20_out")
+      .outputMode("append").start()
+    try {
+      in.addData(p2.toSeq); q.processAllAvailable()
+      in.addData(p1.toSeq); q.processAllAvailable()
+      val revs = sp.table("d20_out").as[ShardOut].collect().toSeq
+      // revisions are real: at least one shard was touched by both batches
+      assert(revs.exists(_.rev == 2L))
+      val last = revs.groupBy(_.shard_id).map(_._2.maxBy(_.rev)).toSeq
+      // derive the cross-shard columns the way a reader would, with the
+      // SAME division of the SAME exact longs as the batch report
+      val tot = last.map(_.n_tokens).sum
+      val streamed = last.map(o => (o.shard_id, o.n_docs, o.n_tokens,
+        o.n_tokens.toDouble / tot.toDouble,
+        o.n_tokens.toDouble / tot.toDouble *
+          graft.operators.Pipeline.NumShards.toDouble,
+        o.content_checksum)).toSet
+      val batch = graft.operators.Pipeline.corpusShard(sp, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))).toSet
+      assert(streamed == batch)
+      sp.catalog.clearCache()
+    } finally q.stop()
+  }
 }
