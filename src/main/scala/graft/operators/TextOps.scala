@@ -826,4 +826,114 @@ object TextOps {
         AS tokens_per_100_chars
     FROM d GROUP BY source, lang
     ORDER BY source, lang"""
+
+  /** C66 flag cut: top-bigram occurrence share above which a doc is
+    * repetitive (the trigram arm fires on ANY within-doc repeat).
+    * Declared before the SQL val that interpolates it. */
+  val RepTopBigram: Double = 0.05
+
+  /** Max-run-length of equal adjacent elements in the SORTED array — i.e.
+    * the occurrence count of the array's most frequent element, computed
+    * as a per-row fold with NO explode and NO shuffle. The accumulator
+    * carries (previous element, current run, best run). */
+  private def maxRunExpr(arr: String): String = s"""
+    aggregate(array_sort($arr),
+      named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+                   'best', CAST(0 AS BIGINT)),
+      (acc, x) -> IF(acc.prev IS NOT NULL AND x = acc.prev,
+        named_struct('prev', x, 'run', acc.run + CAST(1 AS BIGINT),
+          'best', greatest(acc.best, acc.run + CAST(1 AS BIGINT))),
+        named_struct('prev', x, 'run', CAST(1 AS BIGINT),
+          'best', greatest(acc.best, CAST(1 AS BIGINT)))),
+      acc -> acc.best)"""
+
+  /** C66: `q_doc_repetition` — within-document repetition metrics, the
+    * Gopher-style quality filter C9 doesn't cover (C9 scores composition;
+    * this catches the boilerplate/SEO/generator pathology of one phrase
+    * looping): per doc — most-frequent-word occurrence share,
+    * most-frequent-bigram share of bigram slots, and the share of trigram
+    * slots occupied by repeated trigrams; `repetitive` flags docs past
+    * [[RepTopBigram]] on the bigram arm or ANY trigram repeat. C64 prices
+    * repetition ACROSS the corpus; this prices it INSIDE each doc —
+    * both feed the same drop list.
+    *
+    * Exactness: every count is an exact integer (run lengths over a
+    * sorted array, distinct counts), shares are single divisions of
+    * exact longs, and both engines compare the same doubles to the same
+    * literals.
+    *
+    * Scale: ZERO shuffle — the mode of a doc's words/bigrams needs no
+    * per-(doc, gram) aggregation: each doc's grams live in one array, so
+    * `array_sort` + a run-length fold computes the top occurrence count
+    * row-locally (the oracle mirrors with its unnest+GROUP BY because
+    * clarity is all that matters there). One embarrassingly-parallel
+    * corpus pass at any scale; docs shorter than 3 tokens carry no
+    * defined trigram share and are excluded by contract. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"),
+        expr("""transform(sequence(0, size(toks) - 2), i ->
+          concat_ws(' ', element_at(toks, cast(i + 1 as int)),
+                         element_at(toks, cast(i + 2 as int))))""").as("bi"),
+        expr("""transform(sequence(0, size(toks) - 3), i ->
+          concat_ws(' ', element_at(toks, cast(i + 1 as int)),
+                         element_at(toks, cast(i + 2 as int)),
+                         element_at(toks, cast(i + 3 as int))))""").as("tri"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(maxRunExpr("toks")).as("topw"),
+        expr(maxRunExpr("bi")).as("topb"),
+        size(array_distinct(col("tri"))).cast("long").as("d3"))
+    d.select(col("doc_id"), col("n_tok"),
+      (col("topw").cast("double") / col("n_tok").cast("double"))
+        .as("top_word_share"),
+      (col("topb").cast("double") / (col("n_tok") - 1).cast("double"))
+        .as("top_bigram_share"),
+      (lit(1.0) - col("d3").cast("double") / (col("n_tok") - 2).cast("double"))
+        .as("trigram_dup_share"))
+      .withColumn("repetitive",
+        col("top_bigram_share") > RepTopBigram ||
+          col("trigram_dup_share") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  val docRepetitionSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    base AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+      FROM d WHERE len(toks) >= 3),
+    wc AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS topw FROM (
+        SELECT doc_id, w, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS w FROM base) GROUP BY 1, 2)
+      GROUP BY 1),
+    bc AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS topb FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1), i ->
+            toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]))
+            AS g FROM base) GROUP BY 1, 2)
+      GROUP BY 1),
+    tc AS (
+      SELECT doc_id, CAST(len(list_distinct(
+        list_transform(range(0, len(toks) - 2), i ->
+          toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]
+            || ' ' || toks[CAST(i + 3 AS INT)]))) AS BIGINT) AS d3
+      FROM base)
+    SELECT base.doc_id, n_tok,
+      CAST(topw AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_word_share,
+      CAST(topb AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) AS top_bigram_share,
+      CAST(1.0 AS DOUBLE) - CAST(d3 AS DOUBLE) / CAST(n_tok - 2 AS DOUBLE)
+        AS trigram_dup_share,
+      (CAST(topb AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) > $RepTopBigram) OR
+      (CAST(1.0 AS DOUBLE) - CAST(d3 AS DOUBLE) / CAST(n_tok - 2 AS DOUBLE)
+        > 0.0) AS repetitive
+    FROM base JOIN wc USING (doc_id) JOIN bc USING (doc_id)
+      JOIN tc USING (doc_id)
+    ORDER BY doc_id"""
 }

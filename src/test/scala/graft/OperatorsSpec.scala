@@ -1704,6 +1704,37 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("doc repetition: fold equals explode-mode, flags non-vacuous") {
+    val r = TextOps.docRepetition(spark, sf).cache()
+    val d = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .cache()
+    assert(r.count() == d.count())
+    // the sorted-run fold must equal an independent explode+groupBy mode
+    val mode = d.select(col("doc_id"), explode(col("toks")).as("w"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .groupBy("doc_id", "n_tok", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tok").agg(max("c").as("topw"))
+      .select(col("doc_id"),
+        (col("topw").cast("double") / col("n_tok").cast("double")).as("tws"))
+    assert(r.join(mode, "doc_id")
+      .filter(col("top_word_share") =!= col("tws")).count() == 0)
+    // shares live in their ranges
+    assert(r.filter(col("top_word_share") <= 0 || col("top_word_share") > 1 ||
+      col("top_bigram_share") <= 0 || col("top_bigram_share") > 1 ||
+      col("trigram_dup_share") < 0 || col("trigram_dup_share") >= 1)
+      .count() == 0)
+    // both flag branches populated, and each flag arm is reachable
+    assert(r.filter(col("repetitive")).count() > 0)
+    assert(r.filter(!col("repetitive")).count() > 0)
+    assert(r.filter(col("trigram_dup_share") > 0.0).count() > 0)
+    d.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
   test("corpus shard: conservation, routing range, checksum reconciles") {
     val m = Pipeline.corpusShard(spark, sf).cache()
     val d = graft.sources.Tables.documents(spark, sf)

@@ -308,6 +308,15 @@ class PlanSpec extends SparkSpec {
     assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
   }
 
+  test("doc repetition: shuffle-free per-doc pass") {
+    // the per-doc modes come from row-local sorted-run folds, not a
+    // per-(doc, gram) aggregation — the only allowed Exchange is the
+    // final presentation orderBy
+    val plan = planOf("q_doc_repetition")
+    assert("Exchange".r.findAllIn(plan).length <= 1, plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("corpus shard: one cached manifest agg feeds total and report") {
     // the corpus is scanned ONCE (inside the cached NumShards-row
     // manifest); the broadcast token total and the report both read the
