@@ -769,6 +769,49 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D20 checkpoint recovery: manifest state survives stop + restart") {
+    // the D6/D17 fault-tolerance pin applied to the manifest family: a
+    // checkpointed manifest query is stopped mid-feed, more docs land
+    // while it is down, and the restarted instance must restore every
+    // shard's (counters, XOR) state — proven by post-restart revisions
+    // counting MORE docs than arrived after the restart, and a max-rev
+    // generation equal to batch C65's integer columns over the full feed
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("d20_src")
+    val ckDir = tmpDir("d20_ck")
+    val outDir = tmpDir("d20_out")
+    val rows = ShardStream.route(graft.sources.Tables.documents(sp, sf))
+      .collect().toSeq
+    val (part1, part2) = rows.splitAt(rows.size / 2)
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[ShardIn].schema)
+        .parquet(srcDir).as[ShardIn]
+      val q = ShardStream.runningManifest(in).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    part1.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    part2.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val all = sp.read.parquet(outDir).as[ShardOut].collect().toSeq
+    val last = all.groupBy(_.shard_id).map(_._2.maxBy(_.rev)).toSeq
+    val batch = graft.operators.Pipeline.corpusShard(sp, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(last.map(o => (o.shard_id, o.n_docs, o.n_tokens,
+      o.content_checksum)).toSet == batch)
+    // recovery non-vacuous: a post-restart revision counts more docs than
+    // arrived after the restart — only restored counter state can know them
+    val p2Counts = part2.groupBy(_.shard_id).view.mapValues(_.size.toLong)
+    assert(all.filter(_.rev >= 2).exists(o =>
+      o.n_docs > p2Counts.getOrElse(o.shard_id, 0L)))
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D20 ShardStream: max-rev manifest equals batch C65, order-free") {
     val sp = spark
     import sp.implicits._
