@@ -1086,6 +1086,100 @@ object Pipeline {
       CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT)),
       (acc, c) -> (acc * 31 + c) % 2147483647)"""
 
+  /** Id offset minting fresh doc ids for the admitted re-crawl batch in
+    * C67 (an ingest assigns new ids; byte-identical content keeps its
+    * bytes). Declared before the SQL val that interpolates it. */
+  val LeakIdOffset: Long = 10000000L
+
+  /** C67: `q_split_leakage` — the WHY of C19's content-keyed split,
+    * measured: over the post-admission corpus (standing docs ∪ a
+    * re-crawl batch with re-minted ids — the C58 feed, whose every third
+    * page is a byte-identical re-fetch), count duplicate pairs that land
+    * in DIFFERENT train/val/test splits under two policies: C19's
+    * content-hash key and the naive id-hash key. A cross-split duplicate
+    * pair IS eval contamination — the eval answer sits verbatim in
+    * train. Content keying makes the leak structurally zero (identical
+    * bytes ⇒ identical key ⇒ same split); id keying re-rolls the die per
+    * copy, so every re-fetch is a coin-flip leak. The report row pair is
+    * the evidence a curator shows for the policy choice.
+    *
+    * Exactness: pair counts are BIGINT binomials n·(n−1) div 2 on exact
+    * group sizes (overflow needs a ~3·10⁹-copy group — the C2-class
+    * degenerate family a curator caps upstream); `leak_share` is one
+    * division of exact longs.
+    *
+    * Scale: one narrow pass over the standing corpus plus the feed's
+    * id-equi-join (C58's shape, batch side small at any scale); both
+    * policies ride ONE plan via a two-policy union, aggregated on
+    * fixed-width (policy, 16-byte hash, split) keys — the only
+    * fact-scaled shuffle — then re-keyed onto (policy, hash) and
+    * collapsed to a 2-row report. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    def splitOf(h: org.apache.spark.sql.Column) =
+      when(h < SplitTrainPct, "train")
+        .when(h < SplitValPct, "val").otherwise("test")
+    val feed = graft.sources.Feeds.incomingDocs(spark, dir)
+      .select((col("doc_id") + LeakIdOffset).as("doc_id"), col("text"))
+    val b = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(feed)
+      .filter(length(trim(col("text"))) > 0)
+      .select(md5(lower(trim(col("text"))).cast("binary")).as("nh"),
+        splitOf(expr("graft_str_hash(lower(trim(text)))") % 100).as("sc"),
+        splitOf(expr("graft_str_hash(cast(doc_id as string))") % 100).as("si"))
+    val l = b.select(lit("by_content").as("policy"), col("nh"),
+        col("sc").as("split"))
+      .unionByName(b.select(lit("by_doc_id").as("policy"), col("nh"),
+        col("si").as("split")))
+    l.groupBy("policy", "nh", "split").agg(count(lit(1)).as("c"))
+      .groupBy("policy", "nh")
+      .agg(sum("c").as("n"), sum(expr("c * (c - 1) DIV 2")).as("same"))
+      .filter(col("n") >= 2)
+      .groupBy("policy").agg(
+        count(lit(1)).as("n_dup_groups"),
+        sum(expr("n * (n - 1) DIV 2")).as("n_dup_pairs"),
+        (sum(expr("n * (n - 1) DIV 2")) - sum("same"))
+          .as("cross_split_pairs"))
+      .withColumn("leak_share",
+        col("cross_split_pairs").cast("double")
+          / col("n_dup_pairs").cast("double"))
+      .orderBy("policy")
+  }
+
+  val splitLeakageSql: String = s"""
+    WITH inc AS (${graft.sources.Feeds.incomingDocsSql}),
+    u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + $LeakIdOffset, text FROM inc),
+    b AS (
+      SELECT md5(norm) AS nh,
+        CASE WHEN hc < $SplitTrainPct THEN 'train'
+             WHEN hc < $SplitValPct THEN 'val' ELSE 'test' END AS sc,
+        CASE WHEN hi < $SplitTrainPct THEN 'train'
+             WHEN hi < $SplitValPct THEN 'val' ELSE 'test' END AS si
+      FROM (
+        SELECT norm,
+          ${strHashSqlOn("norm")} % 100 AS hc,
+          ${strHashSqlOn("CAST(doc_id AS VARCHAR)")} % 100 AS hi
+        FROM (SELECT doc_id, lower(trim(text)) AS norm FROM u
+              WHERE length(trim(text)) > 0))),
+    l AS (
+      SELECT 'by_content' AS policy, nh, sc AS split FROM b
+      UNION ALL SELECT 'by_doc_id', nh, si FROM b),
+    c AS (SELECT policy, nh, split, COUNT(*) AS c FROM l GROUP BY 1, 2, 3),
+    g AS (
+      SELECT policy, nh, CAST(SUM(c) AS BIGINT) AS n,
+        CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS same
+      FROM c GROUP BY 1, 2)
+    SELECT policy, COUNT(*) AS n_dup_groups,
+      CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_dup_pairs,
+      CAST(SUM((n * (n - 1)) // 2) - SUM(same) AS BIGINT)
+        AS cross_split_pairs,
+      CAST(SUM((n * (n - 1)) // 2) - SUM(same) AS DOUBLE)
+        / CAST(SUM((n * (n - 1)) // 2) AS DOUBLE) AS leak_share
+    FROM g WHERE n >= 2
+    GROUP BY 1 ORDER BY policy"""
+
   val corpusShardSql: String = s"""
     WITH d AS (
       SELECT

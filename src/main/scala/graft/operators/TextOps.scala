@@ -827,6 +827,66 @@ object TextOps {
     FROM d GROUP BY source, lang
     ORDER BY source, lang"""
 
+  /** C68: `q_pii_audit` — per-source PII incidence over the raw feed
+    * ([[graft.sources.Feeds.documentsWithPii]]): how many docs carry PII,
+    * how many emails vs phones, and the redaction density per 10k
+    * whitespace tokens. C16 scrubs; this REPORTS — the compliance view a
+    * curator checks before and after admitting a source (a source whose
+    * density jumps is a crawler pulling contact pages), on the SAME
+    * regexes as the scrubber so the two reconcile by construction.
+    *
+    * Exactness: counts are exact integers off one aggregation; the two
+    * densities are single divisions of exact longs (the per-10k rate
+    * multiplies BEFORE dividing).
+    *
+    * Scale: one narrow codegen'd regexp pass, partial-aggregated
+    * map-side onto the source grid — no fact-side shuffle at any corpus
+    * size. */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Feeds.documentsWithPii(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum("n_email").as("n_emails"),
+        sum("n_phone").as("n_phones"),
+        sum(col("n_email") + col("n_phone")).as("n_redactions"),
+        sum("n_tok").as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("docs_with_pii"),
+        col("n_emails"), col("n_phones"), col("n_redactions"),
+        (col("docs_with_pii").cast("double") / col("n_docs").cast("double"))
+          .as("pii_doc_share"),
+        ((col("n_redactions") * 10000L).cast("double")
+          / col("n_tokens").cast("double")).as("redactions_per_10k_tok"))
+      .orderBy("source")
+  }
+
+  val piiAuditSql: String = s"""
+    WITH feed AS (${graft.sources.Feeds.documentsWithPiiSql}),
+    d AS (
+      SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+          AS n_tok,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone
+      FROM feed WHERE length(trim(text)) > 0)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_pii,
+      CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+      CAST(SUM(n_email + n_phone) AS BIGINT) AS n_redactions,
+      CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS pii_doc_share,
+      CAST(SUM(n_email + n_phone) * 10000 AS DOUBLE)
+        / CAST(SUM(n_tok) AS DOUBLE) AS redactions_per_10k_tok
+    FROM d GROUP BY 1 ORDER BY source"""
+
   /** C66 flag cut: top-bigram occurrence share above which a doc is
     * repetitive (the trigram arm fires on ANY within-doc repeat).
     * Declared before the SQL val that interpolates it. */

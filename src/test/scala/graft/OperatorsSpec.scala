@@ -1735,6 +1735,50 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("pii audit: reconciles with the scrubber, both branches populated") {
+    val a = TextOps.piiAudit(spark, sf).cache()
+    // total redactions reconcile with C16's per-doc redaction counts
+    val scrub = TextOps.piiScrub(spark, sf)
+    assert(a.agg(sum("n_redactions")).head.getLong(0) ==
+      scrub.agg(sum("n_redacciones")).head.getLong(0))
+    // the deterministic doc_id % 13 PII slice guarantees both branches
+    assert(a.filter(col("docs_with_pii") > 0).count() > 0)
+    assert(a.filter(col("docs_with_pii") < col("n_docs")).count() > 0)
+    // every email/phone split sums to the redaction total
+    assert(a.filter(col("n_emails") + col("n_phones") =!=
+      col("n_redactions")).count() == 0)
+    assert(a.filter(col("docs_with_pii") > col("n_docs")).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("split leakage: content policy leaks zero, id policy leaks some") {
+    val r = Pipeline.splitLeakage(spark, sf).cache()
+    assert(r.count() == 2)
+    val byPolicy = r.collect().map(x => x.getString(0) -> x).toMap
+    // THE invariant the report exists to show: identical bytes get an
+    // identical content key, so content-keyed leakage is structurally 0
+    assert(byPolicy("by_content").getAs[Long]("cross_split_pairs") == 0L)
+    assert(byPolicy("by_content").getAs[Double]("leak_share") == 0.0)
+    // the naive id-keyed policy re-rolls the die per copy and leaks
+    assert(byPolicy("by_doc_id").getAs[Long]("cross_split_pairs") > 0L)
+    // the split policy cannot change the duplicate structure itself
+    assert(byPolicy("by_content").getAs[Long]("n_dup_pairs") ==
+      byPolicy("by_doc_id").getAs[Long]("n_dup_pairs"))
+    assert(byPolicy("by_content").getAs[Long]("n_dup_groups") ==
+      byPolicy("by_doc_id").getAs[Long]("n_dup_groups"))
+    // dup-group count reconciles with an independent union+groupBy
+    val feed = graft.sources.Feeds.incomingDocs(spark, sf)
+      .select((col("doc_id") + Pipeline.LeakIdOffset).as("doc_id"),
+        col("text"))
+    val groups = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).unionByName(feed)
+      .filter(length(trim(col("text"))) > 0)
+      .groupBy(md5(lower(trim(col("text"))).cast("binary")))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    assert(byPolicy("by_content").getAs[Long]("n_dup_groups") == groups)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("corpus shard: conservation, routing range, checksum reconciles") {
     val m = Pipeline.corpusShard(spark, sf).cache()
     val d = graft.sources.Tables.documents(spark, sf)
