@@ -1201,4 +1201,148 @@ object Pipeline {
         * CAST($NumShards AS DOUBLE) AS balance_ratio,
       content_checksum
     FROM sh, tot ORDER BY shard_id"""
+
+  /** C69 length-bucket cut points (whitespace tokens): docs fall into
+    * buckets [0,16) [16,64) [64,256) [256,1024) [1024,4096) [4096,∞) —
+    * fixed CASE edges, exact on any engine (no float log binning).
+    * Declared before the SQL val that interpolates it. */
+  val DriftEdges: Seq[Int] = Seq(16, 64, 256, 1024, 4096)
+
+  /** C69: `q_source_drift` — per-source distribution drift between the
+    * standing corpus and the incoming re-crawl batch
+    * ([[Feeds.incomingDocs]]): the go/no-go a curator reads before
+    * admitting a crawl. For each source, the total-variation distance
+    * between base and feed over (a) the token-length histogram
+    * ([[DriftEdges]] buckets) and (b) the language mix, plus the
+    * worst-drifting length bucket and its share gap — a source whose
+    * `tv_len` jumps is a crawler suddenly pulling a different page class
+    * (C68 catches the PII flavor of the same failure; this catches shape).
+    *
+    * Exactness: TV is computed in the EXACT integer domain — for bucket i
+    * with base count a_i (base total A) and feed count b_i (feed total B),
+    * TV = Σ|a_i·B − b_i·A| / (2·A·B); the numerator is a sum of exact
+    * DECIMAL(38,0) products (order-independent), and only the final
+    * division is floating-point. No per-bucket double shares are ever
+    * summed, so bucket order cannot perturb a bit. A feed-empty source
+    * reports NULL drift, not 0 — a source absent from today's crawl went
+    * DARK, which is a different alarm than "no drift".
+    *
+    * Scale: ONE union pass over base + feed partial-aggregates onto the
+    * (source, bucket, lang) grid — the only fact-scaled shuffle; both
+    * marginals, the totals, and the report derive from that tiny grid.
+    * DECIMAL(38,0) keeps the cross products exact past the BIGINT range
+    * (overflow needs ~10¹⁹ docs·docs per source pair). */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    def lenb(c: org.apache.spark.sql.Column) =
+      DriftEdges.zipWithIndex.foldRight(lit(DriftEdges.size)) {
+        case ((edge, i), rest) => when(c < edge, i).otherwise(rest)
+      }
+    def prep(df: DataFrame, side: String) =
+      df.filter(length(trim(col("text"))) > 0)
+        .select(lit(side).as("side"), col("source"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val dec = "decimal(18,0)"
+    val grid = prep(Tables.documents(spark, dir), "base")
+      .unionByName(prep(Feeds.incomingDocs(spark, dir), "feed"))
+      .select(col("source"), lenb(col("n_tok")).as("lenb"), col("lang"),
+        col("side"))
+      .groupBy("source", "lenb", "lang")
+      .agg(sum(when(col("side") === "base", 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === "feed", 1L).otherwise(0L)).as("b"))
+      .cache()
+    val tot = grid.groupBy("source")
+      .agg(sum("a").cast("long").as("base_docs"),
+        sum("b").cast("long").as("feed_docs"))
+    def marginal(key: String) = grid.groupBy(col("source"), col(key))
+      .agg(sum("a").cast("long").as("a"), sum("b").cast("long").as("b"))
+      .join(tot, "source")
+      .withColumn("dev", abs(col("a").cast(dec) * col("feed_docs").cast(dec)
+        - col("b").cast(dec) * col("base_docs").cast(dec)))
+    def tv(num: org.apache.spark.sql.Column) =
+      when(col("feed_docs") === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / (lit(2.0)
+          * col("base_docs").cast("double") * col("feed_docs").cast("double")))
+    val lenDev = marginal("lenb")
+    val tvLen = lenDev.groupBy("source").agg(sum("dev").as("num_len"))
+    val tvLang = marginal("lang").groupBy("source")
+      .agg(sum("dev").as("num_lang"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("dev").desc, col("lenb").asc)
+    val top = lenDev.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lenb").as("top_len_bucket"),
+        when(col("feed_docs") === 0, lit(null).cast("double"))
+          .otherwise(col("dev").cast("double")
+            / (col("base_docs").cast("double")
+              * col("feed_docs").cast("double"))).as("top_len_gap"))
+    tot.join(tvLen, "source").join(tvLang, "source").join(top, "source")
+      .select(col("source"), col("base_docs"), col("feed_docs"),
+        tv(col("num_len")).as("tv_len"), tv(col("num_lang")).as("tv_lang"),
+        col("top_len_bucket"), col("top_len_gap"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of the C69 bucket CASE, on an expression `e`. */
+  private def lenbSqlOn(e: String): String =
+    DriftEdges.zipWithIndex.map { case (edge, i) =>
+      s"WHEN $e < $edge THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${DriftEdges.size} END")
+
+  val sourceDriftSql: String = s"""
+    WITH inc AS (${Feeds.incomingDocsSql}),
+    u AS (
+      SELECT 'base' AS side, source, lang,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+      UNION ALL
+      SELECT 'feed', source, lang,
+        len(regexp_split_to_array(trim(text), '\\s+'))
+      FROM inc WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT source, ${lenbSqlOn("n_tok")} AS lenb, lang,
+        CAST(SUM(CASE WHEN side = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN side = 'feed' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM u GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS base_docs,
+        CAST(SUM(b) AS BIGINT) AS feed_docs
+      FROM g GROUP BY 1),
+    lm AS (
+      SELECT g.source, g.lenb,
+        abs(CAST(SUM(g.a) AS HUGEINT) * t.feed_docs
+          - CAST(SUM(g.b) AS HUGEINT) * t.base_docs) AS dev,
+        t.base_docs, t.feed_docs
+      FROM g JOIN tot t USING (source) GROUP BY g.source, g.lenb,
+        t.base_docs, t.feed_docs),
+    gm AS (
+      SELECT g.source, g.lang,
+        abs(CAST(SUM(g.a) AS HUGEINT) * t.feed_docs
+          - CAST(SUM(g.b) AS HUGEINT) * t.base_docs) AS dev
+      FROM g JOIN tot t USING (source) GROUP BY g.source, g.lang,
+        t.base_docs, t.feed_docs),
+    tvl AS (SELECT source, SUM(dev) AS num_len FROM lm GROUP BY 1),
+    tvg AS (SELECT source, SUM(dev) AS num_lang FROM gm GROUP BY 1),
+    top AS (
+      SELECT source, lenb AS top_len_bucket,
+        CASE WHEN feed_docs = 0 THEN NULL
+          ELSE CAST(dev AS DOUBLE)
+            / (CAST(base_docs AS DOUBLE) * CAST(feed_docs AS DOUBLE)) END
+          AS top_len_gap,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY dev DESC, lenb ASC) AS rn
+      FROM lm)
+    SELECT t.source, t.base_docs, t.feed_docs,
+      CASE WHEN t.feed_docs = 0 THEN NULL
+        ELSE CAST(tvl.num_len AS DOUBLE) / (2.0
+          * CAST(t.base_docs AS DOUBLE) * CAST(t.feed_docs AS DOUBLE)) END
+        AS tv_len,
+      CASE WHEN t.feed_docs = 0 THEN NULL
+        ELSE CAST(tvg.num_lang AS DOUBLE) / (2.0
+          * CAST(t.base_docs AS DOUBLE) * CAST(t.feed_docs AS DOUBLE)) END
+        AS tv_lang,
+      top.top_len_bucket, top.top_len_gap
+    FROM tot t
+    JOIN tvl USING (source) JOIN tvg USING (source)
+    JOIN (SELECT * FROM top WHERE rn = 1) top USING (source)
+    ORDER BY t.source"""
 }

@@ -1779,6 +1779,48 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("source drift: exact TV recompute, conservation, non-degenerate") {
+    val r = Pipeline.sourceDrift(spark, sf).cache()
+    // NULL drift IS the "source went dark in today's crawl" signal:
+    // exactly the feed-empty sources carry it, covered sources never do
+    assert(r.filter(col("feed_docs") === 0 && (col("tv_len").isNotNull ||
+      col("tv_lang").isNotNull)).count() == 0)
+    assert(r.filter(col("feed_docs") > 0 && (col("tv_len").isNull ||
+      col("tv_lang").isNull)).count() == 0)
+    assert(r.filter(col("feed_docs") > 0).count() > 0)
+    // TV is a distance: within [0, 1], and some source genuinely drifts
+    // (the feed's refetch slice swaps in different-length texts)
+    assert(r.filter(col("tv_len") < 0.0 || col("tv_len") > 1.0 ||
+      col("tv_lang") < 0.0 || col("tv_lang") > 1.0).count() == 0)
+    assert(r.filter(col("tv_len") > 0.0).count() > 0)
+    // conservation: base/feed doc totals match independent counts
+    val base = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    val feed = graft.sources.Feeds.incomingDocs(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    assert(r.agg(sum("base_docs")).head.getLong(0) == base.count())
+    assert(r.agg(sum("feed_docs")).head.getLong(0) == feed.count())
+    // independent bit-exact recompute of tv_len for one source, straight
+    // from the raw tables via a different plan (explicit histogram join)
+    val srcName = r.filter(col("feed_docs") > 0)
+      .select("source").head.getString(0)
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("source") === srcName)
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .collect().map(_.getLong(0))
+      .groupBy(t => Pipeline.DriftEdges.count(_ <= t)).view
+      .mapValues(_.length.toLong).toMap
+    val (hb, hf) = (hist(base), hist(feed))
+    val (na, nb) = (hb.values.sum, hf.values.sum)
+    val num = (0 to Pipeline.DriftEdges.size).map(i =>
+      math.abs(hb.getOrElse(i, 0L) * nb - hf.getOrElse(i, 0L) * na)).sum
+    val expected = num.toDouble / (2.0 * na.toDouble * nb.toDouble)
+    val got = r.filter(col("source") === srcName)
+      .select("tv_len").head.getDouble(0)
+    assert(got == expected) // bit-exact, not approx
+    spark.catalog.clearCache(): Unit
+  }
+
   test("corpus shard: conservation, routing range, checksum reconciles") {
     val m = Pipeline.corpusShard(spark, sf).cache()
     val d = graft.sources.Tables.documents(spark, sf)
