@@ -842,8 +842,16 @@ object TextOps {
     * Scale: one narrow codegen'd regexp pass, partial-aggregated
     * map-side onto the source grid — no fact-side shuffle at any corpus
     * size. */
-  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.sources.Feeds.documentsWithPii(spark, dir)
+  def piiAudit(spark: SparkSession, dir: String): DataFrame =
+    piiAuditAgg(graft.sources.Feeds.documentsWithPii(spark, dir))
+      .orderBy("source")
+
+  /** The C68 aggregation on any (source, text) relation — batch OR
+    * streaming (every column is a plain mergeable integer counter, so
+    * [[graft.streaming.DatasheetStream.runningPiiAudit]] delegates here
+    * unchanged and the stream is EXACT, densities included). */
+  def piiAuditAgg(docs: DataFrame): DataFrame = {
+    val d = docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
@@ -863,7 +871,6 @@ object TextOps {
           .as("pii_doc_share"),
         ((col("n_redactions") * 10000L).cast("double")
           / col("n_tokens").cast("double")).as("redactions_per_10k_tok"))
-      .orderBy("source")
   }
 
   val piiAuditSql: String = s"""

@@ -48,6 +48,19 @@ object DatasheetStream {
         "hll_distintos")
   }
 
+  /** D21: streaming twin of TextOps.piiAudit (C68) — the per-source PII
+    * compliance view maintained continuously over the ingest stream, so a
+    * crawler that starts pulling contact pages shows up mid-crawl, not at
+    * the end-of-day batch audit. Unlike D8/D14 (whose distinct counts
+    * forced the HLL sketch swap), EVERY batch column here is a plain
+    * mergeable integer counter — doc/email/phone/redaction/token counts —
+    * so the streaming aggregate delegates to the batch plan UNCHANGED
+    * ([[graft.operators.TextOps.piiAuditAgg]]) and the running report is
+    * EXACT, the two read-time densities included. State: one row of six
+    * BIGINTs per source — a closed, tiny key space at any stream length. */
+  def runningPiiAudit(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.piiAuditAgg(docs)
+
   /** D14: streaming twin of Pipeline.sourceHealth (C47) — the per-source
     * curation gate maintained continuously: mean quality (EXACT — the
     * nano-quantized integer sum streams losslessly, one division at read

@@ -495,6 +495,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D21 runningPiiAudit: stream is exactly the batch C68 report") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = sources.Feeds.documentsWithPii(sp, sf)
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(String, String)]
+    val q = DatasheetStream.runningPiiAudit(
+        in.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("d21_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d21_out")
+      // bit-exact vs the oracle-checked batch audit, densities included
+      val batch = graft.operators.TextOps.piiAudit(sp, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      // and mid-stream state was a genuine partial (not one big batch)
+      assert(b1.nonEmpty && b2.nonEmpty)
+    } finally q.stop()
+  }
+
   test("D13 dailyActive: two micro-batches equal one batch, sketch included") {
     val sp = spark
     import sp.implicits._
