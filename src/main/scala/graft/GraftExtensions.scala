@@ -91,6 +91,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the engine's event-time convention: NTZ wall clocks are UTC, so
+      // integer epoch math matches DuckDB's epoch_us/epoch_ns bit-for-bit
+      .config("spark.sql.session.timeZone", "UTC")
       // runtime bloom-filter join pruning (selective join side injects a
       // bloom filter into the other side's scan) — Spark 4's default, pinned
       // here because it is part of this engine's 100 TB story

@@ -307,18 +307,17 @@ object Etl {
 
   /** A6 (events entity): date-bounded re-extraction of the event stream.
     * Event time stays in integer nanoseconds inside the engine (see
-    * [[Tables.events]]) — the comparison is a long-vs-long predicate that
-    * reaches the parquet scan (PushedFilters), exact and cheaper than
-    * timestamp codecs in a 100 TB event scan. The EXPORTED column is
-    * microseconds (ts div 1000): DuckDB's parquet reader truncates
-    * nanosecond timestamps to µs, so µs is the finest grain both engines
-    * agree on bit-for-bit. */
+    * [[Tables.events]]); the date bound goes through [[Tables.eventsSince]]
+    * so the predicate lands on the RAW scan column (PushedFilters → parquet
+    * row-group pruning), exact and cheaper than re-scanning 100 TB of
+    * history. The EXPORTED column is microseconds (ts div 1000): DuckDB's
+    * parquet reader truncates nanosecond timestamps to µs, so µs is the
+    * finest grain both engines agree on bit-for-bit. */
   def syncEvents(spark: SparkSession, dir: String,
       startDate: String = SyncEventsStartDate): DataFrame = {
     val startNanos = java.time.LocalDate.parse(startDate)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
-    Tables.events(spark, dir)
-      .filter(col("ts") >= lit(startNanos))
+    Tables.eventsSince(spark, dir, startNanos)
       .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
         col("event_type"), col("value"))
       .orderBy("event_id")

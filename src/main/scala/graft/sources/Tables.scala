@@ -29,13 +29,48 @@ object Tables {
   def part(s: SparkSession, d: String)      = load(s, d, "part")
   def orders(s: SparkSession, d: String)    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as a raw nanos long (legacy conf) and keep event-time math in
-    * integer nanoseconds — exact, order-independent, and cheaper than
-    * timestamp codecs in a 100 TB event scan. */
+  /** events.ts normalized to the engine contract: EPOCH NANOS AS BIGINT.
+    * Integer event-time math is exact, order-independent, and cheaper than
+    * timestamp codecs in a 100 TB event scan. The driver has shipped the
+    * column under two encodings — parquet TIMESTAMP(NANOS) (readable only
+    * as a raw long via the legacy conf) and plain µs timestamp (Spark
+    * TIMESTAMP_NTZ) — so the loader dispatches on the file schema and
+    * converts; every operator downstream sees the same nanos long either
+    * way. The NTZ wall clock is interpreted in UTC (pinned here) to match
+    * DuckDB's `epoch_us`/`epoch_ns` on the same files. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        import org.apache.spark.sql.functions.{col, unix_micros}
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
+
+  /** Events with a pushdown-safe event-time lower bound: the µs-timestamp
+    * encoding makes `ts` a DERIVED column after [[events]]'s normalization,
+    * so a caller-side `filter(ts >= nanos)` can no longer reach the scan.
+    * This applies the bound to the RAW scan column (a timestamp-vs-literal
+    * predicate parquet can evaluate against row-group stats → PushedFilters
+    * prunes whole row groups / partitions at 100 TB) and THEN normalizes. */
+  def eventsSince(s: SparkSession, d: String, startNanos: Long): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= lit(startNanos))
+      case _ =>
+        val bound = java.time.LocalDateTime.ofEpochSecond(
+          startNanos / 1000000000L, (startNanos % 1000000000L).toInt,
+          java.time.ZoneOffset.UTC)
+        raw.filter(col("ts") >= lit(bound))
+          .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")

@@ -18,18 +18,22 @@ import graft.functions.Exact._
   */
 object EventStream {
 
-  /** The driver's events.parquet schema, with `ts` as raw TIMESTAMP(NANOS)
-    * read as long nanos (see graft.sources.Tables.events). */
+  /** The driver's events.parquet schema: `ts` is a µs wall-clock timestamp
+    * with no zone (Spark TIMESTAMP_NTZ; see graft.sources.Tables.events for
+    * the batch-side normalization of the same column). */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files. The NTZ
+    * wall clock is interpreted in UTC (pinned) and surfaced as a session
+    * TIMESTAMP so watermarks/windows behave identically to the batch twins
+    * built on Tables.events' UTC nanos. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
