@@ -1168,7 +1168,11 @@ object EmbeddingOps {
       .orderBy("vec_id")
   }
 
-  def embedKmeansSqlFor(k: Int = KmClusters, iters: Int = KmIters): String = {
+  /** Shared oracle CTE chain for the C62 family (C62 itself + C70's
+    * composition report): `v`, seed codebook `c0`, `iters` spelled-out
+    * Lloyd rounds, and the final assignment relation. Returns the CTE text
+    * (no `WITH`, no final SELECT) and the assignment relation's name. */
+  private def kmeansAssignCtes(k: Int, iters: Int): (String, String) = {
     // per-round CTE generator — the oracle spells every Lloyd round
     // explicitly (d_r: distances, a_r: argmin, c_r: updated centroids)
     def distCte(r: Int, cents: String) = s"""d$r AS (
@@ -1203,20 +1207,100 @@ object EmbeddingOps {
       s"${distCte(r, cents)},\n    ${argminCte(r)},\n    ${updateCte(r)}"
     }.mkString(",\n    ")
     val fin = iters + 1
-    s"""
-    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    val ctes = s"""v AS (SELECT vec_id, embedding FROM embeddings),
     c0 AS (
       SELECT vec_id AS cluster, embedding AS c_emb FROM v
       WHERE vec_id % 100 = 50 AND vec_id < ${k.toLong * 100L}),
     $rounds,
     ${distCte(fin, s"c$iters")},
-    ${argminCte(fin)}
+    ${argminCte(fin)}"""
+    (ctes, s"a$fin")
+  }
+
+  def embedKmeansSqlFor(k: Int = KmClusters, iters: Int = KmIters): String = {
+    val (ctes, asg) = kmeansAssignCtes(k, iters)
+    s"""
+    WITH $ctes
     SELECT a.vec_id, a.cluster, a.dist AS d2, s.n_members
-    FROM a$fin a JOIN (
-      SELECT cluster, COUNT(*) AS n_members FROM a$fin GROUP BY 1) s
+    FROM $asg a JOIN (
+      SELECT cluster, COUNT(*) AS n_members FROM $asg GROUP BY 1) s
       USING (cluster)
     ORDER BY vec_id"""
   }
 
   val embedKmeansSql: String = embedKmeansSqlFor()
+
+  /** C70: `q_cluster_profile` — cluster × source composition of the corpus
+    * (the "corpus cartography" read of C62's clustering: which sources a
+    * semantic cluster draws from, how pure it is, and whether one cluster
+    * is a single-source silo — the signal a curator reads before trusting
+    * per-cluster sampling or dedup decisions). Per cluster: member count,
+    * distinct sources, dominant source (ties → lexicographically smallest,
+    * via a map-side struct-MIN on (−count, source)), purity = dominant
+    * share, and Gini impurity 1 − Σ share² — computed from EXACT integer
+    * cross products (Σcnt² and total² as DECIMAL(38,0) — BIGINT cnt²
+    * overflows past ~3·10⁹ docs per (cluster, source)) with ONE double
+    * division at the end, so no float sum ever crosses a partition
+    * boundary (the C69 exact-integer-domain rule).
+    *
+    * Scale: the assignment is C62's map-side argmin (broadcast k·64
+    * codebook, no vector shuffle); the doc-id join keys two corpus-scaled
+    * relations with `shuffle_hash` (C33's rule — a planner broadcast of
+    * either side is a driver-side build that dies at 100 TB); everything
+    * after lives on the ≤ k·sources grid. */
+  def clusterProfile(spark: SparkSession, dir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val asg = kmAssign(v, kmeansCentroids(spark, dir, k, iters))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val grid = asg.join(docs.hint("shuffle_hash"), Seq("vec_id"))
+      .groupBy("cluster", "source").agg(count(lit(1)).as("cnt"))
+    grid
+      .groupBy("cluster")
+      .agg(sum("cnt").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        min(struct((-col("cnt")).as("neg"), col("source").as("src"))).as("top"),
+        sum(col("cnt").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+          .as("ss"))
+      .select(col("cluster"), col("n_docs"), col("n_sources"),
+        col("top.src").as("top_source"), (-col("top.neg")).as("top_docs"),
+        ((-col("top.neg")).cast("double") / col("n_docs").cast("double"))
+          .as("purity"),
+        ((col("n_docs").cast("decimal(38,0)") * col("n_docs").cast("decimal(38,0)")
+            - col("ss")).cast("double") /
+          (col("n_docs").cast("decimal(38,0)") * col("n_docs").cast("decimal(38,0)"))
+            .cast("double")).as("gini"))
+      .orderBy("cluster")
+  }
+
+  def clusterProfileSqlFor(k: Int = KmClusters, iters: Int = KmIters): String = {
+    val (ctes, asg) = kmeansAssignCtes(k, iters)
+    s"""
+    WITH $ctes,
+    grid AS (
+      SELECT a.cluster, d.source, COUNT(*) AS cnt
+      FROM $asg a JOIN documents d ON a.vec_id = d.doc_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY cnt DESC, source ASC) AS rk
+      FROM grid),
+    tot AS (
+      SELECT cluster, SUM(cnt) AS n_docs, COUNT(*) AS n_sources,
+        SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS ss
+      FROM grid GROUP BY 1)
+    SELECT t.cluster, CAST(t.n_docs AS BIGINT) AS n_docs, t.n_sources,
+      r.source AS top_source, r.cnt AS top_docs,
+      CAST(r.cnt AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS purity,
+      CAST(CAST(t.n_docs AS HUGEINT) * CAST(t.n_docs AS HUGEINT) - t.ss
+           AS DOUBLE) /
+        CAST(CAST(t.n_docs AS HUGEINT) * CAST(t.n_docs AS HUGEINT) AS DOUBLE)
+        AS gini
+    FROM tot t JOIN ranked r ON t.cluster = r.cluster AND r.rk = 1
+    ORDER BY t.cluster"""
+  }
+
+  val clusterProfileSql: String = clusterProfileSqlFor()
 }

@@ -1633,6 +1633,31 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("cluster profile: reconciles with kmeans, purity/gini coherent") {
+    val prof = operators.EmbeddingOps.clusterProfile(spark, sf).cache()
+    val km = operators.EmbeddingOps.embedKmeans(spark, sf).cache()
+    // every profiled cluster is a kmeans cluster, and doc counts reconcile
+    // with the assignment joined to documents (embeddings ids ⊆ doc ids)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id").as("vec_id"))
+    val expected = km.join(docs, Seq("vec_id"))
+      .groupBy("cluster").agg(count(lit(1)).as("n_exp"))
+    assert(prof.join(expected, Seq("cluster"))
+      .filter(col("n_docs") =!= col("n_exp")).count() == 0)
+    assert(prof.count() == expected.count())
+    // dominant share and impurity are internally coherent
+    assert(prof.filter(col("top_docs") > col("n_docs")).count() == 0)
+    assert(prof.filter(col("purity") <= 0 || col("purity") > 1).count() == 0)
+    assert(prof.filter(col("gini") < 0 || col("gini") >= 1).count() == 0)
+    // purity 1 ⟺ single-source ⟺ zero impurity; multi-source ⟹ gini > 0
+    assert(prof.filter(col("n_sources") === 1 &&
+      (col("purity") =!= 1.0 || col("gini") =!= 0.0)).count() == 0)
+    assert(prof.filter(col("n_sources") > 1 && col("gini") <= 0.0).count() == 0)
+    // non-vacuous on the test corpus: at least one mixed cluster
+    assert(prof.filter(col("n_sources") > 1).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("tokenizer fertility: reconciles with C10, fertility >= 1") {
     val f = operators.TextOps.tokenizerFertility(spark, sf).cache()
     val tc = operators.TextOps.tokenCount(spark, sf)
