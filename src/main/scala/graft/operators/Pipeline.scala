@@ -1025,6 +1025,142 @@ object Pipeline {
     GROUP BY 1 ORDER BY 1"""
   }
 
+  /** C71 crawl-order bucket count (deciles). Declared before the SQL val
+    * that interpolates it. */
+  val NoveltyBuckets: Int = 10
+
+  /** C71: `q_novelty_curve` — diminishing-returns curve over crawl order:
+    * walk the corpus in ingestion order (doc_id), split it into
+    * [[NoveltyBuckets]] equal id-range buckets, and report per bucket how
+    * much of its [[MemGram]]-gram occurrence mass belongs to grams FIRST
+    * seen in that bucket (novel) vs carried over from earlier buckets.
+    * This is the "is more crawl still buying new text?" read a curator
+    * makes before paying for the next 10 TB — the curve bending toward
+    * zero novel share is the empirical saturation signal next to C64's
+    * memorization pricing (same gram definition ON PURPOSE, so the two
+    * reports reconcile gram-for-gram).
+    *
+    * Buckets are id-RANGE deciles (bucket = doc_id·B div (max_id+1) off a
+    * broadcast 1-row max), not rank deciles: an ntile/row_number ranking
+    * is a global sort — the Audit global-window hazard — while the range
+    * rule is a narrow integer map exact on both engines (equal-population
+    * only if ids are dense, which the report's own n_docs column makes
+    * visible). A gram's within-first-bucket repeats count as novel mass:
+    * the metric prices "mass of text first contributed here".
+    *
+    * Exactness: all counts exact integers; the two shares are single
+    * divisions (NULL when a bucket has no grams — sub-[[MemGram]] docs
+    * still count in n_docs).
+    *
+    * Scale: the C64 shape — grams explode narrow with multiplicity and
+    * collapse straight into the cache()d 16-byte (gram_hash, bucket)
+    * occurrence grid (map-side partial agg, the only fact-scaled
+    * shuffle); first-bucket mins re-aggregate the grid on its own key, so
+    * the join back replans shuffle-free under AQE; the roll-up lands on
+    * ≤ B rows. Doc counts come from a separate column-pruned doc_id-only
+    * scan (no token re-read). Callers reclaim the grid cache via
+    * `spark.catalog.clearCache()` (the C29 contract). */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val B = NoveltyBuckets
+    val els = (1 to MemGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val mx = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(max("doc_id").as("max_id"))
+    val bucketed = d.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        expr(s"least(doc_id * $B div (max_id + 1), ${B - 1})"))
+    val grid = bucketed
+      .filter(size(col("toks")) >= MemGram)
+      .select(col("bucket"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $MemGram),
+             i -> concat_ws(' ', $els))""")).as("gram"))
+      .select(col("bucket"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .groupBy("gram_hash", "bucket").agg(count(lit(1)).as("occ"))
+      .cache()
+    val firsts = grid.groupBy("gram_hash")
+      .agg(min("bucket").as("first_bucket"))
+    val perBucket = grid.join(firsts, "gram_hash")
+      .groupBy("bucket").agg(
+        sum("occ").as("n_gram_occ"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("first_bucket") === col("bucket"), col("occ"))
+          .otherwise(0L)).as("novel_occ"),
+        sum(when(col("first_bucket") === col("bucket"), 1L)
+          .otherwise(0L)).as("n_new_grams"))
+    val nDocs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id")).crossJoin(broadcast(mx))
+      .select(expr(s"least(doc_id * $B div (max_id + 1), ${B - 1})")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    nDocs.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_gram_occ"), lit(0L)).as("n_gram_occ"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("novel_occ"), lit(0L)).as("novel_occ"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"),
+        when(coalesce(col("n_gram_occ"), lit(0L)) > 0,
+          col("novel_occ").cast("double") / col("n_gram_occ").cast("double"))
+          .as("novel_occ_share"),
+        when(coalesce(col("n_gram_occ"), lit(0L)) > 0,
+          col("n_new_grams").cast("double")
+            / col("n_distinct_grams").cast("double")).as("new_gram_share"))
+      .orderBy("bucket")
+  }
+
+  val noveltyCurveSql: String = {
+    val B = NoveltyBuckets
+    val cat = (1 to MemGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    mx AS (SELECT MAX(doc_id) AS max_id FROM d),
+    bd AS (
+      SELECT least(doc_id * $B // (max_id + 1), ${B - 1}) AS bucket, toks
+      FROM d, mx),
+    g AS (
+      SELECT bucket, md5(gram) AS gram_hash FROM (
+        SELECT bucket, unnest(
+          list_transform(range(0, len(toks) - ${MemGram - 1}), i ->
+            $cat)) AS gram
+        FROM bd WHERE len(toks) >= $MemGram)),
+    grid AS (SELECT gram_hash, bucket, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+    f AS (SELECT gram_hash, MIN(bucket) AS first_bucket FROM grid GROUP BY 1),
+    pb AS (
+      SELECT bucket,
+        CAST(SUM(occ) AS BIGINT) AS n_gram_occ,
+        COUNT(*) AS n_distinct_grams,
+        CAST(SUM(CASE WHEN first_bucket = bucket THEN occ ELSE 0 END)
+          AS BIGINT) AS novel_occ,
+        CAST(SUM(CASE WHEN first_bucket = bucket THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_new_grams
+      FROM grid JOIN f USING (gram_hash) GROUP BY 1),
+    nd AS (
+      SELECT least(doc_id * $B // (max_id + 1), ${B - 1}) AS bucket,
+        COUNT(*) AS n_docs
+      FROM d, mx GROUP BY 1)
+    SELECT nd.bucket, nd.n_docs,
+      coalesce(pb.n_gram_occ, 0) AS n_gram_occ,
+      coalesce(pb.n_distinct_grams, 0) AS n_distinct_grams,
+      coalesce(pb.novel_occ, 0) AS novel_occ,
+      coalesce(pb.n_new_grams, 0) AS n_new_grams,
+      CASE WHEN coalesce(pb.n_gram_occ, 0) > 0
+           THEN CAST(pb.novel_occ AS DOUBLE) / CAST(pb.n_gram_occ AS DOUBLE)
+      END AS novel_occ_share,
+      CASE WHEN coalesce(pb.n_gram_occ, 0) > 0
+           THEN CAST(pb.n_new_grams AS DOUBLE)
+                / CAST(pb.n_distinct_grams AS DOUBLE)
+      END AS new_gram_share
+    FROM nd LEFT JOIN pb USING (bucket)
+    ORDER BY nd.bucket"""
+  }
+
   /** C65 output-shard count. A real export picks shards ≈ corpus_bytes /
     * target_file_size; the arithmetic below is shard-count-agnostic.
     * Declared before the SQL val that interpolates it. */

@@ -1658,6 +1658,33 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("novelty curve: bucket 0 all-novel, conservation, reconciles C64") {
+    val nc = operators.Pipeline.noveltyCurve(spark, sf).cache()
+    // full bucket coverage, doc conservation
+    assert(nc.count() == operators.Pipeline.NoveltyBuckets)
+    val nDocs = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(nc.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // the first bucket can only contain first-seen grams
+    assert(nc.filter(col("bucket") === 0).head.getAs[Double]("novel_occ_share")
+      == 1.0)
+    // novel mass is bounded by total mass; shares well-formed
+    assert(nc.filter(col("novel_occ") > col("n_gram_occ")).count() == 0)
+    assert(nc.filter(col("n_new_grams") > col("n_distinct_grams")).count() == 0)
+    // occurrence mass reconciles with C64 (same gram definition)
+    val c64occ = operators.Pipeline.gramMemorization(spark, sf)
+      .agg(sum("n_gram_occ")).head.getLong(0)
+    assert(nc.agg(sum("n_gram_occ")).head.getLong(0) == c64occ)
+    // new-gram counts partition the corpus-wide distinct gram set
+    val distinctGrams = operators.Pipeline.gramMemorization(spark, sf)
+      .agg(sum("n_distinct_grams")).head.getLong(0)
+    assert(nc.agg(sum("n_new_grams")).head.getLong(0) <= distinctGrams)
+    // non-vacuous: later crawl actually repeats earlier text
+    assert(nc.filter(col("bucket") > 0 &&
+      col("novel_occ_share") < 1.0).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("tokenizer fertility: reconciles with C10, fertility >= 1") {
     val f = operators.TextOps.tokenizerFertility(spark, sf).cache()
     val tc = operators.TextOps.tokenCount(spark, sf)
