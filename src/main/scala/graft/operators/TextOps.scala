@@ -202,6 +202,71 @@ object TextOps {
       WHERE n_chars_d > 0 AND n_tok > 0)
     ORDER BY doc_id"""
 
+  /** C72: `q_quality_classifier` — a fastText-style LINEAR quality
+    * classifier over the C9 feature family: logit z = b + w·f on the
+    * shared ratio features plus a length-band indicator, keep = (z ≥ 0).
+    * This is the deployed shape of a learned quality filter (weights come
+    * frozen from offline training; here they are fixed constants tuned so
+    * both classes populate the test corpus) — the engine's job is the
+    * feature extraction and the per-row score, both embarrassingly
+    * parallel. The sigmoid is deliberately NOT applied: exp() is
+    * libm-dependent (breaks cross-engine bit-exactness) and monotone, so
+    * thresholding the logit IS thresholding the probability; downstream
+    * consumers that need calibrated probabilities apply it client-side.
+    *
+    * Exactness: per-row double chain with the SAME association order in
+    * both engines (the C9 rule); features reuse C9's shared SQL fragments
+    * so the two reports cannot drift. Scale: one narrow codegen'd scan,
+    * no shuffle (the ORDER BY is presentation-only). */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        length(col("text")).cast("double").as("n_chars_d"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"),
+        regexp_count(col("text"), lit("[.,;:!?]")).cast("long").as("n_punct"),
+        regexp_count(lower(col("text")),
+          lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("long").as("n_stop"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"))
+    d.filter(col("n_chars_d") > 0 && col("n_tok") > 0)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("n_punct").cast("double") / col("n_chars_d")).as("punct_ratio"),
+        (col("n_stop").cast("double") / col("n_tok").cast("double")).as("stopword_ratio"),
+        (col("n_digit").cast("double") / col("n_chars_d")).as("digit_ratio"),
+        (col("n_chars_d") / col("n_tok").cast("double")).as("avg_token_len"))
+      .withColumn("logit",
+        lit(-0.65) + col("stopword_ratio") * lit(3.0)
+          - col("punct_ratio") * lit(2.0)
+          - col("digit_ratio") * lit(4.0)
+          - col("avg_token_len") * lit(0.05)
+          + when(col("n_tok") >= 20 && col("n_tok") <= 1000, lit(0.75))
+              .otherwise(lit(0.0)))
+      .withColumn("keep", col("logit") >= 0.0)
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String = s"""
+    SELECT doc_id, lang, n_tok, punct_ratio, stopword_ratio, digit_ratio,
+      avg_token_len,
+      -0.65 + stopword_ratio * 3.0 - punct_ratio * 2.0 - digit_ratio * 4.0
+        - avg_token_len * 0.05
+        + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.75 ELSE 0.0 END
+        AS logit,
+      (-0.65 + stopword_ratio * 3.0 - punct_ratio * 2.0 - digit_ratio * 4.0
+        - avg_token_len * 0.05
+        + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.75 ELSE 0.0 END)
+        >= 0.0 AS keep
+    FROM (
+      SELECT doc_id, lang, n_tok,
+        $qualitySqlRatios,
+        n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
+      FROM (
+        SELECT doc_id, lang,
+          $qualitySqlMeasures
+        FROM documents)
+      WHERE n_chars_d > 0 AND n_tok > 0)
+    ORDER BY doc_id"""
+
   /** C8: n-gram-marker language ID. Scores each language by marker-word
     * hits and takes the argmax with a fixed tie-break order — a cheap,
     * fully-distributed heuristic (real models would ride a broadcast

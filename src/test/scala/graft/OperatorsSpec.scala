@@ -1658,6 +1658,23 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("quality classifier: features reconcile with C9, both classes live") {
+    val qc = operators.TextOps.qualityClassifier(spark, sf).cache()
+    val q9 = operators.TextOps.qualityScore(spark, sf)
+    // same population and bit-identical shared features as C9
+    assert(qc.count() == q9.count())
+    assert(qc.join(q9.select(col("doc_id"),
+        col("stopword_ratio").as("r9"), col("punct_ratio").as("p9")), "doc_id")
+      .filter(col("stopword_ratio") =!= col("r9") ||
+              col("punct_ratio") =!= col("p9")).count() == 0)
+    // decision rule is exactly the logit sign
+    assert(qc.filter(col("keep") =!= (col("logit") >= 0.0)).count() == 0)
+    // the frozen weights separate the corpus (both classes non-vacuous)
+    assert(qc.filter(col("keep")).count() > 0)
+    assert(qc.filter(!col("keep")).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("novelty curve: bucket 0 all-novel, conservation, reconciles C64") {
     val nc = operators.Pipeline.noveltyCurve(spark, sf).cache()
     // full bucket coverage, doc conservation
