@@ -1053,4 +1053,86 @@ object DedupOps {
       count(*) - 1 AS n_dropped
     FROM rk GROUP BY component_id ORDER BY component_id"""
   }
+
+  /** C73 anchored-span width in tokens: long enough that a repeat is
+    * verbatim copying (the ExactSubstr threshold class), short enough that
+    * partial overlaps between near-identical docs still align. Declared
+    * before the SQL val that interpolates it. */
+  val SpanTok: Int = 24
+
+  /** C73 anchor density: a token position opens a span iff the salted
+    * content hash of its token ≡ 0 (mod [[AnchorMod]]) — ~1 span per 8
+    * tokens. */
+  val AnchorMod: Int = 8
+
+  /** C73: `q_substr_dup_spans` — SPAN-level duplicate detection (the
+    * ExactSubstr idea: find ≥ [[SpanTok]]-token runs of text repeated
+    * VERBATIM across documents, the unit memorization studies remove —
+    * finer than C26's fixed chunks, which only match when chunk boundaries
+    * align, and actionable unlike C64's 8-gram statistics). Span starts
+    * are CONTENT-DEFINED: position p anchors iff
+    * `graft_str_hash('anc|' + token_p) % AnchorMod = 0`, so a repeated
+    * region anchors at the SAME in-text offsets in every copy regardless
+    * of where it sits in each document — the winnowing/CDC trick that
+    * makes position-independent span matching possible without all-pairs
+    * alignment. Report per repeated span (seen in ≥ 2 docs): occurrence
+    * count, doc count, first/last carrier.
+    *
+    * Exactness: anchor rule and md5 span keys are integer/hash-exact on
+    * both engines (the C27 fold for the hash, the C64 md5 convention).
+    *
+    * Scale: spans explode at ~1/AnchorMod of token mass and collapse
+    * IMMEDIATELY to 16-byte md5 keys (the span text never crosses a
+    * partition boundary); one fact-scaled map-side-combined shuffle onto
+    * the span grid; the ≥ 2-doc filter prunes the (overwhelmingly unique)
+    * tail at the aggregate. No pair join anywhere — a boilerplate span
+    * repeated a million times is ONE grid row, not 10¹² pairs. */
+  def substrDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val els = (1 to SpanTok)
+      .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SpanTok)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(0, size(toks) - $SpanTok),
+                p -> graft_str_hash(concat('anc|',
+                       element_at(toks, cast(p + 1 as int)))) % $AnchorMod = 0),
+              p -> concat_ws(' ', $els))""")).as("span"))
+      .select(col("doc_id"), md5(col("span").cast("binary")).as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("span_hash")
+  }
+
+  val substrDupSpansSql: String = {
+    val cat = (1 to SpanTok)
+      .map(j => s"toks[CAST(p + $j AS INT)]").mkString(" || ' ' || ")
+    val anchor = s"""(list_reduce(list_transform(
+        range(1, length('anc|' || toks[CAST(p + 1 AS INT)]) + 1), i ->
+          CAST(ascii(substr('anc|' || toks[CAST(p + 1 AS INT)],
+                            CAST(i AS INT), 1)) AS BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 2147483647)) % $AnchorMod = 0"""
+    s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    s AS (
+      SELECT doc_id, md5(span) AS span_hash FROM (
+        SELECT doc_id, unnest(list_transform(
+          list_filter(range(0, len(toks) - ${SpanTok - 1}), p -> $anchor),
+          p -> $cat)) AS span
+        FROM d WHERE len(toks) >= $SpanTok))
+    SELECT span_hash, COUNT(*) AS n_occ,
+      COUNT(DISTINCT doc_id) AS n_docs,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY 1"""
+  }
 }

@@ -1675,6 +1675,39 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("substr dup spans: bounds, carriers real, anchored subset of all") {
+    val spans = operators.DedupOps.substrDupSpans(spark, sf).cache()
+    assert(spans.count() > 0) // non-vacuous on the test corpus
+    assert(spans.filter(col("n_docs") < 2).count() == 0)
+    assert(spans.filter(col("n_occ") < col("n_docs")).count() == 0)
+    assert(spans.filter(col("first_doc") >= col("last_doc")).count() == 0)
+    // independently recompute ALL W-token spans (no anchor rule) per doc:
+    // every reported span must exist in both its first and last carrier
+    val W = operators.DedupOps.SpanTok
+    val els = (1 to W)
+      .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
+    val all = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $W),
+              p -> concat_ws(' ', $els))""")).as("span"))
+      .select(col("doc_id"), md5(col("span").cast("binary")).as("span_hash"))
+      .distinct()
+    assert(spans.join(all,
+        spans("span_hash") === all("span_hash") &&
+          spans("first_doc") === all("doc_id"), "left_anti").count() == 0)
+    assert(spans.join(all,
+        spans("span_hash") === all("span_hash") &&
+          spans("last_doc") === all("doc_id"), "left_anti").count() == 0)
+    // the anchor rule only thins the repeated-span set, never invents one
+    val allDup = all.groupBy("span_hash")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2)
+    assert(spans.join(allDup, Seq("span_hash"), "left_anti").count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("novelty curve: bucket 0 all-novel, conservation, reconciles C64") {
     val nc = operators.Pipeline.noveltyCurve(spark, sf).cache()
     // full bucket coverage, doc conservation
