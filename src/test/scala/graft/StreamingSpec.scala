@@ -873,4 +873,41 @@ class StreamingSpec extends SparkSpec {
       sp.catalog.clearCache()
     } finally q.stop()
   }
+
+  test("D22 DriftStream: max-rev drift equals batch C69 bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // freeze the standing corpus, then stream the re-crawl feed through
+    // TWO micro-batches so state genuinely carries across
+    val base = DriftStream.baseModel(sp, sf)
+    val feed = DriftStream.prep(graft.sources.Feeds.incomingDocs(sp, sf))
+      .collect().toSeq
+    val (p1, p2) = feed.splitAt(feed.length / 2)
+    val in = MemoryStream[DriftDoc]
+    val q = DriftStream.monitor(in.toDS(), base)
+      .writeStream.format("memory").queryName("d22_out")
+      .outputMode("append").start()
+    try {
+      in.addData(p1); q.processAllAvailable()
+      in.addData(p2); q.processAllAvailable()
+      val revs = sp.table("d22_out").as[DriftOut].collect().toSeq
+      assert(revs.exists(_.rev == 2L)) // state really carried over
+      val streamed = revs.groupBy(_.source).map(_._2.maxBy(_.rev))
+        .map(o => (o.source, o.base_docs, o.feed_docs, o.tv_len, o.tv_lang,
+          o.top_len_bucket, o.top_len_gap)).toSet
+      // batch C69 restricted to sources the stream saw (a source absent
+      // from the feed emits nothing — the batch report owns went-dark)
+      def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val batch = graft.operators.Pipeline.sourceDrift(sp, sf).collect()
+        .filter(_.getLong(2) > 0)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), optD(r, 3),
+          optD(r, 4), if (r.isNullAt(5)) None else Some(r.getInt(5)),
+          optD(r, 6))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      sp.catalog.clearCache()
+    } finally q.stop()
+  }
 }
