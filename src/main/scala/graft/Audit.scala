@@ -70,6 +70,9 @@ object Audit {
     // KmClusters, and every refined-centroid broadcast sits above the
     // (cluster, dim)-keyed aggregate — both O(k·64) at any corpus size
     ("q_embed_kmeans", "hinted-fact-broadcast:embeddings"),
+    // C70 composes C62's assignment, so it inherits exactly that vetted
+    // O(k·64) centroid broadcast — same justification
+    ("q_cluster_profile", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

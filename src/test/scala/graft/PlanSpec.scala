@@ -95,6 +95,32 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // C52's cache contract: caller reclaims
   }
 
+  test("novelty curve: cached occurrence grid absorbs both consumers") {
+    // first-bucket mins + the join-back must both read the cached 16-byte
+    // (gram_hash, bucket) grid; the only file leaves are the intentional
+    // doc_id-only side scans (n_docs + the 1-row max broadcast)
+    SparkEntry.queries("q_novelty_curve")(spark, sf).collect()
+    val leaves = scanLeaves("q_novelty_curve")
+    assert(leaves.count(_ == "mem") >= 2, leaves.toString)
+    assert(leaves.count(_ == "file") <= 2, leaves.toString)
+    spark.catalog.clearCache() // C71's cache contract: caller reclaims
+  }
+
+  test("quality classifier: narrow scan, no data shuffle") {
+    val plan = planOf("q_quality_classifier")
+    // presentation orderBy is the only exchange; no hash shuffle anywhere
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("substr dup spans: one span-grid shuffle, no pair join") {
+    val plan = planOf("q_substr_dup_spans")
+    // partial agg keyed on (span_hash, doc_id) + final span_hash agg ride
+    // ONE hash exchange family; the ≥2-doc filter is post-aggregate, and
+    // there is no join at all (span repeats never expand into pairs)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("stratified sample: rank limit pushes into a map-side group limit") {
     // the rnk <= k filter over row_number must plan as WindowGroupLimit —
     // the map-side per-stratum bottom-k prune that makes corpus-scaled
