@@ -76,6 +76,26 @@ object Export {
     fs.delete(old, true): Unit
   }
 
+  /** Sharded corpus export — the C65 plan EXECUTED: every kept doc routes
+    * to its content-keyed shard (`graft_str_hash('shard|…') % NumShards`,
+    * the exact corpusShard rule) and lands in a `shard_id=N` directory via
+    * ONE full shuffle (`repartition(N, shard_id)` + `partitionBy` — the
+    * shuffle the manifest query itself never pays). Re-crawled content
+    * with fresh doc_ids lands in the SAME shard, which is what makes two
+    * exports comparable by manifest alone. Pair with
+    * [[Tables.readShardedVerified]] to read it back checksum-checked. */
+  def shardedCorpus(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.functions.Kernels.register(spark)
+    val routed = docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("shard_id",
+        expr("graft_str_hash(concat('shard|', lower(trim(text))))")
+          % graft.operators.Pipeline.NumShards)
+    routed.repartition(graft.operators.Pipeline.NumShards, col("shard_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard_id").parquet(path)
+  }
+
   /** Bucketed catalog table — pre-shuffled on the join key at write time so
     * repeated key joins/aggregations between tables bucketed the same way
     * run WITHOUT a shuffle (Spark reads bucket files as pre-partitioned,

@@ -108,6 +108,49 @@ object Tables {
     }: _*)
   }
 
+  /** Manifest-verified read of an [[Export.shardedCorpus]] export: before
+    * handing the data out, re-derive every shard's (docs, tokens,
+    * order-independent XOR content checksum) FROM THE FILES — the checksum
+    * is content-keyed, so a truncated file, a lost task's missing part, or
+    * a flipped byte all surface — and compare against the expected
+    * manifest (C65's `q_corpus_shard` output, stored at export time).
+    * Fails fast naming the bad shards; returns the frame only when every
+    * shard reconciles. The verification is ONE narrow pass collapsing
+    * map-side onto NumShards rows (the manifest plan itself), so checking
+    * a 100 TB export costs a scan, never a shuffle — and skipping the
+    * check is strictly worse: silent shard loss reads as a clean smaller
+    * corpus. */
+  def readShardedVerified(s: SparkSession, path: String,
+      expected: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.Kernels.register(s)
+    val df = s.read.parquet(path)
+    val got = df
+      .select(col("shard_id").cast("long").as("shard_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        expr("graft_str_hash(concat('cksum|', lower(trim(text))))").as("ck"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        expr("bit_xor(ck)").as("content_checksum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = expected
+      .select(col("shard_id").cast("long"), col("n_docs"), col("n_tokens"),
+        col("content_checksum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val bad = (want.keySet ++ got.keySet).toSeq.sorted
+      .filter(k => want.get(k) != got.get(k))
+    if (bad.nonEmpty)
+      sys.error(s"sharded read failed verification for shard(s) " +
+        s"${bad.mkString(", ")}: expected " +
+        bad.map(k => s"$k=${want.get(k)}").mkString("; ") + " got " +
+        bad.map(k => s"$k=${got.get(k)}").mkString("; "))
+    df
+  }
+
   /** Headered CSV with an EXPLICIT schema — never schema inference, which
     * costs a full extra pass over the data at 100 TB and guesses types. */
   def readCsv(s: SparkSession, path: String,

@@ -124,6 +124,40 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("sharded export verifies against its manifest; corruption is caught") {
+    val sp = spark
+    val dir = tmpDir("shard") + "/corpus"
+    val docs = graft.sources.Tables.documents(sp, sf)
+    Export.shardedCorpus(sp, docs, dir)
+    // the stored manifest is C65's query at export time
+    val manifest = graft.operators.Pipeline.corpusShard(sp, sf).collect()
+    val manifestDf = sp.createDataFrame(
+      sp.sparkContext.parallelize(manifest.toSeq),
+      graft.operators.Pipeline.corpusShard(sp, sf).schema)
+    sp.catalog.clearCache() // C65's cache contract
+    // clean read: verifies and returns every kept doc
+    val back = graft.sources.Tables.readShardedVerified(sp, dir, manifestDf)
+    val kept = docs.filter(
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.col("text"))) > 0).count()
+    assert(back.count() == kept)
+    // every shard directory really landed
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.length == graft.operators.Pipeline.NumShards)
+    // corrupt ONE shard (drop its data files): the read must fail fast
+    // and name that shard
+    val victim = shardDirs.minBy(_.getName)
+    val vid = victim.getName.stripPrefix("shard_id=").toLong
+    victim.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    val err = intercept[RuntimeException] {
+      graft.sources.Tables.readShardedVerified(sp, dir, manifestDf).count()
+    }
+    assert(err.getMessage.contains(s"$vid="), err.getMessage)
+  }
+
   test("jsonLines roundtrip") {
     val sp = spark
     import sp.implicits._
