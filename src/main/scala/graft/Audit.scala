@@ -55,6 +55,9 @@ object Audit {
     ("q_ann_ivf", "hinted-fact-broadcast:embeddings"),
     ("q_ann_recall_report", "hinted-fact-broadcast:embeddings"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
+    // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
+    // hit-set broadcast for the doc fetch — both fixed-size at any scale
+    ("q_ann_serve", "hinted-fact-broadcast:embeddings"),
     // IVF centroid set: vec_id ≡ 50 (mod 100) under the IvfK cap
     ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
     // C53 cell balance: the same O(IvfK) centroid broadcast as C13, plus

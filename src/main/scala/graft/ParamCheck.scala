@@ -59,7 +59,13 @@ object ParamCheck {
         graft.operators.Pipeline.corpusSampleStratifiedSqlFor(k = 3)),
       ("q_embed_kmeans_k2_it1",
         (s, d) => EmbeddingOps.embedKmeans(s, d, k = 2, iters = 1),
-        EmbeddingOps.embedKmeansSqlFor(k = 2, iters = 1)))
+        EmbeddingOps.embedKmeansSqlFor(k = 2, iters = 1)),
+      ("q_cluster_profile_k2_it1",
+        (s, d) => EmbeddingOps.clusterProfile(s, d, k = 2, iters = 1),
+        EmbeddingOps.clusterProfileSqlFor(k = 2, iters = 1)),
+      ("q_ann_serve_pb2lo1",
+        (s, d) => EmbeddingOps.annServe(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.annServeSqlFor(probeBatch = 2, probeLo = 1)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1054,6 +1054,91 @@ object DedupOps {
     FROM rk GROUP BY component_id ORDER BY component_id"""
   }
 
+  /** C75: `q_dedup_agreement` — method-agreement matrix over the three
+    * near-dup candidate generators (C2 minhash-LSH, C14 simhash-band, C4
+    * n-gram Jaccard): for each method pair, how many candidate pairs each
+    * finds and how many they share (pair-set Jaccard). This is the QA a
+    * curator runs before trusting the CHEAP detector fleet: the expensive
+    * verifier budget goes where methods disagree, and a method whose
+    * agreement collapses after a re-tune (the round-5 hash-family bug's
+    * visible symptom) fails loudly here.
+    *
+    * Exactness: per-pair membership flags are exact max-of-indicator
+    * integers; the matrix cells are integer sums; pair-set Jaccard is one
+    * division of exact longs.
+    *
+    * Scale: the three generators keep their own (already bucketed,
+    * hot-capped) plans; their tagged union aggregates onto the candidate
+    * pair grid (pair-keyed shuffle, map-side combine) and THEN collapses
+    * map-side into ONE row of six counters — the 3-row matrix is assembled
+    * from that broadcast-sized relation, so nothing downstream of the pair
+    * grid scales with the corpus. Cache ownership: the generators cache
+    * signature relations; callers reclaim via `spark.catalog.clearCache()`
+    * (the C29 contract). */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val members = Seq(
+      "minhash_lsh" -> dedupMinhashLsh(spark, dir),
+      "ngram_jaccard" -> dedupNgramJaccard(spark, dir),
+      "simhash_band" -> dedupSimhashBand(spark, dir))
+      .map { case (m, df) =>
+        df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+      }.reduce(_ unionByName _)
+    val flags = members.groupBy("doc_a", "doc_b").agg(
+      max(when(col("method") === "minhash_lsh", 1L).otherwise(0L)).as("f_mh"),
+      max(when(col("method") === "ngram_jaccard", 1L).otherwise(0L)).as("f_nj"),
+      max(when(col("method") === "simhash_band", 1L).otherwise(0L)).as("f_sb"))
+    val tot = flags.agg(
+      sum("f_mh").as("n_mh"), sum("f_nj").as("n_nj"), sum("f_sb").as("n_sb"),
+      sum(col("f_mh") * col("f_nj")).as("b_mh_nj"),
+      sum(col("f_mh") * col("f_sb")).as("b_mh_sb"),
+      sum(col("f_nj") * col("f_sb")).as("b_nj_sb"))
+    def cell(a: String, b: String, na: String, nb: String, both: String) =
+      tot.select(lit(a).as("method_a"), lit(b).as("method_b"),
+        col(na).as("n_a"), col(nb).as("n_b"), col(both).as("n_both"),
+        (col(na) + col(nb) - col(both)).as("n_union"),
+        (col(both).cast("double")
+          / (col(na) + col(nb) - col(both)).cast("double")).as("pair_jaccard"))
+    cell("minhash_lsh", "ngram_jaccard", "n_mh", "n_nj", "b_mh_nj")
+      .unionByName(cell("minhash_lsh", "simhash_band", "n_mh", "n_sb", "b_mh_sb"))
+      .unionByName(cell("ngram_jaccard", "simhash_band", "n_nj", "n_sb", "b_nj_sb"))
+      .orderBy("method_a", "method_b")
+  }
+
+  val dedupAgreementSql: String = s"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+    nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+    sb AS (SELECT doc_a, doc_b FROM ($dedupSimhashBandSql)),
+    u AS (
+      SELECT doc_a, doc_b, 'mh' AS m FROM mh
+      UNION ALL SELECT doc_a, doc_b, 'nj' FROM nj
+      UNION ALL SELECT doc_a, doc_b, 'sb' FROM sb),
+    p AS (
+      SELECT doc_a, doc_b,
+        MAX(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS f_mh,
+        MAX(CASE WHEN m = 'nj' THEN 1 ELSE 0 END) AS f_nj,
+        MAX(CASE WHEN m = 'sb' THEN 1 ELSE 0 END) AS f_sb
+      FROM u GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(SUM(f_mh) AS BIGINT) AS n_mh,
+        CAST(SUM(f_nj) AS BIGINT) AS n_nj,
+        CAST(SUM(f_sb) AS BIGINT) AS n_sb,
+        CAST(SUM(f_mh * f_nj) AS BIGINT) AS b_mh_nj,
+        CAST(SUM(f_mh * f_sb) AS BIGINT) AS b_mh_sb,
+        CAST(SUM(f_nj * f_sb) AS BIGINT) AS b_nj_sb
+      FROM p)
+    SELECT method_a, method_b, n_a, n_b, n_both,
+      n_a + n_b - n_both AS n_union,
+      CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)
+        AS pair_jaccard
+    FROM (
+      SELECT 'minhash_lsh' AS method_a, 'ngram_jaccard' AS method_b,
+        n_mh AS n_a, n_nj AS n_b, b_mh_nj AS n_both FROM t
+      UNION ALL SELECT 'minhash_lsh', 'simhash_band', n_mh, n_sb, b_mh_sb
+      FROM t
+      UNION ALL SELECT 'ngram_jaccard', 'simhash_band', n_nj, n_sb, b_nj_sb
+      FROM t)
+    ORDER BY method_a, method_b"""
+
   /** C73 anchored-span width in tokens: long enough that a repeat is
     * verbatim copying (the ExactSubstr threshold class), short enough that
     * partial overlaps between near-identical docs still align. Declared

@@ -202,6 +202,50 @@ object EmbeddingOps {
 
   val annBruteforceSql: String = annBruteforceSqlFor()
 
+  /** Served-snippet width for C74 (characters of leading context). */
+  val ServeSnippet: Int = 120
+
+  /** C74: `q_ann_serve` — the retrieval SERVING read (the RAG-shaped
+    * query that completes the ANN story: C62 trains the quantizer, C13/C56
+    * index and search, THIS returns the payload a retrieval consumer
+    * actually wants): for each probe, the exact top-10 neighbors joined
+    * back to their documents — source, language, token count, and the
+    * leading [[ServeSnippet]]-char snippet.
+    *
+    * Scale: the hit set is O(probeBatch · 10) BY CONSTRUCTION — a bounded
+    * relation at any corpus size — so it BROADCASTS and the document fetch
+    * is one map-side hash join against the corpus scan (column-pruned to
+    * the served fields; the full text never shuffles, only the snippet
+    * projection survives). Joining the other way (shuffling documents to
+    * the hits) would move the corpus to serve 640 rows. */
+  def annServe(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    val hits = annBruteforce(spark, dir, probeBatch, probeLo)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"),
+        substring(trim(col("text")), 1, ServeSnippet).as("snippet"))
+    docs.join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+      .select(col("probe_id"), col("rnk"), col("doc_id"), col("cosine"),
+        col("source"), col("lang"), col("n_tok"), col("snippet"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  def annServeSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
+    WITH hits AS (${annBruteforceSqlFor(probeBatch, probeLo)})
+    SELECT h.probe_id, h.rnk, d.doc_id, h.cosine, d.source, d.lang,
+      CASE WHEN length(trim(d.text)) = 0 THEN 0
+           ELSE CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+                AS BIGINT) END AS n_tok,
+      substr(trim(d.text), 1, $ServeSnippet) AS snippet
+    FROM hits h JOIN documents d ON d.doc_id = h.neighbor_id
+    ORDER BY h.probe_id, h.rnk"""
+
+  val annServeSql: String = annServeSqlFor()
+
   /** C7: multi-table LSH ANN — [[graft.functions.Kernels.LshTables]]
     * independent sign-LSH tables of [[graft.functions.Kernels.LshPlanes]]
     * deterministic integer-arithmetic hyperplanes each (global plane g has

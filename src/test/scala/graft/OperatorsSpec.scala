@@ -1633,6 +1633,41 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("dedup agreement: cells reconcile with the generators, bounded") {
+    val m = operators.DedupOps.dedupAgreement(spark, sf).cache()
+    assert(m.count() == 3)
+    // matrix cells are set-algebra coherent
+    assert(m.filter(col("n_both") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(m.filter(col("n_union") < greatest(col("n_a"), col("n_b"))).count() == 0)
+    assert(m.filter(col("pair_jaccard") < 0 || col("pair_jaccard") > 1).count() == 0)
+    // marginals equal each generator's own pair count
+    val nMh = operators.DedupOps.dedupMinhashLsh(spark, sf).count()
+    val nNj = operators.DedupOps.dedupNgramJaccard(spark, sf).count()
+    assert(m.filter(col("method_a") === "minhash_lsh" &&
+      col("method_b") === "ngram_jaccard" &&
+      col("n_a") === nMh && col("n_b") === nNj).count() == 1)
+    // the methods hunt the same duplicates: some cell overlaps
+    assert(m.filter(col("n_both") > 0).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("ann serve: every hit served with its real document context") {
+    val served = operators.EmbeddingOps.annServe(spark, sf).cache()
+    val hits = operators.EmbeddingOps.annBruteforce(spark, sf)
+    // serving neither drops nor invents hits (vec ids are doc ids)
+    assert(served.count() == hits.count())
+    assert(served.join(hits.withColumnRenamed("neighbor_id", "doc_id"),
+      Seq("probe_id", "doc_id", "cosine", "rnk")).count() == hits.count())
+    // the snippet really is the leading text of the served document
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        substring(trim(col("text")), 1,
+          operators.EmbeddingOps.ServeSnippet).as("expect"))
+    assert(served.join(docs, "doc_id")
+      .filter(col("snippet") =!= col("expect")).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("cluster profile: reconciles with kmeans, purity/gini coherent") {
     val prof = operators.EmbeddingOps.clusterProfile(spark, sf).cache()
     val km = operators.EmbeddingOps.embedKmeans(spark, sf).cache()
