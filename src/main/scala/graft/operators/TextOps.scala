@@ -218,8 +218,14 @@ object TextOps {
     * both engines (the C9 rule); features reuse C9's shared SQL fragments
     * so the two reports cannot drift. Scale: one narrow codegen'd scan,
     * no shuffle (the ORDER BY is presentation-only). */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierFrame(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** The C72 feature + logit chain on ANY (doc_id, lang, text) frame —
+    * batch and D23's streaming gate share this verbatim (a pure per-row
+    * map, so it is streaming-safe with zero state). */
+  private[graft] def classifierFrame(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), col("lang"), col("text"),
         length(col("text")).cast("double").as("n_chars_d"),
         when(length(trim(col("text"))) === 0, 0L)
@@ -242,7 +248,6 @@ object TextOps {
           + when(col("n_tok") >= 20 && col("n_tok") <= 1000, lit(0.75))
               .otherwise(lit(0.0)))
       .withColumn("keep", col("logit") >= 0.0)
-      .orderBy("doc_id")
   }
 
   val qualityClassifierSql: String = s"""

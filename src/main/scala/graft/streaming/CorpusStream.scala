@@ -45,6 +45,19 @@ object CorpusStream {
         TextOps.redactionsCol(col("text")).as("n_redacciones"))
   }
 
+  /** D23: streaming quality-classifier gate — C72's learned filter in its
+    * DEPLOYED shape: the frozen-weight logit scored per arriving document.
+    * The classifier is a pure per-row column chain
+    * ([[TextOps.classifierFrame]], shared with batch C72 VERBATIM), so the
+    * gate is STATELESS — no state store row ever exists, any micro-batch
+    * split gives the same rows, and the stream ≡ batch equivalence is
+    * structural rather than merge-algebra (spec-pinned anyway, as the
+    * cheapest regression tripwire for a weight edit that forgets one
+    * side). Retraining stays batch-side; deploying new weights is a code
+    * roll, not a state migration. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    TextOps.classifierFrame(docs)
+
   /** D16: streaming LM-coverage scoring — C51's quality filter in its
     * DEPLOYED shape: incoming documents scored per micro-batch against a
     * FROZEN language model (trained batch-side by [[TextOps.bigramLm]],

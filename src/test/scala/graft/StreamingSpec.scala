@@ -874,6 +874,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D23 streaming quality gate equals batch C72 across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = graft.sources.Tables.documents(sp, sf)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (p1, p2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.qualityGate(
+        in.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("d23_out")
+      .outputMode("append").start()
+    try {
+      in.addData(p1); q.processAllAvailable()
+      in.addData(p2); q.processAllAvailable()
+      val streamed = sp.table("d23_out")
+      val batch = graft.operators.TextOps.qualityClassifier(sp, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("D22 checkpoint recovery: drift state survives stop + restart") {
+    // the D6/D17/D20 fault-tolerance pin applied to the drift family: a
+    // checkpointed monitor is stopped mid-feed, more docs land while it is
+    // down, and the restarted instance must restore each source's running
+    // histogram — proven by a max-rev generation equal to batch C69 over
+    // the FULL feed, which only restored counter state can produce
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("d22_src")
+    val ckDir = tmpDir("d22_ck")
+    val outDir = tmpDir("d22_out")
+    val base = DriftStream.baseModel(sp, sf)
+    val feed = DriftStream.prep(graft.sources.Feeds.incomingDocs(sp, sf))
+      .collect().toSeq
+    val (part1, part2) = feed.splitAt(feed.size / 2)
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[DriftDoc].schema)
+        .parquet(srcDir).as[DriftDoc]
+      val q = DriftStream.monitor(in, base).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    part1.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    part2.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val all = sp.read.parquet(outDir).as[DriftOut].collect().toSeq
+    assert(all.exists(_.rev >= 2L))
+    val streamed = all.groupBy(_.source).map(_._2.maxBy(_.rev))
+      .map(o => (o.source, o.base_docs, o.feed_docs, o.tv_len, o.tv_lang,
+        o.top_len_bucket, o.top_len_gap)).toSet
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val batch = graft.operators.Pipeline.sourceDrift(sp, sf).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), optD(r, 3),
+        optD(r, 4), if (r.isNullAt(5)) None else Some(r.getInt(5)),
+        optD(r, 6))).toSet
+    assert(streamed == batch)
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D22 DriftStream: max-rev drift equals batch C69 bit-for-bit") {
     val sp = spark
     import sp.implicits._
