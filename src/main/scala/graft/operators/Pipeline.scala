@@ -1161,6 +1161,120 @@ object Pipeline {
     ORDER BY nd.bucket"""
   }
 
+  /** C76: `q_feed_novelty` — per-source novelty of TODAY'S crawl against
+    * the standing corpus (C71 reads novelty retrospectively across crawl
+    * history; this is the daily admission gate next to C69's shape drift
+    * and C58's dedup triage, answering the budget question directly: how
+    * much genuinely new text is this source still delivering?). For each
+    * source in the incoming batch ([[Feeds.incomingDocs]]): its
+    * [[MemGram]]-gram occurrence mass split into grams already present in
+    * the standing slice vs never-seen grams, by occurrence and by
+    * distinct-gram count. Byte-identical re-fetches score fully known; a
+    * source whose novel share collapses has gone stale.
+    *
+    * Exactness: integer counts off one grid; the two shares are single
+    * divisions (NULL for a source with no ≥ MemGram-token docs).
+    *
+    * Scale: the feed side collapses to its (gram_hash, source) grid at
+    * batch scale (O(today's crawl)); the standing side is the DISTINCT
+    * gram-hash set — corpus-scaled, but at 100 TB this is the standing
+    * gram INDEX built once and bucketed on gram_hash exactly like C58's
+    * signature index (the daily query then probes it with an O(batch)
+    * join, re-derived here from parquet because the test corpus is small);
+    * the membership join keys both sides on the 16-byte hash, and the
+    * roll-up lands on ≤ sources rows. */
+  def feedNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val els = (1 to MemGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    def grams(df: DataFrame) = df
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= MemGram)
+      .select(col("source"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $MemGram),
+             i -> concat_ws(' ', $els))""")).as("gram"))
+      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+    val standing = grams(Tables.documents(spark, dir)
+        .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem))
+      .select("gram_hash").distinct().withColumn("known", lit(1L))
+    val feedGrid = grams(Feeds.incomingDocs(spark, dir))
+      .groupBy("gram_hash", "source").agg(count(lit(1)).as("occ"))
+    val nDocs = Feeds.incomingDocs(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val perSource = feedGrid
+      .join(standing, Seq("gram_hash"), "left")
+      .groupBy("source").agg(
+        sum("occ").as("n_gram_occ"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("known").isNull, col("occ")).otherwise(0L))
+          .as("novel_occ"),
+        sum(when(col("known").isNull, 1L).otherwise(0L))
+          .as("n_novel_distinct"))
+    nDocs.join(perSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_gram_occ"), lit(0L)).as("n_gram_occ"),
+        coalesce(col("novel_occ"), lit(0L)).as("novel_occ"),
+        coalesce(col("n_distinct_grams"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("n_novel_distinct"), lit(0L)).as("n_novel_distinct"),
+        when(coalesce(col("n_gram_occ"), lit(0L)) > 0,
+          col("novel_occ").cast("double") / col("n_gram_occ").cast("double"))
+          .as("novel_occ_share"),
+        when(coalesce(col("n_gram_occ"), lit(0L)) > 0,
+          col("n_novel_distinct").cast("double")
+            / col("n_distinct_grams").cast("double"))
+          .as("novel_distinct_share"))
+      .orderBy("source")
+  }
+
+  val feedNoveltySql: String = {
+    val cat = (1 to MemGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    def gramsCte(rel: String) = s"""
+      SELECT source, md5(gram) AS gram_hash FROM (
+        SELECT source, unnest(
+          list_transform(range(0, len(toks) - ${MemGram - 1}), i ->
+            $cat)) AS gram
+        FROM (SELECT source,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM $rel WHERE length(trim(text)) > 0)
+        WHERE len(toks) >= $MemGram)"""
+    s"""
+    WITH inc AS (${graft.sources.Feeds.incomingDocsSql}),
+    standing AS (
+      SELECT DISTINCT gram_hash FROM (${gramsCte(
+        s"(SELECT * FROM documents WHERE doc_id % ${Feeds.IncrMod} <> ${Feeds.IncrRem})")})),
+    fg AS (
+      SELECT gram_hash, source, COUNT(*) AS occ
+      FROM (${gramsCte("inc")}) GROUP BY 1, 2),
+    nd AS (
+      SELECT source, COUNT(*) AS n_docs FROM inc
+      WHERE length(trim(text)) > 0 GROUP BY 1),
+    ps AS (
+      SELECT fg.source,
+        CAST(SUM(occ) AS BIGINT) AS n_gram_occ,
+        COUNT(*) AS n_distinct_grams,
+        CAST(SUM(CASE WHEN s.gram_hash IS NULL THEN occ ELSE 0 END)
+          AS BIGINT) AS novel_occ,
+        CAST(SUM(CASE WHEN s.gram_hash IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel_distinct
+      FROM fg LEFT JOIN standing s USING (gram_hash) GROUP BY 1)
+    SELECT nd.source, nd.n_docs,
+      coalesce(ps.n_gram_occ, 0) AS n_gram_occ,
+      coalesce(ps.novel_occ, 0) AS novel_occ,
+      coalesce(ps.n_distinct_grams, 0) AS n_distinct_grams,
+      coalesce(ps.n_novel_distinct, 0) AS n_novel_distinct,
+      CASE WHEN coalesce(ps.n_gram_occ, 0) > 0
+           THEN CAST(ps.novel_occ AS DOUBLE) / CAST(ps.n_gram_occ AS DOUBLE)
+      END AS novel_occ_share,
+      CASE WHEN coalesce(ps.n_gram_occ, 0) > 0
+           THEN CAST(ps.n_novel_distinct AS DOUBLE)
+                / CAST(ps.n_distinct_grams AS DOUBLE)
+      END AS novel_distinct_share
+    FROM nd LEFT JOIN ps USING (source)
+    ORDER BY nd.source"""
+  }
+
   /** C65 output-shard count. A real export picks shards ≈ corpus_bytes /
     * target_file_size; the arithmetic below is shard-count-agnostic.
     * Declared before the SQL val that interpolates it. */

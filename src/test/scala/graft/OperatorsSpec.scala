@@ -1633,6 +1633,23 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("feed novelty: bounds, doc conservation, both mass classes live") {
+    val fn = operators.Pipeline.feedNovelty(spark, sf).cache()
+    val feedDocs = graft.sources.Feeds.incomingDocs(spark, sf)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(fn.agg(sum("n_docs")).head.getLong(0) == feedDocs)
+    assert(fn.filter(col("novel_occ") > col("n_gram_occ")).count() == 0)
+    assert(fn.filter(col("n_novel_distinct") > col("n_distinct_grams"))
+      .count() == 0)
+    assert(fn.filter(col("novel_occ_share") < 0 ||
+      col("novel_occ_share") > 1).count() == 0)
+    // non-vacuous both ways: re-fetches make KNOWN mass, new pages make
+    // NOVEL mass — a feed scoring all-known or all-novel is a broken gate
+    assert(fn.agg(sum("novel_occ")).head.getLong(0) > 0)
+    assert(fn.agg(sum(col("n_gram_occ") - col("novel_occ"))).head.getLong(0) > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("dedup agreement: cells reconcile with the generators, bounded") {
     val m = operators.DedupOps.dedupAgreement(spark, sf).cache()
     assert(m.count() == 3)
