@@ -133,7 +133,13 @@ object MultimodalOps {
     * `sequence` explode (bounded per row by payload size) over a narrow
     * scan, embarrassingly parallel at any corpus size, exactly like C22's
     * token chunking. */
-  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameInventory(spark, dir).orderBy("doc_id", "frame_idx")
+
+  /** The unsorted C37 inventory — shared with C77's roll-up so the frame
+    * identity rules cannot drift (and the dedup plan never inherits the
+    * presentation sort). */
+  private def frameInventory(spark: SparkSession, dir: String): DataFrame = {
     val hexPerFrame = FrameBytes * 2
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -151,7 +157,6 @@ object MultimodalOps {
         col("frame_idx").cast("long").as("frame_idx"),
         expr("length(frame_hex) DIV 2").cast("long").as("frame_len"),
         sha2(col("frame_hex").cast("binary"), 256).as("frame_sha"))
-      .orderBy("doc_id", "frame_idx")
   }
 
   val multimodalFramesSql: String = {
@@ -174,4 +179,41 @@ object MultimodalOps {
     FROM f
     ORDER BY doc_id, frame_idx"""
   }
+
+  /** C77: `q_frame_dedup` — exact frame-level dedup across media payloads:
+    * C73's span-dedup idea applied to the BINARY modality (and C1's exact
+    * dedup pushed below whole-payload granularity). Every repeated
+    * [[FrameBytes]]-aligned frame — shared intro/outro footage, a reused
+    * thumbnail, a silence block — is one report row: occurrence count,
+    * distinct carrier payloads, frame length, first/last carrier. A video
+    * pipeline reads this before per-frame model farming (C37's manifest
+    * says WHAT to decode; this says what to decode ONCE and link).
+    *
+    * Exactness: pure roll-up of C37's hex-domain frame identities — no
+    * new hashing rules to drift.
+    *
+    * Scale: C37's zero-shuffle explode collapses straight onto the 32-byte
+    * frame-sha grid (map-side combine, the one fact-scaled shuffle); the
+    * ≥ 2-payload filter prunes the unique tail at the aggregate; no pair
+    * join — a million-fold repeated frame is ONE row (the C73 argument,
+    * byte-side). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frameInventory(spark, dir)
+      .groupBy("frame_sha")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_payloads"),
+        max("frame_len").as("frame_len"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .filter(col("n_payloads") >= 2)
+      .orderBy("frame_sha")
+
+  val frameDedupSql: String = s"""
+    WITH inv AS ($multimodalFramesSql)
+    SELECT frame_sha, COUNT(*) AS n_occ,
+      COUNT(DISTINCT doc_id) AS n_payloads,
+      CAST(MAX(frame_len) AS BIGINT) AS frame_len,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM inv GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY 1"""
 }

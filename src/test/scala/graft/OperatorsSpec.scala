@@ -1633,6 +1633,26 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("frame dedup: bounds, carriers real in the C37 inventory") {
+    val fd = operators.MultimodalOps.frameDedup(spark, sf).cache()
+    assert(fd.count() > 0) // the corpus really shares aligned frames
+    assert(fd.filter(col("n_payloads") < 2).count() == 0)
+    assert(fd.filter(col("n_occ") < col("n_payloads")).count() == 0)
+    assert(fd.filter(col("first_doc") >= col("last_doc")).count() == 0)
+    // every reported frame is carried by ≥2 distinct payloads of the
+    // independent C37 inventory, including its claimed first/last
+    val inv = operators.MultimodalOps.multimodalFrames(spark, sf)
+      .select("frame_sha", "doc_id")
+    val carriers = inv.groupBy("frame_sha")
+      .agg(countDistinct("doc_id").as("nd"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+    assert(fd.join(carriers, "frame_sha")
+      .filter(col("n_payloads") =!= col("nd") ||
+        col("first_doc") =!= col("lo") || col("last_doc") =!= col("hi"))
+      .count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("feed novelty: bounds, doc conservation, both mass classes live") {
     val fn = operators.Pipeline.feedNovelty(spark, sf).cache()
     val feedDocs = graft.sources.Feeds.incomingDocs(spark, sf)
