@@ -1183,23 +1183,39 @@ object Pipeline {
     * join, re-derived here from parquet because the test corpus is small);
     * the membership join keys both sides on the 16-byte hash, and the
     * roll-up lands on ≤ sources rows. */
-  def feedNovelty(spark: SparkSession, dir: String): DataFrame = {
+  def feedNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyReport(Feeds.incomingDocs(spark, dir),
+      standingGramIndex(spark, dir))
+
+  /** The (source, gram_hash) explode shared by the C76 family. */
+  private def sourceGramsOf(df: DataFrame): DataFrame = {
     val els = (1 to MemGram)
       .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
-    def grams(df: DataFrame) = df
-      .filter(length(trim(col("text"))) > 0)
+    df.filter(length(trim(col("text"))) > 0)
       .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= MemGram)
       .select(col("source"), explode(expr(
         s"""transform(sequence(0, size(toks) - $MemGram),
              i -> concat_ws(' ', $els))""")).as("gram"))
       .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
-    val standing = grams(Tables.documents(spark, dir)
+  }
+
+  /** The standing-corpus gram INDEX the C76 family probes — the artifact a
+    * production deployment materializes once (bucketed on gram_hash, the
+    * C58 signature-index contract) and D24 freezes for the stream. */
+  def standingGramIndex(spark: SparkSession, dir: String): DataFrame =
+    sourceGramsOf(Tables.documents(spark, dir)
         .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem))
       .select("gram_hash").distinct().withColumn("known", lit(1L))
-    val feedGrid = grams(Feeds.incomingDocs(spark, dir))
+
+  /** C76's report on ANY (source, text) feed frame against ANY standing
+    * gram set — batch C76 and D24's per-micro-batch scoring share this
+    * plan verbatim. */
+  private[graft] def noveltyReport(feedDocs: DataFrame,
+      standing: DataFrame): DataFrame = {
+    val feedGrid = sourceGramsOf(feedDocs)
       .groupBy("gram_hash", "source").agg(count(lit(1)).as("occ"))
-    val nDocs = Feeds.incomingDocs(spark, dir)
+    val nDocs = feedDocs
       .filter(length(trim(col("text"))) > 0)
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
     val perSource = feedGrid

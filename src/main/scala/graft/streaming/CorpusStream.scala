@@ -58,6 +58,34 @@ object CorpusStream {
   def qualityGate(docs: DataFrame): DataFrame =
     TextOps.classifierFrame(docs)
 
+  /** D24: streaming feed-novelty scoring — C76's crawl-budget gate in its
+    * DEPLOYED shape: each arriving micro-batch scored against the FROZEN
+    * standing gram index ([[graft.operators.Pipeline.standingGramIndex]],
+    * passed as a static relation — corpus-scaled, so it stays a DataFrame
+    * join exactly like D16's LM and D18's signature index, never a task
+    * closure). STATELESS: novelty is defined against the STANDING corpus
+    * only, so each batch's report is complete in itself (state O(0); a
+    * cumulative all-batches report would need O(distinct grams seen)
+    * state — that retrospective read is batch C71/C76's job). Because
+    * "novel" never depends on earlier batches, the integer occurrence
+    * columns are ADDITIVE across any micro-batch split (spec-pinned
+    * against batch C76, along with single-batch ≡ batch equality).
+    * Vehicle: `foreachBatch` running the SAME `noveltyReport` plan as
+    * batch C76, with the batch epoch recorded per row. */
+  def noveltyGate(docs: DataFrame, standing: DataFrame, targetDir: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.operators.Pipeline.noveltyReport(batch, standing)
+          .withColumn("batch_id", lit(epoch))
+          .write.mode(SaveMode.Append).parquet(targetDir)
+      }
+      .start()
+
   /** D16: streaming LM-coverage scoring — C51's quality filter in its
     * DEPLOYED shape: incoming documents scored per micro-batch against a
     * FROZEN language model (trained batch-side by [[TextOps.bigramLm]],

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Empty-corpus robustness: at 100 TB every operator eventually meets an
@@ -26,6 +27,44 @@ class EdgeSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], embs)
       .write.parquet(s"$dir/embeddings.parquet")
     dir
+  }
+
+  test("events loader normalizes both ts encodings to identical nanos") {
+    // the driver has shipped events.ts as TIMESTAMP(NANOS)-read-as-long
+    // AND as µs TIMESTAMP_NTZ; Tables.events dispatches on the file
+    // schema — write the SAME instants under both encodings and pin that
+    // the loader yields bit-identical nanos rows for each
+    val sp = spark
+    import sp.implicits._
+    val dirNtz = tmpDir("ev_ntz"); val dirLong = tmpDir("ev_long")
+    val micros = Seq(
+      (1L, 1705276800000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1705276800999999L, 11L, "view", 2.0, "{}"),
+      (3L, 1704067199000001L, 10L, "error", 0.0, "{}"))
+    micros.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dirNtz/events.parquet")
+    micros.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.parquet(s"$dirLong/events.parquet")
+    val fromNtz = graft.sources.Tables.events(sp, dirNtz)
+    val fromLong = graft.sources.Tables.events(sp, dirLong)
+    assert(fromNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(fromNtz.except(fromLong).count() == 0)
+    assert(fromLong.except(fromNtz).count() == 0)
+    // the pushdown-safe bounded read agrees across encodings too,
+    // including a bound with sub-second nanos resolution on the µs grain
+    val bound = 1705276800000000L * 1000L
+    val sNtz = graft.sources.Tables.eventsSince(sp, dirNtz, bound)
+    val sLong = graft.sources.Tables.eventsSince(sp, dirLong, bound)
+    assert(sNtz.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(sNtz.except(sLong).count() == 0)
+    assert(sLong.except(sNtz).count() == 0)
   }
 
   test("corpus operators return empty on an empty corpus, never throw") {

@@ -898,6 +898,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D24 streaming novelty gate: additive across batches, equals C76") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // freeze the standing gram index (production: built once, bucketed),
+    // then stream the re-crawl feed through in two micro-batches
+    val standing = graft.operators.Pipeline.standingGramIndex(sp, sf).cache()
+    val feed = graft.sources.Feeds.incomingDocs(sp, sf)
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d24_target") + "/novelty"
+    val ckpt = tmpDir("d24_ckpt")
+    val in = MemoryStream[(String, String)]
+    def run(): Unit = {
+      val q = CorpusStream.noveltyGate(in.toDF().toDF("source", "text"),
+        standing, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    // novelty is defined against the STANDING corpus only, so the
+    // occurrence columns are additive across any micro-batch split
+    val summed = streamed.groupBy("source").agg(
+      sum("n_docs").as("n_docs"), sum("n_gram_occ").as("n_gram_occ"),
+      sum("novel_occ").as("novel_occ"))
+    val batch = graft.operators.Pipeline.feedNovelty(sp, sf)
+      .select("source", "n_docs", "n_gram_occ", "novel_occ")
+    assert(summed.except(batch).count() == 0)
+    assert(batch.except(summed).count() == 0)
+    standing.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D22 checkpoint recovery: drift state survives stop + restart") {
     // the D6/D17/D20 fault-tolerance pin applied to the drift family: a
     // checkpointed monitor is stopped mid-feed, more docs land while it is
