@@ -76,6 +76,9 @@ object Audit {
     // C70 composes C62's assignment, so it inherits exactly that vetted
     // O(k·64) centroid broadcast — same justification
     ("q_cluster_profile", "hinted-fact-broadcast:embeddings"),
+    // C78 composes the same assignment (same O(k·64) broadcast); the
+    // corpus-scaled doc-side join is shuffle_hash, never broadcast
+    ("q_semantic_drift", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Feeds, Tables}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 C5-C7):
   * cosine near-dup pairs, brute-force ANN and LSH-bucketed ANN.
@@ -1347,4 +1347,132 @@ object EmbeddingOps {
   }
 
   val clusterProfileSql: String = clusterProfileSqlFor()
+
+  /** C78: `q_semantic_drift` — per-source SEMANTIC drift of the incoming
+    * crawl: total-variation distance between the standing slice's and the
+    * feed slice's cluster-assignment mixes under C62's clustering, plus
+    * the worst-drifting cluster. C69 catches a crawler whose page SHAPE
+    * changed (length/language); this catches one whose page MEANING
+    * changed while the shape stayed put — a forum source suddenly serving
+    * product pages lands in different semantic clusters at the same
+    * length mix. Exactly C69's comparison frame: base = the source's
+    * standing-corpus cluster mix, feed = the incoming batch's
+    * ([[Feeds.incomingDocs]]) cluster mix, where a re-fetched page carries
+    * the embedding OF THE BYTES IT FETCHED (the source page's id-keyed
+    * vector — production embeds the fetched payload at ingest; the
+    * synthetic feed's re-fetch bytes ARE the source page's bytes, so its
+    * embedding is that page's row). Feed-absent sources report NULL (went
+    * dark — C69's rule).
+    *
+    * Exactness: C69's integer-domain TV verbatim — per-cluster
+    * DECIMAL(18,0) cross products a_i·B − b_i·A summed exactly, ONE double
+    * division per report column, identical association order.
+    *
+    * Scale: C62's map-side argmin assignment (broadcast k·64 codebook, no
+    * vector shuffle), one `shuffle_hash` doc-id join (C33's rule) of the
+    * two-side union, then everything lives on the cache()d ≤ sources·k
+    * grid; the top-cluster window partitions that grid by source —
+    * grid-bounded, never corpus-bounded. Callers reclaim the grid cache
+    * via `spark.catalog.clearCache()`. */
+  def semanticDrift(spark: SparkSession, dir: String,
+      k: Int = KmClusters, iters: Int = KmIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(18,0)"
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val asg = kmAssign(v, kmeansCentroids(spark, dir, k, iters))
+    val docs = Tables.documents(spark, dir)
+    val baseSide = docs.select(col("source"), col("doc_id").as("vec_id"),
+      lit("base").as("side"))
+    val feedSide = docs
+      .filter(col("doc_id") % Feeds.IncrMod === Feeds.IncrRem)
+      .select(col("source"),
+        when(col("doc_id") % Feeds.RefetchMod === Feeds.IncrRem,
+          col("doc_id") - Feeds.IncrRem).otherwise(col("doc_id"))
+          .as("vec_id"),
+        lit("feed").as("side"))
+    val grid = baseSide.unionByName(feedSide)
+      .join(asg.hint("shuffle_hash"), Seq("vec_id"))
+      .groupBy("source", "cluster").agg(
+        sum(when(col("side") === "base", 1L).otherwise(0L)).as("a"),
+        sum(when(col("side") === "feed", 1L).otherwise(0L)).as("b"))
+      .cache()
+    val tot = grid.groupBy("source")
+      .agg(sum("a").cast("long").as("base_docs"),
+        sum("b").cast("long").as("feed_docs"))
+    val dev = grid.join(tot, "source")
+      .withColumn("dev", abs(col("a").cast(dec) * col("feed_docs").cast(dec)
+        - col("b").cast(dec) * col("base_docs").cast(dec)))
+    val num = dev.groupBy("source").agg(sum("dev").as("num"))
+    val top = dev.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("dev").desc, col("cluster").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("cluster").as("top_cluster"),
+        when(col("feed_docs") === 0, lit(null).cast("double"))
+          .otherwise(col("dev").cast("double")
+            / (col("base_docs").cast("double")
+              * col("feed_docs").cast("double"))).as("top_gap"))
+    tot.join(num, "source").join(top, "source")
+      .select(col("source"), col("base_docs"), col("feed_docs"),
+        when(col("feed_docs") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / (lit(2.0)
+            * col("base_docs").cast("double")
+            * col("feed_docs").cast("double"))).as("tv_cluster"),
+        col("top_cluster"), col("top_gap"))
+      .orderBy("source")
+  }
+
+  def semanticDriftSqlFor(k: Int = KmClusters,
+      iters: Int = KmIters): String = {
+    val (ctes, asg) = kmeansAssignCtes(k, iters)
+    val (m, r) = (Feeds.IncrMod, Feeds.IncrRem)
+    val rf = Feeds.RefetchMod
+    s"""
+    WITH $ctes,
+    sides AS (
+      SELECT source, doc_id AS vec_id, 'base' AS side FROM documents
+      UNION ALL
+      SELECT source,
+        CASE WHEN doc_id % $rf = $r THEN doc_id - $r ELSE doc_id END,
+        'feed'
+      FROM documents WHERE doc_id % $m = $r),
+    g AS (
+      SELECT s.source, a.cluster,
+        CAST(SUM(CASE WHEN s.side = 'base' THEN 1 ELSE 0 END)
+          AS BIGINT) AS ga,
+        CAST(SUM(CASE WHEN s.side = 'feed' THEN 1 ELSE 0 END)
+          AS BIGINT) AS gb
+      FROM sides s JOIN $asg a ON a.vec_id = s.vec_id
+      GROUP BY 1, 2),
+    t AS (
+      SELECT source, CAST(SUM(ga) AS BIGINT) AS base_docs,
+        CAST(SUM(gb) AS BIGINT) AS feed_docs
+      FROM g GROUP BY 1),
+    dv AS (
+      SELECT g.source, g.cluster,
+        abs(CAST(g.ga AS HUGEINT) * t.feed_docs
+          - CAST(g.gb AS HUGEINT) * t.base_docs) AS dev,
+        t.base_docs, t.feed_docs
+      FROM g JOIN t USING (source)),
+    n AS (SELECT source, SUM(dev) AS num FROM dv GROUP BY 1),
+    tp AS (
+      SELECT source, cluster, dev, feed_docs, base_docs,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY dev DESC, cluster ASC) AS rn
+      FROM dv)
+    SELECT t.source, t.base_docs, t.feed_docs,
+      CASE WHEN t.feed_docs > 0
+           THEN CAST(n.num AS DOUBLE) / (2.0 * CAST(t.base_docs AS DOUBLE)
+                * CAST(t.feed_docs AS DOUBLE)) END AS tv_cluster,
+      tp.cluster AS top_cluster,
+      CASE WHEN t.feed_docs > 0
+           THEN CAST(tp.dev AS DOUBLE) / (CAST(t.base_docs AS DOUBLE)
+                * CAST(t.feed_docs AS DOUBLE)) END AS top_gap
+    FROM t JOIN n USING (source)
+    JOIN tp ON tp.source = t.source AND tp.rn = 1
+    ORDER BY t.source"""
+  }
+
+  val semanticDriftSql: String = semanticDriftSqlFor()
 }

@@ -1633,6 +1633,28 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("semantic drift: per-source frame, dark-source nulls, real drift") {
+    val sd = operators.EmbeddingOps.semanticDrift(spark, sf).cache()
+    val srcCounts = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
+    // one row per source; base side is the source's full standing count
+    assert(sd.count() == srcCounts.count())
+    assert(sd.join(srcCounts, "source")
+      .filter(col("base_docs") =!= col("n_src")).count() == 0)
+    // feed-absent sources went dark: NULL drift, never fake zeros
+    assert(sd.filter(col("feed_docs") === 0 &&
+      (col("tv_cluster").isNotNull || col("top_gap").isNotNull)).count() == 0)
+    // live sources: TV bounded, worst-cluster gap ≤ 2·TV (it is one term
+    // of the TV sum), and the re-fetch substitution makes REAL drift
+    val live = sd.filter(col("feed_docs") > 0)
+    assert(live.count() > 0)
+    assert(live.filter(col("tv_cluster") < 0 || col("tv_cluster") > 1)
+      .count() == 0)
+    assert(live.filter(col("top_gap") > col("tv_cluster") * 2).count() == 0)
+    assert(live.filter(col("tv_cluster") > 0).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("frame dedup: bounds, carriers real in the C37 inventory") {
     val fd = operators.MultimodalOps.frameDedup(spark, sf).cache()
     assert(fd.count() > 0) // the corpus really shares aligned frames
