@@ -1220,4 +1220,52 @@ object DedupOps {
     FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY 1"""
   }
+  /** C79: `q_span_savings` — the C38 savings-pricing read applied to C73's
+    * span report: if every repeated anchored span kept ONE copy and masked
+    * the rest (the substring-dedup training recipe — drop the repeat from
+    * the loss, keep the context), how many span slots and tokens does that
+    * cover? Reported as a masking-cost CEILING: overlapping spans
+    * double-count tokens, so the true unique-token mass is ≤ this bound
+    * (stated in the column name). The share rides the corpus token total
+    * on a 1-row broadcast.
+    *
+    * Exactness: integer counts off the span grid; one final division.
+    * Scale: C73's plan + a ≤ spans-row aggregate + one narrow token-count
+    * pass — nothing new touches the corpus twice. */
+  def spanSavings(spark: SparkSession, dir: String): DataFrame = {
+    val spans = substrDupSpans(spark, dir)
+    val agg = spans.agg(
+      count(lit(1)).as("n_repeated_spans"),
+      sum("n_occ").as("n_span_occ"),
+      sum(col("n_occ") - 1).as("maskable_occ"))
+    val tok = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("total_tokens"))
+    agg.crossJoin(broadcast(tok))
+      .select(col("n_repeated_spans"), col("n_span_occ"),
+        col("maskable_occ"),
+        (col("maskable_occ") * SpanTok).as("maskable_tokens_bound"),
+        col("total_tokens"),
+        ((col("maskable_occ") * SpanTok).cast("double")
+          / col("total_tokens").cast("double")).as("maskable_share_bound"))
+  }
+
+  val spanSavingsSql: String = s"""
+    WITH spans AS ($substrDupSpansSql),
+    a AS (
+      SELECT COUNT(*) AS n_repeated_spans,
+        CAST(SUM(n_occ) AS BIGINT) AS n_span_occ,
+        CAST(SUM(n_occ - 1) AS BIGINT) AS maskable_occ
+      FROM spans),
+    t AS (
+      SELECT CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+        AS BIGINT) AS total_tokens
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT n_repeated_spans, n_span_occ, maskable_occ,
+      maskable_occ * $SpanTok AS maskable_tokens_bound,
+      total_tokens,
+      CAST(maskable_occ * $SpanTok AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+        AS maskable_share_bound
+    FROM a, t"""
 }

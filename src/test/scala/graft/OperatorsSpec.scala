@@ -1633,6 +1633,24 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("span savings: reconciles with C73, ceiling semantics hold") {
+    val sv = operators.DedupOps.spanSavings(spark, sf).cache()
+    assert(sv.count() == 1)
+    val spans = operators.DedupOps.substrDupSpans(spark, sf).cache()
+    val r = sv.head
+    assert(r.getAs[Long]("n_repeated_spans") == spans.count())
+    assert(r.getAs[Long]("n_span_occ") ==
+      spans.agg(sum("n_occ")).head.getLong(0))
+    // maskable = occurrences minus one kept copy per span
+    assert(r.getAs[Long]("maskable_occ") ==
+      r.getAs[Long]("n_span_occ") - r.getAs[Long]("n_repeated_spans"))
+    assert(r.getAs[Long]("maskable_tokens_bound") ==
+      r.getAs[Long]("maskable_occ") * operators.DedupOps.SpanTok)
+    val share = r.getAs[Double]("maskable_share_bound")
+    assert(share > 0 && share < 1)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("semantic drift: per-source frame, dark-source nulls, real drift") {
     val sd = operators.EmbeddingOps.semanticDrift(spark, sf).cache()
     val srcCounts = graft.sources.Tables.documents(spark, sf)
