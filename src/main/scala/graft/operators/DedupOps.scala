@@ -1074,7 +1074,12 @@ object DedupOps {
     * from that broadcast-sized relation, so nothing downstream of the pair
     * grid scales with the corpus. Cache ownership: the generators cache
     * signature relations; callers reclaim via `spark.catalog.clearCache()`
-    * (the C29 contract). */
+    * (the C29 contract). Cost note: this single-action composition holds
+    * all three generators' caches at once (measured ≈ 1.8× the sum of the
+    * standalone runs at bench scale); at 100 TB the production shape feeds
+    * the matrix from the generators' PERSISTED pair sets (each written
+    * once by its own job) — the matrix itself is then an O(pairs) re-read,
+    * which is what the post-union plan here already is. */
   def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
     val members = Seq(
       "minhash_lsh" -> dedupMinhashLsh(spark, dir),
