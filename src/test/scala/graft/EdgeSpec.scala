@@ -74,11 +74,20 @@ class EdgeSpec extends SparkSpec {
       "q_dedup_prefix", "q_text_tokencount", "q_text_quality",
       "q_tokenizer_fertility", "q_mix_epochs", "q_corpus_pack",
       "q_corpus_pack_hier", "q_corpus_sample_stratified", "q_doc_novelty",
-      "q_embed_kmeans", "q_embed_pq", "q_embed_quantize")
+      "q_embed_kmeans", "q_embed_pq", "q_embed_quantize",
+      "q_cluster_profile", "q_novelty_curve", "q_quality_classifier",
+      "q_substr_dup_spans", "q_feed_novelty", "q_frame_dedup",
+      "q_semantic_drift", "q_ann_serve")
     for (q <- corpusQueries) {
       val n = SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
     }
+    // the fixed-shape reports keep their row grid on an empty corpus —
+    // zero/NULL cells, never a throw (ANSI divisions included)
+    assert(SparkEntry.queries("q_dedup_agreement")(spark, emptyDir)
+      .count() == 3)
+    assert(SparkEntry.queries("q_span_savings")(spark, emptyDir)
+      .count() == 1)
     spark.catalog.clearCache(): Unit
   }
 }
