@@ -121,6 +121,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("ann serve: the bounded hit set broadcasts, documents never move") {
+    // the O(batch·10) hit relation must be the broadcast build side; the
+    // corpus-scaled documents scan stays a map-side probe
+    val plan = planOf("q_ann_serve")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("frame dedup: pure aggregate — no join anywhere in the plan") {
+    val plan = planOf("q_frame_dedup")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("semantic drift: cached side grid absorbs every consumer") {
+    // totals, TV numerators, and the top-cluster window must all read the
+    // cache()d ≤ sources·k grid, not re-run the assignment join
+    SparkEntry.queries("q_semantic_drift")(spark, sf).collect()
+    val leaves = scanLeaves("q_semantic_drift")
+    assert(leaves.count(_ == "mem") >= 3, leaves.toString)
+    spark.catalog.clearCache() // C78's cache contract: caller reclaims
+  }
+
   test("stratified sample: rank limit pushes into a map-side group limit") {
     // the rnk <= k filter over row_number must plan as WindowGroupLimit —
     // the map-side per-stratum bottom-k prune that makes corpus-scaled
