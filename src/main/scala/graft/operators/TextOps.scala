@@ -222,11 +222,15 @@ object TextOps {
     classifierFrame(Tables.documents(spark, dir)).orderBy("doc_id")
 
   /** The C72 feature + logit chain on ANY (doc_id, lang, text) frame —
-    * batch and D23's streaming gate share this verbatim (a pure per-row
-    * map, so it is streaming-safe with zero state). */
-  private[graft] def classifierFrame(docs: DataFrame): DataFrame = {
+    * batch C72, D23's streaming gate, and C80's bias audit share this
+    * verbatim (a pure per-row map, so it is streaming-safe with zero
+    * state). `carry` names extra input columns to pass through untouched
+    * (C80 carries `source`) without disturbing C72's output schema. */
+  private[graft] def classifierFrame(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val carried = carry.map(col)
     val d = docs
-      .select(col("doc_id"), col("lang"), col("text"),
+      .select(Seq(col("doc_id"), col("lang"), col("text"),
         length(col("text")).cast("double").as("n_chars_d"),
         when(length(trim(col("text"))) === 0, 0L)
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"),
@@ -234,12 +238,14 @@ object TextOps {
         regexp_count(lower(col("text")),
           lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("long").as("n_stop"),
         regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"))
+        ++ carried: _*)
     d.filter(col("n_chars_d") > 0 && col("n_tok") > 0)
-      .select(col("doc_id"), col("lang"), col("n_tok"),
+      .select(Seq(col("doc_id"), col("lang"), col("n_tok"),
         (col("n_punct").cast("double") / col("n_chars_d")).as("punct_ratio"),
         (col("n_stop").cast("double") / col("n_tok").cast("double")).as("stopword_ratio"),
         (col("n_digit").cast("double") / col("n_chars_d")).as("digit_ratio"),
         (col("n_chars_d") / col("n_tok").cast("double")).as("avg_token_len"))
+        ++ carried: _*)
       .withColumn("logit",
         lit(-0.65) + col("stopword_ratio") * lit(3.0)
           - col("punct_ratio") * lit(2.0)
@@ -271,6 +277,70 @@ object TextOps {
         FROM documents)
       WHERE n_chars_d > 0 AND n_tok > 0)
     ORDER BY doc_id"""
+
+  /** C80: `q_filter_bias` — the calibration/bias audit of C72's learned
+    * filter, per (source, lang): docs seen, docs kept, keep share, and
+    * mean logit. This is the fairness read a curator makes before
+    * deploying a quality filter — a classifier that silently keeps 90% of
+    * one source and 4% of another, or whose keep share collapses for one
+    * LANGUAGE, is reshaping the corpus mix, and that shows up here before
+    * it shows up in trained-model behavior.
+    *
+    * Exactness: counts and the keep share are exact integers + one
+    * division; the mean logit uses C47's nano-quantization rule — a
+    * distributed double SUM is shuffle-order nondeterministic, so the
+    * per-row logit quantizes to integer nano-units, sums exactly, and
+    * divides once.
+    *
+    * Scale: the C72 narrow chain (shared verbatim via the classifier
+    * frame) plus ONE partial-aggregated shuffle onto the (source, lang)
+    * grid. [[filterBiasAgg]] is the mergeable-counter aggregate D25
+    * delegates to unchanged. */
+  def filterBias(spark: SparkSession, dir: String): DataFrame =
+    filterBiasAgg(Tables.documents(spark, dir)).orderBy("source", "lang")
+
+  /** The C80 aggregate on ANY (doc_id, source, lang, text) frame — every
+    * column is a plain mergeable integer counter, so the streaming twin
+    * (D25) runs this plan UNCHANGED and the running report is exact. */
+  private[graft] def filterBiasAgg(docs: DataFrame): DataFrame =
+    classifierFrame(docs, carry = Seq("source"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(round(col("logit") * lit(1.0e9)).cast("long")).as("slq"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_share"),
+        (col("slq").cast("double") / col("n_docs").cast("double") /
+          lit(1.0e9)).as("mean_logit"))
+
+  val filterBiasSql: String = s"""
+    WITH c AS (
+      SELECT source, lang,
+        -0.65 + stopword_ratio * 3.0 - punct_ratio * 2.0
+          - digit_ratio * 4.0 - avg_token_len * 0.05
+          + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.75 ELSE 0.0 END
+          AS logit
+      FROM (
+        SELECT source, lang, n_tok,
+          $qualitySqlRatios,
+          n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
+        FROM (
+          SELECT source, lang,
+            $qualitySqlMeasures
+          FROM documents)
+        WHERE n_chars_d > 0 AND n_tok > 0)),
+    q AS (
+      SELECT source, lang,
+        CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep,
+        CAST(round(logit * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS lq
+      FROM c)
+    SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(keep) AS BIGINT) AS n_keep,
+      CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_share,
+      CAST(SUM(lq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+        AS mean_logit
+    FROM q GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** C8: n-gram-marker language ID. Scores each language by marker-word
     * hits and takes the argmax with a fixed tie-break order — a cheap,

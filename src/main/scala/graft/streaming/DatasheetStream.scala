@@ -61,6 +61,19 @@ object DatasheetStream {
   def runningPiiAudit(docs: DataFrame): DataFrame =
     graft.operators.TextOps.piiAuditAgg(docs)
 
+  /** D25: streaming twin of TextOps.filterBias (C80) — the quality
+    * filter's calibration/bias audit maintained continuously, so a weight
+    * roll that craters one source's or language's keep share alarms while
+    * the roll is still in canary, not after the corpus mix shifted. Every
+    * batch column is a plain mergeable integer counter (doc/keep counts +
+    * the nano-quantized logit sum — C47's quantization rule), so the
+    * streaming aggregate delegates to the batch plan UNCHANGED
+    * ([[graft.operators.TextOps.filterBiasAgg]]) and the running report is
+    * EXACT, mean logit included. State: three BIGINTs per (source, lang) —
+    * a closed tiny key space at any stream length. */
+  def runningFilterBias(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.filterBiasAgg(docs)
+
   /** D14: streaming twin of Pipeline.sourceHealth (C47) — the per-source
     * curation gate maintained continuously: mean quality (EXACT — the
     * nano-quantized integer sum streams losslessly, one division at read

@@ -1633,6 +1633,28 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("filter bias: reconciles with C72, shares bounded, grid complete") {
+    val fb = operators.TextOps.filterBias(spark, sf).cache()
+    val cls = operators.TextOps.qualityClassifier(spark, sf).cache()
+    // marginals reconcile with the per-doc classifier exactly
+    assert(fb.agg(sum("n_docs")).head.getLong(0) == cls.count())
+    assert(fb.agg(sum("n_keep")).head.getLong(0) ==
+      cls.filter(col("keep")).count())
+    assert(fb.filter(col("n_keep") > col("n_docs")).count() == 0)
+    assert(fb.filter(col("keep_share") < 0 || col("keep_share") > 1)
+      .count() == 0)
+    // per-(source,lang) keep counts match a direct recount
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source").as("src"))
+    val direct = cls.join(docs, "doc_id")
+      .groupBy(col("src").as("source"), col("lang"))
+      .agg(sum(col("keep").cast("long")).as("k2"))
+    assert(fb.join(direct, Seq("source", "lang"))
+      .filter(col("n_keep") =!= col("k2")).count() == 0)
+    assert(fb.count() == direct.count())
+    spark.catalog.clearCache(): Unit
+  }
+
   test("span savings: reconciles with C73, ceiling semantics hold") {
     val sv = operators.DedupOps.spanSavings(spark, sf).cache()
     assert(sv.count() == 1)
