@@ -1611,4 +1611,98 @@ object Pipeline {
     JOIN tvl USING (source) JOIN tvg USING (source)
     JOIN (SELECT * FROM top WHERE rn = 1) top USING (source)
     ORDER BY t.source"""
+
+  /** C81 admission thresholds — deliberately permissive defaults (a real
+    * deployment tunes them per source class); the REPORT is the product,
+    * the flag is the one-glance summary. Declared before the SQL val. */
+  val AdmitTvMax: Double = 0.5
+  val AdmitPiiDocShareMax: Double = 0.9
+  val AdmitNovelMin: Double = 0.01
+
+  /** C81: `q_admission_report` — the DAILY GO/NO-GO: every per-source
+    * admission gate this engine computes, joined into the one row an
+    * ingest operator actually reads each morning. Per feed source — the
+    * C58 triage tally (exact-drop / near-review / admit counts), C76's
+    * novel-mass share, C69's shape drift (tv_len, tv_lang), the PII
+    * incidence of the batch itself (C68's arithmetic over THIS feed, so
+    * the compliance column describes the batch being admitted, not the
+    * separate injected-PII QA feed), and the `admit_source` flag
+    * ([[AdmitTvMax]] ∧ [[AdmitPiiDocShareMax]] ∧ [[AdmitNovelMin]]). This
+    * is the capstone composition: the gates stay independently
+    * oracle-checked, and this row proves they join on the source key into
+    * the production artifact.
+    *
+    * Exactness: every column is an already-exact component output or an
+    * integer count; the flag compares bit-identical doubles to constants.
+    *
+    * Scale: four component plans (each individually 100 TB-shaped — see
+    * their own scaladocs) joined on ≤ sources-row grids; the join layer
+    * adds no fact-scaled work. Components cache internally; callers
+    * reclaim via `spark.catalog.clearCache()` (the C29 contract). */
+  def admissionReport(spark: SparkSession, dir: String): DataFrame = {
+    val feed = Feeds.incomingDocs(spark, dir)
+    val triage = DedupOps.dedupIncremental(spark, dir)
+      .join(feed.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("decision") === "drop_exact", 1L).otherwise(0L))
+          .as("n_drop_exact"),
+        sum(when(col("decision") === "review_near", 1L).otherwise(0L))
+          .as("n_review_near"),
+        sum(when(col("decision") === "admit", 1L).otherwise(0L))
+          .as("n_admit"))
+    val novelty = feedNovelty(spark, dir)
+      .select(col("source"), col("novel_occ_share"))
+    val drift = sourceDrift(spark, dir)
+      .select(col("source"), col("tv_len"), col("tv_lang"))
+    val pii = graft.operators.TextOps.piiAuditAgg(feed)
+      .select(col("source"), col("pii_doc_share"),
+        col("redactions_per_10k_tok"))
+    triage.join(novelty, Seq("source")).join(drift, Seq("source"))
+      .join(pii, Seq("source"))
+      .withColumn("admit_source",
+        col("tv_len") <= AdmitTvMax &&
+          col("pii_doc_share") <= AdmitPiiDocShareMax &&
+          col("novel_occ_share") >= AdmitNovelMin)
+      .orderBy("source")
+  }
+
+  val admissionReportSql: String = s"""
+    WITH inc AS (${graft.sources.Feeds.incomingDocsSql}),
+    tri AS (${graft.operators.DedupOps.dedupIncrementalSql}),
+    tr AS (
+      SELECT i.source, COUNT(*) AS n_batch,
+        CAST(SUM(CASE WHEN t.decision = 'drop_exact' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_drop_exact,
+        CAST(SUM(CASE WHEN t.decision = 'review_near' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_review_near,
+        CAST(SUM(CASE WHEN t.decision = 'admit' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_admit
+      FROM tri t JOIN inc i USING (doc_id) GROUP BY 1),
+    nov AS (SELECT source, novel_occ_share FROM ($feedNoveltySql)),
+    dr AS (SELECT source, tv_len, tv_lang FROM ($sourceDriftSql)),
+    pd AS (
+      SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+          AS n_tok,
+        CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailRe}'))
+          AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.PhoneRe}'))
+          AS BIGINT) AS n_phone
+      FROM inc WHERE length(trim(text)) > 0),
+    pii AS (
+      SELECT source,
+        CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pii_doc_share,
+        CAST(SUM(n_email + n_phone) * 10000 AS DOUBLE)
+          / CAST(SUM(n_tok) AS DOUBLE) AS redactions_per_10k_tok
+      FROM pd GROUP BY 1)
+    SELECT tr.source, tr.n_batch, tr.n_drop_exact, tr.n_review_near,
+      tr.n_admit, nov.novel_occ_share, dr.tv_len, dr.tv_lang,
+      pii.pii_doc_share, pii.redactions_per_10k_tok,
+      (dr.tv_len <= $AdmitTvMax AND pii.pii_doc_share <= $AdmitPiiDocShareMax
+        AND nov.novel_occ_share >= $AdmitNovelMin) AS admit_source
+    FROM tr JOIN nov USING (source) JOIN dr USING (source)
+    JOIN pii USING (source)
+    ORDER BY tr.source"""
 }

@@ -1633,6 +1633,32 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("admission report: every column reconciles with its component gate") {
+    val ar = operators.Pipeline.admissionReport(spark, sf).cache()
+    assert(ar.count() > 0)
+    // triage tallies partition the batch
+    assert(ar.filter(col("n_drop_exact") + col("n_review_near")
+      + col("n_admit") =!= col("n_batch")).count() == 0)
+    val feedDocs = graft.sources.Feeds.incomingDocs(spark, sf).count()
+    assert(ar.agg(sum("n_batch")).head.getLong(0) == feedDocs)
+    // drift and novelty columns equal the standalone gates'
+    val drift = operators.Pipeline.sourceDrift(spark, sf)
+      .select(col("source"), col("tv_len").as("tv2"))
+    assert(ar.join(drift, "source")
+      .filter(col("tv_len") =!= col("tv2")).count() == 0)
+    val nov = operators.Pipeline.feedNovelty(spark, sf)
+      .select(col("source"), col("novel_occ_share").as("nv2"))
+    assert(ar.join(nov, "source")
+      .filter(col("novel_occ_share") =!= col("nv2")).count() == 0)
+    // the flag is exactly its documented rule
+    assert(ar.filter(col("admit_source") =!=
+      (col("tv_len") <= operators.Pipeline.AdmitTvMax &&
+       col("pii_doc_share") <= operators.Pipeline.AdmitPiiDocShareMax &&
+       col("novel_occ_share") >= operators.Pipeline.AdmitNovelMin))
+      .count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("filter bias: reconciles with C72, shares bounded, grid complete") {
     val fb = operators.TextOps.filterBias(spark, sf).cache()
     val cls = operators.TextOps.qualityClassifier(spark, sf).cache()
