@@ -898,6 +898,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D26 SemanticDriftStream: max-rev equals batch C78 bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the two frozen artifacts: the batch-trained assignment (D19's
+    // codebook applied to the standing vectors) and the baseline mix
+    val v = graft.sources.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val asg = operators.EmbeddingOps.kmAssign(v,
+        operators.EmbeddingOps.kmeansCentroids(sp, sf))
+      .select("vec_id", "cluster").cache()
+    val base = SemanticDriftStream.baseModel(sp, sf, asg)
+    val feed = SemanticDriftStream.prep(sp, sf, asg).collect().toSeq
+    val (p1, p2) = feed.splitAt(feed.size / 2)
+    val in = MemoryStream[SemDoc]
+    val q = SemanticDriftStream.monitor(in.toDS(), base)
+      .writeStream.format("memory").queryName("d26_out")
+      .outputMode("append").start()
+    try {
+      in.addData(p1); q.processAllAvailable()
+      in.addData(p2); q.processAllAvailable()
+      val revs = sp.table("d26_out").as[SemOut].collect().toSeq
+      assert(revs.exists(_.rev == 2L)) // state really carried over
+      val streamed = revs.groupBy(_.source).map(_._2.maxBy(_.rev))
+        .map(o => (o.source, o.base_docs, o.feed_docs, o.tv_cluster,
+          o.top_cluster, o.top_gap)).toSet
+      def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val batch = operators.EmbeddingOps.semanticDrift(sp, sf).collect()
+        .filter(_.getLong(2) > 0)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), optD(r, 3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), optD(r, 5)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      sp.catalog.clearCache()
+    } finally q.stop()
+  }
+
   test("D25 running filter bias over two micro-batches equals batch C80") {
     val sp = spark
     import sp.implicits._
