@@ -937,6 +937,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D26 checkpoint recovery: cluster counters survive stop + restart") {
+    // the D6/D17/D20/D22 fault-tolerance pin applied to the semantic-drift
+    // family: stop mid-feed, land more docs while down, restart — the
+    // max-rev generation must equal batch C78 over the full feed, which
+    // only restored per-source cluster counters can produce
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("d26_src"); val ckDir = tmpDir("d26_ck")
+    val outDir = tmpDir("d26r_out")
+    val v = graft.sources.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding"))
+    val asg = operators.EmbeddingOps.kmAssign(v,
+        operators.EmbeddingOps.kmeansCentroids(sp, sf))
+      .select("vec_id", "cluster").cache()
+    val base = SemanticDriftStream.baseModel(sp, sf, asg)
+    val feed = SemanticDriftStream.prep(sp, sf, asg).collect().toSeq
+    val (p1, p2) = feed.splitAt(feed.size / 2)
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[SemDoc].schema)
+        .parquet(srcDir).as[SemDoc]
+      val q = SemanticDriftStream.monitor(in, base).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    p1.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    p2.toDS().write.mode("append").parquet(srcDir) // arrives while DOWN
+    runOnce()
+    val all = sp.read.parquet(outDir).as[SemOut].collect().toSeq
+    assert(all.exists(_.rev >= 2L))
+    val streamed = all.groupBy(_.source).map(_._2.maxBy(_.rev))
+      .map(o => (o.source, o.base_docs, o.feed_docs, o.tv_cluster,
+        o.top_cluster, o.top_gap)).toSet
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val batch = operators.EmbeddingOps.semanticDrift(sp, sf).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), optD(r, 3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), optD(r, 5)))
+      .toSet
+    assert(streamed == batch)
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D25 running filter bias over two micro-batches equals batch C80") {
     val sp = spark
     import sp.implicits._
