@@ -1225,6 +1225,122 @@ object DedupOps {
     FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY 1"""
   }
+  /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
+    * through the full dedup battery in deployment order — exact content
+    * dedup (C1 keepers) → near-dup canonicalization (C18 clusters, C59's
+    * quality-max keeper) → semantic dedup (C35 verdicts) — with surviving
+    * docs, surviving tokens, and the share of the original corpus at each
+    * stage. This is the accounting view that justifies the battery: each
+    * stage's marginal removal is visible (a stage removing ~nothing after
+    * the previous ones is a candidate to drop from the pipeline), and the
+    * final row is the post-dedup corpus the mix/pack planners (C27/C28)
+    * actually feed on.
+    *
+    * Semantics: stages are CUMULATIVE keep-set intersections — a doc
+    * survives stage k iff it survived every earlier stage too, so the
+    * counts are monotone non-increasing by construction. Docs outside a
+    * stage's domain (no C18 node, no embedding) pass that stage untouched.
+    *
+    * Exactness: per-doc keep flags from exact joins; stage rows are
+    * conditional integer sums off ONE aggregate; shares divide once.
+    *
+    * Scale: composes the three components' own 100 TB-shaped plans; the
+    * flag joins key on doc_id (16-byte/8-byte keys) and the funnel
+    * collapses map-side into ONE six-counter row expanded to 4 stage rows
+    * (the C75 assembly). Callers reclaim component caches via
+    * `spark.catalog.clearCache()` (the C29 contract). */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tok"))
+    val exactKeep = dedupExact(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"), lit(true).as("ex"))
+    val nearDrop = dedupComponents(spark, dir)
+      .filter(col("component_size") > 1)
+      .join(dedupCanonical(spark, dir)
+        .select(col("component_id"), col("keep_doc_id")), Seq("component_id"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select(col("doc_id"), lit(true).as("nd")).distinct()
+    val semKeep = EmbeddingOps.semanticDedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("keep").as("sk"))
+    val flags = d
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(semKeep, Seq("doc_id"), "left")
+      .select(col("n_tok"),
+        col("ex").isNotNull.as("s1"),
+        (col("ex").isNotNull && col("nd").isNull).as("s2"),
+        (col("ex").isNotNull && col("nd").isNull &&
+          coalesce(col("sk"), lit(true))).as("s3"))
+    val t = flags.agg(
+      count(lit(1)).as("n0"), sum("n_tok").as("t0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s1"), col("n_tok")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s2"), col("n_tok")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3"))
+    def stage(i: Int, name: String, n: String, tk: String) =
+      t.select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+        col(n).as("n_docs"), col(tk).as("n_tokens"),
+        (col(n).cast("double") / col("n0").cast("double")).as("doc_share"),
+        (col(tk).cast("double") / col("t0").cast("double")).as("token_share"))
+    stage(0, "corpus", "n0", "t0")
+      .unionByName(stage(1, "exact", "n1", "t1"))
+      .unionByName(stage(2, "near", "n2", "t2"))
+      .unionByName(stage(3, "semantic", "n3", "t3"))
+      .orderBy("stage")
+  }
+
+  val dedupFunnelSql: String = s"""
+    WITH d AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                  AS BIGINT) END AS n_tok
+      FROM documents),
+    ek AS (SELECT keep_doc_id AS doc_id FROM ($dedupExactSql)),
+    comp AS (SELECT doc_id, component_id, component_size
+             FROM ($dedupComponentsSql)),
+    can AS (SELECT component_id, keep_doc_id FROM ($dedupCanonicalSql)),
+    ndrop AS (
+      SELECT DISTINCT c.doc_id FROM comp c
+      JOIN can ON c.component_id = can.component_id
+      WHERE c.component_size > 1 AND c.doc_id <> can.keep_doc_id),
+    sem AS (SELECT vec_id AS doc_id, keep
+            FROM (${graft.operators.EmbeddingOps.semanticDedupSql})),
+    f AS (
+      SELECT d.n_tok,
+        (ek.doc_id IS NOT NULL) AS s1,
+        (ek.doc_id IS NOT NULL AND nd.doc_id IS NULL) AS s2,
+        (ek.doc_id IS NOT NULL AND nd.doc_id IS NULL
+          AND coalesce(sem.keep, TRUE)) AS s3
+      FROM d
+      LEFT JOIN ek USING (doc_id)
+      LEFT JOIN ndrop nd USING (doc_id)
+      LEFT JOIN sem USING (doc_id)),
+    t AS (
+      SELECT COUNT(*) AS n0, CAST(SUM(n_tok) AS BIGINT) AS t0,
+        CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN s1 THEN n_tok ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN s2 THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        CAST(SUM(CASE WHEN s3 THEN n_tok ELSE 0 END) AS BIGINT) AS t3
+      FROM f)
+    SELECT stage, stage_name, n_docs, n_tokens,
+      CAST(n_docs AS DOUBLE) / CAST(n0 AS DOUBLE) AS doc_share,
+      CAST(n_tokens AS DOUBLE) / CAST(t0 AS DOUBLE) AS token_share
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS stage_name,
+        n0 AS n_docs, t0 AS n_tokens, n0, t0 FROM t
+      UNION ALL SELECT 1, 'exact', n1, t1, n0, t0 FROM t
+      UNION ALL SELECT 2, 'near', n2, t2, n0, t0 FROM t
+      UNION ALL SELECT 3, 'semantic', n3, t3, n0, t0 FROM t)
+    ORDER BY stage"""
+
   /** C79: `q_span_savings` — the C38 savings-pricing read applied to C73's
     * span report: if every repeated anchored span kept ONE copy and masked
     * the rest (the substring-dedup training recipe — drop the repeat from

@@ -1633,6 +1633,28 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("dedup funnel: monotone stages, reconciles with the components") {
+    val f = operators.DedupOps.dedupFunnel(spark, sf).cache()
+    assert(f.count() == 4)
+    val rows = f.orderBy("stage").collect()
+    // stage 0 is the raw corpus; counts and tokens never increase
+    assert(rows(0).getAs[Long]("n_docs") ==
+      graft.sources.Tables.documents(spark, sf).count())
+    for (i <- 1 to 3) {
+      assert(rows(i).getAs[Long]("n_docs") <= rows(i - 1).getAs[Long]("n_docs"))
+      assert(rows(i).getAs[Long]("n_tokens") <= rows(i - 1).getAs[Long]("n_tokens"))
+    }
+    // the exact stage keeps exactly C1's keeper set
+    assert(rows(1).getAs[Long]("n_docs") ==
+      operators.DedupOps.dedupExact(spark, sf).count())
+    // shares well-formed, final corpus non-empty, battery non-vacuous
+    assert(rows.forall(r => r.getAs[Double]("doc_share") > 0 &&
+      r.getAs[Double]("doc_share") <= 1.0))
+    assert(rows(3).getAs[Long]("n_docs") > 0)
+    assert(rows(3).getAs[Long]("n_docs") < rows(0).getAs[Long]("n_docs"))
+    spark.catalog.clearCache(): Unit
+  }
+
   test("admission report: every column reconciles with its component gate") {
     val ar = operators.Pipeline.admissionReport(spark, sf).cache()
     assert(ar.count() > 0)
