@@ -79,6 +79,9 @@ object Audit {
     // C78 composes the same assignment (same O(k·64) broadcast); the
     // corpus-scaled doc-side join is shuffle_hash, never broadcast
     ("q_semantic_drift", "hinted-fact-broadcast:embeddings"),
+    // C82 composes C35's semantic stage, inheriting its vetted O(IvfK)
+    // centroid broadcast — same justification
+    ("q_dedup_funnel", "hinted-fact-broadcast:embeddings"),
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),
