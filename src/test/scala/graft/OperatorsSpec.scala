@@ -1655,6 +1655,32 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("feed reports agree on their denominators (same-feed contract)") {
+    // four reports describe "today's batch" per source; their doc counts
+    // must relate exactly — C81/C78 count the whole id slice, C69/C76 the
+    // non-empty-text subset — or a filter edit has silently forked the
+    // feed definition between reports
+    val drift = operators.Pipeline.sourceDrift(spark, sf)
+      .select(col("source"), col("feed_docs").as("d69"))
+    val nov = operators.Pipeline.feedNovelty(spark, sf)
+      .select(col("source"), col("n_docs").as("d76"))
+    val sem = operators.EmbeddingOps.semanticDrift(spark, sf)
+      .select(col("source"), col("feed_docs").as("d78"))
+    val adm = operators.Pipeline.admissionReport(spark, sf)
+      .select(col("source"), col("n_batch").as("d81"))
+    // non-empty subset reports agree with each other
+    assert(nov.join(drift, "source").filter(col("d76") =!= col("d69"))
+      .count() == 0)
+    // whole-slice reports agree with each other
+    assert(adm.join(sem, "source").filter(col("d81") =!= col("d78"))
+      .count() == 0)
+    // and the subset never exceeds the slice
+    assert(nov.join(sem, "source").filter(col("d76") > col("d78"))
+      .count() == 0)
+    assert(nov.count() > 0 && adm.count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("admission report: every column reconciles with its component gate") {
     val ar = operators.Pipeline.admissionReport(spark, sf).cache()
     assert(ar.count() > 0)
