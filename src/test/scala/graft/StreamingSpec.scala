@@ -898,6 +898,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D10 checkpoint recovery: pack offsets continue from restored totals") {
+    // the recovery pin applied to the PACKER — the stream where bad
+    // restored state silently corrupts training sequences: placement of
+    // every post-restart doc depends on the restored per-source prefix
+    // sum, so the full output must equal batch C28 row-for-row
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.Encoders
+    val srcDir = tmpDir("d10_src"); val ckDir = tmpDir("d10_ck")
+    val outDir = tmpDir("d10r_out")
+    val docs = sources.Tables.documents(sp, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .as[PackDoc].collect().sortBy(_.doc_id)
+    // split on doc_id so the per-source arrival-order contract holds
+    val (p1, p2) = docs.splitAt(docs.length / 2)
+    def runOnce(): Unit = {
+      val in = sp.readStream.schema(Encoders.product[PackDoc].schema)
+        .parquet(srcDir).as[PackDoc]
+      val q = PackStream.pack(in).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    p1.toSeq.toDS().write.mode("append").parquet(srcDir)
+    runOnce()
+    p2.toSeq.toDS().write.mode("append").parquet(srcDir) // lands while DOWN
+    runOnce()
+    val streamed = sp.read.parquet(outDir)
+    val batch = graft.operators.Pipeline.corpusPack(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D26 SemanticDriftStream: max-rev equals batch C78 bit-for-bit") {
     val sp = spark
     import sp.implicits._
