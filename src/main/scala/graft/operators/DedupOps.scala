@@ -1010,8 +1010,15 @@ object DedupOps {
     * boilerplate mega-cluster; cost on top of C18 is one narrow quality
     * scan and one cluster-keyed partial-agg shuffle. The oracle twin uses
     * a row_number window (exactness only — it never runs at scale). */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val comp = dedupComponents(spark, dir)
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalFrom(spark, dir, dedupComponents(spark, dir))
+
+  /** C59's keeper selection over an ALREADY-COMPUTED component relation —
+    * composers that also need the membership (C82's funnel) pass their
+    * cached components here so the iterative C18 loop runs ONCE per
+    * action, not once per consumer. */
+  private[graft] def canonicalFrom(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
     val qual = Tables.documents(spark, dir)
       .filter(length(lower(trim(col("text")))) >= 5) // C18's node domain
       .select(col("doc_id"), TextOps.qualityScoreCol(col("text")).as("q"))
@@ -1257,9 +1264,13 @@ object DedupOps {
           .as("n_tok"))
     val exactKeep = dedupExact(spark, dir)
       .select(col("keep_doc_id").as("doc_id"), lit(true).as("ex"))
-    val nearDrop = dedupComponents(spark, dir)
+    // ONE component computation feeds both the membership and the keeper
+    // rule (canonicalFrom) — calling dedupCanonical here would re-run the
+    // C18 iterative loop a second time
+    val comp = dedupComponents(spark, dir).cache()
+    val nearDrop = comp
       .filter(col("component_size") > 1)
-      .join(dedupCanonical(spark, dir)
+      .join(canonicalFrom(spark, dir, comp)
         .select(col("component_id"), col("keep_doc_id")), Seq("component_id"))
       .filter(col("doc_id") =!= col("keep_doc_id"))
       .select(col("doc_id"), lit(true).as("nd")).distinct()
