@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED dedup-artifact layer — the production shape of the
+  * composed dedup reports (SURVEY.md §2 C39/C59/C75/C82).
+  *
+  * The inline compositions ([[DedupOps.dedupAgreement]],
+  * [[DedupOps.dedupFunnel]]) run every candidate generator inside ONE
+  * action, which holds every generator's corpus-scaled signature cache
+  * simultaneously (measured ≈1.8× the sum of the standalone runs) and
+  * re-runs C18's iterative component loop once per consuming report. At
+  * 100 TB that is a memory-pressure peak and a 4×-repeated iterative job.
+  * The reference's analog is its keyed MERGE staging table — state written
+  * once, read by every consumer (etl_service.py:252-293).
+  *
+  * This object is the C58-index pattern applied to the reports: each
+  * generator's candidate pair set and C18's component labels are written
+  * ONCE, each by its own job (so peak residency is one generator's caches,
+  * reclaimed before the next starts), as key-partitioned parquet with a
+  * per-artifact row-count + content-checksum manifest (the
+  * [[graft.sources.Export.shardedCorpus]] / readShardedVerified
+  * machinery). The reports then read O(pairs)/O(docs) artifacts — no
+  * generator cache is alive during the report action, verified by plan
+  * pin in ArtifactSpec (no InMemoryTableScan below the matrix action).
+  *
+  * Layout under a root:
+  * {{{
+  *   pairs_minhash_lsh/    doc_a, doc_b              (C2 candidates)
+  *   pairs_ngram_jaccard/  source, doc_a, doc_b, …   (C4 pairs, thresholded)
+  *   pairs_simhash_band/   doc_a, doc_b, hamming     (C14 pairs)
+  *   components/           doc_id, component_id, component_size (C18)
+  * }}}
+  * Each directory carries `_graft_manifest.json` = {n_rows, checksum};
+  * [[readVerified]] recomputes both FROM THE FILES and fails fast naming
+  * the artifact on any mismatch (truncated file, lost task output,
+  * flipped byte) — same contract as
+  * [[graft.sources.Tables.readShardedVerified]].
+  *
+  * At 100 TB the write is a once-a-day indexing job (bucketed catalog
+  * tables via [[graft.sources.Export.bucketedTable]] if the joins repeat);
+  * the registered queries stage into a fresh temp root per call because
+  * the verify/bench harness owns no state between queries — the staged
+  * plans are byte-identical to a standing-artifact deployment's.
+  */
+object DedupArtifacts {
+
+  val PairMethods: Seq[String] = Seq("minhash_lsh", "ngram_jaccard", "simhash_band")
+
+  private def generator(spark: SparkSession, dir: String,
+      method: String): DataFrame = method match {
+    case "minhash_lsh"   => DedupOps.dedupMinhashLsh(spark, dir)
+    case "ngram_jaccard" => DedupOps.dedupNgramJaccard(spark, dir)
+    case "simhash_band"  => DedupOps.dedupSimhashBand(spark, dir)
+  }
+
+  /** Write one artifact: key-partitioned parquet + manifest, then reclaim
+    * every cache the producing plan registered (the C29 contract) so the
+    * NEXT artifact's job starts with a clean store — this sequencing is
+    * exactly what caps peak memory at one generator. The manifest's
+    * (n_rows, checksum) is re-derived from the WRITTEN files, so a read
+    * that reverifies it proves file integrity end-to-end. */
+  private def writeArtifact(df: DataFrame, path: String,
+      key: String): Unit = {
+    val spark = df.sparkSession
+    val par = spark.sessionState.conf.numShufflePartitions
+    df.repartition(par, col(key))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val back = spark.read.parquet(path)
+    val row = back.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(${back.columns.mkString(", ")}))"),
+        lit(0L)).as("ck")).head()
+    writeManifest(spark, path, row.getLong(0), row.getLong(1))
+    spark.catalog.clearCache()
+  }
+
+  private def manifestPath(path: String) = s"$path/_graft_manifest.json"
+
+  private def writeManifest(spark: SparkSession, path: String,
+      nRows: Long, checksum: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"n_rows":$nRows,"checksum":$checksum}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Manifest-verified artifact read: recompute (n_rows, checksum) from
+    * the files and compare before handing the frame out — ONE narrow
+    * O(artifact) pass, no shuffle; skipping it would let a lost part file
+    * read as a clean smaller pair set. */
+  def readVerified(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val re = """\{"n_rows":(-?\d+),"checksum":(-?\d+)\}""".r
+    val (wantN, wantCk) = txt.trim match {
+      case re(n, c) => (n.toLong, c.toLong)
+      case other => sys.error(s"unparseable artifact manifest at $path: $other")
+    }
+    val df = spark.read.parquet(path)
+    val row = df.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))"),
+        lit(0L)).as("ck")).head()
+    if (row.getLong(0) != wantN || row.getLong(1) != wantCk)
+      sys.error(s"dedup artifact $path failed verification: manifest says " +
+        s"(n_rows=$wantN, checksum=$wantCk), files say " +
+        s"(n_rows=${row.getLong(0)}, checksum=${row.getLong(1)})")
+    df
+  }
+
+  /** Write the three candidate pair sets, one generator job at a time. */
+  def writePairs(spark: SparkSession, dir: String, root: String): Unit =
+    PairMethods.foreach { m =>
+      writeArtifact(generator(spark, dir, m), s"$root/pairs_$m", "doc_a")
+    }
+
+  /** Write C18's component labels (one iterative job + one write). */
+  def writeComponents(spark: SparkSession, dir: String, root: String): Unit =
+    writeArtifact(DedupOps.dedupComponents(spark, dir),
+      s"$root/components", "doc_id")
+
+  /** Full artifact build — the once-a-day indexing job. */
+  def write(spark: SparkSession, dir: String, root: String): Unit = {
+    writePairs(spark, dir, root)
+    writeComponents(spark, dir, root)
+  }
+
+  def pairs(spark: SparkSession, root: String, method: String): DataFrame =
+    readVerified(spark, s"$root/pairs_$method")
+
+  def components(spark: SparkSession, root: String): DataFrame =
+    readVerified(spark, s"$root/components")
+
+  // ---- artifact-fed reports (byte-equal to the inline plans, ArtifactSpec)
+
+  /** C75 matrix over persisted pair sets — O(pairs), no generator caches. */
+  def agreement(spark: SparkSession, root: String): DataFrame =
+    DedupOps.agreementOf(
+      pairs(spark, root, "minhash_lsh"),
+      pairs(spark, root, "ngram_jaccard"),
+      pairs(spark, root, "simhash_band"))
+
+  /** C39 roll-up over persisted component labels — O(docs). */
+  def clusterSizes(spark: SparkSession, root: String): DataFrame =
+    DedupOps.clusterSizesOf(components(spark, root))
+
+  /** C59 keeper selection over persisted component labels. */
+  def canonical(spark: SparkSession, dir: String, root: String): DataFrame =
+    DedupOps.canonicalFrom(spark, dir, components(spark, root))
+
+  /** C82 waterfall over persisted component labels; the artifact stands in
+    * for the inline `.cache()` (both consumers re-read tiny parquet). */
+  def funnel(spark: SparkSession, dir: String, root: String): DataFrame =
+    DedupOps.funnelFrom(spark, dir, components(spark, root))
+
+  private def stagingRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-dedup-artifacts-")
+      .toString
+
+  /** The registered `q_dedup_agreement`: stage the three pair sets into a
+    * fresh root (three SEQUENTIAL generator jobs — peak residency is one
+    * generator's caches, reclaimed between jobs), then assemble the matrix
+    * from the artifacts. The matrix action touches only O(pairs) parquet:
+    * ArtifactSpec pins zero InMemoryTableScan in its plan, closing the
+    * round-6 triple-cache-residency finding. Oracle unchanged (DuckDB
+    * recomputes the generators inline — hash equality across the staging
+    * round-trip is the correctness pin). */
+  def agreementStaged(spark: SparkSession, dir: String): DataFrame = {
+    val root = stagingRoot()
+    writePairs(spark, dir, root)
+    agreement(spark, root)
+  }
+
+  /** The registered `q_dedup_funnel`: C18's labels staged by their own
+    * job, funnel assembled from the artifact — the composed action holds
+    * at most the semantic stage's caches instead of components + semantic
+    * together. */
+  def funnelStaged(spark: SparkSession, dir: String): DataFrame = {
+    val root = stagingRoot()
+    writeComponents(spark, dir, root)
+    funnel(spark, dir, root)
+  }
+}

@@ -789,7 +789,15 @@ object DedupOps {
     * own audit); the roll-ups shuffle label-keyed then land on the ≤
     * max-cluster-size key space. All integer counts. */
   def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame =
-    dedupComponents(spark, dir)
+    clusterSizesOf(dedupComponents(spark, dir))
+
+  /** C39's roll-up over an ALREADY-COMPUTED component relation — the
+    * artifact-fed path ([[DedupArtifacts]]) reads C18's persisted labels
+    * and feeds them here, so the report is an O(docs) re-read instead of a
+    * re-run of the iterative loop. Byte-equality with the inline plan is
+    * spec-pinned (ArtifactSpec). */
+  private[graft] def clusterSizesOf(comp: DataFrame): DataFrame =
+    comp
       .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"))
@@ -1086,12 +1094,38 @@ object DedupOps {
     * standalone runs at bench scale); at 100 TB the production shape feeds
     * the matrix from the generators' PERSISTED pair sets (each written
     * once by its own job) — the matrix itself is then an O(pairs) re-read,
-    * which is what the post-union plan here already is. */
-  def dedupAgreement(spark: SparkSession, dir: String): DataFrame = {
+    * which is what the post-union plan here already is. That production
+    * shape SHIPS as [[DedupArtifacts.agreementStaged]] (the registered
+    * `q_dedup_agreement`): each generator's pair set is written by its own
+    * job (peak residency = ONE generator's caches) and the matrix action
+    * reads only the persisted artifacts. This inline composition is kept
+    * as the declarative reference, byte-equality spec-pinned
+    * (ArtifactSpec, the C28→C49 precedent).
+    *
+    * Domain note (round-6 advice): the three pair sets have structurally
+    * different domains — C4 emits only SAME-SOURCE pairs already
+    * thresholded at jaccard ≥ 0.2, while C2/C14 emit corpus-wide
+    * unthresholded band-collision candidates. Cross-source duplicates can
+    * therefore never count as agreement in the mh–nj and nj–sb cells:
+    * those pair-Jaccard values are deflated BY CONSTRUCTION, not by
+    * method disagreement. The matrix is still the right QA signal (each
+    * method is compared as DEPLOYED, blocking rules included), but read
+    * the nj cells as "candidate-surface overlap", not pure detector
+    * agreement. */
+  def dedupAgreement(spark: SparkSession, dir: String): DataFrame =
+    agreementOf(
+      dedupMinhashLsh(spark, dir),
+      dedupNgramJaccard(spark, dir),
+      dedupSimhashBand(spark, dir))
+
+  /** C75's matrix assembly over three ALREADY-COMPUTED candidate pair
+    * relations (any schema with doc_a/doc_b) — shared by the inline
+    * composition above and the artifact-fed path, so the two cannot
+    * drift. Everything below the pair union is O(pairs). */
+  private[graft] def agreementOf(mh: DataFrame, nj: DataFrame,
+      sb: DataFrame): DataFrame = {
     val members = Seq(
-      "minhash_lsh" -> dedupMinhashLsh(spark, dir),
-      "ngram_jaccard" -> dedupNgramJaccard(spark, dir),
-      "simhash_band" -> dedupSimhashBand(spark, dir))
+      "minhash_lsh" -> mh, "ngram_jaccard" -> nj, "simhash_band" -> sb)
       .map { case (m, df) =>
         df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
       }.reduce(_ unionByName _)
@@ -1255,8 +1289,25 @@ object DedupOps {
     * flag joins key on doc_id (16-byte/8-byte keys) and the funnel
     * collapses map-side into ONE six-counter row expanded to 4 stage rows
     * (the C75 assembly). Callers reclaim component caches via
-    * `spark.catalog.clearCache()` (the C29 contract). */
-  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    * `spark.catalog.clearCache()` (the C29 contract). The registered
+    * `q_dedup_funnel` is [[DedupArtifacts.funnelStaged]]: C18's labels are
+    * PERSISTED by their own job and the funnel action reads the artifact,
+    * so the composed action holds at most the semantic stage's caches —
+    * this inline form is the declarative reference, byte-equality
+    * spec-pinned (ArtifactSpec). */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame =
+    // ONE component computation feeds both the membership and the keeper
+    // rule (canonicalFrom) — calling dedupCanonical here would re-run the
+    // C18 iterative loop a second time
+    funnelFrom(spark, dir, dedupComponents(spark, dir).cache())
+
+  /** C82's waterfall over an ALREADY-COMPUTED component relation (cached
+    * inline upstream, or read back from the persisted artifact) — shared
+    * by both paths so they cannot drift. `comp` is consumed twice
+    * (membership + keeper rule); the caller decides whether that reuse is
+    * a cache or a parquet re-read. */
+  private[graft] def funnelFrom(spark: SparkSession, dir: String,
+      comp: DataFrame): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         when(length(trim(col("text"))) === 0, 0L)
@@ -1264,10 +1315,6 @@ object DedupOps {
           .as("n_tok"))
     val exactKeep = dedupExact(spark, dir)
       .select(col("keep_doc_id").as("doc_id"), lit(true).as("ex"))
-    // ONE component computation feeds both the membership and the keeper
-    // rule (canonicalFrom) — calling dedupCanonical here would re-run the
-    // C18 iterative loop a second time
-    val comp = dedupComponents(spark, dir).cache()
     val nearDrop = comp
       .filter(col("component_size") > 1)
       .join(canonicalFrom(spark, dir, comp)
