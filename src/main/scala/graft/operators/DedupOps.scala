@@ -311,7 +311,17 @@ object DedupOps {
     * via the label sum, which strictly decreases until fixpoint;
     * `localCheckpoint` truncates the growing plan lineage each round. */
   def dedupComponents(spark: SparkSession, dir: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    dedupComponentsWithRounds(spark, dir, maxIters)._1
+
+  /** C18 plus its convergence-round count — the doubling pointer jump
+    * makes rounds O(log diameter), and a hash-family or edge-shape change
+    * that silently loses the shortcut (rounds drifting back to
+    * O(diameter)) would only show as wall time. The count is spec-pinned
+    * (≤ 4 on the test corpus, OperatorsSpec) so that regression fails
+    * loudly instead. */
+  private[graft] def dedupComponentsWithRounds(spark: SparkSession,
+      dir: String, maxIters: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
     val sigs = minhashSigs(spark, dir)
@@ -386,13 +396,14 @@ object DedupOps {
       multi.unpersist() // even on a non-converged throw, don't leak the cache
     }
     require(converged, s"component propagation did not converge in $maxIters rounds")
-    nodes.join(labels, nodes("node") === labels("node"), "left")
+    val out = nodes.join(labels, nodes("node") === labels("node"), "left")
       .select(nodes("node"), coalesce(labels("label"), nodes("node")).as("label"))
       .withColumn("component_size",
         count(lit(1)).over(Window.partitionBy("label")))
       .select(col("node").as("doc_id"), col("label").as("component_id"),
         col("component_size"))
       .orderBy("doc_id")
+    (out, it)
   }
 
   /** DuckDB twin — transitive closure by recursive CTE over the same

@@ -237,6 +237,17 @@ class OperatorsSpec extends SparkSpec {
     comp.unpersist(): Unit
   }
 
+  test("components converge within 4 pointer-jumped rounds") {
+    // the doubling pointer jump keeps rounds O(log diameter); a hash-family
+    // or edge-shape change that silently degrades back to O(diameter)
+    // sweeps must fail here, not as a 2x driver-round wall-time creep
+    // the label loop runs its actions during construction, so the round
+    // count is final before any action on the returned frame
+    val (_, rounds) = DedupOps.dedupComponentsWithRounds(spark, sf)
+    assert(rounds <= 4, s"component loop took $rounds driver rounds (max 4)")
+    spark.catalog.clearCache(): Unit
+  }
+
   test("minhash pairs are ordered and distinct") {
     val p = DedupOps.dedupMinhashLsh(spark, sf)
     assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)

@@ -105,4 +105,80 @@ class SkewSpec extends SparkSpec {
       .distinct().count()
     assert(pids > 1, s"hot bucket stayed on $pids partition(s)")
   }
+
+  test("AQE's skew split fires on a near-cap bucket in the C2 join shape") {
+    // the sub-cap hot-bucket story relies on AQE's runtime skew split —
+    // this PROVES it fires on this session's configs, instead of assuming:
+    // a single near-cap (band, sig) bucket dominating the shuffle must come
+    // out of the self-join as a skew-split SortMergeJoin (isSkewJoin=true),
+    // i.e. OptimizeSkewedJoin divided the hot partition into sub-splits.
+    // Thresholds are lowered to make a test-sized bucket cross the same
+    // ratios a near-MaxBucketDocs bucket crosses at real scale.
+    val sp = spark
+    import sp.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> sp.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      // one hot bucket + a cold tail; per-row pad varies so shuffle
+      // compression cannot shrink the hot partition under the threshold
+      val hot = (1L to 8000L).map(i =>
+        (0, "hotsig", i, (i * 2654435761L).toHexString * 16))
+      val tail = (1L to 600L).map(i =>
+        (1 + (i % 3).toInt, s"sig${i % 200}", 100000L + i,
+          (i * 40503L).toHexString * 16))
+      val sigs = (hot ++ tail).toDF("band", "sig", "doc_id", "pad")
+        .repartition(4, col("doc_id"))
+      // keep the pads in the join OUTPUT (column pruning would otherwise
+      // strip them before the exchange and the hot partition's shuffle
+      // bytes would never cross the lowered skew threshold), but bound the
+      // pair fan-out with a doc_id band so executing the join stays cheap —
+      // skew detection reads the MAP-SIDE partition sizes, not the output
+      val joined = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("b.doc_id") <= col("a.doc_id") + 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pad").as("pad_a"), col("b.pad").as("pad_b"))
+      // run THIS dataset's own QueryExecution (df.write would build a new
+      // one and the skew decision would be invisible here)
+      joined.queryExecution.toRdd.count(): Unit
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a
+      }.getOrElse(fail("no adaptive plan — AQE off?"))
+      // descend through query stages: the final plan is wrapped in a
+      // ResultQueryStage whose inner plan is not among its children
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      def skewJoins(p: SparkPlan): Seq[SparkPlan] = {
+        val here = p match {
+          case j: SortMergeJoinExec if j.isSkewJoin => Seq(j)
+          case j: ShuffledHashJoinExec if j.isSkewJoin => Seq(j)
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(skewJoins)
+      }
+      assert(skewJoins(adaptive.executedPlan).nonEmpty,
+        s"AQE did not skew-split the hot bucket:\n${adaptive.executedPlan}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => sp.conf.set(k, v)
+        case (k, None) => sp.conf.unset(k)
+      }
+    }
+  }
 }
