@@ -39,6 +39,11 @@ object ParamCheck {
       ("q_ann_ivf_k2_pb2lo1",
         (s, d) => EmbeddingOps.annIvf(s, d, k = 2, probeBatch = 2, probeLo = 1),
         EmbeddingOps.annIvfSqlFor(k = 2, probeBatch = 2, probeLo = 1)),
+      ("q_ann_ivf_k2_pb2lo1_np1",
+        (s, d) => EmbeddingOps.annIvf(s, d, k = 2, probeBatch = 2,
+          probeLo = 1, nprobe = 1),
+        EmbeddingOps.annIvfSqlFor(k = 2, probeBatch = 2, probeLo = 1,
+          nprobe = 1)),
       ("q_ann_hard_negatives_pb2lo1",
         (s, d) => EmbeddingOps.annHardNegatives(s, d, probeBatch = 2, probeLo = 1),
         EmbeddingOps.annHardNegativesSqlFor(probeBatch = 2, probeLo = 1)),

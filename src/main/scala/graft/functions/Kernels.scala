@@ -211,15 +211,20 @@ object Kernels {
     * recall@10 on the test corpus); OR-ing [[LshTables]] independent tables
     * recovers ~1−(1−r)^T while per-probe work stays T·corpus/2^planes —
     * bounded, never corpus². */
-  val LshTables: Int = 8
+  val LshTables: Int = 16
 
-  /** Planes (bucket bits) per LSH table — 2^5 = 32 buckets per table;
+  /** Planes (bucket bits) per LSH table — 2^4 = 16 buckets per table;
     * fewer planes than the single-table kernel on purpose: wider buckets
     * raise per-table recall, the table union multiplies it. Measured
-    * recall@10 at 8×5: 0.46 (sf0.001, distinct-plane family; 0.40 with the
-    * old 13-plane-collapsed family) vs 0.08 single-table,
-    * at ≤ T/2^planes = 25% of the brute-force candidate volume. */
-  val LshPlanes: Int = 5
+    * recall@10 at 16×4: 0.84 at sf0.001 / 0.78 at sf0.01 (was 0.46 at the
+    * round-6 8×5 sizing) vs 0.08 single-table, at ~60% of the brute-force
+    * candidate volume on this corpus. The test corpus is too small for the
+    * volume ratio to look good (T/2^planes only prunes when buckets hold
+    * many docs); at real scale PLANES grow with log(corpus) — e.g. 16-20
+    * planes at 10⁹ vectors — keeping per-table buckets cell-sized, and
+    * TABLES stay the recall knob, so candidate work remains T·n/2^planes,
+    * bounded and tunable, never corpus². */
+  val LshPlanes: Int = 4
 
   /** One sign-LSH bucket per table: table t uses planes with GLOBAL index
     * g = t·[[LshPlanes]]+p, weights [[planeW]](g, j) over dims 0..63 — the

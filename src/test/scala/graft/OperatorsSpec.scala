@@ -216,7 +216,8 @@ class OperatorsSpec extends SparkSpec {
     assert(r.filter(col("rnk") > 10).count() == 0)
     val cellsPerProbe = r.groupBy("probe_id")
       .agg(countDistinct("cent_id").as("n_cells"))
-    assert(cellsPerProbe.filter(col("n_cells") > 2).count() == 0)
+    assert(cellsPerProbe.filter(col("n_cells") > EmbeddingOps.IvfNprobe)
+      .count() == 0)
   }
 
   test("dedup components co-cluster every candidate pair, canonical = min") {
@@ -351,8 +352,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("ann recall@10 vs the exact baseline stays above the pinned floor") {
     // deterministic arithmetic → recall is exactly reproducible; floors sit
-    // just under the measured values (lsh 0.40, ivf 0.46 at sf0.001) so a
-    // param regression fails loudly while small corpus drift doesn't
+    // just under the measured values (lsh 0.84 at 16 tables × 4 planes,
+    // ivf 0.90 at nprobe=4, both sf0.001) so a param regression fails
+    // loudly while small corpus drift doesn't
     val exact = EmbeddingOps.annBruteforce(spark, sf)
       .select("probe_id", "neighbor_id").cache()
     val n = exact.count().toDouble
@@ -362,8 +364,8 @@ class OperatorsSpec extends SparkSpec {
     val rLsh = recall(EmbeddingOps.annLsh(spark, sf))
     val rIvf = recall(EmbeddingOps.annIvf(spark, sf))
     info(f"recall@10: lsh=$rLsh%.2f ivf=$rIvf%.2f")
-    assert(rLsh >= 0.30, s"multi-table LSH recall@10 regressed: $rLsh")
-    assert(rIvf >= 0.40, s"IVF nprobe=2 recall@10 regressed: $rIvf")
+    assert(rLsh >= 0.70, s"multi-table LSH recall@10 regressed: $rLsh")
+    assert(rIvf >= 0.80, s"IVF nprobe=4 recall@10 regressed: $rIvf")
     exact.unpersist(): Unit
   }
 
