@@ -94,6 +94,11 @@ object GraftSession {
       // the engine's event-time convention: NTZ wall clocks are UTC, so
       // integer epoch math matches DuckDB's epoch_us/epoch_ns bit-for-bit
       .config("spark.sql.session.timeZone", "UTC")
+      // part of the same session contract: events.ts has shipped as parquet
+      // TIMESTAMP(NANOS), readable only as a raw long under this legacy
+      // flag — pinned HERE so the Tables loaders never have to mutate
+      // session state as a read side effect (round-6 advice)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // runtime bloom-filter join pruning (selective join side injects a
       // bloom filter into the other side's scan) — Spark 4's default, pinned
       // here because it is part of this engine's 100 TB story

@@ -29,24 +29,35 @@ object Tables {
   def part(s: SparkSession, d: String)      = load(s, d, "part")
   def orders(s: SparkSession, d: String)    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
+  /** The NTZ→epoch-nanos conversion as a ZONE-INDEPENDENT expression:
+    * date + time-of-day parts composed into epoch µs, so the result never
+    * depends on `spark.sql.session.timeZone` (a cast through TIMESTAMP
+    * would interpret the wall clock in the session zone). Exact: every
+    * term is integer µs; `extract(SECOND)` carries the fractional part as
+    * an exact decimal. */
+  private def ntzEpochNanos(c: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""(unix_date(CAST($c AS DATE)) * 86400000000L
+          + 3600000000L * hour($c) + 60000000L * minute($c)
+          + CAST(extract(SECOND FROM $c) * 1000000 AS BIGINT)) * 1000L""")
+
   /** events.ts normalized to the engine contract: EPOCH NANOS AS BIGINT.
     * Integer event-time math is exact, order-independent, and cheaper than
     * timestamp codecs in a 100 TB event scan. The driver has shipped the
     * column under two encodings — parquet TIMESTAMP(NANOS) (readable only
-    * as a raw long via the legacy conf) and plain µs timestamp (Spark
-    * TIMESTAMP_NTZ) — so the loader dispatches on the file schema and
-    * converts; every operator downstream sees the same nanos long either
-    * way. The NTZ wall clock is interpreted in UTC (pinned here) to match
-    * DuckDB's `epoch_us`/`epoch_ns` on the same files. */
+    * as a raw long via the session-pinned legacy conf, see
+    * [[graft.GraftSession]]) and plain µs timestamp (Spark TIMESTAMP_NTZ)
+    * — so the loader dispatches on the file schema and converts; every
+    * operator downstream sees the same nanos long either way. The NTZ wall
+    * clock is UTC BY THE ENGINE CONTRACT and the conversion is
+    * zone-independent ([[ntzEpochNanos]]), so loading a table never
+    * mutates session state (round-6 advice: the old per-load conf sets
+    * silently changed timestamp semantics for the whole session). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
-      case _ =>
-        import org.apache.spark.sql.functions.{col, unix_micros}
-        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => raw.withColumn("ts", ntzEpochNanos("ts"))
     }
   }
 
@@ -55,11 +66,11 @@ object Tables {
     * so a caller-side `filter(ts >= nanos)` can no longer reach the scan.
     * This applies the bound to the RAW scan column (a timestamp-vs-literal
     * predicate parquet can evaluate against row-group stats → PushedFilters
-    * prunes whole row groups / partitions at 100 TB) and THEN normalizes. */
+    * prunes whole row groups / partitions at 100 TB) and THEN normalizes.
+    * The NTZ bound is built as a LocalDateTime (an NTZ literal), so the
+    * pushed comparison is zone-independent too. */
   def eventsSince(s: SparkSession, d: String, startNanos: Long): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
-    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.functions.{col, lit}
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -69,7 +80,7 @@ object Tables {
           startNanos / 1000000000L, (startNanos % 1000000000L).toInt,
           java.time.ZoneOffset.UTC)
         raw.filter(col("ts") >= lit(bound))
-          .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts", ntzEpochNanos("ts"))
     }
   }
   def documents(s: SparkSession, d: String) = load(s, d, "documents")

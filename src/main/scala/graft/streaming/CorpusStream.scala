@@ -71,7 +71,17 @@ object CorpusStream {
     * columns are ADDITIVE across any micro-batch split (spec-pinned
     * against batch C76, along with single-batch ≡ batch equality).
     * Vehicle: `foreachBatch` running the SAME `noveltyReport` plan as
-    * batch C76, with the batch epoch recorded per row. */
+    * batch C76, with the batch epoch recorded per row.
+    *
+    * Idempotence (round-6 advice): `foreachBatch` is AT-LEAST-ONCE — a
+    * crash between the sink write and the checkpoint commit replays the
+    * micro-batch with the SAME epoch id, and a blind Append would then
+    * double that epoch's rows, breaking the additive-exact report. The
+    * write is therefore partitioned by `batch_id` with DYNAMIC partition
+    * overwrite scoped to this writer: a replayed epoch rewrites exactly
+    * its own `batch_id=N` directory and every other epoch's output is
+    * untouched — replay ≡ first write, spec-pinned by a
+    * dropped-commit-marker recovery test like D22/D26's. */
   def noveltyGate(docs: DataFrame, standing: DataFrame, targetDir: String,
                   checkpointDir: String,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -82,7 +92,10 @@ object CorpusStream {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.operators.Pipeline.noveltyReport(batch, standing)
           .withColumn("batch_id", lit(epoch))
-          .write.mode(SaveMode.Append).parquet(targetDir)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
       }
       .start()
 

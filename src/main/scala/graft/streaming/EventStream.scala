@@ -18,23 +18,43 @@ import graft.functions.Exact._
   */
 object EventStream {
 
-  /** The driver's events.parquet schema: `ts` is a µs wall-clock timestamp
-    * with no zone (Spark TIMESTAMP_NTZ; see graft.sources.Tables.events for
-    * the batch-side normalization of the same column). */
+  /** The driver's events.parquet schema under the CURRENT encoding: `ts`
+    * is a µs wall-clock timestamp with no zone (Spark TIMESTAMP_NTZ; see
+    * graft.sources.Tables.events for the batch-side normalization of the
+    * same column). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. The NTZ
-    * wall clock is interpreted in UTC (pinned) and surfaced as a session
-    * TIMESTAMP so watermarks/windows behave identically to the batch twins
-    * built on Tables.events' UTC nanos. */
+  /** [[eventsSchema]] under the LEGACY encoding: parquet TIMESTAMP(NANOS)
+    * read as a raw nanos long (session contract pins the legacy conf —
+    * [[graft.GraftSession]]). */
+  val eventsSchemaLegacy: StructType = StructType(
+    eventsSchema.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
+  /** File-source stream over a directory of events parquet files. Like
+    * the batch loader, DISPATCHES on the file encoding (round-6 advice:
+    * the stream used to hard-pin the new NTZ schema, so batch and
+    * streaming supported different input surfaces): one batch footer peek
+    * picks the schema — an empty/unreadable directory defaults to the
+    * current NTZ encoding — and both paths surface `ts` as a session
+    * TIMESTAMP (UTC by the session contract) so watermarks/windows behave
+    * identically to the batch twins built on Tables.events' UTC nanos. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+    val legacy = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType == LongType)
+      .getOrElse(false)
+    if (legacy)
+      spark.readStream.schema(eventsSchemaLegacy).parquet(dir)
+        .select(col("event_id"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    else
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
   }
 
   /** Tumbling hourly window × event_type aggregation. Input needs columns

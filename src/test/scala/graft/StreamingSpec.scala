@@ -38,6 +38,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D1 readEvents dispatches on both ts encodings like the batch loader") {
+    // round-6 advice: the stream hard-pinned the new NTZ schema while
+    // Tables.events dispatched on both encodings — write the SAME instants
+    // under both and pin that the streamed rows come out identical
+    val sp = spark
+    import sp.implicits._
+    val micros = Seq(
+      (1L, 1705276800000000L, 10L, "click", 1.5, "{}"),
+      (2L, 1705276800999999L, 11L, "view", 2.0, "{}"))
+    def streamed(dir: String): Seq[Seq[Any]] = {
+      val name = "ev_" + dir.replaceAll("[^a-zA-Z0-9]", "")
+      val q = EventStream.readEvents(sp, dir)
+        .writeStream.format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      sp.table(name).collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val dirNtz = tmpDir("sev_ntz"); val dirLong = tmpDir("sev_long")
+    micros.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dirNtz)
+    micros.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dirLong)
+    val a = streamed(dirNtz); val b = streamed(dirLong)
+    assert(a.nonEmpty && a == b,
+      s"streamed encodings diverge:\n ntz=$a\n long=$b")
+  }
+
   test("D2 Sessionizer splits on gap in streaming micro-batches") {
     val sp = spark
     import sp.implicits._
@@ -1075,6 +1108,47 @@ class StreamingSpec extends SparkSpec {
       .select("source", "n_docs", "n_gram_occ", "novel_occ")
     assert(summed.except(batch).count() == 0)
     assert(batch.except(summed).count() == 0)
+    standing.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D24 replayed micro-batch is idempotent (crash before commit)") {
+    // foreachBatch is at-least-once: drop the newest checkpoint commit
+    // marker (= crash after the sink write, before the commit) and
+    // restart — the replayed epoch must rewrite ONLY its own batch_id
+    // partition, leaving the total report byte-identical
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val standing = graft.operators.Pipeline.standingGramIndex(sp, sf).cache()
+    val feed = graft.sources.Feeds.incomingDocs(sp, sf)
+      .select("source", "text").as[(String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d24r_target") + "/novelty"
+    val ckpt = tmpDir("d24r_ckpt")
+    val in = MemoryStream[(String, String)]
+    def run(): Unit = {
+      val q = CorpusStream.noveltyGate(in.toDF().toDF("source", "text"),
+        standing, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    // crash simulation: the newest commit marker vanishes (plus its local
+    // ChecksumFs .crc sidecar, which would otherwise block the re-commit)
+    val commitDir = new java.io.File(ckpt + "/commits")
+    val newest = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
+    assert(newest.delete())
+    if (crc.exists()) assert(crc.delete())
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the report (append instead of overwrite?)")
     standing.unpersist()
     sp.catalog.clearCache(): Unit
   }
