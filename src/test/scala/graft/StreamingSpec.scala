@@ -71,6 +71,172 @@ class StreamingSpec extends SparkSpec {
       s"streamed encodings diverge:\n ntz=$a\n long=$b")
   }
 
+  test("D1 late data: past-watermark stragglers drop, in-horizon rows absorb") {
+    // the watermark contract, pinned row-for-row in APPEND mode: a
+    // straggler whose window already closed (window end <= watermark) is
+    // DROPPED; a straggler still inside the horizon is ABSORBED into its
+    // open window. Watermarks advance with a one-batch lag (batch N uses
+    // the max event time of batches < N), which this sequence exploits.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.hourlyAgg(
+      in.toDF().toDF("ts", "event_type", "value"), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("d1_late")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:30:00"), "view", 2.0))
+      q.processAllAvailable()
+      // advances the watermark to 12:00 -> [10:00, 11:00) closes
+      in.addData((ts("2024-01-01 13:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      // DROPPED: window [10:00, 11:00) ended before the 12:00 watermark
+      in.addData((ts("2024-01-01 10:40:00"), "click", 100.0))
+      q.processAllAvailable()
+      // ABSORBED: [12:00, 13:00) is still open at watermark 12:00
+      in.addData((ts("2024-01-01 12:30:00"), "click", 8.0))
+      q.processAllAvailable()
+      // closes everything up to 14:30
+      in.addData((ts("2024-01-01 15:30:00"), "view", 0.5))
+      q.processAllAvailable()
+      val rows = sp.table("d1_late")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "click", 1L, 1.0), // straggler NOT added
+        (ts("2024-01-01 10:00:00"), "view", 1L, 2.0),
+        (ts("2024-01-01 12:00:00"), "click", 1L, 8.0), // absorbed straggler
+        (ts("2024-01-01 13:00:00"), "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("D4 late duplicates: deduped within the horizon, fresh after eviction") {
+    // dropDuplicatesWithinWatermark's contract pinned from both sides: a
+    // duplicate arriving while its hash is still in state is SUPPRESSED;
+    // once the watermark passes firstSeen + delay the hash is evicted and
+    // the same content is emitted as NEW (the documented horizon bound —
+    // state never answers for history older than the watermark)
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = DedupStream.dedup(
+      in.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("d4_late")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "same content"))
+      q.processAllAvailable()
+      // horizon still covers the hash (watermark 09:50): duplicate drops
+      in.addData((2L, ts("2024-01-01 10:02:00"), "same content"))
+      q.processAllAvailable()
+      // advance watermark to 10:50 -> the 10:00 hash state evicts
+      in.addData((3L, ts("2024-01-01 11:00:00"), "other"))
+      q.processAllAvailable()
+      // same content again, after eviction: emitted as new
+      in.addData((4L, ts("2024-01-01 10:55:00"), "same content"))
+      q.processAllAvailable()
+      val ids = sp.table("d4_late").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 4L),
+        s"expected dup 2 suppressed and 4 re-admitted post-eviction, got $ids")
+    } finally q.stop()
+  }
+
+  test("D7 late data: stragglers drop from every closed sliding window") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.slidingAgg(
+      in.toDF().toDF("ts", "event_type", "value"), watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("d7_late")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:20:00"), "click", 1.0))
+      q.processAllAvailable()
+      // watermark -> 11:30: every window containing 10:20 has closed
+      in.addData((ts("2024-01-01 12:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      // DROPPED: all four sliding windows over 10:25 ended before 11:30
+      in.addData((ts("2024-01-01 10:25:00"), "click", 100.0))
+      q.processAllAvailable()
+      // close the windows around 12:00
+      in.addData((ts("2024-01-01 14:00:00"), "view", 0.25))
+      q.processAllAvailable()
+      val clicks = sp.table("d7_late").filter(col("event_type") === "click")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // the 10:20 event appears in its four 15-min-slid windows, the
+      // straggler in none of them
+      assert(clicks == Set(
+        (ts("2024-01-01 09:30:00"), "click", 1L, 1.0),
+        (ts("2024-01-01 09:45:00"), "click", 1L, 1.0),
+        (ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        (ts("2024-01-01 10:15:00"), "click", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("D17/D22/D26 state plateaus at the documented bound over 50 batches") {
+    // the three no-watermark stateful families hold state keyed on a
+    // CLOSED universe (strata / sources) — drive 50 micro-batches of
+    // fresh rows over a fixed key universe and pin, via the state-store
+    // metrics, that total state rows equal the key-universe size at batch
+    // 10 and are STILL equal at batch 50: state scales with the universe,
+    // never with the stream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def drive[T](q: org.apache.spark.sql.streaming.StreamingQuery,
+        in: MemoryStream[T], batchOf: Int => Seq[T], bound: Long,
+        name: String): Unit =
+      try {
+        var at10 = -1L
+        for (b <- 1 to 50) {
+          in.addData(batchOf(b): _*); q.processAllAvailable()
+          if (b == 10) at10 = stateRows(q)
+        }
+        assert(at10 == bound, s"$name state at batch 10: $at10 != $bound")
+        assert(stateRows(q) == bound,
+          s"$name state grew past its bound: ${stateRows(q)} != $bound")
+      } finally q.stop()
+    // D17: 2 sources x 2 langs = 4 strata -> 4 state rows forever
+    val in17 = MemoryStream[DocHash]
+    drive(SampleStream.rows(in17.toDS(), k = 5).writeStream
+        .format("memory").queryName("d17_plateau").outputMode("update")
+        .start(),
+      in17,
+      b => for (s <- Seq("s0", "s1"); l <- Seq("en", "es"))
+        yield DocHash(s, l, b.toLong * 1000 + s.length * 10 + l.length,
+          b.toLong * 7919 + s.hashCode + l.hashCode),
+      bound = 4, name = "D17")
+    // D22: 2 sources -> 2 state rows, however many docs stream through
+    val base22 = Map(
+      "s0" -> BaseHist(10L, Map(0 -> 10L), Map("en" -> 10L)),
+      "s1" -> BaseHist(20L, Map(1 -> 20L), Map("es" -> 20L)))
+    val in22 = MemoryStream[DriftDoc]
+    drive(DriftStream.monitor(in22.toDS(), base22).writeStream
+        .format("memory").queryName("d22_plateau").outputMode("append")
+        .start(),
+      in22,
+      b => Seq(DriftDoc("s0", "en", b.toLong % 100),
+        DriftDoc("s1", "es", (b.toLong * 3) % 400)),
+      bound = 2, name = "D22")
+    // D26: 2 sources -> 2 state rows; clusters cycle inside a closed set
+    val base26 = Map(
+      "s0" -> SemBase(10L, Map(0L -> 10L)),
+      "s1" -> SemBase(20L, Map(1L -> 20L)))
+    val in26 = MemoryStream[SemDoc]
+    drive(SemanticDriftStream.monitor(in26.toDS(), base26).writeStream
+        .format("memory").queryName("d26_plateau").outputMode("append")
+        .start(),
+      in26,
+      b => Seq(SemDoc("s0", b.toLong % 4), SemDoc("s1", (b.toLong + 1) % 4)),
+      bound = 2, name = "D26")
+  }
+
   test("D2 Sessionizer splits on gap in streaming micro-batches") {
     val sp = spark
     import sp.implicits._
