@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   *    a superlinear curve means the PLAN concentrates work (hot bucket),
   *    not the data.
   *  - embeddings: DIMENSION rotation by 5·i (an orthogonal permutation) +
-  *    id offset. Within a replica all norms / dot products / cosines are
-  *    bit-preserved (the same permutation is applied to every vector);
-  *    across replicas cosines scramble to near-orthogonal. Cells and
-  *    buckets multiply; per-cell volume stays flat.
+  *    id offset. Elements are bitwise preserved as multisets; within a
+  *    replica all norms / dot products / cosines are preserved up to
+  *    sequential-fold rounding order (the same permutation is applied to
+  *    every vector); across replicas cosines scramble to
+  *    near-orthogonal. Cells and buckets multiply; per-cell volume stays
+  *    flat.
   *  - events: id + user_id offsets, ts untouched — user cardinality (and
   *    with it session/window key count) grows linearly over the same time
   *    range, the hard direction for per-key window work.
