@@ -158,9 +158,31 @@ object DedupArtifacts {
   def funnel(spark: SparkSession, dir: String, root: String): DataFrame =
     DedupOps.funnelFrom(spark, dir, components(spark, root))
 
-  private def stagingRoot(): String =
-    java.nio.file.Files.createTempDirectory("graft-dedup-artifacts-")
+  /** Staged roots live until JVM exit: the registered queries RETURN a
+    * lazy plan over the staged files, so the root must outlive this call
+    * (the action runs later, in Verify/Bench), but a long-running session
+    * that re-stages per call (bench runs each registered query four
+    * times) must not leak temp directories forever. */
+  private val stagedRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedRoots.forEach { r =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val p = java.nio.file.Paths.get(r)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () } // best-effort; exit anyway
+      }))
+  }
+
+  private def stagingRoot(): String = {
+    val r = java.nio.file.Files.createTempDirectory("graft-dedup-artifacts-")
       .toString
+    stagedRoots.add(r)
+    r
+  }
 
   /** The registered `q_dedup_agreement`: stage the three pair sets into a
     * fresh root (three SEQUENTIAL generator jobs — peak residency is one
