@@ -78,6 +78,11 @@ object ScaleProbe {
     * cannot fake a breach. */
   val MaxRatio: Double = 1.5 * Scales.last.toDouble / Scales.head
   val FloorSec = 0.3
+  /** Work (aggregate task-time) gate: 2× headroom over linear, 2 s floor —
+    * the work curve is the honest signal on local[32], where idle cores
+    * absorb growing work without moving wall time (see [[Work]]). */
+  val WorkMaxRatio: Double = 2.0 * Scales.last.toDouble / Scales.head
+  val WorkFloorSec = 2.0
 
   private val IdOffset = 1000000000L // clears every in-band id (incl. IVF centroid cap)
   private val UserOffset = 10000000L
@@ -129,14 +134,46 @@ object ScaleProbe {
     write("events", evReplica)
   }
 
+  /** Aggregate executor task time, collected by listener. Wall time alone
+    * is a DISHONEST scale signal on local[32]: at the base scale the 32
+    * cores are mostly idle, so a work curve growing faster than the data
+    * hides behind filling cores until they saturate — a quadratic would
+    * only surface in wall time past that point. Task time measures the
+    * WORK curve directly. */
+  private object Work extends org.apache.spark.scheduler.SparkListener {
+    private val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile private var registered = false
+    def ensure(spark: SparkSession): Unit = synchronized {
+      if (!registered) { spark.sparkContext.addSparkListener(this); registered = true }
+    }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) taskMs.addAndGet(m.executorRunTime)
+    }
+    /** Listener delivery is asynchronous — poll until the counter stops
+      * moving (bounded) so a snapshot never splits a query's tasks. */
+    def settled(): Long = {
+      var prev = -1L; var cur = taskMs.get(); var spins = 0
+      while (cur != prev && spins < 20) {
+        Thread.sleep(50); prev = cur; cur = taskMs.get(); spins += 1
+      }
+      cur
+    }
+  }
+
   /** One timed execution through the noop sink (the Bench contract:
-    * materialize everything the query declares, start cache-cold). */
+    * materialize everything the query declares, start cache-cold).
+    * Returns (wall seconds, aggregate task seconds). */
   private def timeOnce(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
-      dir: String): Double = {
+      dir: String): (Double, Double) = {
+    Work.ensure(spark)
+    val w0 = Work.settled()
     val t0 = System.nanoTime()
     fn(spark, dir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
-    (System.nanoTime() - t0) / 1e9
+    (wall, (Work.settled() - w0) / 1e3)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,27 +202,36 @@ object ScaleProbe {
     // min of two timed samples per query, scale-major so a query's samples
     // are separated by the rest of the family.
     queries.foreach { case (_, f) => timeOnce(spark, f, dirs(1)) }
-    val times: Map[(String, Int), Double] = Scales.flatMap { k =>
+    val times: Map[(String, Int), (Double, Double)] = Scales.flatMap { k =>
       val s1 = queries.map { case (n, f) => (n, k) -> timeOnce(spark, f, dirs(k)) }
       val s2 = queries.map { case (n, f) => (n, k) -> timeOnce(spark, f, dirs(k)) }
-      (s1 ++ s2).groupBy(_._1).map { case (key, vs) => key -> vs.map(_._2).min }
+      (s1 ++ s2).groupBy(_._1).map { case (key, vs) =>
+        key -> (vs.map(_._2._1).min, vs.map(_._2._2).min)
+      }
     }.toMap
 
     val ratioLabel = s"${Scales.last}x/${Scales.head}x"
     val header = f"| ${"query"}%-26s |" +
       Scales.map(k => f" ${k.toString + "x"}%7s |").mkString +
-      f" $ratioLabel%7s | gate |"
+      f" $ratioLabel%7s | ${"work-r"}%6s | gate |"
     val sep = "|" + "-" * 28 + "|" + ("-" * 9 + "|") * Scales.size +
-      "-" * 9 + "|------|"
+      "-" * 9 + "|" + "-" * 8 + "|------|"
     println(header); println(sep)
     var failed = List.empty[String]
     val rows = queries.map { case (n, _) =>
-      val t = Scales.map(k => times((n, k)))
+      val t = Scales.map(k => times((n, k))._1)
+      val w = Scales.map(k => times((n, k))._2)
       val ratio = t.last / math.max(t.head, FloorSec)
-      val ok = ratio <= MaxRatio
+      // the work gate has more headroom than the wall gate (2× vs 1.5×
+      // over linear): aggregate task time legitimately picks up log-factor
+      // costs (sort-merge, spill) before wall time does, and its
+      // base-scale floor is higher because tiny queries measure scheduler
+      // noise, not work
+      val workRatio = w.last / math.max(w.head, WorkFloorSec)
+      val ok = ratio <= MaxRatio && workRatio <= WorkMaxRatio
       if (!ok) failed ::= n
       val line = f"| $n%-26s |" + t.map(v => f" $v%6.2fs |").mkString +
-        f" $ratio%6.1fx | ${if (ok) "PASS" else "FAIL"} |"
+        f" $ratio%6.1fx | $workRatio%5.1fx | ${if (ok) "PASS" else "FAIL"} |"
       println(line)
       line
     }
