@@ -58,6 +58,10 @@ object Audit {
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale
     ("q_ann_serve", "hinted-fact-broadcast:embeddings"),
+    // C85 MaxSim: the same filter-bounded probe-batch broadcast as C6
+    // (vec_id % 100 under the ProbeBatch cap) — the corpus side reduces
+    // map-side to the bounded (probe × label) grid right after the scan
+    ("q_retrieval_maxsim", "hinted-fact-broadcast:embeddings"),
     // IVF centroid set: vec_id ≡ 50 (mod 100) under the IvfK cap
     ("q_semantic_dedup", "hinted-fact-broadcast:embeddings"),
     // C53 cell balance: the same O(IvfK) centroid broadcast as C13, plus

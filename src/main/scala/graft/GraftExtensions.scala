@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_str_hash",
       "deterministic polynomial string hash mod 2^31-1 (codepoint fold)",
       args => StrHash(args.head)))
+    ext.injectFunction(fn("graft_bloom_cells",
+      "bloom-filter bit positions of a gram string (k rows over m bits)",
+      args => BloomCells(args.head)))
     ext.injectFunction(fn("graft_cms_cells",
       "flat count-min-sketch cell indices of a string key",
       args => CmsCells(args.head)))

@@ -73,7 +73,10 @@ object ParamCheck {
         EmbeddingOps.annServeSqlFor(probeBatch = 2, probeLo = 1)),
       ("q_semantic_drift_k2_it1",
         (s, d) => EmbeddingOps.semanticDrift(s, d, k = 2, iters = 1),
-        EmbeddingOps.semanticDriftSqlFor(k = 2, iters = 1)))
+        EmbeddingOps.semanticDriftSqlFor(k = 2, iters = 1)),
+      ("q_retrieval_maxsim_pb2lo1",
+        (s, d) => EmbeddingOps.retrievalMaxsim(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.retrievalMaxsimSqlFor(probeBatch = 2, probeLo = 1)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

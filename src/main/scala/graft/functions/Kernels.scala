@@ -290,6 +290,51 @@ object Kernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Bloom-filter geometry for the decontamination screen (C84):
+    * [[BloomBits]] bits (2^18 = 32 KiB as [[BloomWordCount]] longs), k =
+    * [[BloomK]] hash rows drawn from the quadratic [[rowA]]/[[rowB]] family
+    * at rows [[BloomRow0]]..[[BloomRow0]]+k−1 — disjoint from the MinHash
+    * rows (1..12), the CMS rows (1..4) and the HLL row (13), so adding the
+    * bloom cannot correlate with any existing sketch. At the test bench-set
+    * cardinality (~hundreds of distinct grams) the load factor is far below
+    * the 1%-FP design point n ≈ m/(10k); a production deployment scales m
+    * with the benchmark-suite gram count, not with the corpus. */
+  val BloomBits: Int = 1 << 18
+  val BloomWordCount: Int = BloomBits / 64
+  val BloomK: Int = 5
+  val BloomRow0: Int = 20
+
+  /** Bit position of base-hash h under bloom row `row`:
+    * ((A_row·(h mod p) + B_row) mod p) mod m. */
+  def bloomPos(h: Long, row: Int): Int =
+    (((rowA(row.toLong) * (h % P) + rowB(row.toLong)) % P) % BloomBits).toInt
+
+  /** The k bit positions of a gram string (via [[cmsBaseHash]]) — the
+    * build-side kernel: explode, OR into words, done. */
+  def bloomCells(s: UTF8String): ArrayData = {
+    val h = cmsBaseHash(s)
+    val out = new Array[Long](BloomK)
+    var r = 0
+    while (r < BloomK) {
+      out(r) = bloomPos(h, BloomRow0 + r).toLong
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Membership probe against a built word array: true iff all k bits set.
+    * Never a false negative (every inserted gram set exactly these bits);
+    * false positives are resolved downstream by the exact confirm join. */
+  def bloomHit(h: Long, words: Array[Long]): Boolean = {
+    var r = 0
+    while (r < BloomK) {
+      val p = bloomPos(h, BloomRow0 + r)
+      if ((words(p >> 6) & (1L << (p & 63))) == 0L) return false
+      r += 1
+    }
+    true
+  }
+
   /** HyperLogLog registers: m = 64 (p = 6 index bits). 64 max-mergeable
     * bytes summarize a distinct count at any corpus size — the distributed
     * answer to COUNT(DISTINCT) when exact distinct is a full key shuffle. */
@@ -349,6 +394,8 @@ object Kernels {
       args => LshBuckets(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_str_hash",
       args => StrHash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_cells",
+      args => BloomCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_cells",
       args => CmsCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_sketch",
@@ -453,6 +500,37 @@ case class StrHash(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.cmsBaseHash($c)")
   override protected def withNewChildInternal(newChild: Expression): StrHash =
+    copy(child = newChild)
+}
+
+case class BloomCells(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bloomCells(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bloomCells($c)")
+  override protected def withNewChildInternal(newChild: Expression): BloomCells =
+    copy(child = newChild)
+}
+
+/** Bloom membership probe with the built filter bound as a reference
+  * object — the filter rides the generated code's references array (32 KiB
+  * once per task), so the probe is a branchy-but-tiny static call inside
+  * whole-stage codegen: the corpus-side screen stays one narrow codegen'd
+  * scan with NO join and NO shuffle. */
+case class BloomHitExpr(child: Expression, words: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bloomHit(input.asInstanceOf[Long], words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bloomHit($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomHitExpr =
     copy(child = newChild)
 }
 

@@ -1482,4 +1482,88 @@ object EmbeddingOps {
   }
 
   val semanticDriftSql: String = semanticDriftSqlFor()
+
+  /** Retrieved labels per query group for C85. */
+  val MaxSimTopK: Int = 3
+
+  /** C85: `q_retrieval_maxsim` — late-interaction (ColBERT-style MaxSim)
+    * retrieval scoring, the multi-vector step past C74's single-vector
+    * serving read: the probe slice grouped by `label` forms multi-vector
+    * QUERIES, the non-probe vectors grouped by `label` form multi-vector
+    * DOCUMENTS, and score(q, d) = Σ_{v∈q} max_{w∈d} cos(v, w) — each query
+    * vector keeps only its best-matching document vector, so a document
+    * scores high iff it covers every facet of the query. Top-[[MaxSimTopK]]
+    * document labels per query label.
+    *
+    * Exactness: cosines are the shared sequential-fold kernel; each
+    * per-probe maximum is an exact pick; the per-query SUM of maxima is a
+    * sequential fold in probe_id order (sorted bounded array, never a
+    * reassociable double agg), so the score is bit-reproducible on both
+    * engines.
+    *
+    * Scale: probes are the bounded broadcast every ANN query here uses —
+    * the corpus side streams once through a codegen'd broadcast nested
+    * loop, reduces map-side to (query vector × doc label) maxima
+    * (|probes|·|labels| rows, corpus-independent), and everything after is
+    * arithmetic on that bounded grid. At 100 TB the one corpus pass is the
+    * cost; a deployment needing sub-scan latency swaps the exact max for
+    * the C13/C56 index path per probe and keeps the identical fold. */
+  def retrievalMaxsim(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vectors(spark, dir)
+    val probes = v.filter(probeFilter(probeLo, probeBatch))
+      .select(col("vec_id").as("probe_id"), col("label").as("qlabel"),
+        col("embedding").as("p_emb"), col("n2").as("p_n2"))
+    val docs = v.filter(col("vec_id") % 100 =!= 0)
+    val mx = docs.join(broadcast(probes))
+      .select(col("qlabel"), col("probe_id"), col("label").as("dlabel"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+      .groupBy("qlabel", "probe_id", "dlabel").agg(max("cosine").as("mx"))
+    val scored = mx.groupBy("qlabel", "dlabel")
+      .agg(sort_array(collect_list(struct(col("probe_id"), col("mx"))))
+        .as("l"))
+      .select(col("qlabel"), col("dlabel"),
+        expr("aggregate(l, cast(0 as double), (a, x) -> a + x.mx)")
+          .as("score"),
+        size(col("l")).cast("long").as("n_q"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("qlabel")
+          .orderBy(col("score").desc, col("dlabel"))).cast("long"))
+      .filter(col("rnk") <= MaxSimTopK)
+      .select("qlabel", "dlabel", "score", "n_q", "rnk")
+      .orderBy("qlabel", "rnk")
+  }
+
+  def retrievalMaxsimSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    p AS (SELECT * FROM v WHERE ${probeSqlPred("vec_id", probeLo, probeBatch)}),
+    d AS (SELECT * FROM v WHERE vec_id % 100 <> 0),
+    s AS (
+      SELECT p.label AS qlabel, p.vec_id AS probe_id, d.label AS dlabel,
+        max(list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+          CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(d.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(p.n2) * sqrt(d.n2))) AS mx
+      FROM p, d GROUP BY 1, 2, 3),
+    g AS (
+      SELECT qlabel, dlabel,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE), list(mx ORDER BY probe_id)),
+          (x, y) -> x + y) AS score,
+        COUNT(*) AS n_q
+      FROM s GROUP BY 1, 2)
+    SELECT qlabel, dlabel, score, n_q, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY qlabel
+        ORDER BY score DESC, dlabel) AS BIGINT) AS rnk
+      FROM g) WHERE rnk <= $MaxSimTopK
+    ORDER BY qlabel, rnk"""
+
+  val retrievalMaxsimSql: String = retrievalMaxsimSqlFor()
 }

@@ -143,17 +143,31 @@ object Pipeline {
     * suite is fixed, never corpus-scaled) and rides a broadcast hash join;
     * hits partial-aggregate per doc. Clean docs survive via a left join —
     * short docs (< gram width) are trivially clean and never shingle. */
-  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val els = (1 to DecontamGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
-    val base = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
+  /** The C25/C84 gram base: one narrow tokenize pass (doc_id, source,
+    * toks) over any (doc_id, source, text) relation — batch corpus or a
+    * streaming micro-batch. */
+  private[graft] def decontamBaseOf(docs: DataFrame): DataFrame =
+    docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("source"),
         split(lower(trim(col("text"))), "\\s+").as("toks"))
-    val grams = base.filter(size(col("toks")) >= DecontamGram)
+
+  private def decontamBase(spark: SparkSession, dir: String): DataFrame =
+    decontamBaseOf(Tables.documents(spark, dir))
+
+  /** Distinct [[DecontamGram]]-token shingles per doc off [[decontamBase]]:
+    * (doc_id, gram). */
+  private[graft] def decontamGrams(base: DataFrame): DataFrame = {
+    val els = (1 to DecontamGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    base.filter(size(col("toks")) >= DecontamGram)
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence(0, size(toks) - $DecontamGram),
              i -> concat_ws(' ', $els)))""")).as("gram"))
+  }
+
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = decontamBase(spark, dir)
+    val grams = decontamGrams(base)
     val benchGrams = grams
       .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
     val hits = grams.filter(col("doc_id") % BenchMod =!= BenchRem)
@@ -1705,4 +1719,187 @@ object Pipeline {
     FROM tr JOIN nov USING (source) JOIN dr USING (source)
     JOIN pii USING (source)
     ORDER BY tr.source"""
+
+  /** C83: `q_snapshot_diff` — per-source crawl-refresh diff: classify every
+    * page of the OLD corpus vs the re-crawled snapshot
+    * ([[Feeds.recrawlSnapshot]]) as added / removed / changed / unchanged by
+    * content hash and report per-source counts plus the net byte drift.
+    * This is the report a corpus owner reads before admitting a refreshed
+    * crawl (how much churned? did a source silently lose half its pages?)
+    * and the input a downstream incremental pipeline (C58's screen, A6's
+    * sync) sizes its batch from. Mirrors the reference's full-vs-incremental
+    * reload decision surface (endpoints.py:18 vs :50) lifted to corpus
+    * scale.
+    *
+    * Exactness: statuses are md5-equality decisions; every output cell is
+    * an integer count/sum.
+    *
+    * Scale: both snapshots reduce to (doc_id, source, md5, length) in one
+    * narrow codegen'd pass each — the full outer join shuffles those
+    * fixed-width rows ONCE on doc_id (never the text), and everything after
+    * is a per-source rollup of ~sources rows. Uniform id keys, no skew; at
+    * 100 TB the cost is the two scans plus one fixed-width-row exchange. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def sig(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"), length(col("text")).cast("long").as("len"))
+    val old = sig(Tables.documents(spark, dir)).as("o")
+    val neu = sig(Feeds.recrawlSnapshot(spark, dir)).as("n")
+    val j = old.join(neu, col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(
+        coalesce(col("n.source"), col("o.source")).as("source"),
+        when(col("o.doc_id").isNull, lit("added"))
+          .when(col("n.doc_id").isNull, lit("removed"))
+          .when(col("o.h") =!= col("n.h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        (coalesce(col("n.len"), lit(0L)) - coalesce(col("o.len"), lit(0L)))
+          .as("d_len"))
+    j.groupBy("source").agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("d_len")).as("chars_delta"))
+      .orderBy("source")
+  }
+
+  val snapshotDiffSql: String = s"""
+    WITH neu AS (${Feeds.recrawlSnapshotSql}),
+    o AS (SELECT doc_id, source, md5(text) AS h, length(text) AS len
+          FROM documents),
+    n AS (SELECT doc_id, source, md5(text) AS h, length(text) AS len FROM neu),
+    j AS (
+      SELECT coalesce(n.source, o.source) AS source,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.h <> n.h THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        coalesce(n.len, 0) - coalesce(o.len, 0) AS d_len
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT source,
+      CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      CAST(sum(d_len) AS BIGINT) AS chars_delta
+    FROM j GROUP BY 1 ORDER BY source"""
+
+  /** Builds the Bloom word array over the DISTINCT benchmark grams — the
+    * "train the screen" job of C84. Distributed end-to-end: each gram
+    * explodes to its k bit positions ([[graft.functions.Kernels.bloomCells]],
+    * codegen'd), positions OR into 64-bit words map-side (`bit_or` is
+    * distributive, so partial aggregation collapses each partition to
+    * ≤ [[graft.functions.Kernels.BloomWordCount]] rows before the one tiny
+    * shuffle), and the driver materializes the finished filter. The collect
+    * is bounded by the filter GEOMETRY — ≤ 4096 rows / 32 KiB whatever the
+    * corpus or benchmark size — the same bounded-model-freeze class as the
+    * drift streams' grids (Audit-vetted); it is the "ship the trained
+    * filter" step, after which the filter rides the screen stage's codegen
+    * references. */
+  private[graft] def bloomBuild(benchGrams: DataFrame): Array[Long] = {
+    val k = graft.functions.Kernels
+    val words = new Array[Long](k.BloomWordCount)
+    benchGrams
+      .select(explode(expr("graft_bloom_cells(gram)")).as("pos"))
+      .select(expr("shiftright(pos, 6)").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("m"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** C84: `q_bloom_decontaminate` — the decontamination SCREEN at its
+    * production shape. C25 proves the semantics (every training doc sharing
+    * an 8-token shingle with the benchmark slice is contaminated) but joins
+    * EVERY training gram against the benchmark set — at 100 TB that is a
+    * corpus-wide shuffle of all grams. This operator screens the way a
+    * production pipeline does:
+    *
+    *   1. BUILD: benchmark grams → 32 KiB Bloom filter (one bounded job,
+    *      [[bloomBuild]]);
+    *   2. SCREEN: every training gram probes the filter INSIDE the scan —
+    *      [[graft.functions.Kernels.BloomHitExpr]] is a codegen'd static
+    *      call, so the non-contaminated bulk (at 100 TB, ~everything) dies
+    *      in the narrow pass with NO join and NO shuffle;
+    *   3. CONFIRM: only Bloom survivors (true hits + a bounded
+    *      false-positive residue) reach the exact gram join, so the one
+    *      shuffle is O(survivors + benchmark), not O(corpus).
+    *
+    * The confirm join makes the Bloom invisible to the RESULT (no false
+    * negatives by construction, false positives rejected exactly), so the
+    * per-source report equals the exact C25 aggregation — which is exactly
+    * what the DuckDB oracle computes, Bloom-free. Output cells are integer
+    * counts only.
+    *
+    * Reference: the reference re-validates its full table on every reload
+    * (etl_service.py:570-633); this is that gate re-thought for a corpus
+    * where re-joining everything is no longer an option. */
+  /** The SCREEN + CONFIRM stage shared by batch C84 and its streaming twin
+    * (D27, [[graft.streaming.BloomGateStream]]): per-doc contamination
+    * verdicts for any (doc_id, source, text) relation against a frozen
+    * Bloom filter `words` and the exact benchmark gram set. Stateless per
+    * input row group — in streaming every verdict completes inside its
+    * micro-batch. */
+  private[graft] def bloomScreen(docs: DataFrame, benchGrams: DataFrame,
+      words: Array[Long]): DataFrame = {
+    val base = decontamBaseOf(docs)
+    val survivors = decontamGrams(base).filter(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BloomHitExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            expr("graft_str_hash(gram)")), words)))
+    val hits = survivors.join(benchGrams, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    base.select("doc_id", "source")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val base = decontamBase(spark, dir)
+    val benchGrams = decontamGrams(base)
+      .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
+    val words = bloomBuild(benchGrams)
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % BenchMod =!= BenchRem)
+    bloomScreen(train, benchGrams, words)
+      .groupBy("source").agg(
+        count(lit(1)).as("docs_screened"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("docs_contaminated"),
+        sum(col("n_hits")).as("grams_hit_total"),
+        max(col("n_hits")).as("max_hits"))
+      .orderBy("source")
+  }
+
+  /** Oracle: the exact decontamination aggregation per source — the Bloom
+    * is a plan optimization the confirm join erases from the result. */
+  val bloomDecontaminateSql: String = {
+    val cat = (1 to DecontamGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(0, len(toks) - ${DecontamGram - 1}), i ->
+          $cat))) AS gram
+      FROM d WHERE len(toks) >= $DecontamGram),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = $BenchRem),
+    h AS (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN b ON g.gram = b.gram
+      WHERE g.doc_id % $BenchMod <> $BenchRem GROUP BY 1)
+    SELECT d.source, COUNT(*) AS docs_screened,
+      CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS docs_contaminated,
+      CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS grams_hit_total,
+      max(coalesce(h.n_hits, 0)) AS max_hits
+    FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % $BenchMod <> $BenchRem
+    GROUP BY 1 ORDER BY d.source"""
+  }
 }

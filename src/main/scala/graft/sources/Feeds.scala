@@ -224,4 +224,48 @@ object Feeds {
       i.lang, i.source
     FROM documents i LEFT JOIN documents s ON s.doc_id = i.doc_id - $IncrRem
     WHERE i.doc_id % $IncrMod = $IncrRem"""
+
+  /** doc_id residue classes defining the re-crawl snapshot's mutation
+    * slices (see [[recrawlSnapshot]]). Pairwise-coprime moduli so the
+    * gone/edited/cloned classes overlap naturally (gone wins over edited:
+    * a page that disappeared cannot also ship an edit). */
+  val GoneMod: Int = 17;  val GoneRem: Int = 3
+  val EditMod: Int = 13;  val EditRem: Int = 5
+  val CloneMod: Int = 19; val CloneRem: Int = 11
+  /** Id offset of cloned (newly-discovered) pages — far above any test
+    * corpus id so clone ids never collide with standing ids. */
+  val CloneBase: Long = 10000000L
+
+  /** The corpus RE-CRAWLED: yesterday's `documents` as today's crawler saw
+    * it. Deterministic mutation slices drive every branch of a snapshot
+    * differ: doc_id % [[GoneMod]] == [[GoneRem]] pages are GONE (404 on
+    * re-crawl); % [[EditMod]] == [[EditRem]] pages were EDITED (a ' rev2'
+    * suffix — content hash must flip); % [[CloneMod]] == [[CloneRem]]
+    * pages were each DISCOVERED once more at a new URL (id + [[CloneBase]])
+    * with reversed text — new ids a differ must class as additions. One
+    * narrow projection + a filtered union of the same scan: no shuffle in
+    * the feed itself. */
+  def recrawlSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs.filter(col("doc_id") % GoneMod =!= GoneRem)
+      .select(col("doc_id"),
+        when(col("doc_id") % EditMod === EditRem,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+    val found = docs.filter(col("doc_id") % CloneMod === CloneRem)
+      .select((col("doc_id") + CloneBase).as("doc_id"),
+        reverse(col("text")).as("text"), col("lang"), col("source"))
+    kept.unionByName(found)
+  }
+
+  /** DuckDB twin of [[recrawlSnapshot]] (a full SELECT, usable as a CTE
+    * body). */
+  val recrawlSnapshotSql: String = s"""
+    SELECT doc_id,
+      CASE WHEN doc_id % $EditMod = $EditRem THEN text || ' rev2'
+        ELSE text END AS text, lang, source
+    FROM documents WHERE doc_id % $GoneMod <> $GoneRem
+    UNION ALL
+    SELECT doc_id + $CloneBase AS doc_id, reverse(text) AS text, lang, source
+    FROM documents WHERE doc_id % $CloneMod = $CloneRem"""
 }

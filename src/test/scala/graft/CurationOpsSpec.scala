@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+import graft.operators.{EmbeddingOps, Pipeline}
+import graft.sources.{Feeds, Tables}
+
+/** C83 snapshot diff, C84 bloom decontaminate, C85 retrieval MaxSim. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("snapshot diff statuses reconcile exactly with the mutation slices") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nRemoved = docs.count(_._1 % Feeds.GoneMod == Feeds.GoneRem)
+    val nAdded = docs.count(_._1 % Feeds.CloneMod == Feeds.CloneRem)
+    val nChanged = docs.count(d =>
+      d._1 % Feeds.GoneMod != Feeds.GoneRem && d._1 % Feeds.EditMod == Feeds.EditRem)
+    val nUnchanged = docs.length - nRemoved - nChanged
+    val out = Pipeline.snapshotDiff(spark, sf).collect()
+    assert(out.map(_.getLong(1)).sum == nAdded)
+    assert(out.map(_.getLong(2)).sum == nRemoved)
+    assert(out.map(_.getLong(3)).sum == nChanged)
+    assert(out.map(_.getLong(4)).sum == nUnchanged)
+    // byte drift: +5 per edited page (' rev2'), +len per discovered clone
+    // (reverse preserves length), −len per gone page
+    val expectedDelta = 5L * nChanged +
+      docs.filter(_._1 % Feeds.CloneMod == Feeds.CloneRem).map(_._3).sum -
+      docs.filter(_._1 % Feeds.GoneMod == Feeds.GoneRem).map(_._3).sum
+    assert(out.map(_.getLong(5)).sum == expectedDelta)
+    // one row per source present in either snapshot, sorted
+    assert(out.map(_.getString(0)).toSeq == out.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("bloom kernel: zero false negatives, bounded deterministic FPs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val members = (0 until 500).map(i => s"member gram number $i")
+    val words = new Array[Long](Kernels.BloomWordCount)
+    for (m <- members) {
+      val cells = Kernels.bloomCells(UTF8String.fromString(m))
+      (0 until cells.numElements()).foreach { i =>
+        val p = cells.getLong(i).toInt
+        words(p >> 6) |= 1L << (p & 63)
+      }
+    }
+    val h = (s: String) => Kernels.cmsBaseHash(UTF8String.fromString(s))
+    assert(members.forall(m => Kernels.bloomHit(h(m), words)),
+      "a bloom filter must never report false negatives")
+    val probes = (0 until 20000).map(i => s"non member probe $i")
+    val fp = probes.count(p => Kernels.bloomHit(h(p), words))
+    // 500 grams in 2^18 bits, k=5: expected FP rate ~ (500*5/2^18)^5 ≈ 1e-10
+    assert(fp <= 5, s"false-positive count $fp out of bound at this load factor")
+  }
+
+  test("bloom decontaminate equals the exact per-source aggregation") {
+    val exact = Pipeline.corpusDecontaminate(spark, sf)
+      .groupBy("source").agg(
+        count(lit(1)).as("docs_screened"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("docs_contaminated"),
+        sum(col("n_hits")).as("grams_hit_total"),
+        max(col("n_hits")).as("max_hits"))
+      .orderBy("source").collect().toSeq
+    val bloom = Pipeline.bloomDecontaminate(spark, sf).collect().toSeq
+    assert(bloom == exact,
+      "the confirm join must erase the bloom from the result")
+    assert(bloom.exists(_.getLong(2) > 0),
+      "the corpus fixture must exercise real contamination hits")
+  }
+
+  test("bloom screen sits in the scan as a codegen'd filter") {
+    val plan = Pipeline.bloomDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomhit"),
+      "the bloom probe must appear as a native filter in the physical plan")
+  }
+
+  test("maxsim: ranking invariants and score bounds hold") {
+    val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getInt(0))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq)
+      // scores non-increasing down the ranking, ties broken by dlabel
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(sorted.length <= EmbeddingOps.MaxSimTopK)
+      // |score| ≤ n_q: each probe contributes one cosine in [−1, 1]
+      assert(sorted.forall(r => math.abs(r.getDouble(2)) <= r.getLong(3) + 1e-9))
+    }
+  }
+
+  test("maxsim top-1 matches an independently-folded recomputation") {
+    val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
+      .filter(_.getLong(4) == 1L)
+    // recompute score(qlabel, dlabel) driver-side from raw vectors
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def n2(v: Array[Float]) = v.map(x => x.toDouble * x.toDouble).sum
+    val probes = vecs.filter(v => v._1 % 100 == 0 && v._1 < 6400)
+    val docs = vecs.filter(_._1 % 100 != 0)
+    for (r <- out) {
+      val (ql, dl) = (r.getInt(0), r.getInt(1))
+      val score = probes.filter(_._2 == ql).sortBy(_._1).map { p =>
+        docs.filter(_._2 == dl).map { d =>
+          val dot = p._3.zip(d._3).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          dot / (math.sqrt(n2(p._3)) * math.sqrt(n2(d._3)))
+        }.max
+      }.sum
+      assert(math.abs(score - r.getDouble(2)) < 1e-9,
+        s"qlabel=$ql dlabel=$dl")
+    }
+  }
+}

@@ -1399,4 +1399,87 @@ class StreamingSpec extends SparkSpec {
       sp.catalog.clearCache()
     } finally q.stop()
   }
+
+  test("D27 streaming bloom gate over two batches equals the batch screen") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // train the filter batch-side (production: last night's eval-prep job)
+    val docs = graft.sources.Tables.documents(sp, sf)
+    val benchGrams = graft.operators.Pipeline.decontamGrams(
+        graft.operators.Pipeline.decontamBaseOf(docs))
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod ===
+        graft.operators.Pipeline.BenchRem)
+      .select("gram").distinct().cache()
+    val words = graft.operators.Pipeline.bloomBuild(benchGrams)
+    val feed = docs
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod =!=
+        graft.operators.Pipeline.BenchRem)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d27_target") + "/verdicts"
+    val ckpt = tmpDir("d27_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit =
+      BloomGateStream.gate(in.toDF().toDF("doc_id", "source", "text"),
+        benchGrams, words, target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    assert(sp.read.parquet(target).select("batch_id").distinct().count() == 2)
+    // stateless gate: the union of per-batch verdicts is exactly the
+    // batch screen (C25's per-doc relation) over the same doc set
+    val streamed = sp.read.parquet(target)
+      .select("doc_id", "source", "n_hits", "contaminated")
+    val batch = graft.operators.Pipeline.corpusDecontaminate(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.filter(col("contaminated")).count() > 0,
+      "fixture must exercise real contamination through the stream")
+    benchGrams.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D27 replayed micro-batch is idempotent (crash before commit)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+    val benchGrams = graft.operators.Pipeline.decontamGrams(
+        graft.operators.Pipeline.decontamBaseOf(docs))
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod ===
+        graft.operators.Pipeline.BenchRem)
+      .select("gram").distinct().cache()
+    val words = graft.operators.Pipeline.bloomBuild(benchGrams)
+    val feed = docs
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod =!=
+        graft.operators.Pipeline.BenchRem)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d27r_target") + "/verdicts"
+    val ckpt = tmpDir("d27r_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit =
+      BloomGateStream.gate(in.toDF().toDF("doc_id", "source", "text"),
+        benchGrams, words, target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    val commitDir = new java.io.File(ckpt + "/commits")
+    val newest = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
+    assert(newest.delete())
+    if (crc.exists()) assert(crc.delete())
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the verdicts (append instead of overwrite?)")
+    benchGrams.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
 }
