@@ -66,7 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => StrHash(args.head)))
     ext.injectFunction(fn("graft_bloom_cells",
       "bloom-filter bit positions of a gram string (k rows over m bits)",
-      args => BloomCells(args.head)))
+      args => BloomCells(args.head, if (args.length > 1) args(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(
+          Kernels.BloomBits))))
     ext.injectFunction(fn("graft_cms_cells",
       "flat count-min-sketch cell indices of a string key",
       args => CmsCells(args.head)))

@@ -65,7 +65,9 @@ object ScaleProbe {
     "q_ann_lsh",            // ANN: 16-table hyperplane LSH search
     "q_ann_ivf",            // ANN: IVF nprobe search
     "q_corpus_pack_hier",   // pack: hierarchical two-pass prefix sum
-    "q_events_sessionize")  // events: per-user gap sessionization
+    "q_events_sessionize",  // events: per-user gap sessionization
+    "q_snapshot_diff",      // diff: fixed-width full-outer on doc_id
+    "q_retrieval_maxsim")   // maxsim: probe broadcast, (probe x label) grid
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
@@ -189,7 +191,17 @@ object ScaleProbe {
       Probes.map(n => n -> SparkEntry.queries(n)) :+
         ("semantic_dedup_kscaled" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.EmbeddingOps.semanticDedup(s, d, k = 100000000)))
+            graft.operators.EmbeddingOps.semanticDedup(s, d, k = 100000000))) :+
+        // C84 run the way a deployment would: the filter is sized to the
+        // benchmark-suite gram count (m = 2^22 holds the 16x bench set at
+        // the same ~38% fill as the default geometry holds 1x), so FP
+        // survivors — and with them the confirm join — stay proportional
+        // to true hits at every probed scale. The default m would saturate
+        // at 8x and silently degrade the probe into measuring C25's shape.
+        ("bloom_decontam_msized" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Pipeline.bloomDecontaminate(s, d,
+              mBits = 1 << 22)))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
     val dirs: Map[Int, String] = Scales.map { k =>

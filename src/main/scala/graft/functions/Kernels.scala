@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -304,31 +304,35 @@ object Kernels {
   val BloomK: Int = 5
   val BloomRow0: Int = 20
 
-  /** Bit position of base-hash h under bloom row `row`:
+  /** Bit position of base-hash h under bloom row `row` in an m-bit filter:
     * ((A_row·(h mod p) + B_row) mod p) mod m. */
-  def bloomPos(h: Long, row: Int): Int =
-    (((rowA(row.toLong) * (h % P) + rowB(row.toLong)) % P) % BloomBits).toInt
+  def bloomPos(h: Long, row: Int, mBits: Int): Int =
+    (((rowA(row.toLong) * (h % P) + rowB(row.toLong)) % P) % mBits).toInt
 
-  /** The k bit positions of a gram string (via [[cmsBaseHash]]) — the
-    * build-side kernel: explode, OR into words, done. */
-  def bloomCells(s: UTF8String): ArrayData = {
+  /** The k bit positions of a gram string (via [[cmsBaseHash]]) in an
+    * m-bit filter — the build-side kernel: explode, OR into words, done.
+    * m rides as a second (constant-folded) argument so a deployment sizes
+    * the filter to ITS benchmark-suite gram count. */
+  def bloomCells(s: UTF8String, mBits: Int): ArrayData = {
     val h = cmsBaseHash(s)
     val out = new Array[Long](BloomK)
     var r = 0
     while (r < BloomK) {
-      out(r) = bloomPos(h, BloomRow0 + r).toLong
+      out(r) = bloomPos(h, BloomRow0 + r, mBits).toLong
       r += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** Membership probe against a built word array: true iff all k bits set.
-    * Never a false negative (every inserted gram set exactly these bits);
-    * false positives are resolved downstream by the exact confirm join. */
+  /** Membership probe against a built word array (m = 64·words.length,
+    * carried by the filter itself): true iff all k bits set. Never a false
+    * negative (every inserted gram set exactly these bits); false
+    * positives are resolved downstream by the exact confirm join. */
   def bloomHit(h: Long, words: Array[Long]): Boolean = {
+    val m = words.length << 6
     var r = 0
     while (r < BloomK) {
-      val p = bloomPos(h, BloomRow0 + r)
+      val p = bloomPos(h, BloomRow0 + r, m)
       if ((words(p >> 6) & (1L << (p & 63))) == 0L) return false
       r += 1
     }
@@ -395,7 +399,8 @@ object Kernels {
     reg.createOrReplaceTempFunction("graft_str_hash",
       args => StrHash(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_cells",
-      args => BloomCells(args.head), "built-in")
+      args => BloomCells(args.head,
+        if (args.length > 1) args(1) else Literal(BloomBits)), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_cells",
       args => CmsCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_sketch",
@@ -503,16 +508,18 @@ case class StrHash(child: Expression)
     copy(child = newChild)
 }
 
-case class BloomCells(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes = Seq(StringType)
+case class BloomCells(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override protected def nullSafeEval(input: Any): Any =
-    Kernels.bloomCells(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(gram: Any, mBits: Any): Any =
+    Kernels.bloomCells(gram.asInstanceOf[UTF8String],
+      mBits.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bloomCells($c)")
-  override protected def withNewChildInternal(newChild: Expression): BloomCells =
-    copy(child = newChild)
+    defineCodeGen(ctx, ev,
+      (g, m) => s"graft.functions.Kernels.bloomCells($g, $m)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomCells = copy(left = newLeft, right = newRight)
 }
 
 /** Bloom membership probe with the built filter bound as a reference

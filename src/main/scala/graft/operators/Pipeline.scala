@@ -1796,11 +1796,11 @@ object Pipeline {
     * drift streams' grids (Audit-vetted); it is the "ship the trained
     * filter" step, after which the filter rides the screen stage's codegen
     * references. */
-  private[graft] def bloomBuild(benchGrams: DataFrame): Array[Long] = {
-    val k = graft.functions.Kernels
-    val words = new Array[Long](k.BloomWordCount)
+  private[graft] def bloomBuild(benchGrams: DataFrame,
+      mBits: Int = graft.functions.Kernels.BloomBits): Array[Long] = {
+    val words = new Array[Long](mBits / 64)
     benchGrams
-      .select(explode(expr("graft_bloom_cells(gram)")).as("pos"))
+      .select(explode(expr(s"graft_bloom_cells(gram, $mBits)")).as("pos"))
       .select(expr("shiftright(pos, 6)").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("m"))
       .groupBy("w").agg(expr("bit_or(m)").as("m"))
@@ -1857,12 +1857,13 @@ object Pipeline {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
-  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def bloomDecontaminate(spark: SparkSession, dir: String,
+      mBits: Int = graft.functions.Kernels.BloomBits): DataFrame = {
     graft.functions.Kernels.register(spark)
     val base = decontamBase(spark, dir)
     val benchGrams = decontamGrams(base)
       .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
-    val words = bloomBuild(benchGrams)
+    val words = bloomBuild(benchGrams, mBits)
     val train = Tables.documents(spark, dir)
       .filter(col("doc_id") % BenchMod =!= BenchRem)
     bloomScreen(train, benchGrams, words)

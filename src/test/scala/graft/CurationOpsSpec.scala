@@ -37,7 +37,7 @@ class CurationOpsSpec extends SparkSpec {
     val members = (0 until 500).map(i => s"member gram number $i")
     val words = new Array[Long](Kernels.BloomWordCount)
     for (m <- members) {
-      val cells = Kernels.bloomCells(UTF8String.fromString(m))
+      val cells = Kernels.bloomCells(UTF8String.fromString(m), Kernels.BloomBits)
       (0 until cells.numElements()).foreach { i =>
         val p = cells.getLong(i).toInt
         words(p >> 6) |= 1L << (p & 63)
@@ -65,6 +65,17 @@ class CurationOpsSpec extends SparkSpec {
       "the confirm join must erase the bloom from the result")
     assert(bloom.exists(_.getLong(2) > 0),
       "the corpus fixture must exercise real contamination hits")
+  }
+
+  test("a saturated bloom still yields the exact result (confirm join)") {
+    // m = 64 bits for hundreds of bench grams → FP rate ≈ 1: every gram
+    // survives the screen and the confirm join must reject all of them
+    // exactly — the degraded-filter worst case collapses to C25's exact
+    // shape, never to wrong answers
+    val tiny = Pipeline.bloomDecontaminate(spark, sf, mBits = 64).collect().toSeq
+    val default = Pipeline.bloomDecontaminate(spark, sf).collect().toSeq
+    assert(tiny == default,
+      "filter geometry must never leak into the result")
   }
 
   test("bloom screen sits in the scan as a codegen'd filter") {

@@ -371,4 +371,37 @@ class PlanSpec extends SparkSpec {
     val leaves = scanLeaves("q_corpus_shard")
     assert(!leaves.contains("file") && leaves.count(_ == "mem") == 2, leaves)
   }
+
+  test("runtime bloom-filter join pruning fires under the session contract") {
+    // GraftSession pins spark.sql.optimizer.runtime.bloomFilter.enabled as
+    // part of the 100 TB story (a selective dimension side injects a bloom
+    // filter into the fact scan, pruning shuffle input at the source) —
+    // this PROVES the optimizer actually injects it on this session's
+    // configs instead of assuming: size thresholds are lowered so a
+    // test-sized fact side crosses the same ratios a 100 TB scan crosses
+    // in production, then the shuffle join's fact side must carry a
+    // might_contain probe fed by a bloom_filter_agg subquery.
+    val sp = spark
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> sp.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      val docs = graft.sources.Tables.documents(sp, sf)
+      val dim = docs.filter(col("source") === "src3")
+        .select(col("doc_id").as("k"))
+      val joined = docs.join(dim, docs("doc_id") === dim("k"))
+        .select(col("doc_id"), col("text"))
+      val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"runtime bloom filter was not injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
 }
