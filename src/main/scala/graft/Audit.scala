@@ -48,6 +48,13 @@ object Audit {
     ("q_text_lang_confusion", "global-window"),
     // calendar-bounded monthly feature matrix
     ("q_sales_forecast_features", "global-window"),
+    // C86: the global window runs over the quality-bucket HISTOGRAM
+    // (bounded grid, ≤ distinct floor(q·10^6) values), and the running
+    // fact window is filtered to the ONE boundary bucket b* before the
+    // sort — a corpus where b* is still too large recurses the same
+    // histogram split at finer scale (documented in the scaladoc)
+    ("q_token_budget_fill", "global-window"),
+    ("q_token_budget_fill", "running-window-over-fact:documents"),
     // ANN probe batches: vec_id % 100 under a fixed cap (ProbeBatch) —
     // filter-bounded, no aggregate, O(batch) at any corpus size
     ("q_ann_bruteforce", "hinted-fact-broadcast:embeddings"),

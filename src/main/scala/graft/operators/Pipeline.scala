@@ -1875,6 +1875,105 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** C86 budget: the fill target is this fraction of the corpus's total
+    * token mass (div — exact integer). */
+  val FillBudgetDiv: Int = 4
+
+  /** Quality-bucket granularity for C86's histogram threshold: bucket =
+    * floor(score · 10^6). */
+  val FillBucketScale: Double = 1.0e6
+
+  /** C86: `q_token_budget_fill` — fill a training-token budget with the
+    * highest-quality documents: rank by (quality_score DESC, doc_id) and
+    * admit the maximal prefix whose cumulative token count fits the budget
+    * (total corpus tokens div [[FillBudgetDiv]]). This is the selection a
+    * budgeted pretraining run makes ("we can afford N tokens — take the
+    * best corpus that fits"), the budget-constrained sibling of C63's
+    * threshold sweep.
+    *
+    * Scale: the naive plan is a GLOBAL SORT of the corpus by score plus a
+    * single-partition running sum — both non-starters at 100 TB. This plan
+    * finds the admission threshold from a BOUNDED histogram instead:
+    *
+    *   1. one narrow codegen'd pass scores each doc and buckets the score
+    *      (floor(q·10^6) — exact, so equal scores share a bucket and the
+    *      (score, doc_id) order never straddles buckets);
+    *   2. per-bucket token subtotals (bounded grid, map-side combined),
+    *      cumulated top-down over the grid (a bounded-window scan, the C49
+    *      device) to locate the BOUNDARY bucket b*: buckets above it fit
+    *      entirely, buckets below are entirely out;
+    *   3. full buckets admit with a broadcast threshold compare (narrow);
+    *      only the boundary bucket's docs — one bucket, not the corpus —
+    *      run the exact (score DESC, doc_id) prefix window, offset by the
+    *      mass above.
+    *
+    * A corpus where one bucket is still too large recurses the same
+    * histogram split inside b* at a finer scale; the test-scale plan stops
+    * at one level (documented, like C28→C49's chunk constant).
+    *
+    * Exactness: token counts and budget are exact longs (budget = div);
+    * scores are the shared C9 double chain, identical in both engines, and
+    * the admitted SET is determined by exact comparisons, so the oracle's
+    * declarative global-window cumsum selects the identical rows.
+    */
+  def tokenBudgetFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        TextOps.qualityScoreCol(col("text")).as("quality_score"))
+      .withColumn("bkt",
+        floor(col("quality_score") * lit(FillBucketScale)).cast("long"))
+      // one materialization feeds the budget total, the histogram and both
+      // admit branches — four canonically-different subtrees otherwise
+      // re-run the regex scoring scan four times (the C21 cache rule)
+      .cache()
+    val budget = scored.agg(sum("n_tok").as("t"))
+      .select(expr(s"t div $FillBudgetDiv").as("budget"))
+    val grid = scored.groupBy("bkt").agg(sum("n_tok").as("btok"))
+    // bounded-grid cumulation (≤ distinct-score buckets, never the corpus)
+    val wDesc = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = grid.withColumn("cum_incl", sum("btok").over(wDesc))
+      .withColumn("cum_above", col("cum_incl") - col("btok"))
+    val bstar = cums.crossJoin(broadcast(budget))
+      .filter(col("cum_above") <= col("budget"))
+      .agg(min(struct(col("bkt"), col("cum_above"), col("budget")))
+        .as("s"))
+      .select(col("s.bkt").as("bstar"), col("s.cum_above").as("offset"),
+        col("s.budget").as("budget"))
+    val full = scored.join(broadcast(bstar), col("bkt") > col("bstar"))
+    val wBucket = Window.partitionBy("bkt")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = scored.join(broadcast(bstar), col("bkt") === col("bstar"))
+      .withColumn("cum_in", sum("n_tok").over(wBucket))
+      .filter(col("offset") + col("cum_in") <= col("budget"))
+    full.select("doc_id", "source", "n_tok", "quality_score")
+      .unionByName(
+        boundary.select("doc_id", "source", "n_tok", "quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetFillSql: String = s"""
+    WITH q AS (
+      SELECT doc_id, source, n_tok, ${TextOps.qualitySqlScore} AS quality_score
+      FROM (
+        SELECT doc_id, source, n_tok, ${TextOps.qualitySqlRatios}
+        FROM (
+          SELECT doc_id, source, ${TextOps.qualitySqlMeasures}
+          FROM documents)
+        WHERE n_chars_d > 0 AND n_tok > 0)),
+    b AS (SELECT CAST(sum(n_tok) // $FillBudgetDiv AS BIGINT) AS budget FROM q),
+    w AS (
+      SELECT doc_id, source, n_tok, quality_score,
+        SUM(n_tok) OVER (ORDER BY quality_score DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM q)
+    SELECT doc_id, source, n_tok, quality_score
+    FROM w, b WHERE cum <= budget ORDER BY doc_id"""
+
   /** Oracle: the exact decontamination aggregation per source — the Bloom
     * is a plan optimization the confirm join erases from the result. */
   val bloomDecontaminateSql: String = {

@@ -85,6 +85,33 @@ class CurationOpsSpec extends SparkSpec {
       "the bloom probe must appear as a native filter in the physical plan")
   }
 
+  test("budget fill equals the naive global-sort prefix exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // the declarative reference: global (score DESC, doc_id) window cumsum
+    val scored = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0 && length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"),
+        graft.operators.TextOps.qualityScoreCol(col("text"))
+          .as("quality_score"))
+    val total = scored.agg(sum("n_tok")).collect()(0).getLong(0)
+    val budget = total / Pipeline.FillBudgetDiv
+    val naive = scored.withColumn("cum", sum("n_tok").over(
+        Window.orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "source", "n_tok", "quality_score")
+      .orderBy("doc_id").collect().toSeq
+    val fill = Pipeline.tokenBudgetFill(spark, sf).collect().toSeq
+    assert(fill == naive,
+      "histogram-threshold admission must equal the global-sort prefix")
+    // the budget binds: admitted mass fits, and no further doc would
+    val admitted = fill.map(_.getLong(2)).sum
+    assert(admitted <= budget)
+    assert(fill.nonEmpty && fill.size < scored.count())
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)
