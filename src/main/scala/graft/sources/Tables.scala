@@ -172,4 +172,42 @@ object Tables {
   def readJsonLines(s: SparkSession, path: String,
                     schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.read.schema(schema).json(path)
+
+  /** Raw text-file corpus ingest — the shape a crawler dump lands in (one
+    * document per `*.txt` file, the id in the file name): wholetext read →
+    * `documents`-shaped rows (doc_id, text). Files whose names don't carry
+    * an id are surfaced with doc_id NULL (quarantine them, don't guess).
+    *
+    * Scale: file listing is driver-side but parallelized by Spark's
+    * InMemoryFileIndex; each file is one row, so the small-files problem is
+    * the real enemy at 100 TB — size `spark.sql.files.openCostInBytes` for
+    * packing many tiny files per task, and compact with [[Export.compact]]
+    * into parquet after ONE pass (this reader is the ingest edge, never the
+    * steady-state format). */
+  def readTextCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.option("wholetext", "true").text(dir)
+      .select(
+        nullif(regexp_extract(input_file_name(), "doc_(\\d+)\\.txt$", 1),
+          lit("")).cast("long").as("doc_id"),
+        col("value").as("text"))
+  }
+
+  /** Raw binary corpus ingest (images/audio/video payloads) via the
+    * `binaryFile` source, normalized to the multimodal plumbing's shape:
+    * (doc_id from the file name, payload, byte_len, sha256). The codec
+    * decode stays downstream (MultimodalOps' documented stub); this is the
+    * storage edge. Same small-files guidance as [[readTextCorpus]];
+    * `pathGlobFilter` keeps the listing from sweeping unrelated files. */
+  def readBinaryCorpus(s: SparkSession, dir: String,
+                       glob: String = "*.bin"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+      .select(
+        nullif(regexp_extract(col("path"), "doc_(\\d+)\\.[a-z0-9]+$", 1),
+          lit("")).cast("long").as("doc_id"),
+        col("content").as("payload"),
+        col("length").as("byte_len"),
+        sha2(col("content"), 256).as("sha256"))
+  }
 }

@@ -230,4 +230,47 @@ class ExportSpec extends SparkSpec {
     val after = sp.read.parquet(dir).as[(Long, Long)].collect().toSeq.sorted
     assert(after == expect)
   }
+
+  test("raw text-corpus ingest: one doc per file, ids from names") {
+    val sp = spark
+    val dir = tmpDir("raw_text")
+    val docs = Seq(3L -> "first document text", 17L -> "second one\nwith a newline")
+    for ((id, text) <- docs)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"doc_$id.txt"), text)
+    // an EMPTY file yields no row (the text source's contract — a crawler's
+    // zero-byte fetch is absence, not an empty document)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "doc_42.txt"), "")
+    // a file the naming contract doesn't cover → doc_id NULL, not a guess
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "README.txt"), "not a doc")
+    val got = graft.sources.Tables.readTextCorpus(sp, dir)
+    val byId = got.collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toMap
+    assert(byId.size == 3 && !byId.contains(Some(42L)))
+    assert(byId(Some(3L)) == "first document text")
+    assert(byId(Some(17L)) == "second one\nwith a newline")
+    assert(byId(None) == "not a doc")
+  }
+
+  test("raw binary-corpus ingest: payload, length and sha round-trip") {
+    val sp = spark
+    val dir = tmpDir("raw_bin")
+    val payload = Array.tabulate[Byte](257)(i => (i * 7 % 251).toByte)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "doc_9.bin"), payload)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "ignore.txt"), "filtered out by glob")
+    val got = graft.sources.Tables.readBinaryCorpus(sp, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 9L)
+    assert(r.getAs[Array[Byte]](1).toSeq == payload.toSeq)
+    assert(r.getLong(2) == 257L)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    assert(r.getString(3) == hex)
+  }
 }
