@@ -96,6 +96,12 @@ object Audit {
     // decontamination eval slice: doc_id % 100 == 7 — a fixed 1% eval set
     // whose gram explosion is eval-sized, never corpus-sized
     ("q_corpus_decontaminate", "hinted-fact-broadcast:documents"),
+    // C87: the same benchmark-gram broadcast as C25 (bench-slice bounded);
+    // the island windows partition by doc_id over HIT rows only —
+    // per-partition work is one doc's gram-hit count (per-entity
+    // sequential), and a deployment puts the C84 Bloom screen in front
+    ("q_contamination_spans", "hinted-fact-broadcast:documents"),
+    ("q_contamination_spans", "running-window-over-fact:documents"),
     // the test-scale declarative reference: its 100 TB path SHIPS as
     // q_corpus_pack_hier, row-for-row spec-pinned (the B21→B24 precedent)
     ("q_corpus_pack", "running-window-over-fact:documents"),

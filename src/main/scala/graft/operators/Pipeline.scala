@@ -2002,4 +2002,97 @@ object Pipeline {
     WHERE d.doc_id % $BenchMod <> $BenchRem
     GROUP BY 1 ORDER BY d.source"""
   }
+
+  /** C87: `q_contamination_spans` — SURGICAL decontamination: instead of
+    * dropping a contaminated document whole (C25/C84's verdict), locate the
+    * exact token spans that overlap the benchmark so the pipeline can
+    * excise the spans and keep the rest — the standard practice when a long
+    * document quotes one benchmark item. Each positioned training-doc
+    * 8-gram that matches a benchmark gram covers tokens [i, i+7]; matched
+    * windows are merged into maximal spans per doc (classic
+    * running-max-of-end islands), reported with their token extents and
+    * the gram-hit count per span.
+    *
+    * Exactness: token positions and span extents are pure integers; island
+    * assignment is the identical window arithmetic in both engines.
+    *
+    * Scale: the gram explode + benchmark join is the C25 shape (and at
+    * 100 TB a deployment composes the C84 Bloom screen in front of the
+    * join verbatim — same gram relation, same confirm join, survivors
+    * only). Everything AFTER the join — the island windows — runs on HIT
+    * rows only, partitioned by doc_id: per-partition work is bounded by a
+    * document's own gram-hit count, the per-entity-sequential class the
+    * audit vets, and a clean corpus costs ~nothing past the scan. */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val els = (1 to DecontamGram)
+      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    val base = decontamBase(spark, dir)
+    // positioned grams: i = 0-based start-token index of the window
+    val grams = base.filter(size(col("toks")) >= DecontamGram)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $DecontamGram),
+             i -> concat_ws(' ', $els))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("gram"))
+    val benchGrams = grams
+      .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
+    val hits = grams.filter(col("doc_id") % BenchMod =!= BenchRem)
+      .join(broadcast(benchGrams), "gram")
+      .select(col("doc_id"), col("i"), (col("i") + DecontamGram - 1).as("end"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("prev_end", max("end").over(wPrev))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("i") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(wRun))
+      .groupBy("doc_id", "span_id").agg(
+        min("i").as("start_tok"),
+        max("end").as("end_tok"),
+        count(lit(1)).as("n_gram_hits"))
+      .withColumn("tokens_excised", col("end_tok") - col("start_tok") + 1L)
+      .orderBy("doc_id", "span_id")
+  }
+
+  val contaminationSpansSql: String = {
+    val cat = (1 to DecontamGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id,
+        unnest(range(0, len(toks) - ${DecontamGram - 1})) AS i,
+        unnest(list_transform(range(0, len(toks) - ${DecontamGram - 1}),
+          i -> $cat)) AS gram
+      FROM d WHERE len(toks) >= $DecontamGram),
+    b AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = $BenchRem),
+    h AS (
+      SELECT g.doc_id, g.i, g.i + ${DecontamGram - 1} AS "end"
+      FROM g JOIN b ON g.gram = b.gram
+      WHERE g.doc_id % $BenchMod <> $BenchRem),
+    marked AS (
+      SELECT doc_id, i, "end",
+        CASE WHEN max("end") OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR i > max("end") OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS new_span
+      FROM h),
+    islands AS (
+      SELECT doc_id, i, "end",
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM marked)
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+      min(i) AS start_tok, max("end") AS end_tok,
+      COUNT(*) AS n_gram_hits,
+      max("end") - min(i) + 1 AS tokens_excised
+    FROM islands GROUP BY 1, 2 ORDER BY doc_id, span_id"""
+  }
 }

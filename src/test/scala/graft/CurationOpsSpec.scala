@@ -112,6 +112,39 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("contamination spans are maximal, disjoint, and cover every hit") {
+    val spans = Pipeline.contaminationSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(spans.nonEmpty, "fixture must produce contaminated spans")
+    for ((_, docSpans) <- spans.groupBy(_._1)) {
+      val ordered = docSpans.sortBy(_._2)
+      // span ids are a dense 1..n sequence per doc
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq)
+      for (s <- ordered) {
+        assert(s._3 <= s._4)                        // start ≤ end
+        assert(s._6 == s._4 - s._3 + 1)             // excised = extent
+        assert(s._4 - s._3 + 1 >= Pipeline.DecontamGram) // ≥ one gram window
+        assert(s._5 >= 1)                           // ≥ one hit per span
+      }
+      // maximal merge: consecutive spans never touch or overlap
+      for (pair <- ordered.sliding(2).filter(_.length == 2)) {
+        val (a, b) = (pair(0), pair(1))
+        assert(b._3 > a._4,
+          s"spans $a and $b overlap or touch — merge is not maximal")
+      }
+    }
+    // reconciliation: exactly the C25-contaminated docs carry spans (C87
+    // counts positioned occurrences, C25 distinct grams — so only the doc
+    // SETS are comparable, and they must coincide)
+    val perDocHits = spans.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val c25 = Pipeline.corpusDecontaminate(spark, sf).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(perDocHits.keySet == c25.keySet)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)

@@ -79,7 +79,7 @@ class EdgeSpec extends SparkSpec {
       "q_substr_dup_spans", "q_feed_novelty", "q_frame_dedup",
       "q_semantic_drift", "q_ann_serve",
       "q_snapshot_diff", "q_bloom_decontaminate", "q_retrieval_maxsim",
-      "q_token_budget_fill")
+      "q_token_budget_fill", "q_contamination_spans")
     for (q <- corpusQueries) {
       val n = SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
