@@ -76,7 +76,10 @@ object ParamCheck {
         EmbeddingOps.semanticDriftSqlFor(k = 2, iters = 1)),
       ("q_retrieval_maxsim_pb2lo1",
         (s, d) => EmbeddingOps.retrievalMaxsim(s, d, probeBatch = 2, probeLo = 1),
-        EmbeddingOps.retrievalMaxsimSqlFor(probeBatch = 2, probeLo = 1)))
+        EmbeddingOps.retrievalMaxsimSqlFor(probeBatch = 2, probeLo = 1)),
+      ("q_token_budget_fill_div8",
+        (s, d) => graft.operators.Pipeline.tokenBudgetFill(s, d, budgetDiv = 8),
+        graft.operators.Pipeline.tokenBudgetFillSqlFor(budgetDiv = 8)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1916,7 +1916,8 @@ object Pipeline {
     * the admitted SET is determined by exact comparisons, so the oracle's
     * declarative global-window cumsum selects the identical rows.
     */
-  def tokenBudgetFill(spark: SparkSession, dir: String): DataFrame = {
+  def tokenBudgetFill(spark: SparkSession, dir: String,
+      budgetDiv: Int = FillBudgetDiv): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(spark, dir)
       .filter(length(col("text")) > 0 && length(trim(col("text"))) > 0)
@@ -1930,7 +1931,7 @@ object Pipeline {
       // re-run the regex scoring scan four times (the C21 cache rule)
       .cache()
     val budget = scored.agg(sum("n_tok").as("t"))
-      .select(expr(s"t div $FillBudgetDiv").as("budget"))
+      .select(expr(s"t div $budgetDiv").as("budget"))
     val grid = scored.groupBy("bkt").agg(sum("n_tok").as("btok"))
     // bounded-grid cumulation (≤ distinct-score buckets, never the corpus)
     val wDesc = Window.orderBy(col("bkt").desc)
@@ -1956,7 +1957,7 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val tokenBudgetFillSql: String = s"""
+  def tokenBudgetFillSqlFor(budgetDiv: Int = FillBudgetDiv): String = s"""
     WITH q AS (
       SELECT doc_id, source, n_tok, ${TextOps.qualitySqlScore} AS quality_score
       FROM (
@@ -1965,7 +1966,7 @@ object Pipeline {
           SELECT doc_id, source, ${TextOps.qualitySqlMeasures}
           FROM documents)
         WHERE n_chars_d > 0 AND n_tok > 0)),
-    b AS (SELECT CAST(sum(n_tok) // $FillBudgetDiv AS BIGINT) AS budget FROM q),
+    b AS (SELECT CAST(sum(n_tok) // $budgetDiv AS BIGINT) AS budget FROM q),
     w AS (
       SELECT doc_id, source, n_tok, quality_score,
         SUM(n_tok) OVER (ORDER BY quality_score DESC, doc_id
@@ -1973,6 +1974,8 @@ object Pipeline {
       FROM q)
     SELECT doc_id, source, n_tok, quality_score
     FROM w, b WHERE cum <= budget ORDER BY doc_id"""
+
+  val tokenBudgetFillSql: String = tokenBudgetFillSqlFor()
 
   /** Oracle: the exact decontamination aggregation per source — the Bloom
     * is a plan optimization the confirm join erases from the result. */
@@ -2023,21 +2026,30 @@ object Pipeline {
     * rows only, partitioned by doc_id: per-partition work is bounded by a
     * document's own gram-hit count, the per-entity-sequential class the
     * audit vets, and a clean corpus costs ~nothing past the scan. */
-  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Positioned grams of a (doc_id, …, toks) relation: (doc_id, i, gram)
+    * with i the 0-based start-token index — shared by batch C87 and its
+    * streaming twin. */
+  private[graft] def positionedGrams(base: DataFrame): DataFrame = {
     val els = (1 to DecontamGram)
       .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
-    val base = decontamBase(spark, dir)
-    // positioned grams: i = 0-based start-token index of the window
-    val grams = base.filter(size(col("toks")) >= DecontamGram)
+    base.filter(size(col("toks")) >= DecontamGram)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $DecontamGram),
              i -> concat_ws(' ', $els))""")))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("gram"))
-    val benchGrams = grams
-      .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
-    val hits = grams.filter(col("doc_id") % BenchMod =!= BenchRem)
+  }
+
+  /** The SPAN screen shared by batch C87 and its streaming twin (D28,
+    * [[graft.streaming.SpanGateStream]]): maximal contaminated token
+    * islands for any (doc_id, source, text) relation against the exact
+    * benchmark gram set. The island windows partition by doc_id over HIT
+    * rows only; in streaming every span completes inside its micro-batch
+    * (a document never straddles batches). */
+  private[graft] def spanScreen(docs: DataFrame,
+      benchGrams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = positionedGrams(decontamBaseOf(docs))
       .join(broadcast(benchGrams), "gram")
       .select(col("doc_id"), col("i"), (col("i") + DecontamGram - 1).as("end"))
     val wPrev = Window.partitionBy("doc_id").orderBy("i")
@@ -2055,7 +2067,15 @@ object Pipeline {
         max("end").as("end_tok"),
         count(lit(1)).as("n_gram_hits"))
       .withColumn("tokens_excised", col("end_tok") - col("start_tok") + 1L)
-      .orderBy("doc_id", "span_id")
+  }
+
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val base = decontamBase(spark, dir)
+    val benchGrams = positionedGrams(base)
+      .filter(col("doc_id") % BenchMod === BenchRem).select("gram").distinct()
+    val train = Tables.documents(spark, dir)
+      .filter(col("doc_id") % BenchMod =!= BenchRem)
+    spanScreen(train, benchGrams).orderBy("doc_id", "span_id")
   }
 
   val contaminationSpansSql: String = {

@@ -1482,4 +1482,41 @@ class StreamingSpec extends SparkSpec {
     benchGrams.unpersist()
     sp.catalog.clearCache(): Unit
   }
+
+  test("D28 streaming span gate over two batches equals batch C87") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = graft.sources.Tables.documents(sp, sf)
+    val benchGrams = graft.operators.Pipeline.positionedGrams(
+        graft.operators.Pipeline.decontamBaseOf(docs))
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod ===
+        graft.operators.Pipeline.BenchRem)
+      .select("gram").distinct().cache()
+    val feed = docs
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod =!=
+        graft.operators.Pipeline.BenchRem)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d28_target") + "/spans"
+    val ckpt = tmpDir("d28_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit =
+      SpanGateStream.gate(in.toDF().toDF("doc_id", "source", "text"),
+        benchGrams, target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    // stateless gate: the union of per-batch spans is exactly batch C87
+    // over the same doc set (docs never straddle micro-batches)
+    val streamed = sp.read.parquet(target)
+      .select("doc_id", "span_id", "start_tok", "end_tok", "n_gram_hits",
+        "tokens_excised")
+    val batch = graft.operators.Pipeline.contaminationSpans(sp, sf)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    benchGrams.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
 }
