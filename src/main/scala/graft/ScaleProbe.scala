@@ -67,7 +67,9 @@ object ScaleProbe {
     "q_corpus_pack_hier",   // pack: hierarchical two-pass prefix sum
     "q_events_sessionize",  // events: per-user gap sessionization
     "q_snapshot_diff",      // diff: fixed-width full-outer on doc_id
-    "q_retrieval_maxsim")   // maxsim: probe broadcast, (probe x label) grid
+    "q_retrieval_maxsim",   // maxsim: probe broadcast, (probe x label) grid
+    "q_token_budget_fill",  // fill: histogram threshold, boundary window
+    "q_contamination_spans") // spans: positioned-gram join, per-doc islands
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
