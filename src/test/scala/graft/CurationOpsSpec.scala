@@ -145,6 +145,33 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("bloom gate -> span screen chain loses no spans (no false negatives)") {
+    // the deployment story: the cheap Bloom verdict drops the clean bulk
+    // and only flagged docs reach the positioned-gram join. Sound iff the
+    // filter never misses a contaminated doc — pin the composition: spans
+    // over the bloom-flagged docs ≡ spans over the full training slice.
+    val verdicts = Pipeline.bloomDecontaminate(spark, sf) // warms nothing; per-source
+    val train = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Pipeline.BenchMod =!= Pipeline.BenchRem)
+    val benchGrams = Pipeline.positionedGrams(
+        Pipeline.decontamBaseOf(Tables.documents(spark, sf)))
+      .filter(col("doc_id") % Pipeline.BenchMod === Pipeline.BenchRem)
+      .select("gram").distinct().cache()
+    val words = Pipeline.bloomBuild(benchGrams)
+    val flaggedIds = Pipeline.bloomScreen(train, benchGrams, words)
+      .filter(col("contaminated")).select("doc_id")
+    val chained = Pipeline.spanScreen(
+        train.join(flaggedIds, "doc_id"), benchGrams)
+      .orderBy("doc_id", "span_id").collect().toSeq
+    val direct = Pipeline.spanScreen(train, benchGrams)
+      .orderBy("doc_id", "span_id").collect().toSeq
+    assert(chained == direct && direct.nonEmpty,
+      "the bloom prefilter must not change the span report")
+    assert(verdicts.count() > 0)
+    benchGrams.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)
