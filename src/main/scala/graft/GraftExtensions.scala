@@ -78,6 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_hll_sketch",
       "HyperLogLog register-vector aggregate of a long column (m=64)",
       args => HllSketchAgg(args.head)))
+    ext.injectFunction(fn("graft_gram_agg",
+      "quantized Gram/covariance matrix aggregate of an embedding column",
+      args => GramMatrixAgg(args.head)))
     ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }

@@ -339,6 +339,40 @@ object Kernels {
     true
   }
 
+  /** Gram-matrix aggregate geometry (C88): [[GramDims]]² quantized-product
+    * cells + [[GramDims]] per-dim sums + 1 count = 4161 longs (33 KiB of
+    * distributive state per partition at ANY corpus size). Quantization
+    * q = floor(x·[[GramScale]] + 0.5) makes every sum an exact integer —
+    * the C62 device — and the scale is sized for headroom: q² ≤ 10^8 per
+    * element (unit-ish embeddings), so the product sums stay inside a
+    * signed long past 10^10 vectors. */
+  val GramDims: Int = 64
+  val GramScale: Long = 10000L
+  val GramBufLen: Int = GramDims * GramDims + GramDims + 1
+
+  def gramQ(x: Float): Long =
+    math.floor(x.toDouble * GramScale + 0.5).toLong
+
+  /** Accumulate one embedding into a gram buffer: upper-triangle product
+    * cells (i·64 + j for i ≤ j), per-dim sums, count. */
+  def gramUpdate(buf: Array[Long], emb: ArrayData): Unit = {
+    val n = math.min(GramDims, emb.numElements())
+    val q = new Array[Long](GramDims)
+    var i = 0
+    while (i < n) { q(i) = gramQ(emb.getFloat(i)); i += 1 }
+    i = 0
+    while (i < GramDims) {
+      buf(GramDims * GramDims + i) += q(i)
+      var j = i
+      while (j < GramDims) {
+        buf(i * GramDims + j) += q(i) * q(j)
+        j += 1
+      }
+      i += 1
+    }
+    buf(GramBufLen - 1) += 1L
+  }
+
   /** HyperLogLog registers: m = 64 (p = 6 index bits). 64 max-mergeable
     * bytes summarize a distinct count at any corpus size — the distributed
     * answer to COUNT(DISTINCT) when exact distinct is a full key shuffle. */
@@ -407,6 +441,8 @@ object Kernels {
       args => CountMinSketchAgg(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_hll_sketch",
       args => HllSketchAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_gram_agg",
+      args => GramMatrixAgg(args.head), "built-in")
   }
 }
 
@@ -614,6 +650,66 @@ case class CountMinSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CountMinSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Quantized Gram/covariance matrix of an embedding column as a custom
+  * Catalyst aggregate — buffer is the flat [[Kernels.GramBufLen]] cell
+  * array (upper-triangle q_i·q_j product sums, per-dim q sums, count);
+  * update quantizes one vector and accumulates ([[Kernels.gramUpdate]]);
+  * merge is cellwise addition (commutative + associative → distributive
+  * partial aggregation, 33 KiB of state per partition at any corpus
+  * size). Every cell is an exact integer, so the result is
+  * order-independent and bit-reproducible — a distributed double
+  * covariance would be neither. */
+case class GramMatrixAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  private val size = Kernels.GramBufLen
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](size)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Kernels.gramUpdate(buf, v.asInstanceOf[ArrayData])
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(size * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](size)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrixAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramMatrixAgg =
     copy(child = newChildren.head)
 }
 

@@ -1566,4 +1566,62 @@ object EmbeddingOps {
     ORDER BY qlabel, rnk"""
 
   val retrievalMaxsimSql: String = retrievalMaxsimSqlFor()
+
+  /** C88: `q_embed_covariance` — the second-moment audit of the embedding
+    * space: quantized Gram matrix (upper triangle), per-dim sums and the
+    * vector count, from which a consumer derives covariance / correlation
+    * to design PQ subspace splits (C55), detect redundant dimensions
+    * before whitening, or catch an encoder regression that collapses
+    * dimensions (the C46 norm audit's cross-dim sibling).
+    *
+    * Exactness: values quantize to integers (q = floor(x·10^4 + 0.5), the
+    * C62 device), so every cell is an exact long sum — order-independent
+    * where a distributed double covariance would be shuffle-order
+    * nondeterministic. The quantization bias is bounded (|x·S − q| ≤ ½ per
+    * element) and irrelevant for an audit read.
+    *
+    * Scale: ONE pass through a native distributive aggregate
+    * ([[graft.functions.GramMatrixAgg]]) whose state is a flat 33 KiB cell
+    * array per partition — partial aggregation map-side, one tiny merge,
+    * never a (vector × dim × dim) explode (the naive shape shuffles
+    * 4096× the corpus). The 2080-row output is grid-sized at any corpus
+    * size. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val k = graft.functions.Kernels
+    val d2 = k.GramDims * k.GramDims
+    val g = Tables.embeddings(spark, dir)
+      .agg(expr("graft_gram_agg(embedding)").as("g"))
+    g.select(col("g"), posexplode(expr(s"slice(g, 1, $d2)")))
+      .select(col("g"),
+        expr(s"cast(pos div ${k.GramDims} as bigint)").as("dim_i"),
+        expr(s"cast(pos % ${k.GramDims} as bigint)").as("dim_j"),
+        col("col").as("s_prod"))
+      .filter(col("dim_i") <= col("dim_j"))
+      .select(col("dim_i"), col("dim_j"), col("s_prod"),
+        expr(s"element_at(g, cast($d2 + dim_i + 1 as int))").as("s_i"),
+        expr(s"element_at(g, cast($d2 + dim_j + 1 as int))").as("s_j"),
+        expr(s"element_at(g, ${k.GramBufLen})").as("n_vecs"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val embedCovarianceSql: String = {
+    val k = graft.functions.Kernels
+    s"""
+    WITH q AS (
+      SELECT vec_id, u.i AS dim,
+        CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
+          * ${k.GramScale} + 0.5) AS BIGINT) AS q
+      FROM embeddings, unnest(range(0, ${k.GramDims})) AS u(i)),
+    s AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    p AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+        CAST(SUM(a.q * b.q) AS BIGINT) AS s_prod
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2)
+    SELECT p.dim_i, p.dim_j, p.s_prod, si.s AS s_i, sj.s AS s_j, n.n_vecs
+    FROM p JOIN s si ON si.dim = p.dim_i JOIN s sj ON sj.dim = p.dim_j, n
+    ORDER BY dim_i, dim_j"""
+  }
 }

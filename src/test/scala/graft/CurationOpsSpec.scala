@@ -172,6 +172,32 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("covariance grid: moment inequalities hold, one cell recomputes") {
+    val k = graft.functions.Kernels
+    val rows = EmbeddingOps.embedCovariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == k.GramDims * (k.GramDims + 1) / 2)
+    val n = rows.head._6
+    assert(n == Tables.embeddings(spark, sf).count())
+    for (r <- rows) {
+      assert(r._1 <= r._2)
+      if (r._1 == r._2) {
+        assert(r._3 >= 0L)                       // Σq² ≥ 0
+        assert(r._3 * n >= r._4 * r._4,          // n·Σq² ≥ (Σq)² (variance ≥ 0)
+          s"dim ${r._1}: ${r._3} * $n < ${r._4}^2")
+      }
+    }
+    // recompute the (0, 1) cell and both dim sums driver-side
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    val q = (x: Float) => math.floor(x.toDouble * k.GramScale + 0.5).toLong
+    val expect01 = vecs.map(v => q(v(0)) * q(v(1))).sum
+    val expectS0 = vecs.map(v => q(v(0))).sum
+    val cell = rows.find(r => r._1 == 0 && r._2 == 1).get
+    assert(cell._3 == expect01 && cell._4 == expectS0)
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)

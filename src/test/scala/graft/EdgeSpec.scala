@@ -90,6 +90,9 @@ class EdgeSpec extends SparkSpec {
       .count() == 3)
     assert(SparkEntry.queries("q_span_savings")(spark, emptyDir)
       .count() == 1)
+    // the covariance grid keeps its 2080-cell shape (zeros, n_vecs = 0)
+    assert(SparkEntry.queries("q_embed_covariance")(spark, emptyDir)
+      .count() == 64 * 65 / 2)
     spark.catalog.clearCache(): Unit
   }
 }
