@@ -1586,12 +1586,17 @@ object EmbeddingOps {
     * never a (vector × dim × dim) explode (the naive shape shuffles
     * 4096× the corpus). The 2080-row output is grid-sized at any corpus
     * size. */
-  def embedCovariance(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.Kernels.register(spark)
+  /** The C88 grid builder over any relation with an `embedding` column —
+    * shared by batch C88 and its streaming twin (D29,
+    * [[graft.streaming.GramStream]]): one aggregate pass → the 2080-row
+    * upper-triangle relation. Every cell is an exact integer, and the grid
+    * is ADDITIVE over disjoint row sets (cellwise long sums), which is
+    * what makes the streaming twin's per-epoch grids composable. */
+  private[graft] def gramGrid(embeds: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(embeds.sparkSession)
     val k = graft.functions.Kernels
     val d2 = k.GramDims * k.GramDims
-    val g = Tables.embeddings(spark, dir)
-      .agg(expr("graft_gram_agg(embedding)").as("g"))
+    val g = embeds.agg(expr("graft_gram_agg(embedding)").as("g"))
     g.select(col("g"), posexplode(expr(s"slice(g, 1, $d2)")))
       .select(col("g"),
         expr(s"cast(pos div ${k.GramDims} as bigint)").as("dim_i"),
@@ -1602,8 +1607,10 @@ object EmbeddingOps {
         expr(s"element_at(g, cast($d2 + dim_i + 1 as int))").as("s_i"),
         expr(s"element_at(g, cast($d2 + dim_j + 1 as int))").as("s_j"),
         expr(s"element_at(g, ${k.GramBufLen})").as("n_vecs"))
-      .orderBy("dim_i", "dim_j")
   }
+
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    gramGrid(Tables.embeddings(spark, dir)).orderBy("dim_i", "dim_j")
 
   val embedCovarianceSql: String = {
     val k = graft.functions.Kernels

@@ -1519,4 +1519,33 @@ class StreamingSpec extends SparkSpec {
     benchGrams.unpersist()
     sp.catalog.clearCache(): Unit
   }
+
+  test("D29 per-epoch gram grids sum cellwise to the batch covariance") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val vecs = graft.sources.Tables.embeddings(sp, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val (b1, b2) = vecs.splitAt(vecs.size / 2)
+    val target = tmpDir("d29_target") + "/grids"
+    val ckpt = tmpDir("d29_ckpt")
+    val in = MemoryStream[(Long, Array[Float])]
+    def run(): Unit =
+      GramStream.monitor(in.toDF().toDF("vec_id", "embedding"),
+        target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    // additivity: exact integer cells, so the running grid IS the sum
+    val summed = streamed.groupBy("dim_i", "dim_j").agg(
+      sum("s_prod").as("s_prod"), sum("s_i").as("s_i"),
+      sum("s_j").as("s_j"), sum("n_vecs").as("n_vecs"))
+    val batch = graft.operators.EmbeddingOps.embedCovariance(sp, sf)
+    assert(summed.count() == batch.count())
+    assert(summed.except(batch).count() == 0)
+    assert(batch.except(summed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
 }
