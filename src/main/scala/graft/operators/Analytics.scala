@@ -1090,4 +1090,114 @@ object Analytics {
       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS suma_k,
       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** Attribution lookback window (µs): a touch older than this before the
+    * purchase earns no credit. */
+  val AttributionWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** B42: `q_events_attribution` — first-touch / last-touch conversion
+    * attribution: each purchase event credits its value to the FIRST and
+    * to the LAST non-purchase touch by the same user inside the
+    * [[AttributionWindowUs]] lookback, reported per (model, touch type)
+    * with conversion counts and attributed cents; purchases with no touch
+    * in the window land in the '(none)' bucket so the models always
+    * account for every conversion. The marketing-analog of the
+    * reference's sales reporting joined to its scheduler/audit stream.
+    *
+    * Exactness: credit is exact integer cents (floor(v·100 + 0.5));
+    * first/last picks are row_number with a full (ts, event_id) tie-break
+    * — deterministic in both engines even under timestamp collisions.
+    *
+    * Scale: purchases ⋈ touches equi-keys on user_id with the time band
+    * as a residual predicate — per-user fanout is bounded by the user's
+    * own 7-day activity (the B41 bot screen bounds hot users upstream,
+    * same vetting as sessionize), and the per-purchase pick windows run
+    * on that bounded candidate relation, never the raw stream. Everything
+    * after collapses map-side onto the (model × touch-type) grid. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ts_us").as("t_ts"), col("event_type").as("t_type"))
+    val cand = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - AttributionWindowUs)
+    val wLast = Window.partitionBy("p_id")
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    val wFirst = Window.partitionBy("p_id")
+      .orderBy(col("t_ts").asc, col("t_id").asc)
+    val picks = cand
+      .withColumn("rn_l", row_number().over(wLast))
+      .withColumn("rn_f", row_number().over(wFirst))
+      .groupBy("p_id").agg(
+        max(when(col("rn_l") === 1, col("t_type"))).as("last_touch"),
+        max(when(col("rn_f") === 1, col("t_type"))).as("first_touch"))
+    val attributed = purchases.join(picks, Seq("p_id"), "left")
+      .select(col("cents"),
+        coalesce(col("first_touch"), lit("(none)")).as("first_touch"),
+        coalesce(col("last_touch"), lit("(none)")).as("last_touch"))
+    val first = attributed.groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("attributed_cents"))
+      .withColumn("model", lit("first_touch"))
+    val last = attributed.groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("cents").as("attributed_cents"))
+      .withColumn("model", lit("last_touch"))
+    first.unionByName(last)
+      .select("model", "touch_type", "n_conversions", "attributed_cents")
+      .orderBy("model", "touch_type")
+  }
+
+  val eventsAttributionSql: String = s"""
+    WITH ev AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        event_type, value
+      FROM events),
+    p AS (
+      SELECT event_id AS p_id, user_id, ts_us AS p_ts,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM ev WHERE event_type = 'purchase'),
+    t AS (
+      SELECT user_id, event_id AS t_id, ts_us AS t_ts,
+        event_type AS t_type
+      FROM ev WHERE event_type <> 'purchase'),
+    cand AS (
+      SELECT p.p_id, p.cents, t.t_id, t.t_ts, t.t_type
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - $AttributionWindowUs),
+    rk AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY p_id
+          ORDER BY t_ts DESC, t_id DESC) AS rn_l,
+        row_number() OVER (PARTITION BY p_id
+          ORDER BY t_ts ASC, t_id ASC) AS rn_f
+      FROM cand),
+    picks AS (
+      SELECT p_id,
+        max(CASE WHEN rn_l = 1 THEN t_type END) AS last_touch,
+        max(CASE WHEN rn_f = 1 THEN t_type END) AS first_touch
+      FROM rk GROUP BY 1),
+    attributed AS (
+      SELECT p.cents,
+        coalesce(picks.first_touch, '(none)') AS first_touch,
+        coalesce(picks.last_touch, '(none)') AS last_touch
+      FROM p LEFT JOIN picks USING (p_id))
+    SELECT 'first_touch' AS model, first_touch AS touch_type,
+      COUNT(*) AS n_conversions,
+      CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM attributed GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch' AS model, last_touch AS touch_type,
+      COUNT(*) AS n_conversions,
+      CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM attributed GROUP BY 2
+    ORDER BY model, touch_type"""
 }

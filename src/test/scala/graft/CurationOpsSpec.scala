@@ -198,6 +198,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(cell._3 == expect01 && cell._4 == expectS0)
   }
 
+  test("attribution: every conversion accounted once under each model") {
+    import graft.operators.Analytics
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val nPurch = purchases.count()
+    val totalCents = purchases
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    val out = Analytics.eventsAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (model <- Seq("first_touch", "last_touch")) {
+      val rows = out.filter(_._1 == model)
+      assert(rows.map(_._3).sum == nPurch,
+        s"$model conversions must partition the purchase set")
+      assert(rows.map(_._4).sum == totalCents,
+        s"$model cents must partition the purchase value")
+      assert(!rows.exists(_._2 == "purchase"),
+        "a purchase can never be its own touch")
+    }
+    // the models agree on the unattributed bucket (window has no touches)
+    val none = out.filter(_._2 == "(none)")
+    assert(none.map(_._3).distinct.length <= 1)
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)
