@@ -69,7 +69,9 @@ object ScaleProbe {
     "q_snapshot_diff",      // diff: fixed-width full-outer on doc_id
     "q_retrieval_maxsim",   // maxsim: probe broadcast, (probe x label) grid
     "q_token_budget_fill",  // fill: histogram threshold, boundary window
-    "q_contamination_spans") // spans: positioned-gram join, per-doc islands
+    "q_contamination_spans", // spans: positioned-gram join, per-doc islands
+    "q_events_attribution", // attribution: user-keyed band join, pick windows
+    "q_embed_covariance")   // covariance: one distributive-aggregate pass
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
