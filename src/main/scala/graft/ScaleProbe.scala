@@ -197,7 +197,7 @@ object ScaleProbe {
           ((s: SparkSession, d: String) =>
             graft.operators.EmbeddingOps.semanticDedup(s, d, k = 100000000))) :+
         // C84 run the way a deployment would: the filter is sized to the
-        // benchmark-suite gram count (m = 2^22 holds the 16x bench set at
+        // benchmark-suite gram count (m = 2^22 holds the 8x bench set at
         // the same ~38% fill as the default geometry holds 1x), so FP
         // survivors — and with them the confirm join — stay proportional
         // to true hits at every probed scale. The default m would saturate
@@ -205,7 +205,28 @@ object ScaleProbe {
         ("bloom_decontam_msized" ->
           ((s: SparkSession, d: String) =>
             graft.operators.Pipeline.bloomDecontaminate(s, d,
-              mBits = 1 << 22)))
+              mBits = 1 << 22))) :+
+        // The staged-artifact family (round-7 advice: the bench's heaviest
+        // queries were the one family the sweep didn't cover). Each call
+        // stages into a FRESH root — deliberately bypassing the
+        // once-per-dir memoization the registered queries use — so the
+        // probe times the full production cycle: generator jobs + artifact
+        // writes + manifest checksums + the artifact-fed report. Roots
+        // live under /tmp like the inflated dirs (dev main, OS-reclaimed).
+        ("dedup_agreement_artifact" ->
+          ((s: SparkSession, d: String) => {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft-scale-agree-").toString
+            graft.operators.DedupArtifacts.writePairs(s, d, root)
+            graft.operators.DedupArtifacts.agreement(s, root)
+          })) :+
+        ("dedup_funnel_artifact" ->
+          ((s: SparkSession, d: String) => {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft-scale-funnel-").toString
+            graft.operators.DedupArtifacts.writeComponents(s, d, root)
+            graft.operators.DedupArtifacts.funnel(s, d, root)
+          }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
     val dirs: Map[Int, String] = Scales.map { k =>

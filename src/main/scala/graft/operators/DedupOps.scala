@@ -1161,6 +1161,77 @@ object DedupOps {
       .orderBy("method_a", "method_b")
   }
 
+  /** C75b: restrict a pair set to SAME-SOURCE pairs via two doc→source
+    * joins. Scale: the pair relation is candidate-bounded (band caps), the
+    * source map is corpus-scaled — both joins shuffle on doc ids, so the
+    * cost is O(pairs + corpus-map), never pairwise. */
+  private[graft] def sameSourceOnly(pairs: DataFrame,
+      src: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .filter(col("src_a") === col("src_b"))
+      .select("doc_a", "doc_b")
+
+  /** C75b: `q_dedup_agreement_samesource` — the C75 matrix on a COMMON
+    * domain (round-7 advice): C4 emits only same-source pairs by
+    * construction, so the production-domain matrix's mh–nj and nj–sb
+    * cells are deflated by cross-source candidates C4 can never see.
+    * Restricting C2/C14 to same-source pairs makes all three cells
+    * measure METHOD disagreement on the same candidate universe; the
+    * unrestricted matrix stays registered as the as-deployed view. */
+  def dedupAgreementSameSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    agreementOf(
+      sameSourceOnly(dedupMinhashLsh(spark, dir), src),
+      dedupNgramJaccard(spark, dir),
+      sameSourceOnly(dedupSimhashBand(spark, dir), src))
+  }
+
+  val dedupAgreementSameSourceSql: String = s"""
+    WITH src AS (SELECT doc_id, source FROM documents),
+    mh AS (
+      SELECT p.doc_a, p.doc_b FROM (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)) p
+      JOIN src a ON a.doc_id = p.doc_a JOIN src b ON b.doc_id = p.doc_b
+      WHERE a.source = b.source),
+    nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+    sb AS (
+      SELECT p.doc_a, p.doc_b FROM (SELECT doc_a, doc_b FROM ($dedupSimhashBandSql)) p
+      JOIN src a ON a.doc_id = p.doc_a JOIN src b ON b.doc_id = p.doc_b
+      WHERE a.source = b.source),
+    u AS (
+      SELECT doc_a, doc_b, 'mh' AS m FROM mh
+      UNION ALL SELECT doc_a, doc_b, 'nj' FROM nj
+      UNION ALL SELECT doc_a, doc_b, 'sb' FROM sb),
+    p AS (
+      SELECT doc_a, doc_b,
+        MAX(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS f_mh,
+        MAX(CASE WHEN m = 'nj' THEN 1 ELSE 0 END) AS f_nj,
+        MAX(CASE WHEN m = 'sb' THEN 1 ELSE 0 END) AS f_sb
+      FROM u GROUP BY 1, 2),
+    t AS (
+      SELECT CAST(SUM(f_mh) AS BIGINT) AS n_mh,
+        CAST(SUM(f_nj) AS BIGINT) AS n_nj,
+        CAST(SUM(f_sb) AS BIGINT) AS n_sb,
+        CAST(SUM(f_mh * f_nj) AS BIGINT) AS b_mh_nj,
+        CAST(SUM(f_mh * f_sb) AS BIGINT) AS b_mh_sb,
+        CAST(SUM(f_nj * f_sb) AS BIGINT) AS b_nj_sb
+      FROM p)
+    SELECT method_a, method_b, n_a, n_b, n_both,
+      n_a + n_b - n_both AS n_union,
+      CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)
+        AS pair_jaccard
+    FROM (
+      SELECT 'minhash_lsh' AS method_a, 'ngram_jaccard' AS method_b,
+        n_mh AS n_a, n_nj AS n_b, b_mh_nj AS n_both FROM t
+      UNION ALL SELECT 'minhash_lsh', 'simhash_band', n_mh, n_sb, b_mh_sb
+      FROM t
+      UNION ALL SELECT 'ngram_jaccard', 'simhash_band', n_nj, n_sb, b_nj_sb
+      FROM t)
+    ORDER BY method_a, method_b"""
+
   val dedupAgreementSql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
     nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),

@@ -1619,9 +1619,12 @@ object EmbeddingOps {
       SELECT vec_id, u.i AS dim,
         CAST(floor(CAST(embedding[CAST(u.i + 1 AS INT)] AS DOUBLE)
           * ${k.GramScale} + 0.5) AS BIGINT) AS q
-      FROM embeddings, unnest(range(0, ${k.GramDims})) AS u(i)),
+      FROM embeddings, unnest(range(0, ${k.GramDims})) AS u(i)
+      WHERE embedding IS NOT NULL),
     s AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s FROM q GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    -- COUNT(embedding), not COUNT(*): GramMatrixAgg.update skips NULL
+    -- embedding inputs (count and sums alike), so the oracle must too
+    n AS (SELECT COUNT(embedding) AS n_vecs FROM embeddings),
     p AS (
       SELECT a.dim AS dim_i, b.dim AS dim_j,
         CAST(SUM(a.q * b.q) AS BIGINT) AS s_prod

@@ -402,6 +402,13 @@ object Etl {
     df.orderBy(key).limit(limit)
   }
 
+  /** A11 as an oracle row: the clients smoke slice is fully deterministic
+    * (c_custkey is unique, so ORDER BY + LIMIT is a total order) and hence
+    * SQL-expressible — registered as `q_test_slice` so the one remaining
+    * §2 A-row gets the same CORRECTNESS gate as everything else. */
+  val testSliceSql: String =
+    "SELECT * FROM customer ORDER BY c_custkey LIMIT 10"
+
   // ---- A7: keep-first dedup (etl_service.py:577-624) -------------------
   /** First line per document — the reference's "first active variant per
     * product" rule as a window dedup (single shuffle on the key). */

@@ -1512,7 +1512,15 @@ object Pipeline {
     * marginals, the totals, and the report derive from that tiny grid.
     * DECIMAL(38,0) keeps the cross products exact past the BIGINT range
     * (overflow needs ~10¹⁹ docs·docs per source pair). */
-  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(Tables.documents(spark, dir),
+      Feeds.incomingDocs(spark, dir))
+
+  /** C69's report on ANY (base, feed) frame pair — shared by the
+    * registered query and the C81 composition (which feeds a CACHED feed
+    * relation so the four component gates share one feed computation). */
+  private[graft] def sourceDriftOf(base: DataFrame,
+      feed: DataFrame): DataFrame = {
     def lenb(c: org.apache.spark.sql.Column) =
       DriftEdges.zipWithIndex.foldRight(lit(DriftEdges.size)) {
         case ((edge, i), rest) => when(c < edge, i).otherwise(rest)
@@ -1522,8 +1530,8 @@ object Pipeline {
         .select(lit(side).as("side"), col("source"), col("lang"),
           size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
     val dec = "decimal(18,0)"
-    val grid = prep(Tables.documents(spark, dir), "base")
-      .unionByName(prep(Feeds.incomingDocs(spark, dir), "feed"))
+    val grid = prep(base, "base")
+      .unionByName(prep(feed, "feed"))
       .select(col("source"), lenb(col("n_tok")).as("lenb"), col("lang"),
         col("side"))
       .groupBy("source", "lenb", "lang")
@@ -1651,11 +1659,20 @@ object Pipeline {
     *
     * Scale: four component plans (each individually 100 TB-shaped — see
     * their own scaladocs) joined on ≤ sources-row grids; the join layer
-    * adds no fact-scaled work. Components cache internally; callers
-    * reclaim via `spark.catalog.clearCache()` (the C29 contract). */
+    * adds no fact-scaled work. The incoming feed is computed ONCE and
+    * cache()d — all four gates consume the cached relation instead of
+    * each re-running the feed's documents self-join (round-7 advice: the
+    * composition re-scanned the feed four times); at 100 TB the analog is
+    * the staged crawl batch every gate reads. Components cache
+    * internally; callers reclaim via `spark.catalog.clearCache()` (the
+    * C29 contract). */
   def admissionReport(spark: SparkSession, dir: String): DataFrame = {
-    val feed = Feeds.incomingDocs(spark, dir)
-    val triage = DedupOps.dedupIncremental(spark, dir)
+    val feed = Feeds.incomingDocs(spark, dir).cache()
+    val standing = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem)
+    val (indexHash, coldSigs) =
+      DedupOps.buildIncrementalIndex(spark, standing)
+    val triage = DedupOps.incrementalTriage(feed, indexHash, coldSigs)
       .join(feed.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy("source").agg(
         count(lit(1)).as("n_batch"),
@@ -1665,9 +1682,9 @@ object Pipeline {
           .as("n_review_near"),
         sum(when(col("decision") === "admit", 1L).otherwise(0L))
           .as("n_admit"))
-    val novelty = feedNovelty(spark, dir)
+    val novelty = noveltyReport(feed, standingGramIndex(spark, dir))
       .select(col("source"), col("novel_occ_share"))
-    val drift = sourceDrift(spark, dir)
+    val drift = sourceDriftOf(Tables.documents(spark, dir), feed)
       .select(col("source"), col("tv_len"), col("tv_lang"))
     val pii = graft.operators.TextOps.piiAuditAgg(feed)
       .select(col("source"), col("pii_doc_share"),
@@ -1798,6 +1815,11 @@ object Pipeline {
     * references. */
   private[graft] def bloomBuild(benchGrams: DataFrame,
       mBits: Int = graft.functions.Kernels.BloomBits): Array[Long] = {
+    // bloomHit derives m as 64 * words.length, so a non-multiple-of-64
+    // geometry would silently diverge between build and probe (and bit
+    // positions past 64*(mBits/64) would overflow the array): fail fast.
+    require(mBits > 0 && mBits % 64 == 0,
+      s"bloom geometry must be a positive multiple of 64 bits, got $mBits")
     val words = new Array[Long](mBits / 64)
     benchGrams
       .select(explode(expr(s"graft_bloom_cells(gram, $mBits)")).as("pos"))

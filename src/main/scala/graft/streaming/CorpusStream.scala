@@ -109,9 +109,16 @@ object CorpusStream {
     * store entry outlives the batch (state O(0), vs the unbounded
     * O(docs-seen) a naive streaming groupBy(doc_id) would accrete).
     * Vehicle: `foreachBatch` running [[TextOps.scoreAgainstLm]] — the
-    * SAME audited plan as batch C51 — appended to a parquet sink.
+    * SAME audited plan as batch C51 — written to a parquet sink.
     * Batch-union ≡ C51 equivalence is spec-pinned across a two-batch
-    * feed. */
+    * feed.
+    *
+    * Idempotence: `foreachBatch` is AT-LEAST-ONCE, so the write is
+    * `batch_id`-partitioned with dynamic partition overwrite (the D24
+    * pattern): a micro-batch replayed after a crash between the sink
+    * write and the checkpoint commit rewrites exactly its own
+    * `batch_id=N` directory — replay ≡ first write, pinned by a
+    * dropped-commit-marker recovery spec. */
   def lmScore(docs: DataFrame, lm: DataFrame, targetDir: String,
               checkpointDir: String,
               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -119,9 +126,13 @@ object CorpusStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         TextOps.scoreAgainstLm(batch, lm)
-          .write.mode(SaveMode.Append).parquet(targetDir)
+          .withColumn("batch_id", lit(epoch))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
       }
       .start()
 }

@@ -43,8 +43,14 @@ object DedupStream {
     * index is STATELESS: every verdict completes inside its micro-batch
     * via two static-side joins, no state store entry outlives the batch
     * — the D16 pattern. Vehicle: `foreachBatch` running the SAME
-    * `incrementalTriage` plan as batch C58, appended to a parquet sink;
-    * two-batch union ≡ batch C58 is spec-pinned. */
+    * `incrementalTriage` plan as batch C58, written to a parquet sink;
+    * two-batch union ≡ batch C58 is spec-pinned.
+    *
+    * Idempotence: `foreachBatch` is AT-LEAST-ONCE, so the write is
+    * `batch_id`-partitioned with dynamic partition overwrite (the D24
+    * pattern): a replayed epoch rewrites exactly its own `batch_id=N`
+    * directory — replay ≡ first write, pinned by a
+    * dropped-commit-marker recovery spec. */
   def incremental(docs: DataFrame, indexHash: DataFrame,
       coldIndexSigs: DataFrame, targetDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -52,10 +58,14 @@ object DedupStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.operators.DedupOps.incrementalTriage(batch,
           indexHash, coldIndexSigs)
-          .write.mode(SaveMode.Append).parquet(targetDir)
+          .withColumn("batch_id", lit(epoch))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
       }
       .start()
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** D19: streaming vector→codebook assignment — C62's SERVING shape: the
@@ -16,8 +17,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the batch — unlike a streaming re-TRAINING loop, which would need
   * cross-batch centroid state (production retrains batch-side and swaps
   * the codebook, exactly as modeled here). Vehicle: `foreachBatch`
-  * running the SAME `kmAssign` plan as batch C62, appended to a parquet
-  * sink; two-batch union ≡ batch C62's assignment is spec-pinned. */
+  * running the SAME `kmAssign` plan as batch C62, written to a parquet
+  * sink; two-batch union ≡ batch C62's assignment is spec-pinned.
+  *
+  * Idempotence: `foreachBatch` is AT-LEAST-ONCE, so the write is
+  * `batch_id`-partitioned with dynamic partition overwrite (the D24
+  * pattern): a replayed epoch rewrites exactly its own `batch_id=N`
+  * directory — replay ≡ first write, pinned by a dropped-commit-marker
+  * recovery spec. */
 object EmbedStream {
 
   /** Continuous assignment of an embedding stream (vec_id, embedding)
@@ -29,9 +36,13 @@ object EmbedStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         graft.operators.EmbeddingOps.kmAssign(batch, cents)
-          .write.mode(SaveMode.Append).parquet(targetDir)
+          .withColumn("batch_id", lit(epoch))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
       }
       .start()
 }

@@ -103,6 +103,32 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("same-source agreement (C75b) equals inline twin, shrinks only mh/sb") {
+    val staged = DedupArtifacts.agreementSameSourceStaged(spark, sf)
+    // staged ≡ inline (the C28→C49 byte-equality precedent)
+    val inline = DedupOps.dedupAgreementSameSource(spark, sf)
+    assert(staged.except(inline).count() == 0 &&
+      inline.except(staged).count() == 0,
+      "staged same-source matrix diverges from the inline plan")
+    spark.catalog.clearCache()
+    val prod = DedupArtifacts.agreementStaged(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val same = DedupArtifacts.agreementSameSourceStaged(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(same.keySet == prod.keySet)
+    same.foreach { case (k, s) =>
+      val p = prod(k)
+      // restricting the domain can only DROP pairs ...
+      assert(s.getLong(2) <= p.getLong(2) && s.getLong(3) <= p.getLong(3))
+      // ... and C4's counts are untouched (same-source by construction)
+      def njCount(key: (String, String), r: org.apache.spark.sql.Row): Seq[Long] =
+        Seq(if (key._1 == "ngram_jaccard") Some(r.getLong(2)) else None,
+          if (key._2 == "ngram_jaccard") Some(r.getLong(3)) else None).flatten
+      assert(njCount(k, s) == njCount(k, p))
+    }
+    spark.catalog.clearCache(): Unit
+  }
+
   test("staged queries survive an empty corpus (fixed 3-row matrix)") {
     val empty = tmpDir("graft-empty-corpus-")
     val schema = sources.Tables.documents(spark, sf).schema

@@ -182,6 +182,21 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 3, plan)
   }
 
+  test("admission report shares ONE cached feed across its four gates") {
+    // round-7 advice: the C81 composition used to recompute the incoming
+    // feed (a documents self-join) inside each of its four component
+    // gates. The feed is now cache()d once — every gate's feed read is an
+    // InMemoryTableScan leaf, and the only genuine file scans left are
+    // the standing-corpus reads (incremental index, gram index, drift
+    // base)
+    val leaves = scanLeaves("q_admission_report")
+    assert(leaves.count(_ == "mem") >= 4,
+      s"expected >=4 cached-feed reads, saw $leaves")
+    assert(leaves.count(_ == "file") <= 6,
+      s"expected <=6 standing-corpus file scans, saw $leaves")
+    spark.catalog.clearCache()
+  }
+
   test("cohort retention reuses the custkey exchange for window + distinct") {
     val plan = planOf("q_cohort_retention")
     assert("Exchange".r.findAllIn(plan).length <= 3, plan)

@@ -12,6 +12,20 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Crash simulation for the at-least-once replay pins: delete the newest
+    * checkpoint commit marker (= the process died after the sink write but
+    * before the commit), plus its local ChecksumFs .crc sidecar which would
+    * otherwise block the re-commit. The next restart replays that epoch
+    * through foreachBatch with the SAME batch id. */
+  private def dropNewestCommit(ckpt: String): Unit = {
+    val commitDir = new java.io.File(ckpt + "/commits")
+    val newest = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
+    assert(newest.delete())
+    if (crc.exists()) assert(crc.delete())
+  }
+
   test("D1 EventStream.hourlyAgg windows by hour and event_type") {
     val sp = spark
     import sp.implicits._
@@ -69,6 +83,32 @@ class StreamingSpec extends SparkSpec {
     val a = streamed(dirNtz); val b = streamed(dirLong)
     assert(a.nonEmpty && a == b,
       s"streamed encodings diverge:\n ntz=$a\n long=$b")
+  }
+
+  test("D1 end-to-end legacy-encoded events stream equals batch B8") {
+    // round-7 advice: the dispatch test pins row parity, but the legacy
+    // encoding had never been driven THROUGH a windowed aggregate. Stream
+    // the REAL sf events re-encoded as legacy nanos-as-long all the way
+    // through readEvents → hourlyAgg and pin the result against batch
+    // q_events_window_agg (hour indices and integer-cent sums identical).
+    val sp = spark
+    val dir = tmpDir("sev_legacy_e2e")
+    // Tables.events already surfaces ts as nanos long — writing it back
+    // yields exactly the legacy int64 surface readEvents dispatches on
+    graft.sources.Tables.events(sp, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.hourlyAgg(EventStream.readEvents(sp, dir))
+      .writeStream.format("memory").queryName("d1_legacy_e2e")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = sp.table("d1_legacy_e2e")
+      .select(expr("unix_micros(hora) div 3600000000").as("hora_epoch"),
+        col("event_type"), col("n_eventos"), col("valor_total"))
+    val batch = graft.operators.Analytics.eventsWindowAgg(sp, sf)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
   }
 
   test("D1 late data: past-watermark stragglers drop, in-horizon rows absorb") {
@@ -797,7 +837,7 @@ class StreamingSpec extends SparkSpec {
     }
     in.addData(b1: _*); run()
     in.addData(b2: _*); run()
-    val streamed = sp.read.parquet(target)
+    val streamed = sp.read.parquet(target).drop("batch_id")
     val batch = graft.operators.TextOps.docLmCoverage(sp, sf)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0)
@@ -954,7 +994,7 @@ class StreamingSpec extends SparkSpec {
     }
     in.addData(b1: _*); run()
     in.addData(b2: _*); run()
-    val streamed = sp.read.parquet(target)
+    val streamed = sp.read.parquet(target).drop("batch_id")
     val batch = graft.operators.DedupOps.dedupIncremental(sp, sf)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0)
@@ -985,12 +1025,113 @@ class StreamingSpec extends SparkSpec {
     }
     in.addData(b1: _*); run()
     in.addData(b2: _*); run()
-    val streamed = sp.read.parquet(target)
+    val streamed = sp.read.parquet(target).drop("batch_id")
     val batch = graft.operators.EmbeddingOps.embedKmeans(sp, sf)
       .select(col("vec_id"), col("cluster"), col("d2").as("dist"))
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D16 replayed micro-batch is idempotent (crash before commit)") {
+    // the D24 replay pin applied to the LM-scoring sink: drop the newest
+    // commit marker and restart — the replayed epoch must rewrite ONLY its
+    // own batch_id partition, leaving the total score set byte-identical
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val lm = graft.operators.TextOps.bigramLm(sp, sf).cache()
+    val rows = graft.sources.Tables.documents(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d16r_target") + "/scores"
+    val ckpt = tmpDir("d16r_ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = CorpusStream.lmScore(in.toDF().toDF("doc_id", "text"),
+        lm, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the scores (append instead of overwrite?)")
+    lm.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D18 replayed micro-batch is idempotent (crash before commit)") {
+    // same pin for the incremental-dedup verdict sink
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val standing = graft.sources.Tables.documents(sp, sf)
+      .filter(col("doc_id") % graft.sources.Feeds.IncrMod =!=
+        graft.sources.Feeds.IncrRem)
+    val (indexHash, coldSigs) =
+      graft.operators.DedupOps.buildIncrementalIndex(sp, standing)
+    val rows = graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d18r_target") + "/verdicts"
+    val ckpt = tmpDir("d18r_ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = DedupStream.incremental(in.toDF().toDF("doc_id", "text"),
+        indexHash, coldSigs, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the verdicts (append instead of overwrite?)")
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D19 replayed micro-batch is idempotent (crash before commit)") {
+    // same pin for the codebook-assignment sink
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val cents = graft.operators.EmbeddingOps.kmeansCentroids(sp, sf).cache()
+    cents.count() // materialize the training before the stream starts
+    val rows = graft.sources.Tables.embeddings(sp, sf)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val target = tmpDir("d19r_target") + "/cells"
+    val ckpt = tmpDir("d19r_ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = EmbedStream.assign(in.toDF().toDF("vec_id", "embedding"),
+        cents, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the cells (append instead of overwrite?)")
     sp.catalog.clearCache(): Unit
   }
 
@@ -1302,14 +1443,7 @@ class StreamingSpec extends SparkSpec {
     in.addData(b2: _*); run()
     val before = sp.read.parquet(target).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
-    // crash simulation: the newest commit marker vanishes (plus its local
-    // ChecksumFs .crc sidecar, which would otherwise block the re-commit)
-    val commitDir = new java.io.File(ckpt + "/commits")
-    val newest = commitDir.listFiles()
-      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
-    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
-    assert(newest.delete())
-    if (crc.exists()) assert(crc.delete())
+    dropNewestCommit(ckpt)
     run() // replays the uncommitted epoch through foreachBatch
     val after = sp.read.parquet(target).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
@@ -1468,12 +1602,7 @@ class StreamingSpec extends SparkSpec {
     in.addData(b2: _*); run()
     val before = sp.read.parquet(target).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
-    val commitDir = new java.io.File(ckpt + "/commits")
-    val newest = commitDir.listFiles()
-      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
-    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
-    assert(newest.delete())
-    if (crc.exists()) assert(crc.delete())
+    dropNewestCommit(ckpt)
     run() // replays the uncommitted epoch through foreachBatch
     val after = sp.read.parquet(target).collect()
       .map(_.toSeq).sortBy(_.toString).toSeq
