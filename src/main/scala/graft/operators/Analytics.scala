@@ -1143,16 +1143,18 @@ object Analytics {
       .select(col("cents"),
         coalesce(col("first_touch"), lit("(none)")).as("first_touch"),
         coalesce(col("last_touch"), lit("(none)")).as("last_touch"))
-    val first = attributed.groupBy(col("first_touch").as("touch_type"))
+    // One pass, not a per-model union: a self-union over `attributed`
+    // would recompute the touch×purchase join and both windows per
+    // branch (round-7 plan audit: 6 events scans instead of 3). The
+    // 2-entry map explode doubles only the ALREADY-AGGREGATED-SIZED
+    // attributed rows, and a single (model, touch_type) roll-up follows.
+    attributed
+      .select(col("cents"), explode(map(
+        lit("first_touch"), col("first_touch"),
+        lit("last_touch"), col("last_touch"))).as(Seq("model", "touch_type")))
+      .groupBy("model", "touch_type")
       .agg(count(lit(1)).as("n_conversions"),
         sum("cents").as("attributed_cents"))
-      .withColumn("model", lit("first_touch"))
-    val last = attributed.groupBy(col("last_touch").as("touch_type"))
-      .agg(count(lit(1)).as("n_conversions"),
-        sum("cents").as("attributed_cents"))
-      .withColumn("model", lit("last_touch"))
-    first.unionByName(last)
-      .select("model", "touch_type", "n_conversions", "attributed_cents")
       .orderBy("model", "touch_type")
   }
 

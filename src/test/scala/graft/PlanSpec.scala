@@ -197,6 +197,16 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("attribution computes the touch×purchase subtree once (3 scans)") {
+    // round-7 plan audit: the per-model self-union recomputed the join +
+    // both pick windows per branch (6 events scans). The unpivoted
+    // single-pass shape reads events exactly 3 times: purchase amounts,
+    // purchase join side, touches
+    val leaves = scanLeaves("q_events_attribution")
+    assert(leaves.count(_ == "file") == 3,
+      s"expected exactly 3 events scans, saw $leaves")
+  }
+
   test("cohort retention reuses the custkey exchange for window + distinct") {
     val plan = planOf("q_cohort_retention")
     assert("Exchange".r.findAllIn(plan).length <= 3, plan)
