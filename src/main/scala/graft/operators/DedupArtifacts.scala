@@ -245,4 +245,16 @@ object DedupArtifacts {
     * caches instead of components + semantic together. */
   def funnelStaged(spark: SparkSession, dir: String): DataFrame =
     funnel(spark, dir, componentsRoot(spark, dir))
+
+  /** The registered `q_dedup_pair_precision` (C89): exact-Jaccard
+    * verification over the SAME staged pair sets the agreement matrix
+    * reads — the verification action holds only the gram relation's cache,
+    * never a generator's. */
+  def pairPrecisionStaged(spark: SparkSession, dir: String): DataFrame = {
+    val root = pairsRoot(spark, dir)
+    DedupOps.pairPrecisionOf(spark, dir,
+      pairs(spark, root, "minhash_lsh"),
+      pairs(spark, root, "ngram_jaccard").select("doc_a", "doc_b"),
+      pairs(spark, root, "simhash_band"))
+  }
 }

@@ -1232,6 +1232,146 @@ object DedupOps {
       FROM t)
     ORDER BY method_a, method_b"""
 
+  /** C89: `q_dedup_pair_precision` — EXACT verification of the cheap
+    * candidate fleet: every pair each generator emits (C2 minhash-LSH, C4
+    * n-gram Jaccard, C14 simhash-band) is re-scored with the EXACT
+    * distinct-3-gram Jaccard, and each method gets a precision row. This
+    * closes the QA loop C75 opens: the agreement matrix says WHERE the
+    * cheap methods disagree; this says WHO is right — the "expensive
+    * verifier budget" spent on the candidate surface itself. A method
+    * whose precision collapses after a re-tune (the round-5 hash-family
+    * failure mode) fails loudly here with a number, not a proxy.
+    *
+    * Exactness: every column is integer-exact — the J ≥ 1/2 and J ≥ 1/5
+    * verdicts are cross-multiplied integer comparisons (2·common ≥ union,
+    * 5·common ≥ union; empty-gram pairs never verify), and the
+    * micro-Jaccard is ONE division of exact long sums (Σcommon / Σunion)
+    * — no distributed double sum anywhere (a mean-of-ratios would be
+    * shuffle-order nondeterministic; the micro average is the additive
+    * form).
+    *
+    * Scale: pair sets are candidate-bounded (band caps); the gram
+    * relation collapses each doc to its distinct 3-gram md5 set ONCE
+    * (cache()d — three consumers: sizes + both pair sides; the C4
+    * precedent) and the intersection streams O(pairs × grams-per-doc)
+    * through two hash-keyed equi-joins — never corpus², never text.
+    * Cache ownership: C29 contract (callers reclaim via clearCache). */
+  def dedupPairPrecision(spark: SparkSession, dir: String): DataFrame =
+    pairPrecisionOf(spark, dir,
+      dedupMinhashLsh(spark, dir),
+      dedupNgramJaccard(spark, dir),
+      dedupSimhashBand(spark, dir))
+
+  /** C89's verification over three ALREADY-COMPUTED pair relations —
+    * shared by the inline composition and the artifact-fed registered
+    * query ([[DedupArtifacts.pairPrecisionStaged]]), so the two cannot
+    * drift. Everything below the pair union is O(pairs + corpus grams). */
+  private[graft] def pairPrecisionOf(spark: SparkSession, dir: String,
+      mh: DataFrame, nj: DataFrame, sb: DataFrame): DataFrame = {
+    val members = Seq(
+      "minhash_lsh" -> mh, "ngram_jaccard" -> nj, "simhash_band" -> sb)
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _).distinct()
+    val grams = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
+                       element_at(toks, i + 3))))""")).as("gram"))
+      // 16-byte keys bound the shuffle width whatever the token lengths
+      // (the C64 md5 convention, identical on both engines)
+      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
+      .cache()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val common = members
+      .join(grams.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gh")),
+        Seq("doc_b", "gh"))
+      .groupBy("method", "doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    members
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n_grams").as("n_a")), Seq("doc_a"), "left")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n_grams").as("n_b")), Seq("doc_b"), "left")
+      .join(common, Seq("method", "doc_a", "doc_b"), "left")
+      .select(col("method"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .groupBy("method").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("n_union") > 0 &&
+          col("n_common") * 2 >= col("n_union"), 1L).otherwise(0L))
+          .as("n_exact_half"),
+        sum(when(col("n_union") > 0 &&
+          col("n_common") * 5 >= col("n_union"), 1L).otherwise(0L))
+          .as("n_exact_fifth"),
+        sum("n_common").as("sum_common"),
+        sum("n_union").as("sum_union"))
+      .withColumn("precision_half",
+        col("n_exact_half").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("micro_jaccard",
+        when(col("sum_union") > 0,
+          col("sum_common").cast("double") / col("sum_union").cast("double")))
+      .orderBy("method")
+  }
+
+  val dedupPairPrecisionSql: String = s"""
+    WITH pairs AS (
+      SELECT DISTINCT method, doc_a, doc_b FROM (
+        SELECT 'minhash_lsh' AS method, doc_a, doc_b
+        FROM ($dedupMinhashLshSql)
+        UNION ALL SELECT 'ngram_jaccard', doc_a, doc_b
+        FROM ($dedupNgramJaccardSql)
+        UNION ALL SELECT 'simhash_band', doc_a, doc_b
+        FROM ($dedupSimhashBandSql))),
+    d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id, md5(gram) AS gh FROM (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
+            toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]
+              || ' ' || toks[CAST(i + 3 AS INT)]))) AS gram
+        FROM d WHERE len(toks) >= 3)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    com AS (
+      SELECT p.method, p.doc_a, p.doc_b, count(*) AS n_common
+      FROM pairs p
+      JOIN g ga ON ga.doc_id = p.doc_a
+      JOIN g gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
+      GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT p.method,
+        coalesce(c.n_common, 0) AS n_common,
+        coalesce(sa.n_grams, 0) + coalesce(sb.n_grams, 0)
+          - coalesce(c.n_common, 0) AS n_union
+      FROM pairs p
+      LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+      LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+      LEFT JOIN com c ON c.method = p.method AND c.doc_a = p.doc_a
+        AND c.doc_b = p.doc_b)
+    SELECT method, COUNT(*) AS n_pairs,
+      CAST(SUM(CASE WHEN n_union > 0 AND 2 * n_common >= n_union
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_half,
+      CAST(SUM(CASE WHEN n_union > 0 AND 5 * n_common >= n_union
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_fifth,
+      CAST(SUM(n_common) AS BIGINT) AS sum_common,
+      CAST(SUM(n_union) AS BIGINT) AS sum_union,
+      CAST(SUM(CASE WHEN n_union > 0 AND 2 * n_common >= n_union
+          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS precision_half,
+      CASE WHEN SUM(n_union) > 0 THEN
+        CAST(SUM(n_common) AS DOUBLE) / CAST(SUM(n_union) AS DOUBLE)
+      END AS micro_jaccard
+    FROM sc GROUP BY method ORDER BY method"""
+
   val dedupAgreementSql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
     nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),

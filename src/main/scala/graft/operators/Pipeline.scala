@@ -1756,9 +1756,43 @@ object Pipeline {
     * fixed-width rows ONCE on doc_id (never the text), and everything after
     * is a per-source rollup of ~sources rows. Uniform id keys, no skew; at
     * 100 TB the cost is the two scans plus one fixed-width-row exchange. */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    def sig(df: DataFrame) = df.select(col("doc_id"), col("source"),
+  /** The (doc_id, source, content-hash, length) signature both snapshot
+    * differs reduce a corpus to — C83's full-outer diff and D30's
+    * per-micro-batch observed diff share it so the identity rule cannot
+    * drift. At 100 TB the OLD side's signatures persist as an index (the
+    * C58 contract); the reduction is one narrow codegen'd pass. */
+  private[graft] def snapshotSig(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("source"),
       md5(col("text")).as("h"), length(col("text")).cast("long").as("len"))
+
+  /** C83's classification restricted to the OBSERVED side — the per-batch
+    * shape D30 streams: each arriving page is added / changed / unchanged
+    * vs the frozen old-signature relation ("removed" is unobservable from
+    * an arrival stream — absence of a page is only decidable once the
+    * crawl FINISHES, which is batch C83's retrospective job). One
+    * id-keyed left join of fixed-width signature rows; `d_len` counts
+    * observed pages only, so the counters are ADDITIVE over any
+    * micro-batch split of the crawl. */
+  private[graft] def snapshotDiffObserved(pages: DataFrame,
+      oldSigs: DataFrame): DataFrame =
+    snapshotSig(pages)
+      .join(oldSigs.select(col("doc_id").as("o_id"), col("h").as("o_h"),
+        col("len").as("o_len")), col("doc_id") === col("o_id"), "left")
+      .select(col("source"),
+        when(col("o_id").isNull, lit("added"))
+          .when(col("o_h") =!= col("h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        (col("len") - coalesce(col("o_len"), lit(0L))).as("d_len"))
+      .groupBy("source").agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum("d_len").as("chars_delta_observed"))
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val sig = snapshotSig _
     val old = sig(Tables.documents(spark, dir)).as("o")
     val neu = sig(Feeds.recrawlSnapshot(spark, dir)).as("n")
     val j = old.join(neu, col("o.doc_id") === col("n.doc_id"), "full_outer")

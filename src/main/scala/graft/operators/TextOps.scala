@@ -314,6 +314,84 @@ object TextOps {
         (col("slq").cast("double") / col("n_docs").cast("double") /
           lit(1.0e9)).as("mean_logit"))
 
+  /** C90: `q_classifier_calibration` — the calibration curve of C72's
+    * learned filter against C9's heuristic score: documents bucketed by
+    * logit (quarter-unit bins), and per bin — docs, kept docs, docs where
+    * the classifier and the heuristic AGREE on keep/drop, and the mean
+    * heuristic quality. This is the read a curator does before swapping
+    * C9's rule filter for C72's learned one: a well-calibrated classifier
+    * shows mean heuristic quality rising monotonically with the logit bin
+    * and disagreement concentrated in the bins around zero (the decision
+    * boundary, where retraining budget should go). C80 answers "is the
+    * filter fair across sources"; this answers "does its confidence mean
+    * anything".
+    *
+    * Exactness: the bin is floor(4·logit) on the bit-exact C72 logit
+    * chain; counts are integers; the mean uses C47/C80's nano-quantization
+    * rule (per-row score → integer nanos, exact sum, one division) — no
+    * distributed double sum.
+    *
+    * Scale: one narrow codegen'd scan (the C72 feature chain plus the C9
+    * score on the SAME shared ratios — no second pass over text), one
+    * partial-aggregated shuffle onto the ≤ ~dozen-bin grid. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    classifierFrame(Tables.documents(spark, dir))
+      .withColumn("qs",
+        col("stopword_ratio") * lit(2.0) - col("punct_ratio") * lit(1.0)
+          - col("digit_ratio") * lit(3.0)
+          + when(col("n_tok") >= 20 && col("n_tok") <= 1000, lit(0.5))
+            .otherwise(lit(0.0)))
+      .select(floor(col("logit") * lit(4.0)).cast("long").as("logit_bin"),
+        col("keep"),
+        (col("qs") >= 0.0).as("heur_keep"),
+        round(col("qs") * lit(1.0e9)).cast("long").as("qs_nano"))
+      .groupBy("logit_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep") === col("heur_keep"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum("qs_nano").as("sqs"))
+      .select(col("logit_bin"), col("n_docs"), col("n_keep"), col("n_agree"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_share"),
+        (col("n_agree").cast("double") / col("n_docs").cast("double"))
+          .as("agree_share"),
+        (col("sqs").cast("double") / col("n_docs").cast("double") /
+          lit(1.0e9)).as("mean_quality"))
+      .orderBy("logit_bin")
+
+  val classifierCalibrationSql: String = s"""
+    WITH c AS (
+      SELECT n_tok, punct_ratio, stopword_ratio, digit_ratio, avg_token_len,
+        -0.65 + stopword_ratio * 3.0 - punct_ratio * 2.0
+          - digit_ratio * 4.0 - avg_token_len * 0.05
+          + CASE WHEN n_tok >= 20 AND n_tok <= 1000 THEN 0.75 ELSE 0.0 END
+          AS logit,
+        $qualitySqlScore AS qs
+      FROM (
+        SELECT n_tok,
+          $qualitySqlRatios,
+          n_chars_d / CAST(n_tok AS DOUBLE) AS avg_token_len
+        FROM (
+          SELECT
+            $qualitySqlMeasures
+          FROM documents)
+        WHERE n_chars_d > 0 AND n_tok > 0)),
+    b AS (
+      SELECT CAST(floor(logit * 4.0) AS BIGINT) AS logit_bin,
+        CASE WHEN logit >= 0.0 THEN 1 ELSE 0 END AS keep,
+        CASE WHEN (logit >= 0.0) = (qs >= 0.0) THEN 1 ELSE 0 END AS agree,
+        CAST(round(qs * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS qsn
+      FROM c)
+    SELECT logit_bin, COUNT(*) AS n_docs,
+      CAST(SUM(keep) AS BIGINT) AS n_keep,
+      CAST(SUM(agree) AS BIGINT) AS n_agree,
+      CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_share,
+      CAST(SUM(agree) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS agree_share,
+      CAST(SUM(qsn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000000.0
+        AS mean_quality
+    FROM b GROUP BY 1 ORDER BY 1"""
+
   val filterBiasSql: String = s"""
     WITH c AS (
       SELECT source, lang,

@@ -260,4 +260,57 @@ class CurationOpsSpec extends SparkSpec {
         s"qlabel=$ql dlabel=$dl")
     }
   }
+
+  test("pair precision (C89): staged equals inline, set algebra holds") {
+    val staged = operators.DedupArtifacts.pairPrecisionStaged(spark, sf)
+    val inline = operators.DedupOps.dedupPairPrecision(spark, sf)
+    assert(staged.except(inline).count() == 0 &&
+      inline.except(staged).count() == 0,
+      "staged pair precision diverges from the inline plan")
+    spark.catalog.clearCache()
+    val rows = operators.DedupArtifacts.pairPrecisionStaged(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("minhash_lsh", "ngram_jaccard", "simhash_band"))
+    rows.foreach { r =>
+      val (nPairs, nHalf, nFifth) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (sumC, sumU) = (r.getLong(4), r.getLong(5))
+      assert(nPairs > 0)
+      // J >= 1/2 implies J >= 1/5; both bounded by the pair count
+      assert(nHalf <= nFifth && nFifth <= nPairs, r.toString)
+      // intersections never exceed unions; micro average lives in [0, 1]
+      assert(sumC <= sumU, r.toString)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+    // the generator that THRESHOLDS on (capped) Jaccard must verify better
+    // than the unthresholded band-collision surfaces
+    val byM = rows.map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(byM("ngram_jaccard") >= byM("minhash_lsh"), byM.toString)
+    assert(byM("ngram_jaccard") >= byM("simhash_band"), byM.toString)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("classifier calibration (C90): bins partition the corpus exactly") {
+    val cal = operators.TextOps.classifierCalibration(spark, sf).collect()
+    val nScored = operators.TextOps.qualityClassifier(spark, sf).count()
+    // every scored doc lands in exactly one bin
+    assert(cal.map(_.getLong(1)).sum == nScored)
+    cal.foreach { r =>
+      val (bin, n, nKeep, nAgree) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n > 0 && nKeep <= n && nAgree <= n)
+      // quarter-unit bins never straddle the keep threshold: a bin wholly
+      // below zero keeps nothing, a bin at/above zero keeps everything
+      if (bin < 0) assert(nKeep == 0, r.toString)
+      else assert(nKeep == n, r.toString)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // calibration direction: the mean heuristic quality of the top bin
+    // exceeds the bottom bin's (the two filters share their features, so
+    // a flat or inverted curve means the weights broke)
+    val sorted = cal.sortBy(_.getLong(0))
+    assert(sorted.last.getDouble(6) > sorted.head.getDouble(6))
+  }
 }

@@ -1453,6 +1453,91 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D30 streaming snapshot diff: additive across batches, reconciles C83") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // freeze the standing-corpus signature index (production: persisted
+    // by last night's run), then stream the re-crawl through in two
+    // micro-batches
+    val oldSigs = graft.operators.Pipeline.snapshotSig(
+      graft.sources.Tables.documents(sp, sf)).cache()
+    val feed = graft.sources.Feeds.recrawlSnapshot(sp, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d30_target") + "/diff"
+    val ckpt = tmpDir("d30_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit = {
+      val q = SnapshotDiffStream.diff(
+        in.toDF().toDF("doc_id", "source", "text"), oldSigs, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target)
+    assert(streamed.select("batch_id").distinct().count() == 2)
+    // observed classes are additive over the split and equal the
+    // retrospective batch differ's counts exactly
+    val summed = streamed.groupBy("source").agg(
+      sum("n_added").as("s_added"), sum("n_changed").as("s_changed"),
+      sum("n_unchanged").as("s_unchanged"),
+      sum("chars_delta_observed").as("s_delta"))
+    val batch = graft.operators.Pipeline.snapshotDiff(sp, sf)
+    val j = summed.join(batch, "source")
+    assert(j.count() == batch.count())
+    assert(j.filter(col("s_added") =!= col("n_added") ||
+      col("s_changed") =!= col("n_changed") ||
+      col("s_unchanged") =!= col("n_unchanged")).count() == 0)
+    // the one column the stream cannot observe reconciles exactly:
+    // retrospective chars_delta = observed delta − removed page mass
+    val removed = graft.sources.Tables.documents(sp, sf)
+      .join(graft.sources.Feeds.recrawlSnapshot(sp, sf)
+        .select(col("doc_id").as("n_id")),
+        col("doc_id") === col("n_id"), "left_anti")
+      .groupBy("source")
+      .agg(sum(length(col("text")).cast("long")).as("rm_len"))
+    val rec = j.join(removed, Seq("source"), "left")
+      .filter(col("s_delta") - coalesce(col("rm_len"), lit(0L))
+        =!= col("chars_delta"))
+    assert(rec.count() == 0)
+    oldSigs.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D30 replayed micro-batch is idempotent (crash before commit)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val oldSigs = graft.operators.Pipeline.snapshotSig(
+      graft.sources.Tables.documents(sp, sf)).cache()
+    val feed = graft.sources.Feeds.recrawlSnapshot(sp, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d30r_target") + "/diff"
+    val ckpt = tmpDir("d30r_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit = {
+      val q = SnapshotDiffStream.diff(
+        in.toDF().toDF("doc_id", "source", "text"), oldSigs, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the diff (append instead of overwrite?)")
+    oldSigs.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D22 checkpoint recovery: drift state survives stop + restart") {
     // the D6/D17/D20 fault-tolerance pin applied to the drift family: a
     // checkpointed monitor is stopped mid-feed, more docs land while it is
