@@ -197,15 +197,22 @@ object ScaleProbe {
           ((s: SparkSession, d: String) =>
             graft.operators.EmbeddingOps.semanticDedup(s, d, k = 100000000))) :+
         // C84 run the way a deployment would: the filter is sized to the
-        // benchmark-suite gram count (m = 2^22 holds the 8x bench set at
-        // the same ~38% fill as the default geometry holds 1x), so FP
+        // benchmark-suite gram count AT EACH SCALE (m = 2^19 bits per 1x
+        // replica holds every probed scale at the same ~38% fill), so FP
         // survivors — and with them the confirm join — stay proportional
-        // to true hits at every probed scale. The default m would saturate
-        // at 8x and silently degrade the probe into measuring C25's shape.
+        // to true hits. A FIXED m saturates once the bench set outgrows
+        // it and silently degrades the probe into measuring C25's
+        // exact-join shape: the round-8 16x sweep measured exactly that
+        // with the fixed 2^22 geometry (42x work at 16x data — the FP
+        // flood; SCALING_r08.md). Same deployment-rule device as
+        // `semantic_dedup_kscaled`'s corpus-scaled quantizer.
         ("bloom_decontam_msized" ->
-          ((s: SparkSession, d: String) =>
+          ((s: SparkSession, d: String) => {
+            val k = "x(\\d+)$".r.findFirstMatchIn(d)
+              .map(_.group(1).toInt).getOrElse(1)
             graft.operators.Pipeline.bloomDecontaminate(s, d,
-              mBits = 1 << 22))) :+
+              mBits = (1 << 19) * k)
+          })) :+
         // The staged-artifact family (round-7 advice: the bench's heaviest
         // queries were the one family the sweep didn't cover). Each call
         // stages into a FRESH root — deliberately bypassing the

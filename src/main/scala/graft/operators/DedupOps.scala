@@ -1250,12 +1250,15 @@ object DedupOps {
     * shuffle-order nondeterministic; the micro average is the additive
     * form).
     *
-    * Scale: pair sets are candidate-bounded (band caps); the gram
-    * relation collapses each doc to its distinct 3-gram md5 set ONCE
-    * (cache()d — three consumers: sizes + both pair sides; the C4
-    * precedent) and the intersection streams O(pairs × grams-per-doc)
-    * through two hash-keyed equi-joins — never corpus², never text.
-    * Cache ownership: C29 contract (callers reclaim via clearCache). */
+    * Scale: pair sets are candidate-bounded (band caps) but still LARGE
+    * on a duplicate-dense corpus (1.3M minhash candidates at sf0.1), so
+    * the score is computed once per UNIQUE pair (methods overlap; flags
+    * carry each method's claim) and the intersection never explodes to
+    * (pair × gram) rows: each doc collapses to its distinct gram-hash
+    * ARRAY (~52 longs, smaller than the text), the pairs join that
+    * relation twice on ids, and the intersection computes in-row via
+    * array_intersect — O(pairs + docs) shuffle. Cache ownership: C29
+    * contract (callers reclaim via clearCache). */
   def dedupPairPrecision(spark: SparkSession, dir: String): DataFrame =
     pairPrecisionOf(spark, dir,
       dedupMinhashLsh(spark, dir),
@@ -1268,109 +1271,177 @@ object DedupOps {
     * drift. Everything below the pair union is O(pairs + corpus grams). */
   private[graft] def pairPrecisionOf(spark: SparkSession, dir: String,
       mh: DataFrame, nj: DataFrame, sb: DataFrame): DataFrame = {
-    val members = Seq(
+    // Methods overlap heavily (that is what C75 measures), so the
+    // expensive gram intersection runs ONCE per UNIQUE pair — membership
+    // flags (the C75 max-of-indicator device) carry each method's claim
+    // through the cheap post-agg layer, and the three report rows are
+    // flag-weighted sums of the same scored relation. Scoring per
+    // (method, pair) instead measured ~3x the join volume for identical
+    // output.
+    val flags = Seq(
       "minhash_lsh" -> mh, "ngram_jaccard" -> nj, "simhash_band" -> sb)
       .map { case (m, df) =>
-        df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
-      }.reduce(_ unionByName _).distinct()
-    val grams = Tables.documents(spark, dir)
+        df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+      }.reduce(_ unionByName _)
+      .groupBy("doc_a", "doc_b").agg(
+        max(when(col("method") === "minhash_lsh", 1L).otherwise(0L))
+          .as("f_mh"),
+        max(when(col("method") === "ngram_jaccard", 1L).otherwise(0L))
+          .as("f_nj"),
+        max(when(col("method") === "simhash_band", 1L).otherwise(0L))
+          .as("f_sb"))
+    // Per-doc gram-hash SETS instead of a per-gram explode: the candidate
+    // surface is huge on a duplicate-dense corpus (1.3M minhash pairs at
+    // sf0.1), so a (pair × gram) equi-join materializes ~90M rows. The
+    // doc→set relation is ~52 longs per doc (smaller than the text); the
+    // pairs join it twice on ids and each pair's intersection computes
+    // IN-ROW via array_intersect — O(pairs + docs) shuffle, never
+    // O(pairs × grams). Hashes use the graft_str_hash fold (identical
+    // DuckDB twin, the C57/C73 convention); a 31-bit collision merges the
+    // same two grams on BOTH engines, so parity is unconditional.
+    graft.functions.Kernels.register(spark)
+    val docSets = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-                       element_at(toks, i + 3))))""")).as("gram"))
-      // 16-byte keys bound the shuffle width whatever the token lengths
-      // (the C64 md5 convention, identical on both engines)
-      .select(col("doc_id"), md5(col("gram").cast("binary")).as("gh"))
-      .cache()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val common = members
-      .join(grams.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("gh")),
-        Seq("doc_b", "gh"))
-      .groupBy("method", "doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    members
-      .join(sizes.select(col("doc_id").as("doc_a"),
-        col("n_grams").as("n_a")), Seq("doc_a"), "left")
-      .join(sizes.select(col("doc_id").as("doc_b"),
-        col("n_grams").as("n_b")), Seq("doc_b"), "left")
-      .join(common, Seq("method", "doc_a", "doc_b"), "left")
-      .select(col("method"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"))
-      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
-      .groupBy("method").agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("n_union") > 0 &&
-          col("n_common") * 2 >= col("n_union"), 1L).otherwise(0L))
-          .as("n_exact_half"),
-        sum(when(col("n_union") > 0 &&
-          col("n_common") * 5 >= col("n_union"), 1L).otherwise(0L))
-          .as("n_exact_fifth"),
-        sum("n_common").as("sum_common"),
-        sum("n_union").as("sum_union"))
-      .withColumn("precision_half",
-        col("n_exact_half").cast("double") / col("n_pairs").cast("double"))
-      .withColumn("micro_jaccard",
-        when(col("sum_union") > 0,
-          col("sum_common").cast("double") / col("sum_union").cast("double")))
+             graft_str_hash(concat('ppv|', element_at(toks, i + 1), ' ',
+               element_at(toks, i + 2), ' ',
+               element_at(toks, i + 3)))))""").as("gl"))
+    val scored = flags
+      .join(docSets.select(col("doc_id").as("doc_a"), col("gl").as("gl_a")),
+        Seq("doc_a"), "left")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
+        Seq("doc_b"), "left")
+      .select(col("f_mh"), col("f_nj"), col("f_sb"),
+        coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
+          .cast("long").as("n_common"),
+        (coalesce(size(col("gl_a")), lit(0)).cast("long")
+          + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
+      .select(col("f_mh"), col("f_nj"), col("f_sb"), col("n_common"),
+        (col("n_ab") - col("n_common")).as("n_union"))
+      .withColumn("v_half", when(col("n_union") > 0 &&
+        col("n_common") * 2 >= col("n_union"), 1L).otherwise(0L))
+      .withColumn("v_fifth", when(col("n_union") > 0 &&
+        col("n_common") * 5 >= col("n_union"), 1L).otherwise(0L))
+    // one flag-weighted reduction, then the 3-row report assembles from
+    // the single collapsed row (the C75 cell device). cache(): the
+    // assembly reads `tot` once per report row, and the rows' otherwise
+    // identical subtrees defeat exchange reuse (plan-measured: the full
+    // pair-scoring join replayed per branch) — one cached row of 15
+    // longs ends that. C29 ownership (caller reclaims).
+    val tot = scored.agg(
+      sum("f_mh").as("p_mh"), sum("f_nj").as("p_nj"), sum("f_sb").as("p_sb"),
+      sum(col("f_mh") * col("v_half")).as("h_mh"),
+      sum(col("f_nj") * col("v_half")).as("h_nj"),
+      sum(col("f_sb") * col("v_half")).as("h_sb"),
+      sum(col("f_mh") * col("v_fifth")).as("t_mh"),
+      sum(col("f_nj") * col("v_fifth")).as("t_nj"),
+      sum(col("f_sb") * col("v_fifth")).as("t_sb"),
+      sum(col("f_mh") * col("n_common")).as("c_mh"),
+      sum(col("f_nj") * col("n_common")).as("c_nj"),
+      sum(col("f_sb") * col("n_common")).as("c_sb"),
+      sum(col("f_mh") * col("n_union")).as("u_mh"),
+      sum(col("f_nj") * col("n_union")).as("u_nj"),
+      sum(col("f_sb") * col("n_union")).as("u_sb")).cache()
+    def row(m: String, p: String, h: String, t: String, c: String,
+        u: String) =
+      tot.select(lit(m).as("method"), col(p).as("n_pairs"),
+        col(h).as("n_exact_half"), col(t).as("n_exact_fifth"),
+        col(c).as("sum_common"), col(u).as("sum_union"),
+        (col(h).cast("double") / col(p).cast("double"))
+          .as("precision_half"),
+        when(col(u) > 0, col(c).cast("double") / col(u).cast("double"))
+          .as("micro_jaccard"))
+    row("minhash_lsh", "p_mh", "h_mh", "t_mh", "c_mh", "u_mh")
+      .unionByName(row("ngram_jaccard", "p_nj", "h_nj", "t_nj", "c_nj", "u_nj"))
+      .unionByName(row("simhash_band", "p_sb", "h_sb", "t_sb", "c_sb", "u_sb"))
+      .filter(col("n_pairs") > 0)
       .orderBy("method")
   }
 
   val dedupPairPrecisionSql: String = s"""
     WITH pairs AS (
-      SELECT DISTINCT method, doc_a, doc_b FROM (
-        SELECT 'minhash_lsh' AS method, doc_a, doc_b
-        FROM ($dedupMinhashLshSql)
-        UNION ALL SELECT 'ngram_jaccard', doc_a, doc_b
-        FROM ($dedupNgramJaccardSql)
-        UNION ALL SELECT 'simhash_band', doc_a, doc_b
-        FROM ($dedupSimhashBandSql))),
+      SELECT 'mh' AS m, doc_a, doc_b FROM ($dedupMinhashLshSql)
+      UNION ALL SELECT 'nj', doc_a, doc_b FROM ($dedupNgramJaccardSql)
+      UNION ALL SELECT 'sb', doc_a, doc_b FROM ($dedupSimhashBandSql)),
+    fl AS (
+      SELECT doc_a, doc_b,
+        MAX(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS f_mh,
+        MAX(CASE WHEN m = 'nj' THEN 1 ELSE 0 END) AS f_nj,
+        MAX(CASE WHEN m = 'sb' THEN 1 ELSE 0 END) AS f_sb
+      FROM pairs GROUP BY 1, 2),
     d AS (
       SELECT doc_id,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE length(trim(text)) > 0),
     g AS (
-      SELECT doc_id, md5(gram) AS gh FROM (
-        SELECT doc_id, unnest(list_distinct(
-          list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
-            toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)]
-              || ' ' || toks[CAST(i + 3 AS INT)]))) AS gram
-        FROM d WHERE len(toks) >= 3)),
-    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
-    com AS (
-      SELECT p.method, p.doc_a, p.doc_b, count(*) AS n_common
-      FROM pairs p
-      JOIN g ga ON ga.doc_id = p.doc_a
-      JOIN g gb ON gb.doc_id = p.doc_b AND gb.gh = ga.gh
-      GROUP BY 1, 2, 3),
+      SELECT doc_id, list_distinct(list_transform(
+        list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
+          'ppv|' || toks[CAST(i + 1 AS INT)] || ' '
+            || toks[CAST(i + 2 AS INT)] || ' '
+            || toks[CAST(i + 3 AS INT)]),
+        s -> list_reduce(
+          list_transform(range(1, length(s) + 1), j ->
+            CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647))) AS gl
+      FROM d WHERE len(toks) >= 3),
     sc AS (
-      SELECT p.method,
-        coalesce(c.n_common, 0) AS n_common,
-        coalesce(sa.n_grams, 0) + coalesce(sb.n_grams, 0)
-          - coalesce(c.n_common, 0) AS n_union
-      FROM pairs p
-      LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
-      LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
-      LEFT JOIN com c ON c.method = p.method AND c.doc_a = p.doc_a
-        AND c.doc_b = p.doc_b)
-    SELECT method, COUNT(*) AS n_pairs,
-      CAST(SUM(CASE WHEN n_union > 0 AND 2 * n_common >= n_union
-        THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_half,
-      CAST(SUM(CASE WHEN n_union > 0 AND 5 * n_common >= n_union
-        THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_fifth,
-      CAST(SUM(n_common) AS BIGINT) AS sum_common,
-      CAST(SUM(n_union) AS BIGINT) AS sum_union,
-      CAST(SUM(CASE WHEN n_union > 0 AND 2 * n_common >= n_union
-          THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        AS precision_half,
-      CASE WHEN SUM(n_union) > 0 THEN
-        CAST(SUM(n_common) AS DOUBLE) / CAST(SUM(n_union) AS DOUBLE)
-      END AS micro_jaccard
-    FROM sc GROUP BY method ORDER BY method"""
+      SELECT f_mh, f_nj, f_sb,
+        CAST(coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS BIGINT)
+          AS n_common,
+        CAST(coalesce(len(ga.gl), 0) + coalesce(len(gb.gl), 0)
+          - coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS BIGINT)
+          AS n_union
+      FROM fl
+      LEFT JOIN g ga ON ga.doc_id = fl.doc_a
+      LEFT JOIN g gb ON gb.doc_id = fl.doc_b),
+    sv AS (
+      SELECT *,
+        CASE WHEN n_union > 0 AND 2 * n_common >= n_union
+          THEN 1 ELSE 0 END AS v_half,
+        CASE WHEN n_union > 0 AND 5 * n_common >= n_union
+          THEN 1 ELSE 0 END AS v_fifth
+      FROM sc),
+    t AS (
+      SELECT
+        CAST(SUM(f_mh) AS BIGINT) AS p_mh,
+        CAST(SUM(f_nj) AS BIGINT) AS p_nj,
+        CAST(SUM(f_sb) AS BIGINT) AS p_sb,
+        CAST(SUM(f_mh * v_half) AS BIGINT) AS h_mh,
+        CAST(SUM(f_nj * v_half) AS BIGINT) AS h_nj,
+        CAST(SUM(f_sb * v_half) AS BIGINT) AS h_sb,
+        CAST(SUM(f_mh * v_fifth) AS BIGINT) AS t_mh,
+        CAST(SUM(f_nj * v_fifth) AS BIGINT) AS t_nj,
+        CAST(SUM(f_sb * v_fifth) AS BIGINT) AS t_sb,
+        CAST(SUM(f_mh * n_common) AS BIGINT) AS c_mh,
+        CAST(SUM(f_nj * n_common) AS BIGINT) AS c_nj,
+        CAST(SUM(f_sb * n_common) AS BIGINT) AS c_sb,
+        CAST(SUM(f_mh * n_union) AS BIGINT) AS u_mh,
+        CAST(SUM(f_nj * n_union) AS BIGINT) AS u_nj,
+        CAST(SUM(f_sb * n_union) AS BIGINT) AS u_sb
+      FROM sv)
+    SELECT * FROM (
+      SELECT 'minhash_lsh' AS method, p_mh AS n_pairs, h_mh AS n_exact_half,
+        t_mh AS n_exact_fifth, c_mh AS sum_common, u_mh AS sum_union,
+        CAST(h_mh AS DOUBLE) / CAST(p_mh AS DOUBLE) AS precision_half,
+        CASE WHEN u_mh > 0 THEN CAST(c_mh AS DOUBLE) / CAST(u_mh AS DOUBLE)
+        END AS micro_jaccard
+      FROM t
+      UNION ALL
+      SELECT 'ngram_jaccard', p_nj, h_nj, t_nj, c_nj, u_nj,
+        CAST(h_nj AS DOUBLE) / CAST(p_nj AS DOUBLE),
+        CASE WHEN u_nj > 0 THEN CAST(c_nj AS DOUBLE) / CAST(u_nj AS DOUBLE)
+        END
+      FROM t
+      UNION ALL
+      SELECT 'simhash_band', p_sb, h_sb, t_sb, c_sb, u_sb,
+        CAST(h_sb AS DOUBLE) / CAST(p_sb AS DOUBLE),
+        CASE WHEN u_sb > 0 THEN CAST(c_sb AS DOUBLE) / CAST(u_sb AS DOUBLE)
+        END
+      FROM t)
+    WHERE n_pairs > 0 ORDER BY method"""
 
   val dedupAgreementSql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
