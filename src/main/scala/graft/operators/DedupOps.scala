@@ -1144,11 +1144,15 @@ object DedupOps {
       max(when(col("method") === "minhash_lsh", 1L).otherwise(0L)).as("f_mh"),
       max(when(col("method") === "ngram_jaccard", 1L).otherwise(0L)).as("f_nj"),
       max(when(col("method") === "simhash_band", 1L).otherwise(0L)).as("f_sb"))
+    // cache(): the 3-row assembly reads `tot` once per cell and the
+    // cells' otherwise identical subtrees defeat exchange reuse — without
+    // this the pair-grid aggregation replays per row (the C89 lesson).
+    // One cached row of six longs; C29 ownership (caller reclaims).
     val tot = flags.agg(
       sum("f_mh").as("n_mh"), sum("f_nj").as("n_nj"), sum("f_sb").as("n_sb"),
       sum(col("f_mh") * col("f_nj")).as("b_mh_nj"),
       sum(col("f_mh") * col("f_sb")).as("b_mh_sb"),
-      sum(col("f_nj") * col("f_sb")).as("b_nj_sb"))
+      sum(col("f_nj") * col("f_sb")).as("b_nj_sb")).cache()
     def cell(a: String, b: String, na: String, nb: String, both: String) =
       tot.select(lit(a).as("method_a"), lit(b).as("method_b"),
         col(na).as("n_a"), col(nb).as("n_b"), col(both).as("n_both"),
@@ -1625,6 +1629,8 @@ object DedupOps {
         (col("ex").isNotNull && col("nd").isNull).as("s2"),
         (col("ex").isNotNull && col("nd").isNull &&
           coalesce(col("sk"), lit(true))).as("s3"))
+    // cache(): the 4-stage assembly reads `t` once per stage row — same
+    // exchange-reuse defeat as C75/C89's assembly, same one-row fix.
     val t = flags.agg(
       count(lit(1)).as("n0"), sum("n_tok").as("t0"),
       sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
@@ -1632,7 +1638,7 @@ object DedupOps {
       sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
       sum(when(col("s2"), col("n_tok")).otherwise(0L)).as("t2"),
       sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
-      sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3"))
+      sum(when(col("s3"), col("n_tok")).otherwise(0L)).as("t3")).cache()
     def stage(i: Int, name: String, n: String, tk: String) =
       t.select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
         col(n).as("n_docs"), col(tk).as("n_tokens"),
