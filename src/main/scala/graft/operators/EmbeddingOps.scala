@@ -761,6 +761,148 @@ object EmbeddingOps {
       .orderBy("metodo")
   }
 
+  /** C91's probed nprobe operating points (powers of two around the
+    * production default [[IvfNprobe]] = 4). */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** C91: `q_ann_nprobe_sweep` — the IVF OPERATING CURVE: recall@10 vs
+    * candidate volume at nprobe ∈ {1,2,4,8}, the table an operator reads
+    * to pick the search-time knob (C40 reports the default point; this
+    * reports the trade — how much recall each doubling of probe work
+    * buys). The C63 threshold-sweep device applied to ANN serving.
+    *
+    * One-pass shape: candidates are scored ONCE at the largest sweep
+    * point (the dot products are the cost) with their cell rank kept;
+    * each sweep membership (`prnk ≤ nprobe`) is then a theta-join of the
+    * 4-row nprobe dimension against the already-scored narrow rows — no
+    * per-point re-scoring, no index rebuild (centroids and the inverted
+    * file are shared across the curve, as deployed).
+    *
+    * Exactness: candidate/true/hit counts are exact integers; recall is
+    * one division. Ranking ties break on neighbor_id (total order).
+    *
+    * Scale: the index pass is C13's (one narrow assignment against the
+    * broadcast centroid set); probe cells and scored candidates are
+    * bounded by (probeBatch × nprobe_max × cell size); the sweep explode
+    * multiplies only post-scoring fixed-width rows. Caches: the inverted
+    * file (the persisted index at 100 TB) and the bounded scored set —
+    * C29 ownership. */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxNp = NprobeSweep.max
+    val v = vectors(spark, dir)
+    val cents = ivfCentroids(v, IvfK)
+    val assigned = ivfAssigned(v, cents).cache()
+    def centCos = (expr(dotExpr("embedding", "c_emb")) /
+      (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos")
+    val probeCells = v.filter(probeFilter(0, ProbeBatch))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("n2").as("p_n2"), col("cent_id"), centCos)
+      .withColumn("prnk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("prnk") <= maxNp)
+      .select("probe_id", "p_emb", "p_n2", "cent_id", "prnk")
+    val scored = assigned
+      .join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("prnk"),
+        col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+      .cache()
+    val nps = spark.range(1).select(
+      explode(array(NprobeSweep.map(lit(_)): _*)).as("nprobe"))
+    val s = nps.join(scored, col("prnk") <= col("nprobe"))
+    val vol = s.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val top = s.withColumn("rnk", row_number().over(
+        Window.partitionBy("nprobe", "probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("nprobe"), col("probe_id"), col("neighbor_id"),
+        lit(1L).as("hit"))
+    val base = annBruteforce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val rec = nps.crossJoin(base)
+      .join(top, Seq("nprobe", "probe_id", "neighbor_id"), "left")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    vol.join(rec, Seq("nprobe"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_candidates"),
+        col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true").cast("double"))
+          .as("recall_at_10"))
+      .orderBy("nprobe")
+  }
+
+  val annNprobeSweepSql: String = {
+    val maxNp = NprobeSweep.max
+    val npValues = NprobeSweep.map(n => s"($n)").mkString(", ")
+    s"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+          CAST(embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y) AS n2
+      FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+      FROM v WHERE ${centSqlPred("vec_id", IvfK)}),
+    asg AS (
+      SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(v.embedding) + 1), i ->
+              CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(v.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS arnk
+        FROM v, c) WHERE arnk = 1),
+    pc AS (
+      SELECT probe_id, p_emb, p_n2, cent_id, prnk FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS p_emb, p.n2 AS p_n2,
+          c.cent_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(p.embedding) + 1), i ->
+              CAST(p.embedding[CAST(i AS INT)] AS DOUBLE) *
+              CAST(c.c_emb[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+              / (sqrt(p.n2) * sqrt(c.c_n2)) DESC, c.cent_id) AS prnk
+        FROM v p, c WHERE ${probeSqlPred("p.vec_id", 0, ProbeBatch)})
+        WHERE prnk <= $maxNp),
+    scored AS (
+      SELECT pc.probe_id, pc.prnk, a.vec_id AS neighbor_id,
+        list_reduce(list_transform(range(1, len(pc.p_emb) + 1), i ->
+          CAST(pc.p_emb[CAST(i AS INT)] AS DOUBLE) *
+          CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)), (x, y) -> x + y)
+          / (sqrt(pc.p_n2) * sqrt(a.n2)) AS cosine
+      FROM asg a JOIN pc ON a.cent_id = pc.cent_id
+      WHERE a.vec_id <> pc.probe_id),
+    np AS (SELECT * FROM (VALUES $npValues) AS t(nprobe)),
+    s AS (
+      SELECT np.nprobe, sc.probe_id, sc.neighbor_id, sc.cosine
+      FROM np JOIN scored sc ON sc.prnk <= np.nprobe),
+    vol AS (SELECT nprobe, COUNT(*) AS n_candidates FROM s GROUP BY 1),
+    top AS (
+      SELECT nprobe, probe_id, neighbor_id FROM (
+        SELECT nprobe, probe_id, neighbor_id,
+          row_number() OVER (PARTITION BY nprobe, probe_id
+                             ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM s) WHERE rnk <= 10),
+    bf AS (SELECT probe_id, neighbor_id FROM ($annBruteforceSql)),
+    rec AS (
+      SELECT np.nprobe, COUNT(*) AS n_true,
+        CAST(SUM(CASE WHEN t.probe_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit
+      FROM np CROSS JOIN bf b
+      LEFT JOIN top t ON t.nprobe = np.nprobe
+        AND t.probe_id = b.probe_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY 1)
+    SELECT CAST(v.nprobe AS BIGINT) AS nprobe, v.n_candidates,
+      r.n_true, r.n_hit,
+      CAST(r.n_hit AS DOUBLE) / CAST(r.n_true AS DOUBLE) AS recall_at_10
+    FROM vol v JOIN rec r ON r.nprobe = v.nprobe
+    ORDER BY nprobe"""
+  }
+
   val annRecallReportSql: String = s"""
     WITH base AS (
       SELECT probe_id, neighbor_id FROM ($annBruteforceSql)),

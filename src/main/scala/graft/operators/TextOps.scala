@@ -335,7 +335,14 @@ object TextOps {
     * score on the SAME shared ratios — no second pass over text), one
     * partial-aggregated shuffle onto the ≤ ~dozen-bin grid. */
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame =
-    classifierFrame(Tables.documents(spark, dir))
+    calibrationAgg(Tables.documents(spark, dir)).orderBy("logit_bin")
+
+  /** The C90 aggregate on ANY (doc_id, lang, text) frame — every column
+    * is a plain mergeable integer counter (the nano-quantized quality sum
+    * included, C47's rule), so the streaming twin (D31) runs this plan
+    * UNCHANGED and the running calibration curve is exact. */
+  private[graft] def calibrationAgg(docs: DataFrame): DataFrame =
+    classifierFrame(docs)
       .withColumn("qs",
         col("stopword_ratio") * lit(2.0) - col("punct_ratio") * lit(1.0)
           - col("digit_ratio") * lit(3.0)
@@ -358,7 +365,6 @@ object TextOps {
           .as("agree_share"),
         (col("sqs").cast("double") / col("n_docs").cast("double") /
           lit(1.0e9)).as("mean_quality"))
-      .orderBy("logit_bin")
 
   val classifierCalibrationSql: String = s"""
     WITH c AS (

@@ -74,6 +74,20 @@ object DatasheetStream {
   def runningFilterBias(docs: DataFrame): DataFrame =
     graft.operators.TextOps.filterBiasAgg(docs)
 
+  /** D31: streaming twin of TextOps.classifierCalibration (C90) — the
+    * learned filter's calibration curve maintained continuously, D25's
+    * bin-wise sibling: a weight roll whose confidence stops tracking the
+    * heuristic (boundary bins' agreement collapsing, an inverted quality
+    * gradient) alarms in canary, not after the corpus shifted. Every
+    * batch column is a plain mergeable integer counter (doc/keep/agree
+    * counts + the nano-quantized quality sum — C47's rule), so the
+    * streaming aggregate delegates to the batch plan UNCHANGED
+    * ([[graft.operators.TextOps.calibrationAgg]]) and the running curve
+    * is EXACT. State: four BIGINTs per logit bin — a closed ~dozen-row
+    * key space at any stream length. */
+  def runningCalibration(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.calibrationAgg(docs)
+
   /** D14: streaming twin of Pipeline.sourceHealth (C47) — the per-source
     * curation gate maintained continuously: mean quality (EXACT — the
     * nano-quantized integer sum streams losslessly, one division at read

@@ -313,4 +313,26 @@ class CurationOpsSpec extends SparkSpec {
     val sorted = cal.sortBy(_.getLong(0))
     assert(sorted.last.getDouble(6) > sorted.head.getDouble(6))
   }
+
+  test("nprobe sweep (C91): monotone curve, default point matches C40") {
+    val rows = EmbeddingOps.annNprobeSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == EmbeddingOps.NprobeSweep.map(_.toLong))
+    // more probed cells can only ADD candidates and recall
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) < hi.getLong(1),
+        s"candidate volume must grow with nprobe: $lo vs $hi")
+      assert(lo.getDouble(4) <= hi.getDouble(4),
+        s"recall must be monotone in nprobe: $lo vs $hi")
+    }
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // cross-pin: the sweep's nprobe=4 point IS C40's production IVF row
+    val atDefault = rows.find(_.getLong(0) == EmbeddingOps.IvfNprobe).get
+    val c40 = EmbeddingOps.annRecallReport(spark, sf).collect()
+      .find(_.getString(0) == "ivf").get
+    assert(atDefault.getLong(2) == c40.getLong(1) &&
+      atDefault.getLong(3) == c40.getLong(2) &&
+      atDefault.getDouble(4) == c40.getDouble(3),
+      s"sweep default point diverges from C40: $atDefault vs $c40")
+    spark.catalog.clearCache(): Unit
+  }
 }

@@ -79,7 +79,8 @@ class EdgeSpec extends SparkSpec {
       "q_substr_dup_spans", "q_feed_novelty", "q_frame_dedup",
       "q_semantic_drift", "q_ann_serve",
       "q_snapshot_diff", "q_bloom_decontaminate", "q_retrieval_maxsim",
-      "q_token_budget_fill", "q_contamination_spans")
+      "q_token_budget_fill", "q_contamination_spans",
+      "q_dedup_pair_precision", "q_classifier_calibration")
     for (q <- corpusQueries) {
       val n = SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
@@ -87,6 +88,8 @@ class EdgeSpec extends SparkSpec {
     // the fixed-shape reports keep their row grid on an empty corpus —
     // zero/NULL cells, never a throw (ANSI divisions included)
     assert(SparkEntry.queries("q_dedup_agreement")(spark, emptyDir)
+      .count() == 3)
+    assert(SparkEntry.queries("q_dedup_agreement_samesource")(spark, emptyDir)
       .count() == 3)
     assert(SparkEntry.queries("q_span_savings")(spark, emptyDir)
       .count() == 1)

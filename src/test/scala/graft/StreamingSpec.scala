@@ -1384,6 +1384,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D31 running calibration over two micro-batches equals batch C90") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = graft.sources.Tables.documents(sp, sf)
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Long, String, String, String)]
+    val agg = DatasheetStream.runningCalibration(
+      in.toDF().toDF("doc_id", "source", "lang", "text"))
+    val q = agg.writeStream.format("memory").queryName("d31_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d31_out")
+      val batch = graft.operators.TextOps.classifierCalibration(sp, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("D24 streaming novelty gate: additive across batches, equals C76") {
     val sp = spark
     import sp.implicits._
