@@ -61,6 +61,10 @@ object Audit {
     ("q_ann_lsh", "hinted-fact-broadcast:embeddings"),
     ("q_ann_ivf", "hinted-fact-broadcast:embeddings"),
     ("q_ann_recall_report", "hinted-fact-broadcast:embeddings"),
+    // C91 inherits C13's shape: the broadcast sides are the O(IvfK)
+    // centroid set and the (ProbeBatch × nprobe_max)-bounded probe-cell
+    // set — both fixed-size at any corpus scale
+    ("q_ann_nprobe_sweep", "hinted-fact-broadcast:embeddings"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale

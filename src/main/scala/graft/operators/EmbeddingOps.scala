@@ -1754,6 +1754,100 @@ object EmbeddingOps {
   def embedCovariance(spark: SparkSession, dir: String): DataFrame =
     gramGrid(Tables.embeddings(spark, dir)).orderBy("dim_i", "dim_j")
 
+  /** C92: `q_embed_dim_audit` — the CONSUMER read of C88's moment grid,
+    * the audit its scaladoc promises: per dimension, the (quantized-unit)
+    * variance and the most-correlated partner dimension. This is how a
+    * curator catches an encoder collapse (variance ≈ 0: the dim carries
+    * nothing) or redundancy (|corr| ≈ 1: two dims carry the same signal —
+    * fold them into one PQ subspace, or drop one before whitening)
+    * WITHOUT ever re-reading the vectors: everything derives from the
+    * 2080-row exact-integer grid, so the audit is free at any corpus
+    * size once C88 ran.
+    *
+    * Exactness: variance and correlation are single double expressions
+    * over the grid's exact integer moments with IDENTICAL operation
+    * order in both engines (no distributed double sum anywhere); the
+    * argmax partner breaks |corr| ties on the lower partner id (total
+    * order); zero-variance dims yield NULL correlations and a NULL
+    * partner, never a divide-by-zero row.
+    *
+    * Scale: one gramGrid pass (C88's single distributive-aggregate scan)
+    * + O(dims²) post-processing — fixed 2080 rows whatever the corpus. */
+  def embedDimAudit(spark: SparkSession, dir: String): DataFrame = {
+    val g = gramGrid(Tables.embeddings(spark, dir)).cache()
+    def dbl(c: String) = col(c).cast("double")
+    val diag = g.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dim"), col("s_prod").as("s_dd"),
+        col("s_i").as("s_d"), col("n_vecs"))
+      .withColumn("den",
+        dbl("n_vecs") * dbl("s_dd") - dbl("s_d") * dbl("s_d"))
+      .withColumn("var_q",
+        col("den") / (dbl("n_vecs") * dbl("n_vecs")))
+    val off = g.filter(col("dim_i") =!= col("dim_j"))
+    val sym = off.select(col("dim_i").as("dim"), col("dim_j").as("partner"),
+        col("s_prod"), col("s_i").as("s_a"), col("s_j").as("s_b"),
+        col("n_vecs"))
+      .unionByName(off.select(col("dim_j").as("dim"),
+        col("dim_i").as("partner"), col("s_prod"),
+        col("s_j").as("s_a"), col("s_i").as("s_b"), col("n_vecs")))
+    val corr = sym
+      .join(diag.select(col("dim"), col("den").as("den_a")), Seq("dim"))
+      .join(diag.select(col("dim").as("partner"),
+        col("den").as("den_b")), Seq("partner"))
+      .filter(col("den_a") > 0.0 && col("den_b") > 0.0)
+      .select(col("dim"), col("partner"),
+        ((dbl("n_vecs") * dbl("s_prod") - dbl("s_a") * dbl("s_b"))
+          / (sqrt(col("den_a")) * sqrt(col("den_b")))).as("corr"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("dim")
+      .orderBy(abs(col("corr")).desc, col("partner").asc)
+    val top = corr.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dim"), col("partner").as("top_partner"),
+        col("corr").as("top_corr"))
+    diag.join(top, Seq("dim"), "left")
+      .select(col("dim"), col("n_vecs"), col("var_q"),
+        col("top_partner"), col("top_corr"))
+      .orderBy("dim")
+  }
+
+  // declared lazy: interpolates embedCovarianceSql, which is declared
+  // below (object init order would otherwise splice a null)
+  lazy val embedDimAuditSql: String = s"""
+    WITH cov AS ($embedCovarianceSql),
+    diag AS (
+      SELECT dim_i AS dim, n_vecs,
+        CAST(n_vecs AS DOUBLE) * CAST(s_prod AS DOUBLE)
+          - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) AS den
+      FROM cov WHERE dim_i = dim_j),
+    sym AS (
+      SELECT dim_i AS dim, dim_j AS partner, s_prod,
+        s_i AS s_a, s_j AS s_b, n_vecs
+      FROM cov WHERE dim_i <> dim_j
+      UNION ALL
+      SELECT dim_j, dim_i, s_prod, s_j, s_i, n_vecs
+      FROM cov WHERE dim_i <> dim_j),
+    corr AS (
+      SELECT s.dim, s.partner,
+        (CAST(s.n_vecs AS DOUBLE) * CAST(s.s_prod AS DOUBLE)
+          - CAST(s.s_a AS DOUBLE) * CAST(s.s_b AS DOUBLE))
+          / (sqrt(a.den) * sqrt(b.den)) AS corr
+      FROM sym s
+      JOIN diag a ON a.dim = s.dim
+      JOIN diag b ON b.dim = s.partner
+      WHERE a.den > 0.0 AND b.den > 0.0),
+    top AS (
+      SELECT dim, partner AS top_partner, corr AS top_corr FROM (
+        SELECT dim, partner, corr,
+          row_number() OVER (PARTITION BY dim
+                             ORDER BY abs(corr) DESC, partner ASC) AS rn
+        FROM corr) WHERE rn = 1)
+    SELECT d.dim, d.n_vecs,
+      d.den / (CAST(d.n_vecs AS DOUBLE) * CAST(d.n_vecs AS DOUBLE))
+        AS var_q,
+      t.top_partner, t.top_corr
+    FROM diag d LEFT JOIN top t ON t.dim = d.dim
+    ORDER BY d.dim"""
+
   val embedCovarianceSql: String = {
     val k = graft.functions.Kernels
     s"""

@@ -314,6 +314,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(sorted.last.getDouble(6) > sorted.head.getDouble(6))
   }
 
+  test("dim audit (C92): full grid, bounded corr, argmax re-derivable") {
+    val rows = EmbeddingOps.embedDimAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until Kernels.GramDims))
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"variance negative: $r")
+      if (!r.isNullAt(4))
+        assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9, s"corr out of range: $r")
+    }
+    // re-derive dim 0's argmax partner from the covariance grid with the
+    // same formula — the audit must agree
+    val cov = EmbeddingOps.embedCovariance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    def den(d: Long) = {
+      val (sdd, sd, _, n) = cov((d, d)); n.toDouble * sdd - sd.toDouble * sd
+    }
+    val n0 = cov((0L, 0L))._4
+    val cands = (1L until Kernels.GramDims).flatMap { j =>
+      val (sij, si, sj, _) = cov((0L, j))
+      if (den(0) > 0 && den(j) > 0)
+        Some(j -> ((n0.toDouble * sij - si.toDouble * sj)
+          / (math.sqrt(den(0)) * math.sqrt(den(j)))))
+      else None
+    }
+    val want = cands.sortBy { case (j, c) => (-math.abs(c), j) }.head
+    val got = rows.find(_.getLong(0) == 0L).get
+    assert(got.getLong(3) == want._1 &&
+      math.abs(got.getDouble(4) - want._2) < 1e-12,
+      s"dim 0 argmax: audit says (${got.getLong(3)}, ${got.getDouble(4)})," +
+        s" recomputation says $want")
+    spark.catalog.clearCache(): Unit
+  }
+
   test("nprobe sweep (C91): monotone curve, default point matches C40") {
     val rows = EmbeddingOps.annNprobeSweep(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == EmbeddingOps.NprobeSweep.map(_.toLong))
