@@ -71,7 +71,14 @@ object ScaleProbe {
     "q_token_budget_fill",  // fill: histogram threshold, boundary window
     "q_contamination_spans", // spans: positioned-gram join, per-doc islands
     "q_events_attribution", // attribution: user-keyed band join, pick windows
-    "q_embed_covariance")   // covariance: one distributive-aggregate pass
+    "q_embed_covariance",   // covariance: one distributive-aggregate pass
+    // round-8 additions; pair precision reads the per-dir memoized pair
+    // artifacts, so its min-of-2 measures the CONSUMER path (the build is
+    // probed by dedup_agreement_artifact below)
+    "q_dedup_pair_precision",   // exact pair verify: set-array intersection
+    "q_classifier_calibration", // calibration: narrow scan + bin grid
+    "q_ann_nprobe_sweep",       // ANN curve: bounded probe work x 4 points
+    "q_embed_dim_audit")        // dim audit: C88 grid + O(dims^2) post
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
