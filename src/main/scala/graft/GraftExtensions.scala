@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_minhash_sigs",
       "4-band x 3-row MinHash band signatures of a normalized string",
       args => ShingleMinHashSigs(args.head)))
+    ext.injectFunction(fn("graft_minhash_rows",
+      "the 12 raw MinHash row minima behind graft_minhash_sigs",
+      args => MinHashRows(args.head)))
     ext.injectFunction(fn("graft_simhash32",
       "32-bit SimHash of a token array (md5 nibble majority votes)",
       args => SimHash32(args.head)))

@@ -75,7 +75,12 @@ object Kernels {
     * `ascii(substr(...))` in both engines). Row-k hash: (A_k·h + B_k) mod p
     * from the quadratic [[rowA]]/[[rowB]] family (rows k = 1..12).
     * Band b's signature is "min_{3b}:min_{3b+1}:min_{3b+2}". */
-  def shingleMinHash(s: UTF8String): ArrayData = {
+  /** The 12 raw row minima behind [[shingleMinHash]] — exposed separately
+    * (`graft_minhash_rows`) so C93's banding sweep can regroup the SAME
+    * minima under alternative (bands × rows) configurations without a
+    * second shingle pass; [[shingleMinHash]] formats these, so the two
+    * cannot drift. */
+  def minhashRows(s: UTF8String): Array[Long] = {
     val cps = s.toString.codePoints.toArray
     val nSh = cps.length - 4
     val mins = Array.fill(12)(Long.MaxValue)
@@ -93,6 +98,14 @@ object Kernels {
       }
       i += 1
     }
+    mins
+  }
+
+  def minhashRowsArray(s: UTF8String): ArrayData =
+    new GenericArrayData(minhashRows(s))
+
+  def shingleMinHash(s: UTF8String): ArrayData = {
+    val mins = minhashRows(s)
     val sigs = new Array[AnyRef](4)
     var b = 0
     while (b < 4) {
@@ -418,6 +431,8 @@ object Kernels {
       return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_rows",
+      args => MinHashRows(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash32",
       args => SimHash32(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_winnow_fp",
@@ -455,6 +470,18 @@ case class ShingleMinHashSigs(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleMinHash($c)")
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHashSigs =
+    copy(child = newChild)
+}
+
+case class MinHashRows(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashRowsArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashRowsArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashRows =
     copy(child = newChild)
 }
 

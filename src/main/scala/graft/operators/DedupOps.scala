@@ -1273,6 +1273,47 @@ object DedupOps {
     * shared by the inline composition and the artifact-fed registered
     * query ([[DedupArtifacts.pairPrecisionStaged]]), so the two cannot
     * drift. Everything below the pair union is O(pairs + corpus grams). */
+  /** Per-doc distinct 3-gram-hash SETS — the exact-verification side
+    * relation shared by C89 and C93. A per-gram explode would make every
+    * verification O(pairs × grams): the candidate surface is huge on a
+    * duplicate-dense corpus (1.3M minhash pairs at sf0.1), so a
+    * (pair × gram) equi-join materializes ~90M rows. The doc→set relation
+    * is ~52 longs per doc (smaller than the text); verifiers join it
+    * twice on ids and each pair's intersection computes IN-ROW via
+    * array_intersect — O(pairs + docs) shuffle. Hashes use the
+    * graft_str_hash fold (identical DuckDB twin, the C57/C73 convention);
+    * a 31-bit collision merges the same two grams on BOTH engines, so
+    * parity is unconditional. */
+  private[graft] def gramSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+             graft_str_hash(concat('ppv|', element_at(toks, i + 1), ' ',
+               element_at(toks, i + 2), ' ',
+               element_at(toks, i + 3)))))""").as("gl"))
+  }
+
+  /** The DuckDB twin of [[gramSets]] (a CTE body over `documents`). */
+  private val gramSetsSql: String = """
+      SELECT doc_id, list_distinct(list_transform(
+        list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
+          'ppv|' || toks[CAST(i + 1 AS INT)] || ' '
+            || toks[CAST(i + 2 AS INT)] || ' '
+            || toks[CAST(i + 3 AS INT)]),
+        s -> list_reduce(
+          list_transform(range(1, length(s) + 1), j ->
+            CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647))) AS gl
+      FROM (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE len(toks) >= 3"""
+
   private[graft] def pairPrecisionOf(spark: SparkSession, dir: String,
       mh: DataFrame, nj: DataFrame, sb: DataFrame): DataFrame = {
     // Methods overlap heavily (that is what C75 measures), so the
@@ -1294,25 +1335,7 @@ object DedupOps {
           .as("f_nj"),
         max(when(col("method") === "simhash_band", 1L).otherwise(0L))
           .as("f_sb"))
-    // Per-doc gram-hash SETS instead of a per-gram explode: the candidate
-    // surface is huge on a duplicate-dense corpus (1.3M minhash pairs at
-    // sf0.1), so a (pair × gram) equi-join materializes ~90M rows. The
-    // doc→set relation is ~52 longs per doc (smaller than the text); the
-    // pairs join it twice on ids and each pair's intersection computes
-    // IN-ROW via array_intersect — O(pairs + docs) shuffle, never
-    // O(pairs × grams). Hashes use the graft_str_hash fold (identical
-    // DuckDB twin, the C57/C73 convention); a 31-bit collision merges the
-    // same two grams on BOTH engines, so parity is unconditional.
-    graft.functions.Kernels.register(spark)
-    val docSets = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-             graft_str_hash(concat('ppv|', element_at(toks, i + 1), ' ',
-               element_at(toks, i + 2), ' ',
-               element_at(toks, i + 3)))))""").as("gl"))
+    val docSets = gramSets(spark, dir)
     val scored = flags
       .join(docSets.select(col("doc_id").as("doc_a"), col("gl").as("gl_a")),
         Seq("doc_a"), "left")
@@ -1376,21 +1399,7 @@ object DedupOps {
         MAX(CASE WHEN m = 'nj' THEN 1 ELSE 0 END) AS f_nj,
         MAX(CASE WHEN m = 'sb' THEN 1 ELSE 0 END) AS f_sb
       FROM pairs GROUP BY 1, 2),
-    d AS (
-      SELECT doc_id,
-             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-      FROM documents WHERE length(trim(text)) > 0),
-    g AS (
-      SELECT doc_id, list_distinct(list_transform(
-        list_transform(range(0, greatest(len(toks) - 3, -1) + 1), i ->
-          'ppv|' || toks[CAST(i + 1 AS INT)] || ' '
-            || toks[CAST(i + 2 AS INT)] || ' '
-            || toks[CAST(i + 3 AS INT)]),
-        s -> list_reduce(
-          list_transform(range(1, length(s) + 1), j ->
-            CAST(ascii(substr(s, CAST(j AS INT), 1)) AS BIGINT)),
-          (acc, c) -> (acc * 31 + c) % 2147483647))) AS gl
-      FROM d WHERE len(toks) >= 3),
+    g AS ($gramSetsSql),
     sc AS (
       SELECT f_mh, f_nj, f_sb,
         CAST(coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS BIGINT)
@@ -1446,6 +1455,174 @@ object DedupOps {
         END
       FROM t)
     WHERE n_pairs > 0 ORDER BY method"""
+
+  /** C93's probed (bands × rows-per-band) groupings of the 12 MinHash row
+    * minima — all divide 12; (4,3) is the production C2 configuration. */
+  val BandingSweep: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+
+  /** C93's verifier budget: 1-in-[[BandingSampleMod]] of each config's
+    * pairs is exactly verified (deterministic hash rule, identical on
+    * both engines). */
+  val BandingSampleMod: Int = 10
+
+  /** C93: `q_dedup_banding_sweep` — the LSH OPERATING CURVE: candidate
+    * volume and (sampled) exact precision for four (bands × rows)
+    * groupings of the SAME 12 MinHash row minima — the S-curve table an
+    * operator reads to pick the banding (more, shorter bands → more
+    * candidates, lower precision; the C91 nprobe-curve idea applied to
+    * the dedup side). At sf0.1 the curve spans 7.9k pairs at 2×6 to 6.3M
+    * at 6×2 around C2's production 4×3.
+    *
+    * Budgeted verification (the production shape): exactly verifying 6.3M
+    * loose-config pairs is the cost the bands exist to avoid, so each
+    * config's precision is measured on a DETERMINISTIC 1-in-10 pair
+    * sample (graft_str_hash rule, the C57 sampling device) via the C89
+    * set-array intersection; `n_pairs` stays the exact full count.
+    *
+    * Exactness: the sample rule and every count are integer-exact on both
+    * engines; precision/micro-Jaccard are single divisions. Sampling
+    * makes the precision columns ESTIMATES of the config's true
+    * precision, but they are the SAME deterministic numbers on both
+    * engines — the oracle checks the computation, the spec checks the
+    * curve's direction.
+    *
+    * Scale: ONE shingle pass (the 12 minima per doc, cached — 96 B/doc);
+    * each config regroups minima in-row, band-bucket self-joins with the
+    * C2 hot cap, and verifies O(pairs/10) sampled rows against the shared
+    * [[gramSets]] relation. Pair sets per config stay candidate-bounded;
+    * at 100 TB each config's pair set would persist as its own artifact
+    * (the DedupArtifacts contract) — here they cache per run (C29
+    * ownership). */
+  def dedupBandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val par = spark.sessionState.conf.numShufflePartitions
+    val minima = Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), expr("graft_minhash_rows(norm)").as("mins"))
+      .repartition(par, col("doc_id"))
+      .cache()
+    val gsets = gramSets(spark, dir)
+    BandingSweep.map { case (bc, r) =>
+      val sigs = minima.select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, ${bc - 1}), b ->
+                concat_ws(':', transform(sequence(0, ${r - 1}), rr ->
+                  cast(element_at(mins, b * $r + rr + 1) as string))))""")))
+        .toDF("doc_id", "band", "sig")
+      val hot = sigs.groupBy("band", "sig")
+        .agg(count(lit(1)).as("df")).filter(col("df") > MaxBucketDocs)
+        .select("band", "sig")
+      val cold = sigs.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      val pairs = cold.as("a").join(cold.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().cache()
+      val total = pairs.agg(count(lit(1)).as("n_pairs"))
+      val scored = pairs
+        .filter(expr(s"""graft_str_hash(concat('bsw|', doc_a, ':', doc_b))
+          % $BandingSampleMod""") === 0)
+        .join(gsets.select(col("doc_id").as("doc_a"), col("gl").as("gl_a")),
+          Seq("doc_a"), "left")
+        .join(gsets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
+          Seq("doc_b"), "left")
+        .select(
+          coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
+            .cast("long").as("n_common"),
+          (coalesce(size(col("gl_a")), lit(0)).cast("long")
+            + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
+        .select(col("n_common"), (col("n_ab") - col("n_common")).as("n_union"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(when(col("n_union") > 0 &&
+            col("n_common") * 5 >= col("n_union"), 1L).otherwise(0L))
+            .as("n_verified_fifth"),
+          sum("n_common").as("sum_common"),
+          sum("n_union").as("sum_union"))
+      total.crossJoin(scored).select(
+        lit(s"${bc}x$r").as("banding"),
+        lit(bc.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("n_pairs"), col("n_sampled"),
+        coalesce(col("n_verified_fifth"), lit(0L)).as("n_verified_fifth"),
+        when(col("n_sampled") > 0, col("n_verified_fifth").cast("double")
+          / col("n_sampled").cast("double")).as("precision_fifth_est"),
+        when(col("sum_union") > 0, col("sum_common").cast("double")
+          / col("sum_union").cast("double")).as("micro_jaccard_est"))
+    }.reduce(_ unionByName _).orderBy("bands")
+  }
+
+  lazy val dedupBandingSweepSql: String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    val perConfig = BandingSweep.map { case (bc, r) =>
+      s"""
+      SELECT '${bc}x$r' AS banding, CAST($bc AS BIGINT) AS bands,
+        CAST($r AS BIGINT) AS rows_per_band,
+        (SELECT COUNT(*) FROM pairs_${bc}x$r) AS n_pairs,
+        (SELECT COUNT(*) FROM sc_${bc}x$r) AS n_sampled,
+        (SELECT CAST(coalesce(SUM(CASE WHEN n_union > 0
+            AND 5 * n_common >= n_union THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM sc_${bc}x$r) AS n_verified_fifth,
+        (SELECT CASE WHEN COUNT(*) > 0 THEN
+            CAST(SUM(CASE WHEN n_union > 0 AND 5 * n_common >= n_union
+              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) END
+          FROM sc_${bc}x$r) AS precision_fifth_est,
+        (SELECT CASE WHEN SUM(n_union) > 0 THEN
+            CAST(SUM(n_common) AS DOUBLE) / CAST(SUM(n_union) AS DOUBLE) END
+          FROM sc_${bc}x$r) AS micro_jaccard_est"""
+    }.mkString(" UNION ALL ")
+    val configCtes = BandingSweep.map { case (bc, r) =>
+      s"""
+    sigs_${bc}x$r AS (
+      SELECT doc_id, b AS band,
+        array_to_string(list_transform(range(0, $r), rr ->
+          CAST(mins[CAST(b * $r + rr + 1 AS INT)] AS VARCHAR)), ':') AS sig
+      FROM minima, (SELECT unnest(range(0, $bc)) AS b)),
+    hot_${bc}x$r AS (
+      SELECT band, sig FROM sigs_${bc}x$r GROUP BY 1, 2
+      HAVING count(*) > $MaxBucketDocs),
+    cold_${bc}x$r AS (
+      SELECT * FROM sigs_${bc}x$r ANTI JOIN hot_${bc}x$r USING (band, sig)),
+    pairs_${bc}x$r AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM cold_${bc}x$r a JOIN cold_${bc}x$r b2
+        ON a.band = b2.band AND a.sig = b2.sig AND a.doc_id < b2.doc_id),
+    sc_${bc}x$r AS (
+      SELECT coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS n_common,
+        coalesce(len(ga.gl), 0) + coalesce(len(gb.gl), 0)
+          - coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS n_union
+      FROM pairs_${bc}x$r p
+      LEFT JOIN g ga ON ga.doc_id = p.doc_a
+      LEFT JOIN g gb ON gb.doc_id = p.doc_b
+      WHERE list_reduce(list_transform(
+          range(1, length('bsw|' || p.doc_a || ':' || p.doc_b) + 1), j ->
+            CAST(ascii(substr('bsw|' || p.doc_a || ':' || p.doc_b,
+              CAST(j AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647)
+          % $BandingSampleMod = 0)"""
+    }.mkString(",")
+    s"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      WHERE length(lower(trim(text))) >= 5),
+    h AS (
+      SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
+        (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
+         ascii(substr(norm, CAST(i + 2 AS INT), 1)) * 29791 +
+         ascii(substr(norm, CAST(i + 3 AS INT), 1)) * 961 +
+         ascii(substr(norm, CAST(i + 4 AS INT), 1)) * 31 +
+         ascii(substr(norm, CAST(i + 5 AS INT), 1)))
+        % 2147483647) AS hs
+      FROM d),
+    minima AS (
+      SELECT doc_id, list_transform(range(0, 12), k ->
+        list_min(list_transform(hs, x ->
+          (${rowASql("k + 1")} * x + ${rowBSql("k + 1")})
+          % 2147483647))) AS mins
+      FROM h),
+    g AS ($gramSetsSql),
+    $configCtes
+    SELECT * FROM ($perConfig)
+    ORDER BY bands"""
+  }
 
   val dedupAgreementSql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),

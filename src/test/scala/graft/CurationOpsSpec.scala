@@ -347,6 +347,46 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("banding sweep (C93): volume S-curve, production point matches C2") {
+    val rows = operators.DedupOps.dedupBandingSweep(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      operators.DedupOps.BandingSweep.map { case (b, r) => (b.toLong, r.toLong) })
+    // more, shorter bands can only ADD candidate pairs
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(3) < hi.getLong(3),
+        s"candidate volume must grow with band count: $lo vs $hi")
+    }
+    // the endpoints separate cleanly: the strictest banding's sampled
+    // precision beats the loosest's (the S-curve's whole point)
+    val strict = rows.head; val loose = rows.last
+    assert(strict.getDouble(6) > loose.getDouble(6),
+      s"strict ${strict.getDouble(6)} should beat loose ${loose.getDouble(6)}")
+    // cross-pin: the 4x3 grouping IS C2's production banding — its pair
+    // count must equal q_dedup_minhash_lsh's exactly
+    val prod = rows.find(_.getString(0) == "4x3").get
+    val c2 = operators.DedupOps.dedupMinhashLsh(spark, sf).count()
+    assert(prod.getLong(3) == c2,
+      s"4x3 pair count ${prod.getLong(3)} != C2's $c2")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("minhash row minima reband exactly to the production signatures") {
+    // graft_minhash_rows regrouped at (4,3) must reproduce
+    // graft_minhash_sigs verbatim — C93's sweep shares C2's hash family
+    // by construction, pinned here so a kernel edit cannot split them
+    Kernels.register(spark)
+    val d = Tables.documents(spark, sf)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(
+        expr("graft_minhash_sigs(norm)").as("sigs"),
+        expr("""transform(sequence(0, 3), b ->
+          concat_ws(':', transform(sequence(0, 2), rr ->
+            cast(element_at(graft_minhash_rows(norm), b * 3 + rr + 1)
+              as string))))""").as("rebanded"))
+    assert(d.filter(col("sigs") =!= col("rebanded")).count() == 0)
+  }
+
   test("nprobe sweep (C91): monotone curve, default point matches C40") {
     val rows = EmbeddingOps.annNprobeSweep(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == EmbeddingOps.NprobeSweep.map(_.toLong))

@@ -91,6 +91,8 @@ class EdgeSpec extends SparkSpec {
       .count() == 3)
     assert(SparkEntry.queries("q_dedup_agreement_samesource")(spark, emptyDir)
       .count() == 3)
+    assert(SparkEntry.queries("q_dedup_banding_sweep")(spark, emptyDir)
+      .count() == 4)
     assert(SparkEntry.queries("q_span_savings")(spark, emptyDir)
       .count() == 1)
     // the covariance grid keeps its 2080-cell shape (zeros, n_vecs = 0)
