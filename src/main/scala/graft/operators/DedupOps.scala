@@ -431,12 +431,14 @@ object DedupOps {
       count(*) OVER (PARTITION BY component_id) AS component_size
     FROM comp ORDER BY doc_id"""
 
-  /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams
-    * explode, stop-grams (df > [[MaxGramDf]]) dropped via a broadcast
-    * anti-join, gram-keyed join counts intersections, |A|+|B|−∩ gives the
-    * union, one double division gives Jaccard. Blocking + the df cap bound
-    * the join at any scale. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared C4/C94 pair machinery: word-3-gram sets blocked within
+    * `source`, stop-grams (df > [[MaxGramDf]]) dropped, gram-keyed
+    * self-join counts intersections, set sizes joined onto the SMALL
+    * post-agg pair set. Returns (source, doc_a, doc_b, n_common, n_a,
+    * n_b) — the sufficient statistics for ANY set-overlap measure
+    * (Jaccard, containment, overlap coefficient), so the two consumers
+    * differ only in the final scalar arithmetic. */
+  private def gramPairStats(spark: SparkSession, dir: String): DataFrame = {
     // Keep set sizes OUT of the pair join: this corpus is duplicate-dense,
     // so the (source, gram) probe stream is the ~10⁸-row hot path — carrying
     // n_grams through it (to skip the sizes aggregate) measured 2-10× slower
@@ -485,16 +487,63 @@ object DedupOps {
                  .withColumnRenamed("n_grams", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
                  .withColumnRenamed("n_grams", "n_b"), "doc_b")
+  }
+
+  /** C4: word-3-gram Jaccard pairs, blocked within `source` — distinct grams
+    * explode, stop-grams (df > [[MaxGramDf]]) dropped via a broadcast
+    * anti-join, gram-keyed join counts intersections, |A|+|B|−∩ gives the
+    * union, one double division gives Jaccard. Blocking + the df cap bound
+    * the join at any scale. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    gramPairStats(spark, dir)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= 0.2)
       .select("source", "doc_a", "doc_b", "n_common", "jaccard")
       .orderBy("doc_a", "doc_b")
-  }
 
-  val dedupNgramJaccardSql: String = s"""
-    WITH d AS (
+  /** Containment floor for C94 — overlap coefficient ≥ this reports the
+    * pair (at least this fraction of the smaller document's gram set is
+    * inside the larger one's). 0.3 sits below C4's 0.2 Jaccard floor in
+    * discrimination terms: at sf0.1 it surfaces the quote-inclusion
+    * pairs (jaccard_missed = true) that Jaccard's union denominator
+    * buries, while ≥ 0.5 keeps only the pairs C4 already reports. */
+  val MinContainment: Double = 0.3
+
+  /** C94: `q_dedup_containment` — ASYMMETRIC near-dup detection via the
+    * overlap coefficient |A∩B| / min(|A|,|B|) over the same blocked
+    * word-3-gram sets as C4. Jaccard under-scores subset inclusion: a
+    * short document quoted wholesale inside a much longer one has
+    * |A∩B| ≈ |A| but |A∪B| ≈ |B|, so Jaccard ≈ |A|/|B| → 0 while
+    * containment → 1. Those are exactly the quote-inclusion /
+    * boilerplate-wrapper pairs a training-data pipeline wants excised at
+    * span level (C79) rather than dropped whole, so the report flags
+    * `jaccard_missed` — pairs below C4's 0.2 Jaccard floor that only
+    * this measure surfaces.
+    *
+    * Scale: identical shape to C4 (one gram-keyed bucket join bounded by
+    * the [[MaxGramDf]] stop-gram cap + source blocking, sizes joined onto
+    * the post-agg pair set) — the only difference is the final scalar
+    * arithmetic, so the 100 TB argument is C4's verbatim. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    gramPairStats(spark, dir)
+      .withColumn("containment",
+        col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("containment") >= MinContainment)
+      .withColumn("jaccard_missed", (col("jaccard") < 0.2).cast("boolean"))
+      .select("source", "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "containment", "jaccard", "jaccard_missed")
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared CTE chain for the C4/C94 twins — ends in `stats(source,
+    * doc_a, doc_b, n_common, n_a, n_b)`, the same sufficient statistics
+    * [[gramPairStats]] produces. */
+  private val ngramPairStatsCtes: String = s"""d AS (
       SELECT doc_id, source,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents WHERE length(trim(text)) > 0),
@@ -514,15 +563,36 @@ object DedupOps {
              count(*) AS n_common
       FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram
                         AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3)
-    SELECT i.source, i.doc_a, i.doc_b, i.n_common,
-           CAST(i.n_common AS DOUBLE) /
-             CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE) AS jaccard
-    FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_common AS DOUBLE) /
-          CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE) >= 0.2
+      GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT i.source, i.doc_a, i.doc_b, i.n_common,
+             sa.n_grams AS n_a, sb.n_grams AS n_b
+      FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b)"""
+
+  val dedupNgramJaccardSql: String = s"""
+    WITH $ngramPairStatsCtes
+    SELECT source, doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) /
+             CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM stats
+    WHERE CAST(n_common AS DOUBLE) /
+          CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
+    ORDER BY doc_a, doc_b"""
+
+  val dedupContainmentSql: String = s"""
+    WITH $ngramPairStatsCtes
+    SELECT source, doc_a, doc_b, n_common, n_a, n_b,
+           CAST(n_common AS DOUBLE) /
+             CAST(least(n_a, n_b) AS DOUBLE) AS containment,
+           CAST(n_common AS DOUBLE) /
+             CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard,
+           (CAST(n_common AS DOUBLE) /
+             CAST(n_a + n_b - n_common AS DOUBLE) < 0.2) AS jaccard_missed
+    FROM stats
+    WHERE CAST(n_common AS DOUBLE) /
+          CAST(least(n_a, n_b) AS DOUBLE) >= $MinContainment
     ORDER BY doc_a, doc_b"""
 
   /** C29: `q_dedup_minhash_est` — signature-based Jaccard ESTIMATION over

@@ -298,6 +298,51 @@ class OperatorsSpec extends SparkSpec {
     assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("containment (C94) detects quote-inclusion pairs Jaccard misses") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_containment")
+    // doc 2 is doc 1 quoted wholesale inside ~4x unrelated text: every
+    // gram of 1 is in 2 (containment = 1.0) but the union is dominated
+    // by 2's filler, so jaccard < 0.2 and C4 never reports the pair.
+    val quoted = "the quick brown fox jumps over the lazy dog today"
+    val filler = (1 to 40).map(i => s"filler$i word$i").mkString(" ")
+    Seq(
+      (1L, quoted, "en", "src0", 10L),
+      (2L, s"$filler $quoted", "en", "src0", 10L),
+      (3L, "completely unrelated text about something else entirely here",
+        "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = DedupOps.dedupContainment(spark, dir)
+      .select("doc_a", "doc_b", "containment", "jaccard", "jaccard_missed")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((1L, 2L)))
+    assert(rows.head._3 == 1.0)          // full inclusion of the smaller set
+    assert(rows.head._4 < 0.2)           // below C4's floor
+    assert(rows.head._5)                 // flagged as Jaccard-missed
+    // and C4 on the same corpus indeed misses it
+    assert(DedupOps.dedupNgramJaccard(spark, dir).count() == 0)
+  }
+
+  test("containment is an upper bound on jaccard and exactly n_common/min") {
+    val c = DedupOps.dedupContainment(spark, sf).cache()
+    assert(c.filter(col("containment") < col("jaccard")).count() == 0)
+    assert(c.filter(col("containment") =!=
+      col("n_common").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double")).count() == 0)
+    assert(c.filter(col("containment") > 1.0 ||
+      col("containment") < DedupOps.MinContainment).count() == 0)
+    // containment ≥ jaccard, so every C4 pair at jaccard ≥ the 0.3 floor
+    // is guaranteed to clear it and must appear here too
+    val j = DedupOps.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= DedupOps.MinContainment)
+      .select("doc_a", "doc_b")
+    val here = c.select("doc_a", "doc_b")
+    assert(j.intersect(here).count() == j.count())
+    c.unpersist(): Unit
+  }
+
   test("lsh-blocked near-dup pairs are a verified subset of the exact pairs") {
     val exact = EmbeddingOps.neardupEmbedding(spark, sf)
       .select("vec_a", "vec_b").cache()
