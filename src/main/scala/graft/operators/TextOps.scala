@@ -1051,6 +1051,108 @@ object TextOps {
     FROM d GROUP BY source, lang
     ORDER BY source, lang"""
 
+  /** Head depth for the C95 Zipf profile — frequency marks are read at
+    * ranks 1 / 10 / 100, so the per-source window keeps exactly this many
+    * rows (WindowGroupLimit prunes the rest map-side). */
+  val ZipfHeadRanks: Int = 100
+
+  /** C95: `q_text_zipf` — per-source vocabulary-concentration profile,
+    * the corpus-health read BEFORE tokenizer/mixture decisions: a source
+    * whose term distribution is far off Zipf is boilerplate-flooded (head
+    * ratios ≫ rank ratio) or spam/ID-noise (hapax fraction → 1), and both
+    * should gate admission (C81) before any dedup spends money on it.
+    *
+    * Reported per source: total/vocab/hapax counts, the top term, head
+    * concentration (top-1 / top-10 token share), and the Zipf frequency
+    * ratios f(1)/f(10) and f(1)/f(100) — an ideal Zipf s exponent makes
+    * f(1)/f(r) = r^s, so these ARE the two-point slope estimates with the
+    * log left to the consumer: ln() is libm-dependent and would break
+    * cross-engine bit-exactness (the C21 rule), while every number here
+    * is an exact integer sum or ONE division of exact longs. Sources with
+    * vocab < 10 (or < 100) yield NULL ratios, not a divide-by-zero.
+    *
+    * Scale: token explode → (source, term) counts partial-aggregate
+    * map-side; everything downstream operates on the vocab-sized tf
+    * relation, never the corpus. The rank window keeps [[ZipfHeadRanks]]
+    * rows per source (rank-limit filter directly over row_number →
+    * WindowGroupLimit prunes map-side before the sort-shuffle), and the
+    * full-vocab stats are one more partial-agg pass over the SAME cached
+    * tf relation — two consumers, one materialization. */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .cache()
+    val stats = tf.groupBy("source").agg(
+      sum("tf").as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax_count"))
+    val head = tf.withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("tf").desc, col("term"))))
+      .filter(col("rank") <= ZipfHeadRanks)
+    val marks = head.groupBy("source").agg(
+      max(when(col("rank") === 1, col("term"))).as("top_term"),
+      max(when(col("rank") === 1, col("tf"))).as("f1"),
+      max(when(col("rank") === 10, col("tf"))).as("f10"),
+      max(when(col("rank") === 100, col("tf"))).as("f100"),
+      sum(when(col("rank") <= 10, col("tf")).otherwise(0L)).as("top10_tf"))
+    stats.join(marks, "source")
+      .select(col("source"), col("total_tokens"), col("vocab_size"),
+        col("hapax_count"),
+        (col("hapax_count").cast("double") / col("vocab_size").cast("double"))
+          .as("hapax_frac"),
+        col("top_term"),
+        (col("f1").cast("double") / col("total_tokens").cast("double"))
+          .as("top1_share"),
+        (col("top10_tf").cast("double") / col("total_tokens").cast("double"))
+          .as("top10_share"),
+        (col("f1").cast("double") / col("f10").cast("double"))
+          .as("zipf_ratio_10"),
+        (col("f1").cast("double") / col("f100").cast("double"))
+          .as("zipf_ratio_100"))
+      .orderBy("source")
+  }
+
+  val textZipfSql: String = s"""
+    WITH toks AS (
+      SELECT source, t.term
+      FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+        AS t(term)
+      WHERE length(trim(text)) > 0 AND length(t.term) > 0),
+    tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    stats AS (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS total_tokens,
+        count(*) AS vocab_size,
+        CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+      FROM tf GROUP BY 1),
+    head AS (
+      SELECT source, term, tf,
+        row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rank
+      FROM tf QUALIFY rank <= $ZipfHeadRanks),
+    marks AS (
+      SELECT source,
+        max(CASE WHEN rank = 1 THEN term END) AS top_term,
+        max(CASE WHEN rank = 1 THEN tf END) AS f1,
+        max(CASE WHEN rank = 10 THEN tf END) AS f10,
+        max(CASE WHEN rank = 100 THEN tf END) AS f100,
+        CAST(SUM(CASE WHEN rank <= 10 THEN tf ELSE 0 END) AS BIGINT) AS top10_tf
+      FROM head GROUP BY 1)
+    SELECT s.source, s.total_tokens, s.vocab_size, s.hapax_count,
+      CAST(s.hapax_count AS DOUBLE) / CAST(s.vocab_size AS DOUBLE)
+        AS hapax_frac,
+      m.top_term,
+      CAST(m.f1 AS DOUBLE) / CAST(s.total_tokens AS DOUBLE) AS top1_share,
+      CAST(m.top10_tf AS DOUBLE) / CAST(s.total_tokens AS DOUBLE)
+        AS top10_share,
+      CAST(m.f1 AS DOUBLE) / CAST(m.f10 AS DOUBLE) AS zipf_ratio_10,
+      CAST(m.f1 AS DOUBLE) / CAST(m.f100 AS DOUBLE) AS zipf_ratio_100
+    FROM stats s JOIN marks m ON m.source = s.source
+    ORDER BY s.source"""
+
   /** C68: `q_pii_audit` — per-source PII incidence over the raw feed
     * ([[graft.sources.Feeds.documentsWithPii]]): how many docs carry PII,
     * how many emails vs phones, and the redaction density per 10k

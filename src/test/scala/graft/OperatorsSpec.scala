@@ -2015,6 +2015,48 @@ class OperatorsSpec extends SparkSpec {
     f.unpersist(): Unit
   }
 
+  test("zipf profile (C95): exact marks on a constructed distribution") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_zipf")
+    // one source, engineered tf: "alpha"x8, "beta"x4, "gamma"x2 + two
+    // hapaxes -> total 16, vocab 5, hapax 2, f1=8, f10/f100 absent
+    val text = (Seq.fill(8)("alpha") ++ Seq.fill(4)("beta") ++
+      Seq.fill(2)("gamma") ++ Seq("delta", "epsilon")).mkString(" ")
+    Seq((1L, text, "en", "srcz", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = operators.TextOps.textZipf(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("total_tokens") == 16L)
+    assert(row.getAs[Long]("vocab_size") == 5L)
+    assert(row.getAs[Long]("hapax_count") == 2L)
+    assert(row.getAs[Double]("hapax_frac") == 0.4)
+    assert(row.getAs[String]("top_term") == "alpha")
+    assert(row.getAs[Double]("top1_share") == 0.5)
+    assert(row.getAs[Double]("top10_share") == 1.0) // vocab < 10: all head
+    assert(row.isNullAt(row.fieldIndex("zipf_ratio_10")))  // no rank 10
+    assert(row.isNullAt(row.fieldIndex("zipf_ratio_100")))
+  }
+
+  test("zipf profile: ordering invariants and C10 token reconciliation") {
+    val z = operators.TextOps.textZipf(spark, sf).cache()
+    assert(z.count() > 0)
+    // shares nest and ratios grow with rank depth (f10 >= f100)
+    assert(z.filter(col("top1_share") > col("top10_share")).count() == 0)
+    assert(z.filter(col("top10_share") > 1.0 || col("top1_share") <= 0.0).count() == 0)
+    assert(z.filter(col("zipf_ratio_10") < 1.0).count() == 0)
+    assert(z.filter(col("zipf_ratio_100") < col("zipf_ratio_10")).count() == 0)
+    assert(z.filter(col("hapax_frac") < 0.0 || col("hapax_frac") > 1.0).count() == 0)
+    assert(z.filter(col("vocab_size") > col("total_tokens")).count() == 0)
+    // token mass reconciles with C10's whitespace count (empty docs = 0)
+    val ws = operators.TextOps.tokenCount(spark, sf)
+      .agg(sum("n_tokens_ws")).head.getLong(0)
+    assert(z.agg(sum("total_tokens")).head.getLong(0) == ws)
+    z.unpersist(): Unit
+  }
+
   test("threshold sweep: grid rows, monotone survival, reconciliation") {
     val sw = Pipeline.filterThresholdSweep(spark, sf).cache()
     assert(sw.count() == Pipeline.SweepN)
