@@ -65,6 +65,9 @@ object Audit {
     // centroid set and the (ProbeBatch × nprobe_max)-bounded probe-cell
     // set — both fixed-size at any corpus scale
     ("q_ann_nprobe_sweep", "hinted-fact-broadcast:embeddings"),
+    // C96 fuses the C7 + C13 lists: same probe-batch / centroid-capped
+    // broadcast subtrees, bounded by construction (see those scaladocs)
+    ("q_retrieval_rrf", "hinted-fact-broadcast:embeddings"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale

@@ -44,6 +44,9 @@ object ParamCheck {
           probeLo = 1, nprobe = 1),
         EmbeddingOps.annIvfSqlFor(k = 2, probeBatch = 2, probeLo = 1,
           nprobe = 1)),
+      ("q_retrieval_rrf_pb2lo1",
+        (s, d) => EmbeddingOps.retrievalRrf(s, d, probeBatch = 2, probeLo = 1),
+        EmbeddingOps.retrievalRrfSqlFor(probeBatch = 2, probeLo = 1)),
       ("q_ann_hard_negatives_pb2lo1",
         (s, d) => EmbeddingOps.annHardNegatives(s, d, probeBatch = 2, probeLo = 1),
         EmbeddingOps.annHardNegativesSqlFor(probeBatch = 2, probeLo = 1)),

@@ -1709,6 +1709,81 @@ object EmbeddingOps {
 
   val retrievalMaxsimSql: String = retrievalMaxsimSqlFor()
 
+  /** RRF smoothing constant for C96 — the k in 1/(k + rank). 60 is the
+    * value the reciprocal-rank-fusion literature standardized on: large
+    * enough that a single list's rank-1 (1/61) cannot outvote two lists'
+    * mid-ranks (2/(60+r)), small enough that rank order still matters. */
+  val RrfK: Int = 60
+
+  /** C96: `q_retrieval_rrf` — RECIPROCAL RANK FUSION of the two
+    * approximate ANN indexes (sign-LSH C7 and IVF C13): each candidate
+    * pair scores Σ 1/([[RrfK]] + rank) over the lists that surfaced it,
+    * and the fused top-10 re-ranks on that sum. This is the standard
+    * score-free ensemble for retrieval serving — the two indexes fail
+    * differently (LSH misses by plane geometry, IVF by cell boundaries),
+    * so a candidate BOTH surface is a stronger neighbor than either
+    * rank alone implies, and fusion recovers recall neither index has by
+    * itself without touching a single extra vector.
+    *
+    * Exactness: each term is one division of exact integers and the
+    * 2-term sum of exact-rounded doubles is order-free (IEEE addition is
+    * commutative) — computed as a single coalesce expression over the
+    * FULL OUTER join of the two lists, no distributed double aggregate.
+    *
+    * Scale: both inputs are the already-bounded ANN outputs (O(probes ×
+    * 10) each, by construction), so the fusion join + the per-probe
+    * re-rank window operate on ≤ 20 rows per probe — the expensive parts
+    * (index search) are exactly C7/C13's bucket/cell-bounded plans,
+    * unchanged. At 100 TB fusion cost stays O(probe batch). */
+  def retrievalRrf(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lsh = annLsh(spark, dir, probeBatch, probeLo)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("lsh_rnk"))
+    val ivf = annIvf(spark, dir, probeBatch = probeBatch, probeLo = probeLo)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("ivf_rnk"))
+    val fused = lsh.join(ivf, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("n_lists",
+        (col("lsh_rnk").isNotNull.cast("long") +
+          col("ivf_rnk").isNotNull.cast("long")))
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK.toLong) + col("lsh_rnk")).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toLong) + col("ivf_rnk")).cast("double"),
+            lit(0.0)))
+    fused.withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("rrf_score").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "neighbor_id", "lsh_rnk", "ivf_rnk", "n_lists",
+        "rrf_score", "rnk")
+      .orderBy("probe_id", "rnk")
+  }
+
+  def retrievalRrfSqlFor(probeBatch: Int = ProbeBatch,
+      probeLo: Int = 0): String = s"""
+    WITH lsh AS (${annLshSqlFor(probeBatch, probeLo)}),
+    ivf AS (${annIvfSqlFor(probeBatch = probeBatch, probeLo = probeLo)}),
+    fused AS (
+      SELECT COALESCE(l.probe_id, i.probe_id) AS probe_id,
+        COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+        l.rnk AS lsh_rnk, i.rnk AS ivf_rnk,
+        CAST(CASE WHEN l.rnk IS NOT NULL THEN 1 ELSE 0 END
+           + CASE WHEN i.rnk IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS n_lists,
+        COALESCE(1.0 / CAST($RrfK + l.rnk AS DOUBLE), 0.0)
+          + COALESCE(1.0 / CAST($RrfK + i.rnk AS DOUBLE), 0.0) AS rrf_score
+      FROM lsh l FULL OUTER JOIN ivf i
+        ON l.probe_id = i.probe_id AND l.neighbor_id = i.neighbor_id)
+    SELECT probe_id, neighbor_id, lsh_rnk, ivf_rnk, n_lists, rrf_score, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        ORDER BY rrf_score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM fused) WHERE rnk <= 10
+    ORDER BY probe_id, rnk"""
+
+  val retrievalRrfSql: String = retrievalRrfSqlFor()
+
   /** C88: `q_embed_covariance` — the second-moment audit of the embedding
     * space: quantized Gram matrix (upper triangle), per-dim sums and the
     * vector count, from which a consumer derives covariance / correlation

@@ -414,6 +414,48 @@ class OperatorsSpec extends SparkSpec {
     exact.unpersist(): Unit
   }
 
+  test("rrf fusion (C96): provenance, score identity, dual-list dominance") {
+    val lsh = EmbeddingOps.annLsh(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk")).cache()
+    val ivf = EmbeddingOps.annIvf(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk")).cache()
+    val fused = EmbeddingOps.retrievalRrf(spark, sf).cache()
+    // provenance: every fused pair exists in at least one source list,
+    // with the EXACT rank that list assigned
+    assert(fused.filter(col("lsh_rnk").isNull && col("ivf_rnk").isNull)
+      .count() == 0)
+    assert(fused.select("probe_id", "neighbor_id", "lsh_rnk")
+      .filter(col("lsh_rnk").isNotNull)
+      .join(lsh.withColumnRenamed("rnk", "src_rnk"),
+        Seq("probe_id", "neighbor_id"))
+      .filter(col("lsh_rnk") =!= col("src_rnk")).count() == 0)
+    assert(fused.select("probe_id", "neighbor_id", "ivf_rnk")
+      .filter(col("ivf_rnk").isNotNull)
+      .join(ivf.withColumnRenamed("rnk", "src_rnk"),
+        Seq("probe_id", "neighbor_id"))
+      .filter(col("ivf_rnk") =!= col("src_rnk")).count() == 0)
+    // score identity: recompute 1/(k+r) terms in-row
+    val k = EmbeddingOps.RrfK.toLong
+    assert(fused.filter(col("rrf_score") =!=
+      (coalesce(lit(1.0) / (lit(k) + col("lsh_rnk")).cast("double"), lit(0.0)) +
+       coalesce(lit(1.0) / (lit(k) + col("ivf_rnk")).cast("double"), lit(0.0))))
+      .count() == 0)
+    // dominance: a pair both lists rank <= 5 scores >= 2/(k+5), while any
+    // single-list pair scores <= 1/(k+1) < that - so every such dual pair
+    // MUST make the fused top-10
+    val dual = lsh.withColumnRenamed("rnk", "lr")
+      .join(ivf.withColumnRenamed("rnk", "ir"), Seq("probe_id", "neighbor_id"))
+      .filter(col("lr") <= 5 && col("ir") <= 5)
+    assert(dual.count() > 0)  // the corpus has agreeing strong neighbors
+    assert(dual.join(fused.select("probe_id", "neighbor_id"),
+      Seq("probe_id", "neighbor_id"), "left_anti").count() == 0)
+    // bounded output: at most 10 per probe, ranks dense from 1
+    val perProbe = fused.groupBy("probe_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(perProbe.filter(col("n") > 10 || col("mx") =!= col("n")).count() == 0)
+    Seq(lsh, ivf, fused).foreach(_.unpersist(): Unit)
+  }
+
   test("pii scrub redacts exactly the dirty slice") {
     val r = TextOps.piiScrub(spark, sf).cache()
     // dirty slice (doc_id % 13 == 0): email + phone both redacted
