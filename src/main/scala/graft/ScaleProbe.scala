@@ -78,7 +78,11 @@ object ScaleProbe {
     "q_dedup_pair_precision",   // exact pair verify: set-array intersection
     "q_classifier_calibration", // calibration: narrow scan + bin grid
     "q_ann_nprobe_sweep",       // ANN curve: bounded probe work x 4 points
-    "q_embed_dim_audit")        // dim audit: C88 grid + O(dims^2) post
+    "q_embed_dim_audit",        // dim audit: C88 grid + O(dims^2) post
+    // round-8 late additions
+    "q_dedup_containment",      // C94: the C4 gram-pair hot path itself
+    "q_text_zipf",              // C95: vocab-sized tf + WindowGroupLimit head
+    "q_retrieval_rrf")          // C96: two index searches + bounded fusion
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
