@@ -207,6 +207,39 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 3 events scans, saw $leaves")
   }
 
+  test("containment rides the cached gram stream (no corpus re-scan)") {
+    // C94 shares C4's cached (doc, source, gram) relation: sizes + both
+    // pair-join sides read the cache; no file scan escapes it
+    val leaves = scanLeaves("q_dedup_containment")
+    info(s"leaves=$leaves")
+    assert(leaves.count(_ == "mem") >= 3,
+      s"expected >=3 cached gram reads, saw $leaves")
+    assert(leaves.count(_ == "file") == 0,
+      s"expected no corpus re-scan outside the cache, saw $leaves")
+    spark.catalog.clearCache()
+  }
+
+  test("zipf profile reads the cached tf relation for both consumers") {
+    val leaves = scanLeaves("q_text_zipf")
+    info(s"leaves=$leaves")
+    assert(leaves.count(_ == "mem") == 2,
+      s"expected stats + head to read the tf cache, saw $leaves")
+    assert(leaves.count(_ == "file") == 0, s"saw $leaves")
+    spark.catalog.clearCache()
+  }
+
+  test("rrf fusion adds no scans beyond its two index searches") {
+    // C96 must cost exactly its inputs: the C7 subtree reads embeddings
+    // twice (probe + corpus sides), the C13 subtree four times (centroids
+    // x2, assignment, probe cells) - fusion itself adds zero scans
+    val lshLeaves = scanLeavesOf(operators.EmbeddingOps.annLsh(spark, sf))
+    val ivfLeaves = scanLeavesOf(operators.EmbeddingOps.annIvf(spark, sf))
+    val fusedLeaves = scanLeaves("q_retrieval_rrf")
+    info(s"lsh=$lshLeaves ivf=$ivfLeaves fused=$fusedLeaves")
+    assert(fusedLeaves.size == lshLeaves.size + ivfLeaves.size,
+      s"fusion changed scan count: $fusedLeaves vs $lshLeaves + $ivfLeaves")
+  }
+
   test("cohort retention reuses the custkey exchange for window + distinct") {
     val plan = planOf("q_cohort_retention")
     assert("Exchange".r.findAllIn(plan).length <= 3, plan)
