@@ -1735,13 +1735,11 @@ object EmbeddingOps {
     * re-rank window operate on ≤ 20 rows per probe — the expensive parts
     * (index search) are exactly C7/C13's bucket/cell-bounded plans,
     * unchanged. At 100 TB fusion cost stays O(probe batch). */
-  def retrievalRrf(spark: SparkSession, dir: String,
-      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+  /** The C96 fusion arithmetic, shared by the registered batch query and
+    * the D32 streaming serve: full-outer join of two (probe_id,
+    * neighbor_id, {lsh,ivf}_rnk) lists, 2-term RRF score, fused top-10. */
+  private def rrfFuse(lsh: DataFrame, ivf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lsh = annLsh(spark, dir, probeBatch, probeLo)
-      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("lsh_rnk"))
-    val ivf = annIvf(spark, dir, probeBatch = probeBatch, probeLo = probeLo)
-      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("ivf_rnk"))
     val fused = lsh.join(ivf, Seq("probe_id", "neighbor_id"), "full_outer")
       .withColumn("n_lists",
         (col("lsh_rnk").isNotNull.cast("long") +
@@ -1758,6 +1756,74 @@ object EmbeddingOps {
       .select("probe_id", "neighbor_id", "lsh_rnk", "ivf_rnk", "n_lists",
         "rrf_score", "rnk")
       .orderBy("probe_id", "rnk")
+  }
+
+  def retrievalRrf(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
+    val lsh = annLsh(spark, dir, probeBatch, probeLo)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("lsh_rnk"))
+    val ivf = annIvf(spark, dir, probeBatch = probeBatch, probeLo = probeLo)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk").as("ivf_rnk"))
+    rrfFuse(lsh, ivf)
+  }
+
+  /** PROBE-PARAMETRIC C96 — the serving twin: fused top-10 for an
+    * ARBITRARY probe relation (probe_id, embedding) against a static
+    * corpus (vec_id, embedding), the shape the D32 stream runs per
+    * micro-batch. Same sign-LSH table union, same IVF cell search
+    * (deterministic centroids from the corpus), same exclusion of the
+    * probe's own vec_id, same fusion arithmetic ([[rrfFuse]]) — serve on
+    * the batch probe slice ≡ the registered query, spec-pinned.
+    *
+    * Scale: the probe batch is bounded by arrival (a micro-batch), so
+    * both probe sides broadcast; corpus-side work is bucket/cell-bounded
+    * exactly as C7/C13. */
+  def retrievalRrfServe(corpus: DataFrame, probes: DataFrame,
+      k: Int = IvfK, nprobe: Int = IvfNprobe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Kernels.register(corpus.sparkSession)
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      expr("graft_norm2(embedding)").as("n2"))
+    val p = probes.select(col("probe_id"), col("embedding").as("p_emb"),
+      expr("graft_norm2(embedding)").as("p_n2"))
+    // sign-LSH: bucket both sides with the SAME kernel, meet on any table
+    val vb = v.select(col("vec_id"), col("embedding"), col("n2"),
+      posexplode(expr("graft_lsh_buckets(embedding)")).as(Seq("t", "bucket")))
+    val pb = p.select(col("probe_id"), col("p_emb"), col("p_n2"),
+      posexplode(expr("graft_lsh_buckets(p_emb)")).as(Seq("t", "bucket")))
+    val lsh = vb.join(broadcast(pb), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+      .groupBy("probe_id", "neighbor_id").agg(max("cosine").as("cosine"))
+      .withColumn("lsh_rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("lsh_rnk") <= 10)
+      .select("probe_id", "neighbor_id", "lsh_rnk")
+    // IVF: corpus-derived centroids, probe cells from the probe batch
+    val cents = ivfCentroids(v, k)
+    val assigned = ivfAssigned(v, cents)
+    val probeCells = p.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("p_emb"), col("p_n2"), col("cent_id"),
+        (expr(dotExpr("p_emb", "c_emb")) /
+          (sqrt(col("p_n2")) * sqrt(col("c_n2")))).as("c_cos"))
+      .withColumn("prnk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("prnk") <= nprobe)
+      .select("probe_id", "p_emb", "p_n2", "cent_id")
+    val ivf = assigned.join(broadcast(probeCells), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (expr(dotExpr("p_emb", "embedding")) /
+          (sqrt(col("p_n2")) * sqrt(col("n2")))).as("cosine"))
+      .withColumn("ivf_rnk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("ivf_rnk") <= 10)
+      .select("probe_id", "neighbor_id", "ivf_rnk")
+    rrfFuse(lsh, ivf)
   }
 
   def retrievalRrfSqlFor(probeBatch: Int = ProbeBatch,

@@ -1135,6 +1135,72 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D32 streamed RRF serve over two batches equals the batch fusion") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // frozen corpus; probes = the registered C96 probe slice (every 100th
+    // id under 6400), streamed in two micro-batches
+    val corpus = graft.sources.Tables.embeddings(sp, sf)
+      .select("vec_id", "embedding").cache()
+    corpus.count()
+    val probes = corpus
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 6400L)
+      .withColumnRenamed("vec_id", "probe_id")
+      .orderBy("probe_id").as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = probes.splitAt(probes.size / 2)
+    val target = tmpDir("d32_target") + "/hits"
+    val ckpt = tmpDir("d32_ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = AnnStream.serve(in.toDF().toDF("probe_id", "embedding"),
+        corpus, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val streamed = sp.read.parquet(target).drop("batch_id")
+    // the serving path on the same probe slice IS the registered query
+    val batch = graft.operators.EmbeddingOps.retrievalRrf(sp, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    sp.catalog.clearCache(): Unit
+  }
+
+  test("D32 replayed micro-batch is idempotent (crash before commit)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val corpus = graft.sources.Tables.embeddings(sp, sf)
+      .select("vec_id", "embedding").cache()
+    corpus.count()
+    val probes = corpus
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 6400L)
+      .withColumnRenamed("vec_id", "probe_id")
+      .orderBy("probe_id").as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = probes.splitAt(probes.size / 2)
+    val target = tmpDir("d32r_target") + "/hits"
+    val ckpt = tmpDir("d32r_ckpt")
+    val in = MemoryStream[(Long, Seq[Float])]
+    def run(): Unit = {
+      val q = AnnStream.serve(in.toDF().toDF("probe_id", "embedding"),
+        corpus, target, ckpt)
+      q.awaitTermination()
+    }
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run() // replays the uncommitted epoch through foreachBatch
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the hits (append instead of overwrite?)")
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D20 checkpoint recovery: manifest state survives stop + restart") {
     // the D6/D17 fault-tolerance pin applied to the manifest family: a
     // checkpointed manifest query is stopped mid-feed, more docs land
