@@ -68,6 +68,9 @@ object Audit {
     // C96 fuses the C7 + C13 lists: same probe-batch / centroid-capped
     // broadcast subtrees, bounded by construction (see those scaladocs)
     ("q_retrieval_rrf", "hinted-fact-broadcast:embeddings"),
+    // C97's cumulative pass runs over the <= VocabBuckets-row grid (an
+    // aggregate of the corpus, bounded by the decile rule)
+    ("q_vocab_growth", "global-window"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale

@@ -1153,6 +1153,114 @@ object TextOps {
     FROM stats s JOIN marks m ON m.source = s.source
     ORDER BY s.source"""
 
+  /** C97 crawl-order checkpoint count (deciles, the C71 bucket device). */
+  val VocabBuckets: Int = 10
+
+  /** C97: `q_vocab_growth` — the HEAPS-LAW read next to C95's Zipf one:
+    * walk the corpus in ingestion order (the C71 id-range decile device —
+    * a narrow integer map off a broadcast 1-row max, never a global
+    * rank), and report per checkpoint the cumulative document / token /
+    * TYPE (distinct unigram) counts plus the type- and token-growth
+    * ratios against the previous checkpoint. Heaps' law says V(n) ∝ n^β,
+    * so β between checkpoints is log(type_ratio)/log(token_ratio) — the
+    * ratios ship in linear space (one division of exact longs each; the
+    * C21 no-libm rule) and the log stays with the consumer. A curve whose
+    * type growth tracks token growth (β → 1) is ID-noise that will never
+    * saturate a tokenizer; β collapsing toward 0 says more crawl buys no
+    * new vocabulary — the unigram sibling of C71's 8-gram novelty curve
+    * (C71 prices OCCURRENCE novelty; this prices the VOCABULARY a
+    * tokenizer/embedding table must carry).
+    *
+    * Plan: token explode → (term, bucket) occurrence grid, cached for its
+    * two consumers (first-bucket-per-term and the per-bucket rollup); the
+    * cumulative pass is a running window over the ≤ [[VocabBuckets]]-row
+    * grid (provably bounded — Audit-vetted global window). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = VocabBuckets
+    val d = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val mx = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .agg(max("doc_id").as("max_id"))
+    val bucketed = d.crossJoin(broadcast(mx))
+      .withColumn("bucket",
+        expr(s"least(doc_id * $B div (max_id + 1), ${B - 1})"))
+    val grid = bucketed
+      .select(col("bucket"), explode(col("toks")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "bucket").agg(count(lit(1)).as("occ"))
+      .cache()
+    val firsts = grid.groupBy("term").agg(min("bucket").as("first_bucket"))
+    val perBucket = grid.join(firsts, "term")
+      .groupBy("bucket").agg(
+        sum("occ").as("n_tokens"),
+        sum(when(col("first_bucket") === col("bucket"), 1L).otherwise(0L))
+          .as("n_new_types"))
+    val nDocs = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    val base = nDocs.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+    val cum = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy("bucket")
+    base
+      .withColumn("n_docs_cum", sum("n_docs").over(cum))
+      .withColumn("n_tokens_cum", sum("n_tokens").over(cum))
+      .withColumn("n_types_cum", sum("n_new_types").over(cum))
+      .withColumn("type_ratio",
+        col("n_types_cum").cast("double") /
+          lag("n_types_cum", 1).over(prev).cast("double"))
+      .withColumn("token_ratio",
+        col("n_tokens_cum").cast("double") /
+          lag("n_tokens_cum", 1).over(prev).cast("double"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    mx AS (SELECT max(doc_id) AS max_id FROM d),
+    b AS (
+      SELECT doc_id,
+        least(doc_id * $VocabBuckets // (max_id + 1),
+              ${VocabBuckets - 1}) AS bucket,
+        toks
+      FROM d, mx),
+    t AS (
+      SELECT bucket, u.term
+      FROM b, unnest(toks) AS u(term) WHERE length(u.term) > 0),
+    grid AS (SELECT term, bucket, count(*) AS occ FROM t GROUP BY 1, 2),
+    firsts AS (SELECT term, min(bucket) AS first_bucket FROM grid GROUP BY 1),
+    pb AS (
+      SELECT g.bucket, CAST(SUM(g.occ) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN f.first_bucket = g.bucket THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_new_types
+      FROM grid g JOIN firsts f ON f.term = g.term GROUP BY 1),
+    nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+    base AS (
+      SELECT nd.bucket, nd.n_docs,
+        COALESCE(pb.n_tokens, 0) AS n_tokens,
+        COALESCE(pb.n_new_types, 0) AS n_new_types
+      FROM nd LEFT JOIN pb ON pb.bucket = nd.bucket),
+    cum AS (
+      SELECT bucket, n_docs, n_tokens, n_new_types,
+        CAST(SUM(n_docs) OVER w AS BIGINT) AS n_docs_cum,
+        CAST(SUM(n_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+        CAST(SUM(n_new_types) OVER w AS BIGINT) AS n_types_cum
+      FROM base
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+    SELECT bucket, n_docs, n_tokens, n_new_types,
+      n_docs_cum, n_tokens_cum, n_types_cum,
+      CAST(n_types_cum AS DOUBLE) /
+        CAST(lag(n_types_cum) OVER (ORDER BY bucket) AS DOUBLE) AS type_ratio,
+      CAST(n_tokens_cum AS DOUBLE) /
+        CAST(lag(n_tokens_cum) OVER (ORDER BY bucket) AS DOUBLE) AS token_ratio
+    FROM cum ORDER BY bucket"""
+
   /** C68: `q_pii_audit` — per-source PII incidence over the raw feed
     * ([[graft.sources.Feeds.documentsWithPii]]): how many docs carry PII,
     * how many emails vs phones, and the redaction density per 10k

@@ -2099,6 +2099,45 @@ class OperatorsSpec extends SparkSpec {
     z.unpersist(): Unit
   }
 
+  test("vocab growth (C97): conservation, monotone cumulatives, C95 pin") {
+    val g = operators.TextOps.vocabGrowth(spark, sf).cache()
+    assert(g.count() <= operators.TextOps.VocabBuckets)
+    val last = g.orderBy(col("bucket").desc).head
+    // cumulative types at the end IS the corpus vocabulary; tokens and
+    // docs reconcile with the direct counts
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0).cache()
+    assert(last.getAs[Long]("n_types_cum") ==
+      toks.select("term").distinct().count())
+    assert(last.getAs[Long]("n_tokens_cum") == toks.count())
+    assert(last.getAs[Long]("n_docs_cum") ==
+      graft.sources.Tables.documents(spark, sf)
+        .filter(length(trim(col("text"))) > 0).count())
+    // per-bucket columns sum to the cumulative tail
+    assert(g.agg(sum("n_new_types")).head.getLong(0) ==
+      last.getAs[Long]("n_types_cum"))
+    assert(g.agg(sum("n_tokens")).head.getLong(0) ==
+      last.getAs[Long]("n_tokens_cum"))
+    // cumulatives never decrease; growth ratios are >= 1 where defined
+    val rows = g.orderBy("bucket").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_types_cum") >= a.getAs[Long]("n_types_cum"))
+      assert(b.getAs[Long]("n_tokens_cum") >= a.getAs[Long]("n_tokens_cum"))
+      case _ => ()
+    }
+    assert(g.filter(col("type_ratio") < 1.0 || col("token_ratio") < 1.0)
+      .count() == 0)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("type_ratio")))
+    // corpus vocab <= the sum of C95's per-source vocabularies (shared
+    // terms count once per source there)
+    val zipfVocab = operators.TextOps.textZipf(spark, sf)
+      .agg(sum("vocab_size")).head.getLong(0)
+    assert(last.getAs[Long]("n_types_cum") <= zipfVocab)
+    toks.unpersist(); g.unpersist(): Unit
+  }
+
   test("threshold sweep: grid rows, monotone survival, reconciliation") {
     val sw = Pipeline.filterThresholdSweep(spark, sf).cache()
     assert(sw.count() == Pipeline.SweepN)
