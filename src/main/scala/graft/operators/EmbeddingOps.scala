@@ -758,6 +758,10 @@ object EmbeddingOps {
     }
     recallOf("lsh", annLsh(spark, dir))
       .unionByName(recallOf("ivf", annIvf(spark, dir)))
+      // round-8: the fused C96 list measured against the same truth set -
+      // "fusion recovers recall neither index has alone" as a number the
+      // report ships, not a claim the scaladoc makes
+      .unionByName(recallOf("rrf", retrievalRrf(spark, dir)))
       .orderBy("metodo")
   }
 
@@ -903,13 +907,17 @@ object EmbeddingOps {
     ORDER BY nprobe"""
   }
 
-  val annRecallReportSql: String = s"""
+  // declared lazy: interpolates retrievalRrfSql, which is declared below
+  // (object init order would otherwise splice a null)
+  lazy val annRecallReportSql: String = s"""
     WITH base AS (
       SELECT probe_id, neighbor_id FROM ($annBruteforceSql)),
     lsh AS (
       SELECT probe_id, neighbor_id FROM ($annLshSql)),
     ivf AS (
-      SELECT probe_id, neighbor_id FROM ($annIvfSql))
+      SELECT probe_id, neighbor_id FROM ($annIvfSql)),
+    rrf AS (
+      SELECT probe_id, neighbor_id FROM ($retrievalRrfSql))
     SELECT metodo, n_true, n_hit,
       CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall_at_10
     FROM (
@@ -921,7 +929,12 @@ object EmbeddingOps {
       SELECT 'ivf', COUNT(*),
         CAST(SUM(CASE WHEN i.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
       FROM base b LEFT JOIN ivf i
-        ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id)
+        ON b.probe_id = i.probe_id AND b.neighbor_id = i.neighbor_id
+      UNION ALL
+      SELECT 'rrf', COUNT(*),
+        CAST(SUM(CASE WHEN r.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base b LEFT JOIN rrf r
+        ON b.probe_id = r.probe_id AND b.neighbor_id = r.neighbor_id)
     ORDER BY metodo"""
 
   /** C36: `q_embed_quantize` — symmetric int8 scalar quantization of the

@@ -408,9 +408,12 @@ class OperatorsSpec extends SparkSpec {
         .join(exact, Seq("probe_id", "neighbor_id")).count() / n
     val rLsh = recall(EmbeddingOps.annLsh(spark, sf))
     val rIvf = recall(EmbeddingOps.annIvf(spark, sf))
-    info(f"recall@10: lsh=$rLsh%.2f ivf=$rIvf%.2f")
+    val rRrf = recall(EmbeddingOps.retrievalRrf(spark, sf))
+    info(f"recall@10: lsh=$rLsh%.2f ivf=$rIvf%.2f rrf=$rRrf%.2f")
     assert(rLsh >= 0.70, s"multi-table LSH recall@10 regressed: $rLsh")
     assert(rIvf >= 0.80, s"IVF nprobe=4 recall@10 regressed: $rIvf")
+    // fusion's reason to exist: measured 0.96 here vs 0.90/0.84 alone
+    assert(rRrf >= 0.90, s"RRF fused recall@10 regressed: $rRrf")
     exact.unpersist(): Unit
   }
 
