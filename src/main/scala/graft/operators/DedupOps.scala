@@ -1694,6 +1694,109 @@ object DedupOps {
     ORDER BY bands"""
   }
 
+  /** C98's probed Hamming radii: every radius the 4-band blocking covers
+    * COMPLETELY (pigeonhole: 4 bands ⇒ any pair within Hamming ≤ 3 shares
+    * a band), so each curve point is the TRUE pair set at that radius,
+    * not a blocking-dependent sample. */
+  val RadiusSweep: Seq[Int] = 0 to SimhashMaxHamming
+
+  /** C98: `q_simhash_radius_sweep` — the SIMHASH OPERATING CURVE:
+    * candidate volume + sampled exact precision at Hamming radius ∈
+    * {0..3}, completing the per-family knob tables (C91 tunes IVF's
+    * nprobe, C93 tunes MinHash banding, THIS tunes the simhash radius).
+    * Radius 0 is exact-signature collision; each +1 trades precision for
+    * recall — the table says what each step buys and costs.
+    *
+    * One-pass shape (the C91 device): the C14 banded candidates are
+    * computed ONCE with their hamming distance kept and cached; each
+    * radius membership is an in-row `hamming ≤ r` filter over the cached
+    * fixed-width pairs — no signature recompute, no re-blocking. The
+    * budgeted verifier is C93's verbatim: a deterministic
+    * 1-in-[[BandingSampleMod]] pair sample (salt `srs|`) scored against
+    * the shared C89 gram-set arrays, sampled ONCE at the loosest radius
+    * so every curve point reads the same scored relation.
+    *
+    * Scale: C14's bucket-capped self-join is the only heavy stage; the
+    * sweep adds 4 tiny aggregates over cached bounded relations. */
+  def simhashRadiusSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val pairs = dedupSimhashBand(spark, dir)
+      .select("doc_a", "doc_b", "hamming").cache()
+    val gsets = gramSets(spark, dir)
+    val sampled = pairs
+      .filter(expr(s"""graft_str_hash(concat('srs|', doc_a, ':', doc_b))
+          % $BandingSampleMod""") === 0)
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gl").as("gl_a")),
+        Seq("doc_a"), "left")
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
+        Seq("doc_b"), "left")
+      .select(col("hamming"),
+        coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
+          .cast("long").as("n_common"),
+        (coalesce(size(col("gl_a")), lit(0)).cast("long")
+          + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
+      .select(col("hamming"), col("n_common"),
+        (col("n_ab") - col("n_common")).as("n_union"))
+      .cache()
+    RadiusSweep.map { r =>
+      val total = pairs.filter(col("hamming") <= r)
+        .agg(count(lit(1)).as("n_pairs"))
+      val sc = sampled.filter(col("hamming") <= r).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(when(col("n_union") > 0 &&
+          col("n_common") * 5 >= col("n_union"), 1L).otherwise(0L))
+          .as("n_verified_fifth"),
+        sum("n_common").as("sum_common"),
+        sum("n_union").as("sum_union"))
+      total.crossJoin(sc).select(
+        lit(r.toLong).as("radius"), col("n_pairs"), col("n_sampled"),
+        coalesce(col("n_verified_fifth"), lit(0L)).as("n_verified_fifth"),
+        when(col("n_sampled") > 0, col("n_verified_fifth").cast("double")
+          / col("n_sampled").cast("double")).as("precision_fifth_est"),
+        when(col("sum_union") > 0, col("sum_common").cast("double")
+          / col("sum_union").cast("double")).as("micro_jaccard_est"))
+    }.reduce(_ unionByName _).orderBy("radius")
+  }
+
+  val simhashRadiusSweepSql: String = {
+    val perRadius = RadiusSweep.map { r =>
+      s"""
+      SELECT CAST($r AS BIGINT) AS radius,
+        (SELECT COUNT(*) FROM cand_h WHERE hamming <= $r) AS n_pairs,
+        (SELECT COUNT(*) FROM srs WHERE hamming <= $r) AS n_sampled,
+        (SELECT CAST(coalesce(SUM(CASE WHEN n_union > 0
+            AND 5 * n_common >= n_union THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM srs WHERE hamming <= $r) AS n_verified_fifth,
+        (SELECT CASE WHEN COUNT(*) > 0 THEN
+            CAST(SUM(CASE WHEN n_union > 0 AND 5 * n_common >= n_union
+              THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) END
+          FROM srs WHERE hamming <= $r) AS precision_fifth_est,
+        (SELECT CASE WHEN SUM(n_union) > 0 THEN
+            CAST(SUM(n_common) AS DOUBLE) / CAST(SUM(n_union) AS DOUBLE) END
+          FROM srs WHERE hamming <= $r) AS micro_jaccard_est"""
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH cand_h AS (
+      SELECT doc_a, doc_b, hamming FROM ($dedupSimhashBandSql)),
+    g AS ($gramSetsSql),
+    srs AS (
+      SELECT p.hamming,
+        coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS n_common,
+        coalesce(len(ga.gl), 0) + coalesce(len(gb.gl), 0)
+          - coalesce(len(list_intersect(ga.gl, gb.gl)), 0) AS n_union
+      FROM cand_h p
+      LEFT JOIN g ga ON ga.doc_id = p.doc_a
+      LEFT JOIN g gb ON gb.doc_id = p.doc_b
+      WHERE list_reduce(list_transform(
+          range(1, length('srs|' || p.doc_a || ':' || p.doc_b) + 1), j ->
+            CAST(ascii(substr('srs|' || p.doc_a || ':' || p.doc_b,
+              CAST(j AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647)
+          % $BandingSampleMod = 0)
+    SELECT * FROM ($perRadius)
+    ORDER BY radius"""
+  }
+
   val dedupAgreementSql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
     nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),

@@ -370,6 +370,34 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("radius sweep (C98): cumulative curve, max point matches C14") {
+    val rows = operators.DedupOps.simhashRadiusSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      operators.DedupOps.RadiusSweep.map(_.toLong))
+    // cumulative radii can only ADD pairs (and sampled pairs)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) <= hi.getLong(1))
+      assert(lo.getLong(2) <= hi.getLong(2))
+      case _ => ()
+    }
+    // verified <= sampled; precision bounded where defined
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      if (!r.isNullAt(4))
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the max radius IS the full C14 pair set (pigeonhole completeness)
+    val c14 = operators.DedupOps.dedupSimhashBand(spark, sf).count()
+    assert(rows.last.getLong(1) == c14,
+      s"radius-${rows.last.getLong(0)} pairs ${rows.last.getLong(1)} != C14's $c14")
+    // endpoint decay where both ends have a STATISTICAL sample (>= 30
+    // pairs — at sf0.001 radius 0 samples a handful of pairs and the
+    // estimate is noise; sf0.01 shows the real decay 0.33 -> 0.009)
+    if (rows.head.getLong(2) >= 30 && rows.last.getLong(2) >= 30)
+      assert(rows.head.getDouble(4) >= rows.last.getDouble(4))
+    spark.catalog.clearCache(): Unit
+  }
+
   test("minhash row minima reband exactly to the production signatures") {
     // graft_minhash_rows regrouped at (4,3) must reproduce
     // graft_minhash_sigs verbatim — C93's sweep shares C2's hash family
