@@ -2024,4 +2024,130 @@ object EmbeddingOps {
     FROM p JOIN s si ON si.dim = p.dim_i JOIN s sj ON sj.dim = p.dim_j, n
     ORDER BY dim_i, dim_j"""
   }
+
+  /** C99 power-iteration count — fixed, part of the operator's contract
+    * (the output is "the 8-step power iterate from the uniform start",
+    * a deterministic quantity, not "the eigenvector to tolerance ε"). */
+  val PowerIters: Int = 8
+
+  /** C99: `q_embed_pca_power` — the TOP PRINCIPAL COMPONENT of the
+    * embedding space, extracted from C88's moment grid by [[PowerIters]]
+    * steps of power iteration: the scatter matrix A[i][j] = n·Σxᵢxⱼ −
+    * ΣxᵢΣxⱼ (derived per cell from the exact integer moments, the C92
+    * device) is a fixed 64×64 grid whatever the corpus, so after the ONE
+    * corpus-scale pass (C88's distributive aggregate) the iteration is
+    * driver-scale math over a bounded 2080-row collect — the Bloom-words
+    * model-freeze category, NOT a distributed hot path (a dataflow
+    * formulation measured ~10× the query's whole cost in scheduler
+    * rounds for 33 KiB of state).
+    * Ships per dimension: the component loading, plus the eigenvalue
+    * estimate ‖A·v‖ and its share of trace(A) — the "how much of total
+    * variance does ONE direction own" number that prices whitening and
+    * PQ subspace design (a dominant share means the encoder wastes its
+    * width; C92 catches pairwise redundancy, this catches the global
+    * kind).
+    *
+    * Exactness: every matrix cell is a single double expression over
+    * exact integers; every reduction (mat-vec rows, norms, trace) is a
+    * SEQUENTIAL fold in ascending dim order seeded with 0.0 on BOTH
+    * engines (a driver foldLeft here; DuckDB `list_reduce` over
+    * `[0.0] || list(... ORDER BY ...)`, MATERIALIZED per iterate so the
+    * chained CTEs don't re-inline exponentially) — IEEE +,*,/ and sqrt
+    * are exactly rounded, so identical op order means identical bits;
+    * no libm transcendentals, no distributed double sums.
+    *
+    * Scale: the corpus is touched ONCE (C88's distributive-aggregate
+    * pass); the iteration costs O(dims² · iters) — corpus-independent —
+    * so the query's price at 100 TB is exactly C88's. */
+  def embedPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val D = graft.functions.Kernels.GramDims
+    // bounded model-freeze (the Bloom-words / NumShards category): the
+    // grid is EXACTLY D(D+1)/2 = 2080 rows by construction at any corpus
+    // size — the corpus-scale work is the ONE distributive-aggregate scan
+    // inside gramGrid; iterating a 64x64 matrix through distributed jobs
+    // would spend 8 scheduler rounds on driver-scale math (measured ~10x
+    // the whole query's cost as dataflow)
+    val rows = gramGrid(Tables.embeddings(spark, dir)).collect()
+    val aM = Array.ofDim[Double](D, D)
+    for (r <- rows) {
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val cell = r.getLong(5).toDouble * r.getLong(2).toDouble -
+        r.getLong(3).toDouble * r.getLong(4).toDouble
+      // IEEE multiplication commutes, so the mirrored cell the oracle
+      // derives from (s_j, s_i) is bit-identical
+      aM(i)(j) = cell
+      aM(j)(i) = cell
+    }
+    // every reduction: sequential fold in ascending dim order seeded 0.0
+    // — the exact op order the oracle's ordered list_reduce uses
+    val trace = (0 until D).foldLeft(0.0)((acc, i) => acc + aM(i)(i))
+    var v = Array.fill(D)(1.0)
+    var nrm = 0.0
+    for (_ <- 1 to PowerIters) {
+      val y = Array.tabulate(D)(i =>
+        (0 until D).foldLeft(0.0)((acc, j) => acc + aM(i)(j) * v(j)))
+      nrm = math.sqrt((0 until D).foldLeft(0.0)((acc, i) => acc + y(i) * y(i)))
+      v = if (nrm > 0.0) y.map(_ / nrm) else Array.fill(D)(Double.NaN)
+    }
+    val out = (0 until D).map { i =>
+      org.apache.spark.sql.Row(i.toLong,
+        if (nrm > 0.0) java.lang.Double.valueOf(v(i)) else null,
+        java.lang.Double.valueOf(nrm),
+        if (trace > 0.0) java.lang.Double.valueOf(nrm / trace) else null)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("eigenvalue",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("explained_share",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+      .orderBy("dim")
+  }
+
+  lazy val embedPcaPowerSql: String = {
+    def iterCtes(k: Int): String = s"""
+    y$k AS MATERIALIZED (
+      SELECT a.i AS dim,
+        list_reduce([CAST(0.0 AS DOUBLE)] ||
+          list(a.a * v.v ORDER BY a.j), (x, y) -> x + y) AS y
+      FROM a JOIN v${k - 1} v ON v.dim = a.j GROUP BY a.i),
+    n$k AS MATERIALIZED (
+      SELECT sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||
+        list(y * y ORDER BY dim), (x, y) -> x + y)) AS nrm FROM y$k),
+    v$k AS MATERIALIZED (
+      SELECT dim, CASE WHEN nrm > 0.0 THEN y / nrm END AS v
+      FROM y$k, n$k)"""
+    val iters = (1 to PowerIters).map(iterCtes).mkString(",")
+    s"""
+    WITH cov AS MATERIALIZED ($embedCovarianceSql),
+    a AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j,
+        CAST(n_vecs AS DOUBLE) * CAST(s_prod AS DOUBLE)
+          - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) AS a
+      FROM cov
+      UNION ALL
+      SELECT dim_j, dim_i,
+        CAST(n_vecs AS DOUBLE) * CAST(s_prod AS DOUBLE)
+          - CAST(s_j AS DOUBLE) * CAST(s_i AS DOUBLE)
+      FROM cov WHERE dim_i <> dim_j),
+    v0 AS MATERIALIZED (SELECT dim_i AS dim, CAST(1.0 AS DOUBLE) AS v
+           FROM cov WHERE dim_i = dim_j),
+    $iters,
+    tr AS (
+      SELECT list_reduce([CAST(0.0 AS DOUBLE)] ||
+        list(CAST(n_vecs AS DOUBLE) * CAST(s_prod AS DOUBLE)
+          - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) ORDER BY dim_i),
+        (x, y) -> x + y) AS trace
+      FROM cov WHERE dim_i = dim_j)
+    SELECT v.dim, v.v AS loading, n.nrm AS eigenvalue,
+      CASE WHEN tr.trace > 0.0 THEN n.nrm / tr.trace END AS explained_share
+    FROM v$PowerIters v, n$PowerIters n, tr
+    ORDER BY v.dim"""
+  }
 }

@@ -459,6 +459,33 @@ class OperatorsSpec extends SparkSpec {
     Seq(lsh, ivf, fused).foreach(_.unpersist(): Unit)
   }
 
+  test("pca power (C99): unit loading, bounded spectrum, dominant axis") {
+    val sp = spark
+    import sp.implicits._
+    val D = graft.functions.Kernels.GramDims
+    val r = EmbeddingOps.embedPcaPower(spark, sf).orderBy("dim").collect()
+    assert(r.length == D)
+    // the loading is a unit vector (normalization is the last step)
+    val norm2 = r.map(_.getAs[Double]("loading")).map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"loading norm^2 = $norm2")
+    // PSD spectrum bounds: 0 < lambda <= trace, share in (0, 1]
+    val share = r.head.getAs[Double]("explained_share")
+    assert(r.head.getAs[Double]("eigenvalue") > 0.0)
+    assert(share > 0.0 && share <= 1.0 + 1e-12, s"share = $share")
+    assert(r.map(_.getAs[Double]("explained_share")).distinct.length == 1)
+    // constructed dominant axis: all variance in dim 0 -> loading e0,
+    // explained share 1
+    val dir = tmpDir("graft_pca")
+    (0 until 50).map(i =>
+        (i.toLong, Array.tabulate(D)(d => if (d == 0) i.toFloat else 0.5f).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val c = EmbeddingOps.embedPcaPower(spark, dir).orderBy("dim").collect()
+    assert(math.abs(c.head.getAs[Double]("loading") - 1.0) < 1e-9)
+    assert(c.drop(1).forall(_.getAs[Double]("loading") == 0.0))
+    assert(math.abs(c.head.getAs[Double]("explained_share") - 1.0) < 1e-9)
+  }
+
   test("pii scrub redacts exactly the dirty slice") {
     val r = TextOps.piiScrub(spark, sf).cache()
     // dirty slice (doc_id % 13 == 0): email + phone both redacted
