@@ -82,7 +82,10 @@ object ScaleProbe {
     // round-8 late additions
     "q_dedup_containment",      // C94: the C4 gram-pair hot path itself
     "q_text_zipf",              // C95: vocab-sized tf + WindowGroupLimit head
-    "q_retrieval_rrf")          // C96: two index searches + bounded fusion
+    "q_retrieval_rrf",          // C96: two index searches + bounded fusion
+    "q_vocab_growth",           // C97: (term, bucket) grid + bounded cum pass
+    "q_simhash_radius_sweep",   // C98: C14 candidates + budgeted verifier
+    "q_embed_pca_power")        // C99: one C88 pass + driver-scale iteration
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

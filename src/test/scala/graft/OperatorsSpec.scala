@@ -1520,7 +1520,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("ann recall report: bounded, consistent with the exact baseline") {
     val r = operators.EmbeddingOps.annRecallReport(spark, sf).cache()
-    assert(r.count() == 2)
+    assert(r.count() == 3) // lsh + ivf + the round-8 fused rrf row
+    assert(r.select("metodo").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ivf", "lsh", "rrf"))
     assert(r.filter(col("n_hit") > col("n_true")).count() == 0)
     assert(r.filter(col("recall_at_10") < 0 || col("recall_at_10") > 1)
       .count() == 0)
