@@ -85,7 +85,9 @@ object ScaleProbe {
     "q_retrieval_rrf",          // C96: two index searches + bounded fusion
     "q_vocab_growth",           // C97: (term, bucket) grid + bounded cum pass
     "q_simhash_radius_sweep",   // C98: C14 candidates + budgeted verifier
-    "q_embed_pca_power")        // C99: one C88 pass + driver-scale iteration
+    "q_embed_pca_power",        // C99: one C88 pass + driver-scale iteration
+    "q_dup_source_matrix",      // C100: chunk-hash grid + sources²-bounded join
+    "q_minhash_row_health")     // C101: minima grid + 12-row rollups
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

@@ -2096,4 +2096,113 @@ object DedupOps {
       CAST(maskable_occ * $SpanTok AS DOUBLE) / CAST(total_tokens AS DOUBLE)
         AS maskable_share_bound
     FROM a, t"""
+
+  /** C101: `q_minhash_row_health` — per-permutation SKETCH-HEALTH monitor
+    * over the 12 MinHash row minima: distinct-minima count, the modal
+    * minimum with its share, the exact min/max, and the mean minimum as
+    * a fraction of the hash modulus. This is the production read that
+    * catches a DEGENERATE hash family BEFORE it floods LSH buckets: the
+    * round-5 bug (a linear row family collapsing the 12 rows to far
+    * fewer distinct behaviors) surfaces here as the ROWS agreeing with
+    * each other — identical modal values / counts across permutations
+    * that should be independent — and in the limit as top_share → 1,
+    * n_distinct → 1 per row. Within-row minima collisions alone are NOT
+    * a defect: two docs share a row minimum exactly when both contain
+    * that row's argmin shingle, which is the similarity signal MinHash
+    * exists to measure (on a shared-vocabulary corpus distinct_frac sits
+    * well below 1 by construction); what must differ is the BEHAVIOR
+    * ACROSS ROWS — 12 independent permutations pick 12 different argmin
+    * shingles, so the modal values should be (near-)distinct and
+    * mean_frac should track 1/(E[shingles]+1). C29 calibrates the
+    * ESTIMATOR against exact Jaccard (expensive, sampled); this monitors
+    * the RAW SKETCH — cheap enough to ride every signature build as a
+    * standing QA row.
+    *
+    * Scale: the kernel's minima explode partial-aggregates onto the
+    * (row_idx, min_value) grid map-side (12 rows/doc in, ≤ 12 × distinct
+    * values out — the same O(rows·96B) budget as the signature build
+    * itself), then three bounded rollups over the cached grid emit 12
+    * rows. Exactness: integer counts/sums; the modal value is max-count-
+    * then-min-value (deterministic ties); shares and the mean are single
+    * divisions of exact longs (sum(min) ≤ n_docs·P stays in a long up to
+    * ~4·10⁹ docs; past that the grid would carry decimal partial sums). */
+  def minhashRowHealth(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val grid = Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(posexplode(expr("graft_minhash_rows(norm)")))
+      .toDF("row_idx", "m")
+      .groupBy("row_idx", "m").agg(count(lit(1)).as("n"))
+      .cache()
+    val stats = grid.groupBy("row_idx").agg(
+      sum("n").as("n_docs"), count(lit(1)).as("n_distinct"),
+      min("m").as("min_min"), max("m").as("max_min"),
+      sum(col("m") * col("n")).as("sum_min"))
+    val tc = grid.groupBy("row_idx").agg(max("n").as("top_n"))
+    val modal = grid.join(tc, Seq("row_idx"))
+      .filter(col("n") === col("top_n"))
+      .groupBy("row_idx")
+      .agg(min("m").as("top_value"), max("top_n").as("top_count"))
+    stats.join(modal, Seq("row_idx"))
+      .select(col("row_idx").cast("long").as("row_idx"),
+        col("n_docs"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_docs").cast("double"))
+          .as("distinct_frac"),
+        col("top_value"), col("top_count"),
+        (col("top_count").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"),
+        col("min_min"), col("max_min"),
+        (col("sum_min").cast("double")
+          / (col("n_docs") * lit(2147483647L)).cast("double")).as("mean_frac"))
+      .orderBy("row_idx")
+  }
+
+  lazy val minhashRowHealthSql: String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    s"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      WHERE length(lower(trim(text))) >= 5),
+    h AS (
+      SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
+        (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
+         ascii(substr(norm, CAST(i + 2 AS INT), 1)) * 29791 +
+         ascii(substr(norm, CAST(i + 3 AS INT), 1)) * 961 +
+         ascii(substr(norm, CAST(i + 4 AS INT), 1)) * 31 +
+         ascii(substr(norm, CAST(i + 5 AS INT), 1)))
+        % 2147483647) AS hs
+      FROM d),
+    minima AS (
+      SELECT doc_id, list_transform(range(0, 12), k ->
+        list_min(list_transform(hs, x ->
+          (${rowASql("k + 1")} * x + ${rowBSql("k + 1")})
+          % 2147483647))) AS mins
+      FROM h),
+    flat AS (
+      SELECT k AS row_idx, mins[CAST(k + 1 AS INT)] AS m
+      FROM minima, (SELECT unnest(range(0, 12)) AS k)),
+    grid AS (SELECT row_idx, m, count(*) AS n FROM flat GROUP BY 1, 2),
+    stats AS (
+      SELECT row_idx, CAST(SUM(n) AS BIGINT) AS n_docs,
+        count(*) AS n_distinct,
+        min(m) AS min_min, max(m) AS max_min,
+        CAST(SUM(m * n) AS BIGINT) AS sum_min
+      FROM grid GROUP BY 1),
+    tc AS (SELECT row_idx, max(n) AS top_n FROM grid GROUP BY 1),
+    modal AS (
+      SELECT g.row_idx, min(g.m) AS top_value, max(t.top_n) AS top_count
+      FROM grid g JOIN tc t ON g.row_idx = t.row_idx AND g.n = t.top_n
+      GROUP BY 1)
+    SELECT s.row_idx, s.n_docs, s.n_distinct,
+      CAST(s.n_distinct AS DOUBLE) / CAST(s.n_docs AS DOUBLE)
+        AS distinct_frac,
+      m.top_value, m.top_count,
+      CAST(m.top_count AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS top_share,
+      s.min_min, s.max_min,
+      CAST(s.sum_min AS DOUBLE) / CAST(s.n_docs * 2147483647 AS DOUBLE)
+        AS mean_frac
+    FROM stats s JOIN modal m ON m.row_idx = s.row_idx
+    ORDER BY s.row_idx"""
+  }
 }

@@ -543,42 +543,55 @@ object TextOps {
     * into a partitioned writer. Short docs (≤ W tokens) yield exactly one
     * chunk; the final chunk is the only one allowed to run short. */
   def docChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkedWith(spark, dir, Nil).orderBy("doc_id", "chunk_idx")
+
+  /** The C22 chunk pipeline with passthrough columns — C100 carries
+    * `source` through the narrow scan instead of re-joining the fact
+    * table on doc_id after chunking; [[docChunk]] is the empty-extra
+    * instance, so the two cannot drift. */
+  private def chunkedWith(spark: SparkSession, dir: String,
+      extra: Seq[String]): DataFrame = {
+    val ex = extra.map(col)
     Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .select((col("doc_id") +: ex) :+ split(trim(col("text")), "\\s+").as("toks"): _*)
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_chunks", when(col("n_tok") <= ChunkTokens, 1L)
         .otherwise(expr(
           s"(n_tok - $ChunkTokens + $ChunkStride - 1) div $ChunkStride + 1")))
-      .select(col("doc_id"), col("n_tok"), col("toks"),
-        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .select((col("doc_id") +: ex) ++ Seq(col("n_tok"), col("toks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx")): _*)
       .withColumn("start", col("chunk_idx") * ChunkStride)
-      .select(col("doc_id"), col("chunk_idx"),
+      .select((col("doc_id") +: ex) ++ Seq(col("chunk_idx"),
         least(lit(ChunkTokens.toLong), col("n_tok") - col("start")).as("n_chunk_tokens"),
         array_join(slice(col("toks"), (col("start") + 1).cast("int"),
-          lit(ChunkTokens)), " ").as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
+          lit(ChunkTokens)), " ").as("chunk_text")): _*)
+  }
 
-  val docChunkSql: String = s"""
+  /** The C22 chunk SQL with the same passthrough device (`extra` is a
+    * leading-comma column list, e.g. ", source"). */
+  private def docChunkSqlWith(extra: String): String = s"""
     WITH d AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      SELECT doc_id$extra, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents WHERE length(trim(text)) > 0),
     n AS (
-      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM d),
+      SELECT doc_id$extra, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM d),
     c AS (
-      SELECT doc_id, toks, n_tok,
+      SELECT doc_id$extra, toks, n_tok,
         CASE WHEN n_tok <= $ChunkTokens THEN 1
              ELSE (n_tok - $ChunkTokens + $ChunkStride - 1) // $ChunkStride + 1
         END AS n_chunks
       FROM n),
     x AS (
-      SELECT doc_id, toks, n_tok, unnest(range(0, n_chunks)) AS chunk_idx
+      SELECT doc_id$extra, toks, n_tok, unnest(range(0, n_chunks)) AS chunk_idx
       FROM c)
-    SELECT doc_id, chunk_idx,
+    SELECT doc_id$extra, chunk_idx,
       least($ChunkTokens, n_tok - chunk_idx * $ChunkStride) AS n_chunk_tokens,
       array_to_string(toks[CAST(chunk_idx * $ChunkStride + 1 AS INT):
         CAST(chunk_idx * $ChunkStride + $ChunkTokens AS INT)], ' ') AS chunk_text
     FROM x ORDER BY doc_id, chunk_idx"""
+
+  val docChunkSql: String = docChunkSqlWith("")
 
   /** C26: `q_chunk_dedup` — dedup at CHUNK granularity, composed from C22's
     * chunker and C1's hash-groupBy: training pipelines dedup chunks (the
@@ -614,6 +627,65 @@ object TextOps {
     FROM chunks
     GROUP BY md5(chunk_text)
     ORDER BY keep_doc_id, keep_chunk_idx"""
+
+  /** C100: `q_dup_source_matrix` — the cross-source DUPLICATION-FLOW
+    * matrix at chunk granularity: for every source pair (a ≤ b), the
+    * distinct chunk contents both carry and the exact duplicate
+    * chunk-instance pair count between them (the diagonal is
+    * within-source boilerplate). Whole-document hashes miss this —
+    * templated headers/footers cross sources while no full document
+    * does (at sf0.01 the corpus has ZERO whole-doc dups but 30 chunk
+    * contents shared across sources) — and the matrix is the read that
+    * routes crawl budget and audits mirroring: a source whose row mass
+    * sits in someone else's column is a mirror, not a source, and C59's
+    * canonical keeper should prefer the other side.
+    *
+    * Scale: the C22 chunker carries `source` through the narrow scan
+    * (no re-join against the fact table), the chunk md5 keys ONE
+    * shuffle onto the (chunk_hash, source) count grid — text never
+    * moves past the hash — and the pair expansion is a self-join of
+    * that aggregated grid on chunk_hash with fanout ≤ #sources per
+    * hash: O(distinct chunks × sources²) worst case, quadratic only in
+    * the small operator-controlled source count, never in documents.
+    * Pair counts are closed-form over the cell counts (n_a·n_b cross,
+    * n·(n−1)/2 within), so no instance-level pair row ever exists — a
+    * chunk repeated 10⁶ times costs one grid row per source, not 10¹²
+    * pairs. Exactness: md5 hex keys, integer pair arithmetic (`div 2`
+    * exact — n·(n−1) is even), one grid cache for the join's two sides. */
+  def dupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = chunkedWith(spark, dir, Seq("source"))
+      .select(md5(col("chunk_text").cast("binary")).as("chunk_hash"),
+        col("source"))
+      .groupBy("chunk_hash", "source").agg(count(lit(1)).as("n"))
+      .cache()
+    val a = cells.select(col("chunk_hash"), col("source").as("source_a"),
+      col("n").as("n_a"))
+    val b = cells.select(col("chunk_hash"), col("source").as("source_b"),
+      col("n").as("n_b"))
+    a.join(b, Seq("chunk_hash"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("n_a") >= 2))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          expr("n_a * (n_a - 1) div 2"))
+          .otherwise(col("n_a") * col("n_b")).as("pair_c"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_chunks"), sum("pair_c").as("n_dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dupSourceMatrixSql: String = s"""
+    WITH chunks AS (${docChunkSqlWith(", source")}),
+    cells AS (
+      SELECT md5(chunk_text) AS chunk_hash, source, count(*) AS n
+      FROM chunks GROUP BY 1, 2)
+    SELECT a.source AS source_a, b.source AS source_b,
+      count(*) AS n_shared_chunks,
+      CAST(SUM(CASE WHEN a.source = b.source THEN (a.n * (a.n - 1)) // 2
+               ELSE a.n * b.n END) AS BIGINT) AS n_dup_pairs
+    FROM cells a JOIN cells b ON a.chunk_hash = b.chunk_hash
+    WHERE a.source < b.source OR (a.source = b.source AND a.n >= 2)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** C23: `q_text_repetition` — repetition-based quality signals in the
     * style of the Gopher/MassiveText filters: most-frequent-token fraction,

@@ -2373,4 +2373,83 @@ class OperatorsSpec extends SparkSpec {
     d.unpersist()
     spark.catalog.clearCache(): Unit
   }
+
+  test("dup source matrix (C100) counts cross- and within-source pairs exactly") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_dupmatrix")
+    val boiler = "shared boilerplate header repeated verbatim across sources"
+    Seq(
+      (1L, boiler, "en", "srcA", 10L),
+      (2L, boiler, "en", "srcB", 10L),
+      (3L, boiler, "en", "srcB", 10L),
+      (4L, "a completely different document body", "en", "srcB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.dupSourceMatrix(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // srcA(1 copy) x srcB(2 copies) -> 2 cross pairs; srcB diagonal -> 1
+    assert(rows == Seq(("srcA", "srcB", 1L, 2L), ("srcB", "srcB", 1L, 1L)))
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("dup source matrix pair mass reconciles with chunk dedup copy counts") {
+    val m = TextOps.dupSourceMatrix(spark, sf).cache()
+    assert(m.filter(col("source_a") > col("source_b")).count() == 0)
+    assert(m.filter(col("n_dup_pairs") < col("n_shared_chunks")).count() == 0)
+    // conservation: every unordered duplicate chunk-instance pair lands in
+    // exactly one matrix cell, so the matrix mass equals sum C(n_copies, 2)
+    // over C26's per-content copy counts
+    val mass = m.agg(sum("n_dup_pairs")).head.getLong(0)
+    val fromDedup = TextOps.chunkDedup(spark, sf)
+      .agg(sum(expr("n_copies * (n_copies - 1) div 2"))).head.getLong(0)
+    assert(mass == fromDedup && mass > 0)
+    m.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("minhash row health (C101): 12 bounded rows over a healthy family") {
+    val h = DedupOps.minhashRowHealth(spark, sf).cache()
+    val nDocs = sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) >= 5).count()
+    assert(h.select("row_idx").collect().map(_.getLong(0)).toSeq == (0L to 11L))
+    assert(h.filter(col("n_docs") =!= nDocs).count() == 0)
+    assert(h.filter(col("n_distinct") > col("n_docs") ||
+      col("n_distinct") < 1).count() == 0)
+    assert(h.filter(col("min_min") < 0 ||
+      col("max_min") < col("min_min") ||
+      col("max_min") >= 2147483647L).count() == 0)
+    assert(h.filter(col("top_count") < 1 ||
+      col("top_share") <= 0 || col("top_share") > 1).count() == 0)
+    assert(h.filter(col("mean_frac") <= 0 || col("mean_frac") >= 1).count() == 0)
+    // the healthy-family shape: within-row collisions are the similarity
+    // signal (shared-vocabulary corpus => low distinct_frac is EXPECTED),
+    // but the 12 permutations must behave independently — near-distinct
+    // modal values across rows, and minima means far below the modulus
+    assert(h.select("top_value").distinct().count() >= 10)
+    assert(h.filter(col("n_distinct") === 1L).count() == 0)
+    assert(h.filter(col("mean_frac") > 0.1).count() == 0)
+    h.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("minhash row health flags a degenerate (collapsed) corpus") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_mhhealth")
+    // every doc identical -> every row's minima collapse to ONE value:
+    // the monitor must read top_share = 1, n_distinct = 1 on all 12 rows
+    // (the round-5 degenerate-family signature)
+    (1L to 6L).map(i => (i, "identical text shared by every document",
+        "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = DedupOps.minhashRowHealth(spark, dir).cache()
+    assert(h.count() == 12)
+    assert(h.filter(col("n_distinct") =!= 1L).count() == 0)
+    assert(h.filter(col("top_share") =!= 1.0).count() == 0)
+    assert(h.filter(col("top_count") =!= 6L).count() == 0)
+    h.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
 }
