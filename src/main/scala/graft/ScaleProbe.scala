@@ -87,7 +87,9 @@ object ScaleProbe {
     "q_simhash_radius_sweep",   // C98: C14 candidates + budgeted verifier
     "q_embed_pca_power",        // C99: one C88 pass + driver-scale iteration
     "q_dup_source_matrix",      // C100: chunk-hash grid + sources²-bounded join
-    "q_minhash_row_health")     // C101: minima grid + 12-row rollups
+    "q_minhash_row_health",     // C101: minima grid + 12-row rollups
+    "q_segment_migration",      // B43: one custkey shuffle + 16-cell grid
+    "q_skew_audit")             // C102: 5 key-count relations + top-k
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

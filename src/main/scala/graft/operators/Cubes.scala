@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact._
@@ -174,6 +174,101 @@ object Cubes {
       r_q, f_q, m_q,
       CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS rfm
     FROM q ORDER BY c_custkey"""
+
+  /** B43 history split — orders before this date are the "from" half,
+    * at/after it the "to" half (the corpus spans 1995-01..2001-08, so the
+    * halves carry comparable order mass). */
+  val MigrationSplitDate: String = "1998-01-01"
+
+  /** B43 spend-tier floors in integer cents (low < mid floor ≤ mid < high
+    * floor ≤ high; zero orders in a half → 'none'). Fixed absolute
+    * thresholds, deliberately NOT ntile quartiles: a rank-based tier needs
+    * a global sort per half and — worse for the REPORT's meaning — moves
+    * the goalposts between the two halves, so a customer could "migrate"
+    * while spending identically. Around the sf0.01 half-spend median
+    * (~1.1·10⁸ c) so all tiers are populated at test scale. */
+  val TierMidFloorC: Long = 100000000L
+  val TierHighFloorC: Long = 160000000L
+
+  /** B43: `q_segment_migration` — the customer LIFECYCLE-MIGRATION matrix:
+    * every customer's order history is split at [[MigrationSplitDate]],
+    * each half classified into a fixed spend tier (none/low/mid/high via
+    * [[TierMidFloorC]]/[[TierHighFloorC]]), and the report counts
+    * customers per (tier_from, tier_to) cell with both halves' revenue —
+    * the B31-Markov idea applied to revenue segments: the off-diagonal
+    * mass IS churn risk ('high'→'none') and growth ('none'→anything), the
+    * read a retention budget is allocated against.
+    *
+    * Plan: one narrow orders scan partial-aggregates both halves' sums
+    * and counts in the SAME o_custkey shuffle (conditional sums, not two
+    * passes), the customer base joins custkey-keyed (sort-merge, each
+    * side shuffled once; never-buyers surface via left join → 'none'),
+    * and the matrix agg collapses onto a ≤ 16-cell grid map-side.
+    * Exactness: integer cents end-to-end, tier boundaries compare exact
+    * longs, one final division per revenue column. */
+  def segmentMigration(spark: SparkSession, dir: String): DataFrame = {
+    val split = lit(MigrationSplitDate).cast("timestamp")
+    val halves = Tables.orders(spark, dir)
+      .select(col("o_custkey"), (col("o_orderdate") < split).as("h1"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("o_custkey").agg(
+        sum(when(col("h1"), col("c")).otherwise(0L)).as("s1"),
+        sum(when(!col("h1"), col("c")).otherwise(0L)).as("s2"),
+        sum(when(col("h1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("h1"), 1L).otherwise(0L)).as("n2"))
+    def tier(s: Column, n: Column): Column =
+      when(n === 0L, "none")
+        .when(s < TierMidFloorC, "low")
+        .when(s < TierHighFloorC, "mid")
+        .otherwise("high")
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(halves, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        tier(coalesce(col("s1"), lit(0L)), coalesce(col("n1"), lit(0L)))
+          .as("tier_from"),
+        tier(coalesce(col("s2"), lit(0L)), coalesce(col("n2"), lit(0L)))
+          .as("tier_to"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"))
+      .groupBy("tier_from", "tier_to")
+      .agg(count(lit(1)).as("n_customers"),
+        centsToUnits(sum("s1")).as("spend_h1"),
+        centsToUnits(sum("s2")).as("spend_h2"))
+      .orderBy("tier_from", "tier_to")
+  }
+
+  val segmentMigrationSql: String = s"""
+    WITH h AS (
+      SELECT o_custkey,
+        CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '$MigrationSplitDate'
+          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '$MigrationSplitDate'
+          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+          AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '$MigrationSplitDate'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '$MigrationSplitDate'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM orders GROUP BY 1),
+    b AS (
+      SELECT c.c_custkey, coalesce(h.s1, 0) AS s1, coalesce(h.s2, 0) AS s2,
+        coalesce(h.n1, 0) AS n1, coalesce(h.n2, 0) AS n2
+      FROM customer c LEFT JOIN h ON h.o_custkey = c.c_custkey),
+    t AS (
+      SELECT
+        CASE WHEN n1 = 0 THEN 'none'
+             WHEN s1 < $TierMidFloorC THEN 'low'
+             WHEN s1 < $TierHighFloorC THEN 'mid' ELSE 'high' END AS tier_from,
+        CASE WHEN n2 = 0 THEN 'none'
+             WHEN s2 < $TierMidFloorC THEN 'low'
+             WHEN s2 < $TierHighFloorC THEN 'mid' ELSE 'high' END AS tier_to,
+        s1, s2
+      FROM b)
+    SELECT tier_from, tier_to, count(*) AS n_customers,
+      CAST(SUM(s1) AS DOUBLE) / 100.0 AS spend_h1,
+      CAST(SUM(s2) AS DOUBLE) / 100.0 AS spend_h2
+    FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Inactivity horizon for B19 — customers with no order at/after this
     * date count as churned. */

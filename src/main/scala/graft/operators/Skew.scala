@@ -49,4 +49,89 @@ object Skew {
       .groupBy(col(key))
       .agg(merge.head, merge.tail: _*)
   }
+
+  /** Hot keys reported per family by C102's audit. */
+  val SkewTopK: Int = 3
+
+  /** The shuffle-key families C102 audits: every key this engine's heavy
+    * joins/aggregations actually hash-partition on, plus one deliberately
+    * low-cardinality column (event_type) as the it-should-fire control. */
+  val AuditFamilies: Seq[(String, String, String)] = Seq(
+    ("events.user_id", "events", "CAST(user_id AS STRING)"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_orderkey", "lineitem", "CAST(l_orderkey AS STRING)"),
+    ("orders.o_custkey", "orders", "CAST(o_custkey AS STRING)"),
+    ("documents.content_hash", "documents", "md5(lower(trim(text)))"))
+
+  /** C102: `q_skew_audit` — the HOT-KEY AUDIT over the shuffle keys the
+    * engine's own plans hash-partition on: per key family, the
+    * [[SkewTopK]] hottest keys with their exact row count, the key's
+    * share of family rows, and `skew_x` — how many times hotter than the
+    * mean key it runs (count · n_keys / n_rows). This is the table an
+    * operator reads BEFORE picking mitigation: skew_x near 1 needs
+    * nothing, tens → AQE's skew split absorbs it, hundreds-plus on an
+    * aggregate key → [[saltedAgg]] (AQE cannot split a hash-aggregate
+    * partition); it also names the key, which is how the classic 100 TB
+    * sentinels (empty string, bot user, null-ish id) get found and
+    * filtered at the source. The `event_type` family is the deliberate
+    * low-cardinality control — its skew_x ≈ 1 · n_rows/n_keys shows the
+    * report firing, while genuinely uniform keys (order keys) read ≈ 1.
+    *
+    * Plan, per family: ONE narrow single-column scan partial-aggregates
+    * map-side onto the key-count relation (cached — the totals rollup
+    * and the top-k both read it), the top-k is TakeOrderedAndProject
+    * (map-side per-partition top-[[SkewTopK]], never a global sort), the
+    * rank window runs over ≤ [[SkewTopK]] collected rows (bounded) and
+    * the 1-row totals ride a broadcast. Exactness: integer counts,
+    * deterministic (count desc, key asc) ties, two single divisions. */
+  def skewAudit(spark: org.apache.spark.sql.SparkSession,
+                dir: String): DataFrame = {
+    import graft.sources.Tables
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    def family(name: String, keys: DataFrame): DataFrame = {
+      val kc = keys.groupBy("key").agg(count(lit(1)).as("n")).cache()
+      val tot = kc.agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"))
+      val top = kc.orderBy(col("n").desc, col("key")).limit(SkewTopK)
+        .withColumn("rank", row_number().over(w).cast("long"))
+      top.crossJoin(broadcast(tot)).select(
+        lit(name).as("family"), col("rank"), col("key"),
+        col("n").as("key_count"), col("n_rows"), col("n_keys"),
+        (col("n").cast("double") / col("n_rows").cast("double"))
+          .as("key_share"),
+        ((col("n") * col("n_keys")).cast("double")
+          / col("n_rows").cast("double")).as("skew_x"))
+    }
+    val loaders = Map[String, String => DataFrame](
+      "events" -> (d => Tables.events(spark, d)),
+      "lineitem" -> (d => Tables.lineitem(spark, d)),
+      "orders" -> (d => Tables.orders(spark, d)),
+      "documents" -> (d => Tables.documents(spark, d)))
+    AuditFamilies.map { case (name, table, keyExpr) =>
+      family(name, loaders(table)(dir).select(expr(keyExpr).as("key")))
+    }.reduce(_ unionByName _).orderBy("family", "rank")
+  }
+
+  lazy val skewAuditSql: String = {
+    val parts = AuditFamilies.zipWithIndex.map { case ((name, table, keyExpr), i) =>
+      s"""
+    k$i AS (SELECT $keyExpr AS key, count(*) AS n FROM $table GROUP BY 1),
+    s$i AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, count(*) AS n_keys
+            FROM k$i),
+    t$i AS (SELECT '$name' AS family,
+        CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank,
+        key, n AS key_count
+      FROM k$i QUALIFY rank <= $SkewTopK),
+    r$i AS (SELECT family, rank, key, key_count, s.n_rows, s.n_keys,
+        CAST(key_count AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS key_share,
+        CAST(key_count * s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE)
+          AS skew_x
+      FROM t$i, s$i s)"""
+    }
+    val unions = AuditFamilies.indices.map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH ${parts.mkString(",")}
+    SELECT * FROM ($unions) ORDER BY family, rank"""
+  }
 }

@@ -2374,6 +2374,37 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("segment migration (B43): conservation and 'none' tier semantics") {
+    val m = Cubes.segmentMigration(spark, sf).cache()
+    // every customer lands in exactly one cell (never-buyers included)
+    assert(m.agg(sum("n_customers")).head.getLong(0) ==
+      sources.Tables.customer(spark, sf).count())
+    assert(m.count() <= 16)
+    val tiers = Set("none", "low", "mid", "high")
+    assert(m.filter(!col("tier_from").isin(tiers.toSeq: _*) ||
+      !col("tier_to").isin(tiers.toSeq: _*)).count() == 0)
+    // 'none' means zero orders in that half, so its revenue must be zero
+    assert(m.filter(col("tier_from") === "none" && col("spend_h1") =!= 0.0)
+      .count() == 0)
+    assert(m.filter(col("tier_to") === "none" && col("spend_h2") =!= 0.0)
+      .count() == 0)
+    // both halves' revenue reconciles with an independent orders rollup
+    val split = lit(Cubes.MigrationSplitDate).cast("timestamp")
+    val o = sources.Tables.orders(spark, sf).agg(
+      sum(when(col("o_orderdate") < split,
+        functions.Exact.cents(col("o_totalprice"))).otherwise(0L)).as("t1"),
+      sum(when(col("o_orderdate") >= split,
+        functions.Exact.cents(col("o_totalprice"))).otherwise(0L)).as("t2"))
+      .head
+    // cells were divided before summing, so allow ulp-level slack
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    assert(close(m.agg(sum("spend_h1")).head.getDouble(0), o.getLong(0) / 100.0))
+    assert(close(m.agg(sum("spend_h2")).head.getDouble(0), o.getLong(1) / 100.0))
+    m.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
   test("dup source matrix (C100) counts cross- and within-source pairs exactly") {
     val sp = spark
     import sp.implicits._

