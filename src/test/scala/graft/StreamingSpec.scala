@@ -1852,4 +1852,40 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(summed).count() == 0)
     sp.catalog.clearCache(): Unit
   }
+  test("D33 SkewStream.hotKeyAlerts trips on the hot key, stays silent otherwise") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = SkewStream.hotKeyAlerts(in.toDF().toDF("ts", "key"),
+      threshold = 3L, window_ = "10 minutes", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("d33_out")
+      .outputMode("append").start()
+    val flood = Seq(
+      (ts("2024-01-01 10:00:10"), "bot"), (ts("2024-01-01 10:01:00"), "bot"),
+      (ts("2024-01-01 10:02:00"), "bot"), (ts("2024-01-01 10:03:00"), "u1"),
+      (ts("2024-01-01 10:04:00"), "u2"))
+    val later = (ts("2024-01-01 10:21:00"), "u3")
+    try {
+      in.addData(flood: _*)
+      q.processAllAvailable()
+      // window still open -> append mode has emitted nothing yet
+      assert(sp.table("d33_out").isEmpty)
+      in.addData(later) // watermark passes 10:10 and closes the window
+      q.processAllAvailable()
+      val rows = sp.table("d33_out")
+        .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+      // exactly one alert: the bot at its exact count; uniform keys silent
+      assert(rows == Seq((ts("2024-01-01 10:00:00"),
+        ts("2024-01-01 10:10:00"), "bot", 3L)))
+    } finally q.stop()
+    // batch twin: the identical expression over the union (watermark no-op)
+    val batch = SkewStream.hotKeyAlerts(
+      (flood :+ later).toDF("ts", "key"), threshold = 3L)
+      .orderBy("window_start")
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(batch == Seq((ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:10:00"), "bot", 3L)))
+  }
+
 }
