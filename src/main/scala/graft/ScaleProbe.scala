@@ -89,7 +89,9 @@ object ScaleProbe {
     "q_dup_source_matrix",      // C100: chunk-hash grid + sources²-bounded join
     "q_minhash_row_health",     // C101: minima grid + 12-row rollups
     "q_segment_migration",      // B43: one custkey shuffle + 16-cell grid
-    "q_skew_audit")             // C102: 5 key-count relations + top-k
+    "q_skew_audit",             // C102: 5 key-count relations + top-k
+    "q_minhash_cross_row_agreement", // C103: 66-cell map-side grid
+    "q_embed_subspace_variance")     // C104: one C88 pass + O(dims) rollup
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

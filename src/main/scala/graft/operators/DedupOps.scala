@@ -2205,4 +2205,82 @@ object DedupOps {
     FROM stats s JOIN modal m ON m.row_idx = s.row_idx
     ORDER BY s.row_idx"""
   }
+
+  /** C103: `q_minhash_cross_row_agreement` — the DIRECT degeneracy metric
+    * completing C101's story: for each of the 66 unordered permutation-row
+    * pairs, the fraction of documents whose two row minima are EQUAL.
+    * Independent permutations agree on a doc only when the same shingle
+    * wins both rows (probability ≈ 1/distinct-shingles — small), so a
+    * healthy family reads near-zero everywhere; a correlated family (the
+    * round-5 linear-family bug: distinct (A,B) parameters collapsing to
+    * the same function of h) reads agree_frac → 1 on exactly the
+    * collapsed pairs — this table NAMES which rows to replace. C101 reads
+    * each row alone (modal collapse); this reads the pairwise structure
+    * the banding math assumes away ("12 independent rows") — together
+    * they are the sketch's full health panel, cheap enough to ride every
+    * signature build.
+    *
+    * Scale: the kernel's minima are computed once per doc (the signature
+    * build's own cost), the 66 in-row comparisons explode to 66
+    * fixed-width rows/doc that partial-aggregate map-side onto the
+    * 66-cell grid — O(rows·66·16B) mapper output collapsing to 66 rows,
+    * no joins, no extra shuffle beyond the grid's. Exactness: integer
+    * counts, one division per cell. */
+  def minhashCrossRowAgreement(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(expr("graft_minhash_rows(norm)").as("mins"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 10), i ->
+             transform(sequence(i + 1, 11), j ->
+               struct(i AS row_a, j AS row_b,
+                 IF(element_at(mins, i + 1) = element_at(mins, j + 1),
+                    CAST(1 AS BIGINT), CAST(0 AS BIGINT)) AS eq))))"""))
+        .as("p"))
+      .select(col("p.row_a").cast("long").as("row_a"),
+        col("p.row_b").cast("long").as("row_b"), col("p.eq"))
+      .groupBy("row_a", "row_b")
+      .agg(count(lit(1)).as("n_docs"), sum("eq").as("n_agree"))
+      .select(col("row_a"), col("row_b"), col("n_docs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs").cast("double"))
+          .as("agree_frac"))
+      .orderBy("row_a", "row_b")
+  }
+
+  lazy val minhashCrossRowAgreementSql: String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    s"""
+    WITH d AS (
+      SELECT doc_id, lower(trim(text)) AS norm FROM documents
+      WHERE length(lower(trim(text))) >= 5),
+    h AS (
+      SELECT doc_id, list_transform(range(0, length(norm) - 4), i ->
+        (ascii(substr(norm, CAST(i + 1 AS INT), 1)) * 923521 +
+         ascii(substr(norm, CAST(i + 2 AS INT), 1)) * 29791 +
+         ascii(substr(norm, CAST(i + 3 AS INT), 1)) * 961 +
+         ascii(substr(norm, CAST(i + 4 AS INT), 1)) * 31 +
+         ascii(substr(norm, CAST(i + 5 AS INT), 1)))
+        % 2147483647) AS hs
+      FROM d),
+    minima AS (
+      SELECT doc_id, list_transform(range(0, 12), k ->
+        list_min(list_transform(hs, x ->
+          (${rowASql("k + 1")} * x + ${rowBSql("k + 1")})
+          % 2147483647))) AS mins
+      FROM h),
+    pairs AS (
+      SELECT ii.i AS row_a, jj.j AS row_b,
+        CASE WHEN mins[CAST(ii.i + 1 AS INT)] = mins[CAST(jj.j + 1 AS INT)]
+             THEN 1 ELSE 0 END AS eq
+      FROM minima,
+        (SELECT unnest(range(0, 12)) AS i) ii,
+        (SELECT unnest(range(0, 12)) AS j) jj
+      WHERE ii.i < jj.j)
+    SELECT row_a, row_b, count(*) AS n_docs,
+      CAST(SUM(eq) AS BIGINT) AS n_agree,
+      CAST(SUM(eq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS agree_frac
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 }

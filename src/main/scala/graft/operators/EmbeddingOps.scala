@@ -2150,4 +2150,95 @@ object EmbeddingOps {
     FROM v$PowerIters v, n$PowerIters n, tr
     ORDER BY v.dim"""
   }
+  /** C104: `q_embed_subspace_variance` — the PQ-SUBSPACE variance budget
+    * read off C88's moment grid: per 16-dim subspace (C55's split
+    * geometry), the exact scatter trace, its share of the total, and the
+    * highest-/lowest-scatter dimensions inside it. This is the check that
+    * C55's fixed contiguous split actually balances information across
+    * codebooks: a subspace owning most of the trace means its 16-entry
+    * codebook is quantizing most of the space's energy (raise its bits or
+    * re-split), one near zero means dead dims are wasting a codebook —
+    * C92 catches per-dim pathology, C99 the global one-direction kind;
+    * this is the read at exactly the granularity the PQ design consumes.
+    *
+    * Scale: one gramGrid pass (C88's single distributive-aggregate scan);
+    * everything here is O(dims) post-processing on the 64 diagonal rows.
+    * Exactness: per-dim scatter n·Σx² − (Σx)² stays an exact LONG
+    * (|q| ≤ 2·10⁴ ⇒ n·Σx² < 2⁶³ up to ~5·10⁹ vectors — same headroom as
+    * the grid itself), subspace sums are order-independent long adds, the
+    * extreme dims use max-then-min-dim (deterministic ties), and
+    * trace_q / trace_share are single divisions. */
+  def embedSubspaceVariance(spark: SparkSession, dir: String): DataFrame = {
+    val diag = gramGrid(Tables.embeddings(spark, dir))
+      .filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dim"),
+        (col("n_vecs") * col("s_prod") - col("s_i") * col("s_i"))
+          .as("den"), col("n_vecs"))
+      .withColumn("sub_id", expr(s"dim div $PqSubDim"))
+      .cache()
+    val per = diag.groupBy("sub_id").agg(
+      count(lit(1)).as("n_dims"), max("n_vecs").as("n_vecs"),
+      sum("den").as("sub_den"), max("den").as("max_den"), min("den").as("min_den"))
+    val top = diag.join(per.select(col("sub_id"), col("max_den")), Seq("sub_id"))
+      .filter(col("den") === col("max_den"))
+      .groupBy("sub_id").agg(min("dim").as("top_dim"))
+    val bot = diag.join(per.select(col("sub_id"), col("min_den")), Seq("sub_id"))
+      .filter(col("den") === col("min_den"))
+      .groupBy("sub_id").agg(min("dim").as("min_dim"))
+    val tot = diag.agg(sum("den").as("tot_den"))
+    per.join(top, Seq("sub_id")).join(bot, Seq("sub_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("sub_id"), col("n_dims"), col("n_vecs"),
+        (col("sub_den").cast("double")
+          / (col("n_vecs") * col("n_vecs")).cast("double")).as("trace_q"),
+        when(col("tot_den") > 0L, col("sub_den").cast("double")
+          / col("tot_den").cast("double")).as("trace_share"),
+        col("top_dim"),
+        (col("max_den").cast("double")
+          / (col("n_vecs") * col("n_vecs")).cast("double")).as("top_var_q"),
+        col("min_dim"),
+        (col("min_den").cast("double")
+          / (col("n_vecs") * col("n_vecs")).cast("double")).as("min_var_q"))
+      .orderBy("sub_id")
+  }
+
+  // lazy: interpolates embedCovarianceSql (declared above) — kept lazy so
+  // a future reorder cannot silently splice a null (the object-init rule)
+  lazy val embedSubspaceVarianceSql: String = s"""
+    WITH cov AS ($embedCovarianceSql),
+    diag AS (
+      SELECT dim_i AS dim, dim_i // $PqSubDim AS sub_id,
+        n_vecs * s_prod - s_i * s_i AS den, n_vecs
+      FROM cov WHERE dim_i = dim_j),
+    per AS (
+      SELECT sub_id, count(*) AS n_dims, max(n_vecs) AS n_vecs,
+        CAST(SUM(den) AS BIGINT) AS sub_den,
+        max(den) AS max_den, min(den) AS min_den
+      FROM diag GROUP BY 1),
+    top AS (
+      SELECT d.sub_id, min(d.dim) AS top_dim
+      FROM diag d JOIN per p ON p.sub_id = d.sub_id AND d.den = p.max_den
+      GROUP BY 1),
+    bot AS (
+      SELECT d.sub_id, min(d.dim) AS min_dim
+      FROM diag d JOIN per p ON p.sub_id = d.sub_id AND d.den = p.min_den
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(den) AS BIGINT) AS tot_den FROM diag)
+    SELECT p.sub_id, p.n_dims, p.n_vecs,
+      CAST(p.sub_den AS DOUBLE) / CAST(p.n_vecs * p.n_vecs AS DOUBLE)
+        AS trace_q,
+      CASE WHEN t.tot_den > 0 THEN
+        CAST(p.sub_den AS DOUBLE) / CAST(t.tot_den AS DOUBLE) END
+        AS trace_share,
+      tp.top_dim,
+      CAST(p.max_den AS DOUBLE) / CAST(p.n_vecs * p.n_vecs AS DOUBLE)
+        AS top_var_q,
+      bt.min_dim,
+      CAST(p.min_den AS DOUBLE) / CAST(p.n_vecs * p.n_vecs AS DOUBLE)
+        AS min_var_q
+    FROM per p
+    JOIN top tp ON tp.sub_id = p.sub_id
+    JOIN bot bt ON bt.sub_id = p.sub_id, tot t
+    ORDER BY p.sub_id"""
+
 }

@@ -2483,4 +2483,71 @@ class OperatorsSpec extends SparkSpec {
     h.unpersist()
     spark.catalog.clearCache(): Unit
   }
+  test("cross-row agreement (C103): full 66-pair panel, independent family") {
+    val a = DedupOps.minhashCrossRowAgreement(spark, sf).cache()
+    val nDocs = sources.Tables.documents(spark, sf)
+      .filter(length(lower(trim(col("text")))) >= 5).count()
+    assert(a.count() == 66)
+    assert(a.filter(col("row_a") >= col("row_b")).count() == 0)
+    assert(a.filter(col("n_docs") =!= nDocs).count() == 0)
+    assert(a.filter(col("agree_frac") < 0 || col("agree_frac") > 1)
+      .count() == 0)
+    // a healthy family: no two permutations behave as the same function
+    // (the round-5 signature would read 1.0 on the collapsed pairs)
+    assert(a.filter(col("agree_frac") > 0.9).count() == 0)
+    a.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("cross-row agreement matches the kernel minima on a single doc") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_xrow")
+    val doc = "The quick brown fox jumps over the lazy dog near the bank"
+    Seq((1L, doc, "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val mins = graft.functions.Kernels.minhashRows(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        doc.toLowerCase.trim))
+    val expected = (for {
+      i <- 0 to 10; j <- (i + 1) to 11
+    } yield (i.toLong, j.toLong, 1L,
+      if (mins(i) == mins(j)) 1L else 0L)).toSeq
+    val got = DedupOps.minhashCrossRowAgreement(spark, dir)
+      .select("row_a", "row_b", "n_docs", "n_agree")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("subspace variance (C104): PQ-granular budget reconciles with C92") {
+    val v = operators.EmbeddingOps.embedSubspaceVariance(spark, sf).cache()
+    assert(v.select("sub_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L))
+    assert(v.filter(col("n_dims") =!= 16L).count() == 0)
+    // dims named as extremes must live inside their own subspace
+    assert(v.filter(col("top_dim") < col("sub_id") * 16 ||
+      col("top_dim") >= (col("sub_id") + 1) * 16 ||
+      col("min_dim") < col("sub_id") * 16 ||
+      col("min_dim") >= (col("sub_id") + 1) * 16).count() == 0)
+    assert(v.filter(col("trace_q") < 0 || col("top_var_q") < col("min_var_q"))
+      .count() == 0)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    // shares partition the total trace
+    assert(close(v.agg(sum("trace_share")).head.getDouble(0), 1.0))
+    // the subspace trace is the sum of C92's per-dim variances
+    val fromAudit = operators.EmbeddingOps.embedDimAudit(spark, sf)
+      .select((col("dim").cast("long") / 16).cast("long").as("sub_id"),
+        col("var_q"))
+      .groupBy("sub_id").agg(sum("var_q").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    v.select("sub_id", "trace_q").collect().foreach { r =>
+      assert(close(r.getDouble(1), fromAudit(r.getLong(0))))
+    }
+    v.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
 }
