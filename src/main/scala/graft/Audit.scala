@@ -48,6 +48,9 @@ object Audit {
     ("q_text_lang_confusion", "global-window"),
     // calendar-bounded monthly feature matrix
     ("q_sales_forecast_features", "global-window"),
+    // C102: the rank window runs AFTER a limit(SkewTopK) — ≤ 3 rows per
+    // family by construction (TakeOrderedAndProject does the real top-k)
+    ("q_skew_audit", "global-window"),
     // C86: the global window runs over the quality-bucket HISTOGRAM
     // (bounded grid, ≤ distinct floor(q·10^6) values), and the running
     // fact window is filtered to the ONE boundary bucket b* before the

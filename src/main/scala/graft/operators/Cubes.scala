@@ -201,9 +201,11 @@ object Cubes {
     *
     * Plan: one narrow orders scan partial-aggregates both halves' sums
     * and counts in the SAME o_custkey shuffle (conditional sums, not two
-    * passes), the customer base joins custkey-keyed (sort-merge, each
-    * side shuffled once; never-buyers surface via left join → 'none'),
-    * and the matrix agg collapses onto a ≤ 16-cell grid map-side.
+    * passes), the customer base joins custkey-keyed — Catalyst broadcasts
+    * the halves aggregate while its stats fit (the test-scale plan) and
+    * falls back to sort-merge at fact scale, where the aggregate is
+    * O(customers); never-buyers surface via the left join → 'none' — and
+    * the matrix agg collapses onto a ≤ 16-cell grid map-side.
     * Exactness: integer cents end-to-end, tier boundaries compare exact
     * longs, one final division per revenue column. */
   def segmentMigration(spark: SparkSession, dir: String): DataFrame = {

@@ -462,4 +462,28 @@ class PlanSpec extends SparkSpec {
       case (k, None) => sp.conf.unset(k)
     }
   }
+  test("round-8 final additions: scan shapes") {
+    // C100: the chunk pass collapses ONCE into the cached (chunk_hash,
+    // source) cell grid; both sides of the hash self-join read the cache
+    val m = scanLeaves("q_dup_source_matrix")
+    assert(!m.contains("file") && m.count(_ == "mem") == 2, m)
+    // C101: the minima grid is cached; stats, the top-count rollup and
+    // the modal re-join are its three consumers
+    val h = scanLeaves("q_minhash_row_health")
+    assert(!h.contains("file") && h.count(_ == "mem") == 3, h)
+    // C103: one narrow pass, no cache needed — exactly one file scan
+    val x = scanLeaves("q_minhash_cross_row_agreement")
+    assert(x == Seq("file"), x)
+    // B43: orders + customer, each scanned exactly once
+    val g = scanLeaves("q_segment_migration")
+    assert(g.count(_ == "file") == 2 && !g.contains("mem"), g)
+    // C102: five cached key-count relations, two consumers each
+    val a = scanLeaves("q_skew_audit")
+    assert(!a.contains("file") && a.count(_ == "mem") == 10, a)
+    // C104: every branch reads the cached 64-row diagonal, never a file
+    val v = scanLeaves("q_embed_subspace_variance")
+    assert(!v.contains("file") && v.count(_ == "mem") >= 4, v)
+    spark.catalog.clearCache(): Unit
+  }
+
 }
