@@ -144,6 +144,29 @@ object ScaleProbe {
       (col("user_id") + lit(i * UserOffset)).as("user_id"),
       col("event_type"), col("value"), col("props"))
 
+  /** Star-schema replicas (round-8: B43/C102 probe the orders side, which
+    * the sweep never inflated before): key offsets keep replicas disjoint
+    * — customers multiply with their orders attached (the B43 shape), and
+    * per-key row counts stay flat so C102's skew profile is
+    * scale-invariant while its key-count relation grows linearly. */
+  private def ordReplica(o: DataFrame, i: Int): DataFrame =
+    o.select((col("o_orderkey") + lit(i * IdOffset)).as("o_orderkey"),
+      (col("o_custkey") + lit(i * UserOffset)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))
+
+  private def liReplica(l: DataFrame, i: Int): DataFrame =
+    l.select((col("l_orderkey") + lit(i * IdOffset)).as("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+      col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate"))
+
+  private def custReplica(c: DataFrame, i: Int): DataFrame =
+    c.select((col("c_custkey") + lit(i * UserOffset)).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment"))
+
   /** Write the k×-inflated corpus under `outDir`. Raw `spark.read` (not the
     * normalizing loaders) so the events ts column round-trips in its file
     * encoding and the inflated dir presents the same surface as a driver
@@ -158,6 +181,9 @@ object ScaleProbe {
     write("documents", docReplica)
     write("embeddings", embReplica)
     write("events", evReplica)
+    write("orders", ordReplica)
+    write("lineitem", liReplica)
+    write("customer", custReplica)
   }
 
   /** Aggregate executor task time, collected by listener. Wall time alone
