@@ -91,7 +91,8 @@ object ScaleProbe {
     "q_segment_migration",      // B43: one custkey shuffle + 16-cell grid
     "q_skew_audit",             // C102: 5 key-count relations + top-k
     "q_minhash_cross_row_agreement", // C103: 66-cell map-side grid
-    "q_embed_subspace_variance")     // C104: one C88 pass + O(dims) rollup
+    "q_embed_subspace_variance",     // C104: one C88 pass + O(dims) rollup
+    "q_dedup_pair_degree")           // C105: O(pairs) artifact-fed rollup
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

@@ -257,4 +257,16 @@ object DedupArtifacts {
       pairs(spark, root, "ngram_jaccard").select("doc_a", "doc_b"),
       pairs(spark, root, "simhash_band"))
   }
+
+  /** The registered `q_dedup_pair_degree` (C105): the hub-doc degree
+    * histogram over the SAME staged pair sets — an O(pairs) artifact
+    * read, one doc-keyed count, a 6-cell per-method rollup; no text, no
+    * signatures, no generator job. */
+  def pairDegreeStaged(spark: SparkSession, dir: String): DataFrame = {
+    val root = pairsRoot(spark, dir)
+    DedupOps.pairDegreeOf(
+      pairs(spark, root, "minhash_lsh").select("doc_a", "doc_b"),
+      pairs(spark, root, "ngram_jaccard").select("doc_a", "doc_b"),
+      pairs(spark, root, "simhash_band").select("doc_a", "doc_b"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -1831,6 +1831,80 @@ object DedupOps {
       UNION ALL SELECT 'ngram_jaccard', 'simhash_band', n_nj, n_sb, b_nj_sb
       FROM t)
     ORDER BY method_a, method_b"""
+
+  /** C105 degree-bucket ladder (fixed CASE buckets, deliberately not a
+    * log(): the C21 no-libm rule, and the report's consumers think in
+    * these bands anyway). Shared by the Spark and SQL twins. */
+  private def degreeBucket(d: Column): Column =
+    when(d === 1L, "1").when(d === 2L, "2")
+      .when(d <= 4L, "3-4").when(d <= 8L, "5-8")
+      .when(d <= 16L, "9-16").otherwise("17+")
+  private def degreeBucketOrd(d: Column): Column =
+    when(d === 1L, 1L).when(d === 2L, 2L)
+      .when(d <= 4L, 3L).when(d <= 8L, 4L)
+      .when(d <= 16L, 5L).otherwise(6L)
+  private val degreeBucketSql: String =
+    """CASE WHEN deg = 1 THEN '1' WHEN deg = 2 THEN '2'
+            WHEN deg <= 4 THEN '3-4' WHEN deg <= 8 THEN '5-8'
+            WHEN deg <= 16 THEN '9-16' ELSE '17+' END"""
+  private val degreeBucketOrdSql: String =
+    """CASE WHEN deg = 1 THEN 1 WHEN deg = 2 THEN 2
+            WHEN deg <= 4 THEN 3 WHEN deg <= 8 THEN 4
+            WHEN deg <= 16 THEN 5 ELSE 6 END"""
+
+  /** C105: `q_dedup_pair_degree` — the DEGREE DISTRIBUTION of each
+    * candidate pair graph (partners per doc, bucketed 1/2/3-4/5-8/9-16/
+    * 17+): the HUB-DOC monitor. A fat tail says boilerplate hubs are
+    * driving the pair volume — those docs belong to C59's canonical
+    * keeper / C79's span excision, not pairwise drops — and the top
+    * bucket's max_degree is the early-warning read on how close the
+    * corpus runs to the [[MaxBucketDocs]] cap (degree is bounded by
+    * bucket-mates, so a max_degree drifting toward the cap means the
+    * NEXT crawl increment starts dropping candidate buckets). C75's
+    * agreement matrix says whether the methods see the same pairs; this
+    * says what SHAPE of graph each one sees.
+    *
+    * Scale: a consumer of the staged pair artifacts (the once-a-day
+    * index; [[DedupArtifacts.pairDegreeStaged]] is the registered form):
+    * O(pairs) read → direction union → one doc-keyed count → a 6-cell
+    * per-method rollup, nothing touches text or signatures. Exactness:
+    * integer degrees/counts, fixed CASE buckets, no division. */
+  def pairDegreeOf(mh: DataFrame, nj: DataFrame, sb: DataFrame): DataFrame = {
+    def side(p: DataFrame, m: String) = p.select(col("doc_a").as("doc_id"))
+      .unionAll(p.select(col("doc_b").as("doc_id")))
+      .withColumn("method", lit(m))
+    side(mh, "minhash_lsh")
+      .unionAll(side(nj, "ngram_jaccard"))
+      .unionAll(side(sb, "simhash_band"))
+      .groupBy("method", "doc_id").agg(count(lit(1)).as("deg"))
+      .select(col("method"), degreeBucket(col("deg")).as("degree_bucket"),
+        degreeBucketOrd(col("deg")).as("bucket_ord"), col("deg"))
+      .groupBy("method", "degree_bucket", "bucket_ord")
+      .agg(count(lit(1)).as("n_docs"), sum("deg").as("sum_degree"),
+        max("deg").as("max_degree"))
+      .orderBy("method", "bucket_ord")
+  }
+
+  lazy val pairDegreeSql: String = s"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+    nj AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+    sb AS (SELECT doc_a, doc_b FROM ($dedupSimhashBandSql)),
+    u AS (
+      SELECT 'minhash_lsh' AS method, doc_a AS doc_id FROM mh
+      UNION ALL SELECT 'minhash_lsh', doc_b FROM mh
+      UNION ALL SELECT 'ngram_jaccard', doc_a FROM nj
+      UNION ALL SELECT 'ngram_jaccard', doc_b FROM nj
+      UNION ALL SELECT 'simhash_band', doc_a FROM sb
+      UNION ALL SELECT 'simhash_band', doc_b FROM sb),
+    degs AS (
+      SELECT method, doc_id, count(*) AS deg FROM u GROUP BY 1, 2)
+    SELECT method, $degreeBucketSql AS degree_bucket,
+      CAST($degreeBucketOrdSql AS BIGINT) AS bucket_ord,
+      count(*) AS n_docs,
+      CAST(SUM(deg) AS BIGINT) AS sum_degree,
+      max(deg) AS max_degree
+    FROM degs GROUP BY 1, 2, 3
+    ORDER BY method, bucket_ord"""
 
   /** C73 anchored-span width in tokens: long enough that a repeat is
     * verbatim copying (the ExactSubstr threshold class), short enough that

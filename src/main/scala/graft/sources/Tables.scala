@@ -210,4 +210,47 @@ object Tables {
         col("length").as("byte_len"),
         sha2(col("content"), 256).as("sha256"))
   }
+
+  /** CSV ingest with a MALFORMED-ROW QUARANTINE — the file-feed face of
+    * the reference's skip-and-log validators (etl_service.py's per-row
+    * quarantine, A14): PERMISSIVE parsing keeps the load alive through
+    * bad rows (a FAILFAST load of a 100 TB drop dies on row one billion
+    * and loses the night; DROPMALFORMED silently eats data — the one
+    * thing an auditable pipeline must never do), every unparseable line
+    * lands VERBATIM in the quarantine with its source file, and the good
+    * rows come out schema-typed. Returns (good, quarantine).
+    *
+    * Scale: one distributed CSV scan, the corrupt-record column rides the
+    * same pass — the parsed relation is cache()d because (a) Spark
+    * disallows querying ONLY the corrupt column off a raw scan
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and (b) both returned branches
+    * then share one parse instead of re-reading the feed; quarantine rows
+    * carry
+    * `input_file_name()` so a bad EXPORTER (one feed shard producing all
+    * the garbage) is identifiable without re-reading anything. The
+    * malformed column must NOT be in the user schema (Spark requires the
+    * corrupt column typed string and nullable; enforced here). */
+  def readCsvQuarantined(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructField}
+    require(!schema.fieldNames.contains("_malformed"),
+      "the quarantine column name '_malformed' is reserved")
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      schema.fields :+ StructField("_malformed", StringType, nullable = true))
+    val parsed = s.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_malformed")
+      .schema(withCorrupt)
+      .csv(path)
+      .withColumn("_src_file", input_file_name())
+      .cache()
+    val good = parsed.filter(col("_malformed").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = parsed.filter(col("_malformed").isNotNull)
+      .select(col("_malformed").as("raw_line"), col("_src_file").as("src_file"))
+    (good, bad)
+  }
 }

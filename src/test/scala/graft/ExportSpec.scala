@@ -273,4 +273,33 @@ class ExportSpec extends SparkSpec {
     val hex = md.digest(payload).map("%02x".format(_)).mkString
     assert(r.getString(3) == hex)
   }
+  test("csv quarantine: bad rows land verbatim with their file, good rows typed") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("csvq")
+    val f = new java.io.PrintWriter(s"$dir/feed_1.csv")
+    f.println("id,name,amount")
+    f.println("1,ana,10.5")
+    f.println("2,luis,not_a_number")   // type failure -> quarantine
+    f.println("3,eva,7.25")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val (good, bad) = sources.Tables.readCsvQuarantined(spark, dir, schema)
+    assert(good.columns.toSeq == Seq("id", "name", "amount"))
+    val g = good.orderBy("id").collect()
+    assert(g.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(g.map(_.getDouble(2)).toSeq == Seq(10.5, 7.25))
+    val b = bad.collect()
+    assert(b.length == 1)
+    assert(b.head.getString(0) == "2,luis,not_a_number")
+    assert(b.head.getString(1).contains("feed_1.csv"))
+    // the reserved column name is enforced, not silently shadowed
+    intercept[IllegalArgumentException] {
+      sources.Tables.readCsvQuarantined(spark, dir, StructType(Seq(
+        StructField("_malformed", StringType))))
+    }
+  }
+
 }

@@ -2550,4 +2550,49 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("pair degree (C105): conservation vs pair counts and bucket bounds") {
+    val d = DedupArtifacts.pairDegreeStaged(spark, sf).cache()
+    assert(d.filter(col("bucket_ord") < 1 || col("bucket_ord") > 6)
+      .count() == 0)
+    // a bucket's max degree must lie inside the bucket's own band
+    val bounds = Map(1L -> (1L, 1L), 2L -> (2L, 2L), 3L -> (3L, 4L),
+      4L -> (5L, 8L), 5L -> (9L, 16L), 6L -> (17L, Long.MaxValue))
+    d.select("bucket_ord", "max_degree").collect().foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      assert(r.getLong(1) >= lo && r.getLong(1) <= hi, r)
+    }
+    // every pair contributes exactly two endpoint-degree units
+    val degByMethod = d.groupBy("method").agg(sum("sum_degree").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pairCounts = Map(
+      "minhash_lsh" -> DedupOps.dedupMinhashLsh(spark, sf).count(),
+      "ngram_jaccard" -> DedupOps.dedupNgramJaccard(spark, sf).count(),
+      "simhash_band" -> DedupOps.dedupSimhashBand(spark, sf).count())
+    pairCounts.foreach { case (m, n) =>
+      assert(degByMethod.getOrElse(m, 0L) == 2 * n, s"$m: $n pairs")
+    }
+    d.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("pair degree surfaces a boilerplate hub clique") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_pairdeg")
+    // six identical docs -> a 6-clique in every pair graph: degree 5 each
+    (1L to 6L).map(i => (i, "identical boilerplate text repeated in every doc",
+        "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = DedupOps.pairDegreeOf(
+      DedupOps.dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"),
+      DedupOps.dedupNgramJaccard(spark, dir).select("doc_a", "doc_b"),
+      DedupOps.dedupSimhashBand(spark, dir).select("doc_a", "doc_b"))
+    val rows = d.filter(col("method") === "minhash_lsh")
+      .select("degree_bucket", "n_docs", "max_degree")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("5-8", 6L, 5L)))
+    spark.catalog.clearCache(): Unit
+  }
+
 }
