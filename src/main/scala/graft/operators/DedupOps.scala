@@ -1987,6 +1987,96 @@ object DedupOps {
     FROM s GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY 1"""
   }
+
+  /** C106: `q_span_mask_plan` — the ACTIONABLE output of the span family:
+    * one row per NON-KEEPER occurrence of every C73 duplicate span —
+    * (doc_id, span_start, span_tokens, span_hash) — exactly what a
+    * training-data writer consumes to loss-mask (or excise) repeated
+    * spans while keeping one canonical occurrence in the corpus. C73
+    * reports that duplicate spans exist, C79 prices what masking them
+    * saves, C87 excises benchmark contamination; this emits the
+    * per-occurrence coordinates for the dedup case — the step between
+    * the report and the rewrite. The keeper is the global
+    * min-(doc_id, position) occurrence per span (the C26 integer
+    * encoder: doc·10⁶ + pos, exact while positions stay under 10⁶ —
+    * a 2M-token doc needs the struct-min swap documented there).
+    * Adjacent plan rows overlap when anchors sit closer than
+    * [[SpanTok]]; the writer coalesces intervals — emitting them
+    * pre-merged would hide the per-span provenance (which span_hash
+    * caused which mask) that an audit needs.
+    *
+    * Scale: the anchored-span explode is C73's own (O(tokens/8) rows per
+    * doc), cached once for its two consumers (the dup-span set and the
+    * keeper mins — both collapse to span-hash relations); the plan join
+    * keys on span_hash. Output is O(duplicate occurrences). Exactness:
+    * md5 keys, integer positions, min-encoder keeper, no floats at all;
+    * the row count reconciles with C79's maskable_occ by construction
+    * (spec-pinned). */
+  def spanMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val els = (1 to SpanTok)
+      .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
+    val occ = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= SpanTok)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(0, size(toks) - $SpanTok),
+                p -> graft_str_hash(concat('anc|',
+                       element_at(toks, cast(p + 1 as int)))) % $AnchorMod = 0),
+              p -> struct(p AS pos, concat_ws(' ', $els) AS span))"""))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").cast("long").as("pos"),
+        md5(col("o.span").cast("binary")).as("span_hash"))
+      .cache()
+    val dup = occ.groupBy("span_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2).select("span_hash")
+    val keep = occ
+      .select(col("span_hash"),
+        (col("doc_id") * 1000000L + col("pos")).as("code"))
+      .groupBy("span_hash").agg(min("code").as("keep_code"))
+    occ.join(dup, Seq("span_hash")).join(keep, Seq("span_hash"))
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("keep_code"))
+      .select(col("doc_id"), col("pos").as("span_start"),
+        lit(SpanTok.toLong).as("span_tokens"), col("span_hash"))
+      .orderBy("doc_id", "span_start", "span_hash")
+  }
+
+  lazy val spanMaskPlanSql: String = {
+    val cat = (1 to SpanTok)
+      .map(j => s"toks[CAST(p + $j AS INT)]").mkString(" || ' ' || ")
+    val anchor = s"""(list_reduce(list_transform(
+        range(1, length('anc|' || toks[CAST(p + 1 AS INT)]) + 1), i ->
+          CAST(ascii(substr('anc|' || toks[CAST(p + 1 AS INT)],
+                            CAST(i AS INT), 1)) AS BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 2147483647)) % $AnchorMod = 0"""
+    s"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    o AS (
+      SELECT doc_id, p AS pos, md5($cat) AS span_hash
+      FROM (
+        SELECT doc_id, toks,
+          unnest(list_filter(range(0, len(toks) - ${SpanTok - 1}),
+            p -> $anchor)) AS p
+        FROM d WHERE len(toks) >= $SpanTok)),
+    dup AS (
+      SELECT span_hash FROM o GROUP BY 1
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    keep AS (
+      SELECT span_hash, MIN(doc_id * 1000000 + pos) AS keep_code
+      FROM o GROUP BY 1)
+    SELECT o.doc_id, o.pos AS span_start,
+      CAST($SpanTok AS BIGINT) AS span_tokens, o.span_hash
+    FROM o
+    JOIN dup USING (span_hash)
+    JOIN keep USING (span_hash)
+    WHERE o.doc_id * 1000000 + o.pos <> keep.keep_code
+    ORDER BY o.doc_id, span_start, o.span_hash"""
+  }
   /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
     * through the full dedup battery in deployment order — exact content
     * dedup (C1 keepers) → near-dup canonicalization (C18 clusters, C59's

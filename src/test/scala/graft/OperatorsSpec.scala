@@ -1879,6 +1879,29 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("span mask plan: reconciles with C79/C73, keeper excluded") {
+    val plan = operators.DedupOps.spanMaskPlan(spark, sf).cache()
+    val spans = operators.DedupOps.substrDupSpans(spark, sf).cache()
+    // total = C79's maskable_occ: one keeper withheld per repeated span
+    val sv = operators.DedupOps.spanSavings(spark, sf).head
+    assert(plan.count() == sv.getAs[Long]("maskable_occ"))
+    // per-span: exactly n_occ - 1 occurrences emitted, span set = C73's
+    val perSpan = plan.groupBy("span_hash").agg(count(lit(1)).as("n_plan"))
+    assert(perSpan.join(spans, "span_hash")
+      .filter(col("n_plan") =!= col("n_occ") - 1).count() == 0)
+    assert(perSpan.count() == spans.count())
+    assert(plan.join(spans, Seq("span_hash"), "left_anti").count() == 0)
+    // keeper is the global min-(doc,pos) occurrence: nothing emitted from
+    // before C73's first_doc, and coordinates are sane and unique
+    assert(plan.join(spans, "span_hash")
+      .filter(col("doc_id") < col("first_doc")).count() == 0)
+    assert(plan.filter(col("span_start") < 0 ||
+      col("span_tokens") =!= operators.DedupOps.SpanTok.toLong).count() == 0)
+    assert(plan.select("doc_id", "span_start", "span_hash").distinct()
+      .count() == plan.count())
+    spark.catalog.clearCache(): Unit
+  }
+
   test("semantic drift: per-source frame, dark-source nulls, real drift") {
     val sd = operators.EmbeddingOps.semanticDrift(spark, sf).cache()
     val srcCounts = graft.sources.Tables.documents(spark, sf)
