@@ -125,6 +125,13 @@ object Audit {
     // C50 composes the hier packer, so it inherits exactly that vetted
     // chunk-bounded window — same justification
     ("q_pack_efficiency", "running-window-over-fact:documents"),
+    // C107's gaps-and-islands windows PARTITION BY doc_id over the
+    // non-keeper span occurrences of ONE doc (O(tokens/AnchorMod) worst
+    // case, duplicate occurrences only in practice) — interval merging is
+    // per-entity sequential by definition, same class as the sessionize
+    // carry; the fact table under the window is the already-collapsed
+    // C106 plan, not the corpus
+    ("q_mask_coalesce", "running-window-over-fact:documents"),
     // per-user event-order carries are sequential BY DEFINITION (a session
     // id / latest-click can't be known out of order): partition = one
     // user's events, hot users bounded by the B41 bot screen upstream, and

@@ -1202,4 +1202,122 @@ object Analytics {
       CAST(SUM(cents) AS BIGINT) AS attributed_cents
     FROM attributed GROUP BY 2
     ORDER BY model, touch_type"""
+
+  /** B44: `q_promo_revenue_share` — monthly promo-type revenue share
+    * (TPC-H Q14 flavor, widened from one month to the full curve): per
+    * ship month, discounted revenue from `p_type = 'PROMO'` parts vs
+    * total, and the share — the marketing-mix read next to B4's volume
+    * curve and B40's seasonality index. Conditional aggregation over ONE
+    * lineitem⋈part pass; part is a true dimension but SF-scaled, so the
+    * join is unhinted (AQE picks broadcast at bench scale, shuffle-hash
+    * beyond — the B2 customer-join precedent) and only (p_partkey,
+    * p_type) survives pruning into it. Exact integer discounted units
+    * (price_c·(100−disc), the B1 device) with one division per emitted
+    * double; months are calendar-bounded so the output stays tiny at any
+    * corpus size. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(date_trunc("month", col("l_shipdate")).cast("date").as("mes"),
+        col("l_partkey"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
+          .as("disc_u"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("mes")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("is_promo"), col("disc_u")).otherwise(0L))
+          .as("promo_u"),
+        sum(col("disc_u")).as("total_u"))
+      .select(col("mes"), col("n_items"),
+        (col("promo_u").cast("double") / lit(10000.0)).as("promo_revenue"),
+        (col("total_u").cast("double") / lit(10000.0)).as("total_revenue"),
+        (col("promo_u").cast("double") / col("total_u").cast("double"))
+          .as("promo_share"))
+      .orderBy("mes")
+  }
+
+  val promoRevenueShareSql: String = """
+    WITH l AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS mes,
+        l_partkey,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS disc_u
+      FROM lineitem),
+    j AS (
+      SELECT l.mes, l.disc_u, (p.p_type = 'PROMO') AS is_promo
+      FROM l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT mes, COUNT(*) AS n_items,
+      CAST(SUM(CASE WHEN is_promo THEN disc_u ELSE 0 END) AS DOUBLE)
+        / 10000.0 AS promo_revenue,
+      CAST(SUM(disc_u) AS DOUBLE) / 10000.0 AS total_revenue,
+      CAST(SUM(CASE WHEN is_promo THEN disc_u ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(disc_u) AS DOUBLE) AS promo_share
+    FROM j GROUP BY mes ORDER BY mes"""
+
+  /** B45: `q_small_qty_revenue` — revenue locked in below-average-quantity
+    * order lines, per brand (TPC-H Q17 flavor): a line is "small" when
+    * its quantity is under 20% of its part's average line quantity — the
+    * inventory-consolidation read (ship-in-bulk candidates). The
+    * textbook form is a correlated per-part AVG subquery re-joined to
+    * the fact; here the per-part mean rides a PARTITION BY l_partkey
+    * window over the single lineitem pass — one shuffle on partkey,
+    * no self-join, partitions bounded by lines-per-part (a few dozen at
+    * any SF). The smallness test cross-multiplies exact integers
+    * (qty_c · 5 · n < Σqty_c ⟺ qty < 0.2·avg) so no float threshold
+    * exists on either engine; the brand rollup joins the SF-scaled part
+    * dimension unhinted (AQE decides, the B2 precedent). */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("l_partkey")
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .withColumn("sum_qty_c", sum("qty_c").over(wp))
+      .withColumn("n_part", count(lit(1)).over(wp))
+      .withColumn("is_small",
+        col("qty_c") * lit(5L) * col("n_part") < col("sum_qty_c"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("is_small"), 1L).otherwise(0L)).as("n_small_items"),
+        sum(col("price_c")).as("total_c"),
+        sum(when(col("is_small"), col("price_c")).otherwise(0L))
+          .as("small_c"))
+      .select(col("p_brand"), col("n_items"), col("n_small_items"),
+        centsToUnits(col("total_c")).as("total_revenue"),
+        centsToUnits(col("small_c")).as("small_revenue"),
+        (col("small_c").cast("double") / col("total_c").cast("double"))
+          .as("small_revenue_share"))
+      .orderBy("p_brand")
+  }
+
+  val smallQtyRevenueSql: String = """
+    WITH l AS (
+      SELECT l_partkey,
+        CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_c,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem),
+    w AS (
+      SELECT l_partkey, qty_c, price_c,
+        SUM(qty_c) OVER (PARTITION BY l_partkey) AS sum_qty_c,
+        COUNT(*) OVER (PARTITION BY l_partkey) AS n_part
+      FROM l),
+    f AS (
+      SELECT l_partkey, price_c,
+        (qty_c * 5 * n_part < sum_qty_c) AS is_small
+      FROM w)
+    SELECT p.p_brand, COUNT(*) AS n_items,
+      CAST(SUM(CASE WHEN f.is_small THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_small_items,
+      CAST(SUM(f.price_c) AS DOUBLE) / 100.0 AS total_revenue,
+      CAST(SUM(CASE WHEN f.is_small THEN f.price_c ELSE 0 END) AS DOUBLE)
+        / 100.0 AS small_revenue,
+      CAST(SUM(CASE WHEN f.is_small THEN f.price_c ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(f.price_c) AS DOUBLE) AS small_revenue_share
+    FROM f JOIN part p ON f.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand"""
 }

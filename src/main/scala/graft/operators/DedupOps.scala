@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Deduplication operators over the `documents` corpus (SURVEY.md §2 C1-C4):
@@ -2012,7 +2013,13 @@ object DedupOps {
     * md5 keys, integer positions, min-encoder keeper, no floats at all;
     * the row count reconciles with C79's maskable_occ by construction
     * (spec-pinned). */
-  def spanMaskPlan(spark: SparkSession, dir: String): DataFrame = {
+  def spanMaskPlan(spark: SparkSession, dir: String): DataFrame =
+    spanMaskRows(spark, dir).orderBy("doc_id", "span_start", "span_hash")
+
+  /** C106 core (unsorted): shared with C107, which re-partitions by doc
+    * for the interval merge — inheriting C106's output sort would pay a
+    * global range exchange only to immediately hash-repartition. */
+  private def spanMaskRows(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
     val els = (1 to SpanTok)
       .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
@@ -2041,10 +2048,12 @@ object DedupOps {
       .filter(col("doc_id") * 1000000L + col("pos") =!= col("keep_code"))
       .select(col("doc_id"), col("pos").as("span_start"),
         lit(SpanTok.toLong).as("span_tokens"), col("span_hash"))
-      .orderBy("doc_id", "span_start", "span_hash")
   }
 
-  lazy val spanMaskPlanSql: String = {
+  lazy val spanMaskPlanSql: String =
+    spanMaskRowsSql + "\n    ORDER BY doc_id, span_start, span_hash"
+
+  private lazy val spanMaskRowsSql: String = {
     val cat = (1 to SpanTok)
       .map(j => s"toks[CAST(p + $j AS INT)]").mkString(" || ' ' || ")
     val anchor = s"""(list_reduce(list_transform(
@@ -2074,9 +2083,98 @@ object DedupOps {
     FROM o
     JOIN dup USING (span_hash)
     JOIN keep USING (span_hash)
-    WHERE o.doc_id * 1000000 + o.pos <> keep.keep_code
-    ORDER BY o.doc_id, span_start, o.span_hash"""
+    WHERE o.doc_id * 1000000 + o.pos <> keep.keep_code"""
   }
+
+  /** C107: `q_mask_coalesce` — the WRITER-side interval merge over C106's
+    * plan: per document, the non-keeper span occurrences coalesced into
+    * maximal disjoint masked intervals (overlap OR exact adjacency merges
+    * — end-exclusive grid), with the EXACT masked token mass that C79
+    * could only bound from above (its `maskable_tokens_bound` counts
+    * overlapping spans twice; this is the number the loss actually
+    * loses). Output per affected doc: plan rows absorbed, interval
+    * count, masked tokens, doc tokens, masked share — the per-doc gate a
+    * writer reads to decide mask-vs-drop (a doc that is 90% masked
+    * boilerplate is a C59 canonicalization candidate, not a masking
+    * one). Classic gaps-and-islands: running max-end over a
+    * doc-partitioned window marks island starts, a running sum numbers
+    * them, two grouped aggregates collapse them.
+    *
+    * Scale: every window is PARTITIONED BY doc (never global) over
+    * O(dup occurrences per doc) rows; the doc-token side joins as a
+    * narrow (doc_id, count) projection shuffled once on doc_id. All
+    * integer arithmetic off the span grid; one final division.
+    * Exactness pins: Σ masked_tokens ∈ [C79 bound / overlap-worst-case,
+    * C79 bound], per-doc masked_tokens ≤ doc_tokens (spec). */
+  def maskCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val rows = spanMaskRows(spark, dir)
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + SpanTok).as("span_end"))
+    val ord = Window.partitionBy("doc_id").orderBy("span_start")
+    val isl = rows
+      .withColumn("prev_end",
+        max("span_end").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("span_start") > col("prev_end"),
+          1L).otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = isl.groupBy("doc_id", "island")
+      .agg(min("span_start").as("m_start"), max("span_end").as("m_end"),
+        count(lit(1)).as("n_abs"))
+    val perDoc = merged.groupBy("doc_id")
+      .agg(sum("n_abs").as("n_mask_rows"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("m_end") - col("m_start")).as("masked_tokens"))
+    val docTok = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("doc_tokens"))
+    perDoc.join(docTok, "doc_id")
+      .select(col("doc_id"), col("n_mask_rows"), col("n_intervals"),
+        col("masked_tokens"), col("doc_tokens"),
+        (col("masked_tokens").cast("double")
+          / col("doc_tokens").cast("double")).as("masked_share"))
+      .orderBy("doc_id")
+  }
+
+  lazy val maskCoalesceSql: String = s"""
+    WITH plan_rows AS ($spanMaskRowsSql),
+    iv AS (
+      SELECT doc_id, span_start, span_start + $SpanTok AS span_end
+      FROM plan_rows),
+    isl AS (
+      SELECT doc_id, span_start, span_end,
+        SUM(CASE WHEN prev_end IS NULL OR span_start > prev_end
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY span_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM (
+        SELECT doc_id, span_start, span_end,
+          MAX(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM iv)),
+    merged AS (
+      SELECT doc_id, island, MIN(span_start) AS m_start,
+        MAX(span_end) AS m_end, COUNT(*) AS n_abs
+      FROM isl GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(n_abs) AS BIGINT) AS n_mask_rows,
+        COUNT(*) AS n_intervals,
+        CAST(SUM(m_end - m_start) AS BIGINT) AS masked_tokens
+      FROM merged GROUP BY 1),
+    dt AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+          AS BIGINT) AS doc_tokens
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT p.doc_id, p.n_mask_rows, p.n_intervals, p.masked_tokens,
+      d.doc_tokens,
+      CAST(p.masked_tokens AS DOUBLE) / CAST(d.doc_tokens AS DOUBLE)
+        AS masked_share
+    FROM per_doc p JOIN dt d USING (doc_id)
+    ORDER BY p.doc_id"""
   /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
     * through the full dedup battery in deployment order — exact content
     * dedup (C1 keepers) → near-dup canonicalization (C18 clusters, C59's

@@ -222,6 +222,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(none.map(_._3).distinct.length <= 1)
   }
 
+  test("promo share: line conservation, bounds, promo mass is real") {
+    import graft.operators.Analytics
+    val out = Analytics.promoRevenueShare(spark, sf).cache()
+    // inner join on the part FK loses nothing: every lineitem counted
+    assert(out.agg(sum("n_items")).head.getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+    assert(out.filter(col("promo_share") < 0 || col("promo_share") > 1 ||
+      col("promo_revenue") > col("total_revenue")).count() == 0)
+    // PROMO parts exist in every SF's catalog — the share is never all-zero
+    assert(out.filter(col("promo_revenue") > 0).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("small-qty revenue: window threshold matches a groupBy recount") {
+    import graft.operators.Analytics
+    val out = Analytics.smallQtyRevenue(spark, sf).cache()
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    assert(out.agg(sum("n_items")).head.getLong(0) == l.count())
+    // independent recount of the smallness test via groupBy + re-join
+    // (the operator uses a partkey window; equivalence is the pin)
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum("qty_c").as("s"), count(lit(1)).as("n"))
+    val nSmall = l.join(perPart, "l_partkey")
+      .filter(col("qty_c") * lit(5L) * col("n") < col("s")).count()
+    assert(out.agg(sum("n_small_items")).head.getLong(0) == nSmall)
+    assert(out.filter(col("small_revenue_share") < 0 ||
+      col("small_revenue_share") >= 1 ||
+      col("small_revenue") > col("total_revenue")).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1902,6 +1902,31 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("mask coalesce: absorbs the full plan, interval bounds hold") {
+    val mc = operators.DedupOps.maskCoalesce(spark, sf).cache()
+    val plan = operators.DedupOps.spanMaskPlan(spark, sf).cache()
+    val sv = operators.DedupOps.spanSavings(spark, sf).head
+    // every plan row absorbed exactly once; doc set = plan's doc set
+    assert(mc.agg(sum("n_mask_rows")).head.getLong(0) ==
+      sv.getAs[Long]("maskable_occ"))
+    assert(mc.count() == plan.select("doc_id").distinct().count())
+    assert(mc.join(plan.select("doc_id").distinct(), Seq("doc_id"),
+      "left_anti").count() == 0)
+    // merged-interval arithmetic: each interval spans >= SpanTok tokens,
+    // n rows can mask at most n*SpanTok tokens, nothing exceeds the doc
+    val t = operators.DedupOps.SpanTok.toLong
+    assert(mc.filter(col("n_intervals") > col("n_mask_rows") ||
+      col("masked_tokens") < col("n_intervals") * t ||
+      col("masked_tokens") > col("n_mask_rows") * t ||
+      col("masked_tokens") > col("doc_tokens")).count() == 0)
+    assert(mc.filter(col("masked_share") <= 0 || col("masked_share") > 1)
+      .count() == 0)
+    // the exact merged mass never exceeds C79's double-counting ceiling
+    assert(mc.agg(sum("masked_tokens")).head.getLong(0) <=
+      sv.getAs[Long]("maskable_tokens_bound"))
+    spark.catalog.clearCache(): Unit
+  }
+
   test("semantic drift: per-source frame, dark-source nulls, real drift") {
     val sd = operators.EmbeddingOps.semanticDrift(spark, sf).cache()
     val srcCounts = graft.sources.Tables.documents(spark, sf)
