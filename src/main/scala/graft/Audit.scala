@@ -132,6 +132,9 @@ object Audit {
     // carry; the fact table under the window is the already-collapsed
     // C106 plan, not the corpus
     ("q_mask_coalesce", "running-window-over-fact:documents"),
+    // C108 composes C107's per-doc core, inheriting exactly that vetted
+    // doc-partitioned interval-merge window — same justification
+    ("q_mask_datasheet", "running-window-over-fact:documents"),
     // per-user event-order carries are sequential BY DEFINITION (a session
     // id / latest-click can't be known out of order): partition = one
     // user's events, hot users bounded by the B41 bot screen upstream, and

@@ -1320,4 +1320,51 @@ object Analytics {
         / CAST(SUM(f.price_c) AS DOUBLE) AS small_revenue_share
     FROM f JOIN part p ON f.l_partkey = p.p_partkey
     GROUP BY p.p_brand ORDER BY p.p_brand"""
+
+  /** B46 late-fulfilment threshold: a line shipping more than this many
+    * days after the order date marks the order late. */
+  val LateDays: Int = 90
+
+  /** B46: `q_priority_fulfilment` — order-priority fulfilment check
+    * (TPC-H Q4 flavor): per `o_orderpriority`, how many orders exist and
+    * how many are LATE — at least one line shipped more than
+    * [[LateDays]] days after the order date — plus the late share: the
+    * SLA read that says whether urgent orders actually move faster. The
+    * textbook form is an EXISTS subquery; here the existential collapses
+    * to a MAX(flag) in the orderkey-grouped aggregate riding the SAME
+    * shuffle the join just paid — join on orderkey, group on orderkey,
+    * zero extra exchanges before the ≤5-row priority rollup. LEFT join
+    * keeps line-less orders in the denominator (never late by
+    * definition). Integer flags, one division per row. */
+  def priorityFulfilment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"),
+        1L).otherwise(0L)).as("late"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("late"), lit(0L))).as("n_late_orders"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_late_orders"),
+        (col("n_late_orders").cast("double") / col("n_orders").cast("double"))
+          .as("late_share"))
+      .orderBy("o_orderpriority")
+  }
+
+  val priorityFulfilmentSql: String = s"""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+        MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(COALESCE(late, 0)) AS BIGINT) AS n_late_orders,
+      CAST(SUM(COALESCE(late, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS late_share
+    FROM per_order GROUP BY 1 ORDER BY 1"""
 }

@@ -2107,6 +2107,23 @@ object DedupOps {
     * Exactness pins: Σ masked_tokens ∈ [C79 bound / overlap-worst-case,
     * C79 bound], per-doc masked_tokens ≤ doc_tokens (spec). */
   def maskCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = maskPerDoc(spark, dir)
+    val docTok = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("doc_tokens"))
+    perDoc.join(docTok, "doc_id")
+      .select(col("doc_id"), col("n_mask_rows"), col("n_intervals"),
+        col("masked_tokens"), col("doc_tokens"),
+        (col("masked_tokens").cast("double")
+          / col("doc_tokens").cast("double")).as("masked_share"))
+      .orderBy("doc_id")
+  }
+
+  /** C107 per-doc core (no doc join, unsorted): shared with C108's
+    * per-source rollup, which joins the corpus on its own terms. */
+  private def maskPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val rows = spanMaskRows(spark, dir)
       .select(col("doc_id"), col("span_start"),
         (col("span_start") + SpanTok).as("span_end"))
@@ -2122,24 +2139,14 @@ object DedupOps {
     val merged = isl.groupBy("doc_id", "island")
       .agg(min("span_start").as("m_start"), max("span_end").as("m_end"),
         count(lit(1)).as("n_abs"))
-    val perDoc = merged.groupBy("doc_id")
+    merged.groupBy("doc_id")
       .agg(sum("n_abs").as("n_mask_rows"),
         count(lit(1)).as("n_intervals"),
         sum(col("m_end") - col("m_start")).as("masked_tokens"))
-    val docTok = Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"),
-        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
-          .as("doc_tokens"))
-    perDoc.join(docTok, "doc_id")
-      .select(col("doc_id"), col("n_mask_rows"), col("n_intervals"),
-        col("masked_tokens"), col("doc_tokens"),
-        (col("masked_tokens").cast("double")
-          / col("doc_tokens").cast("double")).as("masked_share"))
-      .orderBy("doc_id")
   }
 
-  lazy val maskCoalesceSql: String = s"""
+  /** C107 per-doc core as a DuckDB CTE body (mirrors [[maskPerDoc]]). */
+  private lazy val maskPerDocSql: String = s"""
     WITH plan_rows AS ($spanMaskRowsSql),
     iv AS (
       SELECT doc_id, span_start, span_start + $SpanTok AS span_end
@@ -2158,12 +2165,14 @@ object DedupOps {
     merged AS (
       SELECT doc_id, island, MIN(span_start) AS m_start,
         MAX(span_end) AS m_end, COUNT(*) AS n_abs
-      FROM isl GROUP BY 1, 2),
-    per_doc AS (
-      SELECT doc_id, CAST(SUM(n_abs) AS BIGINT) AS n_mask_rows,
-        COUNT(*) AS n_intervals,
-        CAST(SUM(m_end - m_start) AS BIGINT) AS masked_tokens
-      FROM merged GROUP BY 1),
+      FROM isl GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n_abs) AS BIGINT) AS n_mask_rows,
+      COUNT(*) AS n_intervals,
+      CAST(SUM(m_end - m_start) AS BIGINT) AS masked_tokens
+    FROM merged GROUP BY 1"""
+
+  lazy val maskCoalesceSql: String = s"""
+    WITH per_doc AS ($maskPerDocSql),
     dt AS (
       SELECT doc_id,
         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
@@ -2175,6 +2184,61 @@ object DedupOps {
         AS masked_share
     FROM per_doc p JOIN dt d USING (doc_id)
     ORDER BY p.doc_id"""
+
+  /** C108: `q_mask_datasheet` — the span family's per-SOURCE rollup, the
+    * row a curation lead actually reads: per source, docs, affected
+    * docs, token mass, exact masked token mass (C107's merged
+    * intervals), and the masked share — naming which sources carry the
+    * repeated-span burden. C38 prices removing exact-dup DOCS per
+    * source; this prices masking repeated SPANS per source — the two
+    * budgets are different levers (drop vs loss-mask) and a source can
+    * be clean on one and heavy on the other (templated feeds: unique
+    * docs, boilerplate spans). Completes the chain C73 → C106 → C107 →
+    * per-source accounting, the same report shape as C31/C47.
+    *
+    * Scale: C107's per-doc core (doc-partitioned windows over dup
+    * occurrences) left-joined under the corpus on doc_id — the corpus
+    * side is a narrow (doc_id, source, token-count) projection, the
+    * rollup collapses onto O(sources) rows map-side. Integer sums, one
+    * division, COALESCE(0) for untouched docs on both engines. */
+  def maskDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("doc_tokens"))
+    docs.join(maskPerDoc(spark, dir).select("doc_id", "masked_tokens"),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("masked_tokens").isNotNull, 1L).otherwise(0L))
+          .as("n_affected_docs"),
+        sum(col("doc_tokens")).as("tokens_total"),
+        sum(coalesce(col("masked_tokens"), lit(0L))).as("tokens_masked"))
+      .select(col("source"), col("n_docs"), col("n_affected_docs"),
+        col("tokens_total"), col("tokens_masked"),
+        (col("tokens_masked").cast("double")
+          / col("tokens_total").cast("double")).as("masked_share"))
+      .orderBy("source")
+  }
+
+  lazy val maskDatasheetSql: String = s"""
+    WITH per_doc AS ($maskPerDocSql),
+    docs AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+          AS BIGINT) AS doc_tokens
+      FROM documents WHERE length(trim(text)) > 0)
+    SELECT d.source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN p.masked_tokens IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_affected_docs,
+      CAST(SUM(d.doc_tokens) AS BIGINT) AS tokens_total,
+      CAST(SUM(COALESCE(p.masked_tokens, 0)) AS BIGINT) AS tokens_masked,
+      CAST(SUM(COALESCE(p.masked_tokens, 0)) AS DOUBLE)
+        / CAST(SUM(d.doc_tokens) AS DOUBLE) AS masked_share
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source ORDER BY d.source"""
+
   /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
     * through the full dedup battery in deployment order — exact content
     * dedup (C1 keepers) → near-dup canonicalization (C18 clusters, C59's

@@ -255,6 +255,23 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("priority fulfilment: order conservation, EXISTS recount matches") {
+    import graft.operators.Analytics
+    val out = Analytics.priorityFulfilment(spark, sf).cache()
+    val orders = Tables.orders(spark, sf)
+    assert(out.agg(sum("n_orders")).head.getLong(0) == orders.count())
+    // independent EXISTS recount: distinct orderkeys owning a late line
+    val late = orders.join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL ${Analytics.LateDays} DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(out.agg(sum("n_late_orders")).head.getLong(0) == late)
+    assert(out.filter(col("n_late_orders") > col("n_orders") ||
+      col("late_share") < 0 || col("late_share") > 1).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)

@@ -1927,6 +1927,23 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("mask datasheet: full-corpus accounting reconciles with C107") {
+    val ds = operators.DedupOps.maskDatasheet(spark, sf).cache()
+    val mc = operators.DedupOps.maskCoalesce(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    // every source, every doc accounted; masked mass = C107's exactly
+    assert(ds.count() == docs.select("source").distinct().count())
+    assert(ds.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(ds.agg(sum("n_affected_docs")).head.getLong(0) == mc.count())
+    assert(ds.agg(sum("tokens_masked")).head.getLong(0) ==
+      mc.agg(sum("masked_tokens")).head.getLong(0))
+    assert(ds.filter(col("n_affected_docs") > col("n_docs") ||
+      col("tokens_masked") > col("tokens_total") ||
+      col("masked_share") < 0 || col("masked_share") >= 1).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("semantic drift: per-source frame, dark-source nulls, real drift") {
     val sd = operators.EmbeddingOps.semanticDrift(spark, sf).cache()
     val srcCounts = graft.sources.Tables.documents(spark, sf)
