@@ -92,7 +92,12 @@ object ScaleProbe {
     "q_skew_audit",             // C102: 5 key-count relations + top-k
     "q_minhash_cross_row_agreement", // C103: 66-cell map-side grid
     "q_embed_subspace_variance",     // C104: one C88 pass + O(dims) rollup
-    "q_dedup_pair_degree")           // C105: O(pairs) artifact-fed rollup
+    "q_dedup_pair_degree",           // C105: O(pairs) artifact-fed rollup
+    // final round-8 additions
+    "q_mask_coalesce",   // C107: C106 plan + doc-partitioned interval merge
+    "q_small_qty_revenue") // B45: l_partkey window whose partitions DEEPEN
+                           // with inflation (l_partkey is not offset) —
+                           // the hard direction for the windowed Q17 shape
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
@@ -185,6 +190,15 @@ object ScaleProbe {
     write("orders", ordReplica)
     write("lineitem", liReplica)
     write("customer", custReplica)
+    // static dimensions pass through UNINFLATED (part/supplier/nation/
+    // region): the honest 100 TB shape — the catalog is fixed while the
+    // fact side grows, so per-dimension-key fact volume deepens linearly
+    // (B45's per-part window partitions, B44's per-type revenue), which
+    // is exactly the hard direction the probes should measure.
+    for (name <- Seq("part", "supplier", "nation", "region")) {
+      spark.read.parquet(s"$baseDir/$name.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
   }
 
   /** Aggregate executor task time, collected by listener. Wall time alone

@@ -1367,4 +1367,39 @@ object Analytics {
       CAST(SUM(COALESCE(late, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         AS late_share
     FROM per_order GROUP BY 1 ORDER BY 1"""
+
+  /** B47: `q_supplier_breadth` — supplier coverage per part category
+    * (TPC-H Q16 flavor without a partsupp table: the supplier relation is
+    * derived from what actually SHIPPED): per (p_type, p_size), the
+    * distinct parts moved, the distinct suppliers who moved them, and
+    * suppliers-per-part — the supply-risk read (a category with breadth
+    * ≈ 1 has a single point of failure). The multi-DISTINCT aggregate is
+    * the one classic rollup shape the surface lacked; Spark plans it as
+    * an Expand (×2 row multiplier) over the SAME partkey-joined pass —
+    * no self-join, no second scan — and the category grid is
+    * O(types × sizes), map-side collapsible. Counts only; one final
+    * division. */
+  def supplierBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val p = Tables.part(spark, dir)
+      .select("p_partkey", "p_type", "p_size")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "p_size")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_suppliers"))
+      .select(col("p_type"), col("p_size"), col("n_parts"),
+        col("n_suppliers"),
+        (col("n_suppliers").cast("double") / col("n_parts").cast("double"))
+          .as("breadth_ratio"))
+      .orderBy("p_type", "p_size")
+  }
+
+  val supplierBreadthSql: String = """
+    SELECT p.p_type, p.p_size,
+      COUNT(DISTINCT l.l_partkey) AS n_parts,
+      COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+      CAST(COUNT(DISTINCT l.l_suppkey) AS DOUBLE)
+        / CAST(COUNT(DISTINCT l.l_partkey) AS DOUBLE) AS breadth_ratio
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type, p.p_size ORDER BY p.p_type, p.p_size"""
 }

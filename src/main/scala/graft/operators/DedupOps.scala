@@ -1942,19 +1942,8 @@ object DedupOps {
     * repeated a million times is ONE grid row, not 10¹² pairs. */
   def substrDupSpans(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
-    val els = (1 to SpanTok)
-      .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
-    Tables.documents(spark, dir)
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= SpanTok)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(
-              filter(sequence(0, size(toks) - $SpanTok),
-                p -> graft_str_hash(concat('anc|',
-                       element_at(toks, cast(p + 1 as int)))) % $AnchorMod = 0),
-              p -> concat_ws(' ', $els))""")).as("span"))
-      .select(col("doc_id"), md5(col("span").cast("binary")).as("span_hash"))
+    anchoredSpans(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("span_hash"))
       .groupBy("span_hash")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct("doc_id").as("n_docs"),
@@ -2019,11 +2008,14 @@ object DedupOps {
   /** C106 core (unsorted): shared with C107, which re-partitions by doc
     * for the interval merge — inheriting C106's output sort would pay a
     * global range exchange only to immediately hash-repartition. */
-  private def spanMaskRows(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.Kernels.register(spark)
+  /** The C73/C106 anchored-span relation of an arbitrary (doc_id, text)
+    * frame: one row per anchored [[SpanTok]]-token span occurrence —
+    * (doc_id, pos, span_hash). Callers must have Kernels registered.
+    * Batch-parametric so D34 can run it per micro-batch. */
+  private[graft] def anchoredSpans(docs: DataFrame): DataFrame = {
     val els = (1 to SpanTok)
       .map(j => s"element_at(toks, cast(p + $j as int))").mkString(", ")
-    val occ = Tables.documents(spark, dir)
+    docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= SpanTok)
@@ -2036,7 +2028,25 @@ object DedupOps {
         .as("o"))
       .select(col("doc_id"), col("o.pos").cast("long").as("pos"),
         md5(col("o.span").cast("binary")).as("span_hash"))
-      .cache()
+  }
+
+  /** D34's batch body: every anchored-span occurrence in `docs` whose
+    * span_hash is in `spanIndex` (a frozen 1-column dup-span relation),
+    * as mask coordinates. No keeper election — in the incremental
+    * deployment the canonical occurrence already lives in the STANDING
+    * corpus the index was built from, so every arriving hit is maskable
+    * (C58's batch-vs-index triage, applied to spans). Self-indexed over
+    * the standing corpus itself this returns C106 ∪ the keepers — the
+    * reconciliation StreamingSpec pins. */
+  def spanMaskAgainst(docs: DataFrame, spanIndex: DataFrame): DataFrame =
+    anchoredSpans(docs)
+      .join(spanIndex.select("span_hash"), Seq("span_hash"))
+      .select(col("doc_id"), col("pos").as("span_start"),
+        lit(SpanTok.toLong).as("span_tokens"), col("span_hash"))
+
+  private def spanMaskRows(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val occ = anchoredSpans(Tables.documents(spark, dir)).cache()
     val dup = occ.groupBy("span_hash")
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= 2).select("span_hash")

@@ -272,6 +272,30 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("supplier breadth: grid complete, distinct counts recount exactly") {
+    import graft.operators.Analytics
+    val out = Analytics.supplierBreadth(spark, sf).cache()
+    val j = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, sf).select("p_partkey", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey")).cache()
+    // one row per shipped (type, size) category — nothing more or less
+    assert(out.count() ==
+      j.select("p_type", "p_size").distinct().count())
+    // direct recount for the worst category by volume
+    val top = j.groupBy("p_type", "p_size").count()
+      .orderBy(col("count").desc, col("p_type"), col("p_size")).head
+    val (t, s) = (top.getString(0), top.getInt(1))
+    val slice = j.filter(col("p_type") === t && col("p_size") === s)
+    val row = out.filter(col("p_type") === t && col("p_size") === s).head
+    assert(row.getAs[Long]("n_parts") ==
+      slice.select("l_partkey").distinct().count())
+    assert(row.getAs[Long]("n_suppliers") ==
+      slice.select("l_suppkey").distinct().count())
+    assert(out.filter(col("n_parts") <= 0 || col("n_suppliers") <= 0 ||
+      col("breadth_ratio") <= 0).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)

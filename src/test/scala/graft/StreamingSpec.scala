@@ -1824,6 +1824,56 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D34 streaming mask plan: batch twin, C79/C106 reconciliation, replay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    val docs = graft.sources.Tables.documents(sp, sf)
+    // frozen index: the standing corpus's dup-span relation (C73)
+    val spanIndex = graft.operators.DedupOps.substrDupSpans(sp, sf)
+      .select("span_hash").cache()
+    val feed = docs.orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d34_target") + "/masks"
+    val ckpt = tmpDir("d34_ckpt")
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit =
+      MaskStream.plan(in.toDF().toDF("doc_id", "text"), spanIndex,
+        target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    // stateless: union of per-batch masks ≡ one batch run over the feed
+    val streamed = sp.read.parquet(target)
+      .select("doc_id", "span_start", "span_tokens", "span_hash").cache()
+    val batch = graft.operators.DedupOps.spanMaskAgainst(
+      docs.select("doc_id", "text"), spanIndex)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    // self-indexed reconciliation: the stream sees EVERY dup-span
+    // occurrence (C79's n_span_occ); the batch C106 plan withholds
+    // exactly one keeper per repeated span
+    val sv = graft.operators.DedupOps.spanSavings(sp, sf).head
+    assert(streamed.count() == sv.getAs[Long]("n_span_occ"))
+    val plan = graft.operators.DedupOps.spanMaskPlan(sp, sf)
+    assert(streamed.count() - plan.count() ==
+      sv.getAs[Long]("n_repeated_spans"))
+    assert(plan.except(streamed).count() == 0)
+    // at-least-once replay: dropped commit marker must not duplicate
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run()
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the mask set (append instead of overwrite?)")
+    spanIndex.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D29 per-epoch gram grids sum cellwise to the batch covariance") {
     val sp = spark
     import sp.implicits._
