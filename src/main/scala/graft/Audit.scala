@@ -90,6 +90,9 @@ object Audit {
     // C55 PQ: the O(PqK) codebook broadcast — fixed-size at any scale;
     // the ×k fanout collapses in a map-side struct-MIN before the shuffle
     ("q_embed_pq", "hinted-fact-broadcast:embeddings"),
+    // C109 composes C55's assignment plan (plus its own 1-row total
+    // broadcast), inheriting exactly that fixed-size codebook broadcast
+    ("q_embed_pq_distortion", "hinted-fact-broadcast:embeddings"),
     // C56 ADC: the probe LUT broadcasts — O(batch·PqSub·PqK), fixed-size
     // (probe batch + codebook caps), never a corpus fraction
     ("q_ann_pq_adc", "hinted-fact-broadcast:embeddings"),

@@ -2241,4 +2241,69 @@ object EmbeddingOps {
     JOIN bot bt ON bt.sub_id = p.sub_id, tot t
     ORDER BY p.sub_id"""
 
+  /** C109: `q_embed_pq_distortion` — the MEASURED quantization loss per PQ
+    * subspace, the consumer read that closes the codebook-design loop:
+    * C104 says where the information LIVES (variance budget), this says
+    * where quantization LOSES it (per-subspace reconstruction MSE off
+    * C55's assignments), and comparing the two shares is the
+    * bits-allocation check — a subspace whose distortion share runs far
+    * above its variance share is under-coded (needs more codewords or a
+    * re-split), one far below wastes bits. `n_codes_used` < [[PqK]] on
+    * top flags dead codewords (quantizer collapse, the k-means failure
+    * mode C53 reads for IVF cells). Per subspace: vectors, codewords
+    * actually used, mean/max reconstruction MSE, share of total
+    * distortion.
+    *
+    * Exactness: C55's `sub_mse` doubles are nano-quantized to longs
+    * before the distributed sum (the D31/C90 device — a double sum across
+    * partitions would be order-nondeterministic), identical
+    * round-to-nano on both engines; max is order-free; single divisions
+    * at the end. Plan: C55's assignment plan (the broadcast-codebook
+    * struct-MIN — no new corpus pass) collapsing onto a [[PqSub]]-row
+    * grid map-side; the total is a 1-row broadcast. O(corpus) work, 4-row
+    * output at any scale. */
+  def embedPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val pq = embedPq(spark, dir)
+      .select(col("sub_id"), col("code"),
+        round(col("sub_mse") * lit(1000000000.0)).cast("long").as("mse_n"))
+    val per = pq.groupBy("sub_id").agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct("code").as("n_codes_used"),
+      sum("mse_n").as("sum_mse_n"),
+      max("mse_n").as("max_mse_n"))
+    val tot = per.agg(sum("sum_mse_n").as("tot_mse_n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("sub_id"), col("n_vecs"), col("n_codes_used"),
+        (col("sum_mse_n").cast("double") / col("n_vecs").cast("double")
+          / lit(1000000000.0)).as("mean_mse"),
+        (col("max_mse_n").cast("double") / lit(1000000000.0)).as("max_mse"),
+        when(col("tot_mse_n") > 0L, col("sum_mse_n").cast("double")
+          / col("tot_mse_n").cast("double")).as("mse_share"))
+      .orderBy("sub_id")
+  }
+
+  // lazy: interpolates embedPqSql (the object-init rule)
+  lazy val embedPqDistortionSql: String = s"""
+    WITH pq AS ($embedPqSql),
+    q AS (
+      SELECT sub_id, code,
+        CAST(round(sub_mse * 1000000000.0) AS BIGINT) AS mse_n
+      FROM pq),
+    per AS (
+      SELECT sub_id, COUNT(*) AS n_vecs,
+        COUNT(DISTINCT code) AS n_codes_used,
+        CAST(SUM(mse_n) AS BIGINT) AS sum_mse_n,
+        CAST(MAX(mse_n) AS BIGINT) AS max_mse_n
+      FROM q GROUP BY 1),
+    tot AS (SELECT CAST(SUM(sum_mse_n) AS BIGINT) AS tot_mse_n FROM per)
+    SELECT p.sub_id, p.n_vecs, p.n_codes_used,
+      CAST(p.sum_mse_n AS DOUBLE) / CAST(p.n_vecs AS DOUBLE)
+        / 1000000000.0 AS mean_mse,
+      CAST(p.max_mse_n AS DOUBLE) / 1000000000.0 AS max_mse,
+      CASE WHEN t.tot_mse_n > 0 THEN
+        CAST(p.sum_mse_n AS DOUBLE) / CAST(t.tot_mse_n AS DOUBLE) END
+        AS mse_share
+    FROM per p, tot t
+    ORDER BY p.sub_id"""
+
 }

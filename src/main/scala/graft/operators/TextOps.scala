@@ -471,6 +471,84 @@ object TextOps {
       FROM documents)
     ORDER BY doc_id"""
 
+  /** C110: `q_doc_lang_mix` — CODE-SWITCHING detection: C8's language ID
+    * re-run at CHUNK granularity (C22's chunker) and rolled up per doc —
+    * chunk count, distinct chunk-language count, the modal language with
+    * its share, and a mixed flag. A doc-level language ID (C8) averages
+    * away a document that switches language halfway — the exact kind
+    * (scraped forums, parallel-text pages, template wrappers around
+    * foreign content) a monolingual training mix must catch: lang-ID
+    * models misroute them and quality filters trained per-language
+    * misjudge them. Chunk votes make the switch visible: `mixed` docs
+    * route to segmentation or exclusion, `top_share` prices how much of
+    * the doc the modal label actually covers.
+    *
+    * The modal tie-break is max-count-then-LEXICOGRAPHIC-min language
+    * (row_number over the per-doc vote counts — a window above an
+    * aggregate over ≤ 5 rows per doc, never over the fact scan). Plan:
+    * the C22 chunk explode → marker scoring in-row (the C8 expressions
+    * verbatim) → one (doc, lang) count shuffle → per-doc rollup.
+    * Integer votes, one division. Scale: O(chunks) rows into a
+    * doc-keyed grid; chunk text never shuffles (scores collapse it
+    * in-row before the aggregate). */
+  def docLangMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def score(pat: String) =
+      regexp_count(lower(col("chunk_text")), lit(pat)).cast("long")
+    val labeled = chunkedWith(spark, dir, Nil)
+      .select(col("doc_id"),
+        score("\\b(the|and|of|is|this|that|with)\\b").as("s_en"),
+        score("\\b(el|la|los|las|que|de|y|es)\\b").as("s_es"),
+        score("\\b(der|die|das|und|ist|nicht|mit)\\b").as("s_de"),
+        score("\\b(le|les|et|est|dans|pour|une)\\b").as("s_fr"),
+        regexp_count(col("chunk_text"), lit("[\\x{4e00}-\\x{9fff}]"))
+          .cast("long").as("s_zh"))
+      .withColumn("chunk_lang",
+        when(col("s_zh") > 0, "zh")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+    val counts = labeled.groupBy("doc_id", "chunk_lang")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("chunk_lang").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("chunk_lang"))).as("top_lang"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("top_lang"),
+        (col("top_cnt").cast("double") / col("n_chunks").cast("double"))
+          .as("top_share"),
+        (col("n_langs") >= 2L).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: interpolates docChunkSql, declared LATER in this object — an
+  // eager val would splice the string "null" (the object-init rule)
+  lazy val docLangMixSql: String = s"""
+    WITH chunks AS ($docChunkSql),
+    t AS (SELECT doc_id, chunk_text AS text FROM chunks),
+    s AS (SELECT doc_id, $langSqlScores FROM t),
+    l AS (SELECT doc_id, $langSqlCase AS chunk_lang FROM s),
+    c AS (
+      SELECT doc_id, chunk_lang, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY cnt DESC, chunk_lang) AS rn
+      FROM c)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+      COUNT(*) AS n_langs,
+      MAX(CASE WHEN rn = 1 THEN chunk_lang END) AS top_lang,
+      CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+        / CAST(SUM(cnt) AS DOUBLE) AS top_share,
+      COUNT(*) >= 2 AS mixed
+    FROM r GROUP BY doc_id ORDER BY doc_id"""
+
   /** Top TF-IDF terms kept per document (C21). */
   val TfidfTopK: Int = 3
 

@@ -296,6 +296,54 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("pq distortion: full grid, code bounds, share partition") {
+    val out = EmbeddingOps.embedPqDistortion(spark, sf).cache()
+    import graft.operators.EmbeddingOps.{PqSub, PqK}
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // one row per subspace, every vector assigned in each
+    assert(out.count() == PqSub)
+    assert(out.filter(col("n_vecs") =!= nVecs).count() == 0)
+    assert(out.filter(col("n_codes_used") < 1 ||
+      col("n_codes_used") > PqK).count() == 0)
+    // shares partition the total distortion; max dominates mean
+    val shareSum = out.agg(sum("mse_share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    assert(out.filter(col("mean_mse") < 0 ||
+      col("max_mse") < col("mean_mse")).count() == 0)
+    // direct recount of one subspace's mean off C55's assignment rows
+    val pq0 = EmbeddingOps.embedPq(spark, sf)
+      .filter(col("sub_id") === 0)
+      .select(round(col("sub_mse") * 1000000000.0).cast("long").as("n"))
+      .agg(sum("n"), count(lit(1))).head
+    val expect = pq0.getLong(0).toDouble / pq0.getLong(1) / 1000000000.0
+    assert(out.filter(col("sub_id") === 0).head
+      .getAs[Double]("mean_mse") == expect)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("doc lang mix: chunk conservation, modal invariants") {
+    import graft.operators.TextOps
+    val out = TextOps.docLangMix(spark, sf).cache()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) > 0)
+    assert(out.count() == docs.count())
+    // chunk mass matches the C22 chunker exactly
+    assert(out.agg(sum("n_chunks")).head.getLong(0) ==
+      TextOps.docChunk(spark, sf).count())
+    // modal invariants: the top language covers at least 1/n_langs of the
+    // chunks, and the mixed flag is definitionally n_langs >= 2
+    assert(out.filter(col("n_langs") < 1 ||
+      col("n_langs") > col("n_chunks") ||
+      col("top_share") <= 0 || col("top_share") > 1).count() == 0)
+    assert(out.filter(col("top_share") * col("n_langs") <
+      lit(1.0) - lit(1e-9)).count() == 0)
+    assert(out.filter(col("mixed") =!= (col("n_langs") >= 2L))
+      .count() == 0)
+    assert(out.filter(col("n_chunks") === 1 &&
+      (col("n_langs") =!= 1 || col("top_share") =!= 1.0)).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("maxsim: ranking invariants and score bounds hold") {
     val out = EmbeddingOps.retrievalMaxsim(spark, sf).collect()
     assert(out.nonEmpty)
