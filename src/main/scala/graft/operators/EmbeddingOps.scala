@@ -2266,11 +2266,15 @@ object EmbeddingOps {
     val pq = embedPq(spark, dir)
       .select(col("sub_id"), col("code"),
         round(col("sub_mse") * lit(1000000000.0)).cast("long").as("mse_n"))
+    // cache(): the 4-row grid feeds BOTH the output and the 1-row total —
+    // uncached, the total's branch would replay the whole C55 assignment
+    // subtree (the C75/C90 report-assembly lesson)
     val per = pq.groupBy("sub_id").agg(
       count(lit(1)).as("n_vecs"),
       countDistinct("code").as("n_codes_used"),
       sum("mse_n").as("sum_mse_n"),
       max("mse_n").as("max_mse_n"))
+      .cache()
     val tot = per.agg(sum("sum_mse_n").as("tot_mse_n"))
     per.crossJoin(broadcast(tot))
       .select(col("sub_id"), col("n_vecs"), col("n_codes_used"),

@@ -486,4 +486,33 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("span-mask family and star-schema additions: scan shapes") {
+    // C106: the anchored-occurrence relation is cached ONCE for its three
+    // consumers (plan rows, dup set, keeper mins) — no file re-scan
+    val p = scanLeaves("q_span_mask_plan")
+    assert(!p.contains("file") && p.count(_ == "mem") == 3, p)
+    // C107/C108: the same 3 cached reads plus exactly ONE corpus scan for
+    // the doc-token (C107) / source (C108) side
+    val c = scanLeaves("q_mask_coalesce")
+    assert(c.count(_ == "file") == 1 && c.count(_ == "mem") == 3, c)
+    val d = scanLeaves("q_mask_datasheet")
+    assert(d.count(_ == "file") == 1 && d.count(_ == "mem") == 3, d)
+    // B44-B47: each is ONE pass over its two tables — two file scans, no
+    // self-join, no cache needed
+    for (q <- Seq("q_promo_revenue_share", "q_small_qty_revenue",
+        "q_priority_fulfilment", "q_supplier_breadth")) {
+      val s = scanLeaves(q)
+      assert(s.count(_ == "file") == 2 && !s.contains("mem"), s"$q: $s")
+    }
+    // C109: the 4-row grid is cached for its two consumers (output +
+    // 1-row total) — the C55 assignment subtree runs once, inside the
+    // cached relation, never per branch
+    val q9 = scanLeaves("q_embed_pq_distortion")
+    assert(!q9.contains("file") && q9.count(_ == "mem") == 2, q9)
+    // C110: a single corpus pass — chunk votes collapse in-pipeline
+    val lm = scanLeaves("q_doc_lang_mix")
+    assert(lm == Seq("file"), lm)
+    spark.catalog.clearCache(): Unit
+  }
+
 }
