@@ -93,6 +93,12 @@ object Audit {
     // C109 composes C55's assignment plan (plus its own 1-row total
     // broadcast), inheriting exactly that fixed-size codebook broadcast
     ("q_embed_pq_distortion", "hinted-fact-broadcast:embeddings"),
+    // C111's recall ground truth: the broadcast side is the 1-in-N doc
+    // SAMPLE's gram sets (bounded by the RecallDocMod deployment rule —
+    // N scales with the corpus, the C35/C84 capacity rule), the one
+    // deliberately non-blocked join in the dedup family; plus its 1-row
+    // sample-count broadcast
+    ("q_dedup_lsh_recall", "hinted-fact-broadcast:documents"),
     // C56 ADC: the probe LUT broadcasts — O(batch·PqSub·PqK), fixed-size
     // (probe batch + codebook caps), never a corpus fraction
     ("q_ann_pq_adc", "hinted-fact-broadcast:embeddings"),

@@ -2249,6 +2249,113 @@ object DedupOps {
     FROM docs d LEFT JOIN per_doc p USING (doc_id)
     GROUP BY d.source ORDER BY d.source"""
 
+  /** C111's deterministic 1-in-N document sample for the recall ground
+    * truth. DEPLOYMENT RULE: N scales with the corpus so the sampled
+    * sub-universe (and its all-pairs ground truth) stays a fixed budget —
+    * the same capacity-follows-its-driver rule as C35's quantizer k and
+    * C84's Bloom bits. */
+  val RecallDocMod: Int = 5
+
+  /** C111: `q_dedup_lsh_recall` — the RECALL half of the LSH operating
+    * story, measured: C93's banding sweep prices candidate VOLUME and
+    * (sampled) precision, but never says what the banding MISSES — the
+    * number that decides whether 4×3 is safe or leaking near-dups into
+    * training. Ground truth is candidate-INDEPENDENT: a deterministic
+    * 1-in-[[RecallDocMod]] doc sample, ALL pairs inside it scored by
+    * exact token-3-gram Jaccard (the C89 verification measure), at three
+    * thresholds 1/5, 1/3, 1/2; recall = the fraction of true ≥θ pairs
+    * present in C2's production pair set. The curve must RISE with θ
+    * (LSH's collision S-curve — band collision probability grows with
+    * true similarity); a flat-low curve says the banding, not the
+    * corpus, is the problem.
+    *
+    * The sample×sample all-pairs join is the one deliberately
+    * non-blocked join in the dedup family — bounded BY the sampling
+    * rule, not by data (broadcast side ≈ corpus/N docs × 52 longs), the
+    * C6-bruteforce idea applied to dedup ground truth. Thresholds are
+    * integer cross-multiplies (n_common·k ≥ n_union ⟺ J ≥ 1/k) — no
+    * float thresholds on either engine; every row of the 3-row output
+    * exists even when a threshold has no true pairs (conditional sums
+    * over the unfiltered threshold explode, recall NULL on an empty
+    * denominator). Scale: gram sets are the cached C89 relation cut to
+    * the sample; the C2 pair set joins back on (doc_a, doc_b) — O(sample²
+    * + pairs), both budget-bounded. */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val gs = gramSets(spark, dir)
+      .filter(expr(
+        s"graft_str_hash(concat('rcl|', cast(doc_id as string))) % $RecallDocMod = 0"))
+      .cache()
+    val nSample = gs.agg(count(lit(1)).as("n_sample_docs"))
+    val mh = dedupMinhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("cand"))
+    val truth = gs.select(col("doc_id").as("doc_a"), col("gl").as("gl_a"))
+      .join(broadcast(
+          gs.select(col("doc_id").as("doc_b"), col("gl").as("gl_b"))),
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("gl_a"), col("gl_b"))).cast("long")
+          .as("n_common"),
+        (size(col("gl_a")) + size(col("gl_b"))).cast("long").as("n_ab"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_ab") - col("n_common")).as("n_union"))
+      .filter(col("n_union") > 0)
+    truth.join(mh, Seq("doc_a", "doc_b"), "left")
+      .select(col("n_common"), col("n_union"),
+        coalesce(col("cand"), lit(0L)).as("caught"),
+        explode(array(lit(5L), lit(3L), lit(2L))).as("k"))
+      .groupBy("k")
+      .agg(
+        sum(when(col("n_common") * col("k") >= col("n_union"), 1L)
+          .otherwise(0L)).as("n_true_pairs"),
+        sum(when(col("n_common") * col("k") >= col("n_union"),
+          col("caught")).otherwise(0L)).as("n_caught"))
+      .crossJoin(broadcast(nSample))
+      .select(concat(lit("1/"), col("k").cast("string")).as("threshold"),
+        col("n_sample_docs"), col("n_true_pairs"), col("n_caught"),
+        when(col("n_true_pairs") > 0L, col("n_caught").cast("double")
+          / col("n_true_pairs").cast("double")).as("recall_est"))
+      .orderBy("threshold")
+  }
+
+  lazy val dedupLshRecallSql: String = s"""
+    WITH g0 AS ($gramSetsSql),
+    smp AS (
+      SELECT doc_id, gl FROM g0
+      WHERE (list_reduce(list_transform(
+          range(1, length('rcl|' || CAST(doc_id AS VARCHAR)) + 1), i ->
+            CAST(ascii(substr('rcl|' || CAST(doc_id AS VARCHAR),
+                              CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647)) % $RecallDocMod = 0),
+    mh AS ($dedupMinhashLshSql),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(coalesce(len(list_intersect(a.gl, b.gl)), 0) AS BIGINT)
+          AS n_common,
+        CAST(len(a.gl) + len(b.gl)
+          - coalesce(len(list_intersect(a.gl, b.gl)), 0) AS BIGINT)
+          AS n_union
+      FROM smp a JOIN smp b ON a.doc_id < b.doc_id),
+    f AS (
+      SELECT t.n_common, t.n_union,
+        CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth t LEFT JOIN mh
+        ON t.doc_a = mh.doc_a AND t.doc_b = mh.doc_b
+      WHERE t.n_union > 0),
+    x AS (SELECT f.*, k FROM f, (SELECT unnest([5, 3, 2]) AS k)),
+    n AS (SELECT COUNT(*) AS n_sample_docs FROM smp)
+    SELECT '1/' || CAST(k AS VARCHAR) AS threshold, n.n_sample_docs,
+      CAST(SUM(CASE WHEN n_common * k >= n_union THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_true_pairs,
+      CAST(SUM(CASE WHEN n_common * k >= n_union THEN caught ELSE 0 END)
+        AS BIGINT) AS n_caught,
+      CASE WHEN SUM(CASE WHEN n_common * k >= n_union THEN 1 ELSE 0 END) > 0
+        THEN CAST(SUM(CASE WHEN n_common * k >= n_union THEN caught
+                      ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN n_common * k >= n_union THEN 1 ELSE 0 END)
+                  AS DOUBLE) END AS recall_est
+    FROM x, n GROUP BY 1, 2 ORDER BY 1"""
+
   /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
     * through the full dedup battery in deployment order — exact content
     * dedup (C1 keepers) → near-dup canonicalization (C18 clusters, C59's

@@ -1927,6 +1927,24 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("lsh recall: threshold nesting, bounds, non-vacuous ground truth") {
+    val out = operators.DedupOps.dedupLshRecall(spark, sf).cache()
+    assert(out.count() == 3)
+    val byT = out.collect().map(r => r.getString(0) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    // thresholds nest: every >=1/2 pair is a >=1/3 pair is a >=1/5 pair
+    assert(byT("1/2")._1 <= byT("1/3")._1 && byT("1/3")._1 <= byT("1/5")._1)
+    // caught never exceeds true; recall bounded; sample is the hash rule
+    assert(out.filter(col("n_caught") > col("n_true_pairs")).count() == 0)
+    assert(out.filter(col("recall_est") < 0 || col("recall_est") > 1)
+      .count() == 0)
+    // ground truth is non-vacuous at the loosest threshold on this corpus
+    assert(byT("1/5")._1 >= 1)
+    val n = out.head.getLong(1)
+    assert(n > 0 && n < graft.sources.Tables.documents(spark, sf).count())
+    spark.catalog.clearCache(): Unit
+  }
+
   test("mask datasheet: full-corpus accounting reconciles with C107") {
     val ds = operators.DedupOps.maskDatasheet(spark, sf).cache()
     val mc = operators.DedupOps.maskCoalesce(spark, sf).cache()
