@@ -82,7 +82,10 @@ object ParamCheck {
         EmbeddingOps.retrievalMaxsimSqlFor(probeBatch = 2, probeLo = 1)),
       ("q_token_budget_fill_div8",
         (s, d) => graft.operators.Pipeline.tokenBudgetFill(s, d, budgetDiv = 8),
-        graft.operators.Pipeline.tokenBudgetFillSqlFor(budgetDiv = 8)))
+        graft.operators.Pipeline.tokenBudgetFillSqlFor(budgetDiv = 8)),
+      ("q_dedup_lsh_recall_mod3",
+        (s, d) => graft.operators.DedupOps.dedupLshRecall(s, d, mod = 3),
+        graft.operators.DedupOps.dedupLshRecallSqlFor(mod = 3)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -294,6 +294,19 @@ object ScaleProbe {
               .createTempDirectory("graft-scale-funnel-").toString
             graft.operators.DedupArtifacts.writeComponents(s, d, root)
             graft.operators.DedupArtifacts.funnel(s, d, root)
+          })) :+
+        // C111 run the way a deployment would: the sample modulus scales
+        // with the corpus (RecallDocMod × replicas) so the ground-truth
+        // sub-universe — and its all-pairs join — stays a FIXED budget.
+        // A fixed mod would grow the sample ∝ corpus and the pair work
+        // ∝ corpus² by construction (the documented deployment rule, not
+        // a plan defect — the C35-quantizer/C84-bloom device).
+        ("lsh_recall_modscaled" ->
+          ((s: SparkSession, d: String) => {
+            val k = "x(\\d+)$".r.findFirstMatchIn(d)
+              .map(_.group(1).toInt).getOrElse(1)
+            graft.operators.DedupOps.dedupLshRecall(s, d,
+              mod = graft.operators.DedupOps.RecallDocMod * k)
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString

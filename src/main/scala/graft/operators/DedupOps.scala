@@ -2280,11 +2280,12 @@ object DedupOps {
     * denominator). Scale: gram sets are the cached C89 relation cut to
     * the sample; the C2 pair set joins back on (doc_a, doc_b) — O(sample²
     * + pairs), both budget-bounded. */
-  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+  def dedupLshRecall(spark: SparkSession, dir: String,
+      mod: Int = RecallDocMod): DataFrame = {
     graft.functions.Kernels.register(spark)
     val gs = gramSets(spark, dir)
       .filter(expr(
-        s"graft_str_hash(concat('rcl|', cast(doc_id as string))) % $RecallDocMod = 0"))
+        s"graft_str_hash(concat('rcl|', cast(doc_id as string))) % $mod = 0"))
       .cache()
     val nSample = gs.agg(count(lit(1)).as("n_sample_docs"))
     val mh = dedupMinhashLsh(spark, dir)
@@ -2318,7 +2319,7 @@ object DedupOps {
       .orderBy("threshold")
   }
 
-  lazy val dedupLshRecallSql: String = s"""
+  def dedupLshRecallSqlFor(mod: Int = RecallDocMod): String = s"""
     WITH g0 AS ($gramSetsSql),
     smp AS (
       SELECT doc_id, gl FROM g0
@@ -2326,7 +2327,7 @@ object DedupOps {
           range(1, length('rcl|' || CAST(doc_id AS VARCHAR)) + 1), i ->
             CAST(ascii(substr('rcl|' || CAST(doc_id AS VARCHAR),
                               CAST(i AS INT), 1)) AS BIGINT)),
-          (acc, c) -> (acc * 31 + c) % 2147483647)) % $RecallDocMod = 0),
+          (acc, c) -> (acc * 31 + c) % 2147483647)) % $mod = 0),
     mh AS ($dedupMinhashLshSql),
     truth AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2355,6 +2356,8 @@ object DedupOps {
            / CAST(SUM(CASE WHEN n_common * k >= n_union THEN 1 ELSE 0 END)
                   AS DOUBLE) END AS recall_est
     FROM x, n GROUP BY 1, 2 ORDER BY 1"""
+
+  lazy val dedupLshRecallSql: String = dedupLshRecallSqlFor()
 
   /** C82: `q_dedup_funnel` — the staged dedup WATERFALL: the corpus walked
     * through the full dedup battery in deployment order — exact content
