@@ -80,7 +80,12 @@ class EdgeSpec extends SparkSpec {
       "q_semantic_drift", "q_ann_serve",
       "q_snapshot_diff", "q_bloom_decontaminate", "q_retrieval_maxsim",
       "q_token_budget_fill", "q_contamination_spans",
-      "q_dedup_pair_precision", "q_classifier_calibration")
+      "q_dedup_pair_precision", "q_classifier_calibration",
+      // round-8 final additions: the span-mask chain, lang mix, the PQ
+      // distortion rollup and the recall probe (no pairs → no rows; the
+      // fixed 3-threshold grid only spans scored pairs)
+      "q_span_mask_plan", "q_mask_coalesce", "q_mask_datasheet",
+      "q_doc_lang_mix", "q_embed_pq_distortion", "q_dedup_lsh_recall")
     for (q <- corpusQueries) {
       val n = SparkEntry.queries(q)(spark, emptyDir).count()
       assert(n == 0, s"$q returned $n rows on an empty corpus")
