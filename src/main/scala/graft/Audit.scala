@@ -93,6 +93,10 @@ object Audit {
     // C109 composes C55's assignment plan (plus its own 1-row total
     // broadcast), inheriting exactly that fixed-size codebook broadcast
     ("q_embed_pq_distortion", "hinted-fact-broadcast:embeddings"),
+    // C112 composes the three bounded ANN searches (each with its vetted
+    // probe-set broadcast) and caches their 50-row lists — the flag is
+    // the searches' own, inherited
+    ("q_ann_overlap", "hinted-fact-broadcast:embeddings"),
     // C111's recall ground truth: the broadcast side is the 1-in-N doc
     // SAMPLE's gram sets (bounded by the RecallDocMod deployment rule —
     // N scales with the corpus, the C35/C84 capacity rule), the one

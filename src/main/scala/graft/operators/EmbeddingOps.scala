@@ -2310,4 +2310,84 @@ object EmbeddingOps {
     FROM per p, tot t
     ORDER BY p.sub_id"""
 
+  /** C112: `q_ann_overlap` — the INDEX-AGREEMENT matrix over the three
+    * approximate top-10 lists (sign-LSH C7, IVF C13, PQ-ADC C56): per
+    * unordered index pair, the per-probe |A∩B| rolled up to mean/min/max
+    * overlap@10. This is the number that EXPLAINS the C96 fusion gain
+    * C40 reports: RRF only recovers recall the single indexes lack when
+    * the indexes DISAGREE (low overlap = diverse failure modes = fusion
+    * headroom; overlap → 10 = redundant index, drop one and save the
+    * serving cost). The C75 method-agreement idea applied to retrieval.
+    *
+    * Plan: each bounded list (O(probes × 10) rows) is computed once and
+    * cached — its expensive search plan never replays across the three
+    * report branches (the C75/C109 report-assembly lesson); per pair one
+    * (probe, neighbor) equi-join + a per-probe count + a probes-side
+    * LEFT join so zero-overlap probes count in the mean (an inner
+    * groupBy would silently drop them and inflate it). Integer counts,
+    * one division; min/max are order-free. Output is 3 rows at any
+    * corpus size; all real work lives in the three already-bounded
+    * searches. */
+  def annOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lists = Seq(
+      "ivf" -> annIvf(spark, dir),
+      "lsh" -> annLsh(spark, dir),
+      "pq_adc" -> annPqAdc(spark, dir))
+      .map { case (n, df) =>
+        n -> df.select("probe_id", "neighbor_id").cache()
+      }
+    val cells = for {
+      i <- lists.indices; j <- lists.indices if i < j
+    } yield {
+      val (na, a) = lists(i)
+      val (nb, b) = lists(j)
+      val probes = a.select("probe_id").unionByName(b.select("probe_id"))
+        .distinct()
+      val common = a.join(b, Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("c"))
+      probes.join(common, Seq("probe_id"), "left")
+        .select(coalesce(col("c"), lit(0L)).as("c"))
+        .agg(count(lit(1)).as("n_probes"), sum("c").as("sum_overlap"),
+          min("c").as("min_overlap"), max("c").as("max_overlap"))
+        .select(lit(na).as("index_a"), lit(nb).as("index_b"),
+          col("n_probes"), col("sum_overlap"),
+          (col("sum_overlap").cast("double")
+            / (col("n_probes") * lit(10L)).cast("double"))
+            .as("mean_overlap_at_10"),
+          col("min_overlap"), col("max_overlap"))
+    }
+    cells.reduce(_ unionByName _).orderBy("index_a", "index_b")
+  }
+
+  // lazy: interpolates the three list SQL vals (the object-init rule)
+  lazy val annOverlapSql: String = {
+    def pairSql(na: String, nb: String): String = s"""
+      SELECT '$na' AS index_a, '$nb' AS index_b,
+        COUNT(*) AS n_probes,
+        CAST(SUM(c) AS BIGINT) AS sum_overlap,
+        CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE)
+          AS mean_overlap_at_10,
+        CAST(MIN(c) AS BIGINT) AS min_overlap,
+        CAST(MAX(c) AS BIGINT) AS max_overlap
+      FROM (
+        SELECT COALESCE(cc.c, 0) AS c
+        FROM (SELECT DISTINCT probe_id FROM (
+                SELECT probe_id FROM $na
+                UNION ALL SELECT probe_id FROM $nb)) p
+        LEFT JOIN (
+          SELECT x.probe_id, COUNT(*) AS c
+          FROM $na x JOIN $nb y
+            ON x.probe_id = y.probe_id AND x.neighbor_id = y.neighbor_id
+          GROUP BY 1) cc USING (probe_id))"""
+    s"""
+    WITH ivf AS (SELECT probe_id, neighbor_id FROM ($annIvfSql)),
+    lsh AS (SELECT probe_id, neighbor_id FROM ($annLshSql)),
+    pq_adc AS (SELECT probe_id, neighbor_id FROM ($annPqAdcSql))
+    SELECT * FROM (
+      ${pairSql("ivf", "lsh")}
+      UNION ALL ${pairSql("ivf", "pq_adc")}
+      UNION ALL ${pairSql("lsh", "pq_adc")})
+    ORDER BY index_a, index_b"""
+  }
+
 }

@@ -296,6 +296,29 @@ class CurationOpsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("ann overlap: pair grid, bounds, direct intersection recount") {
+    val out = EmbeddingOps.annOverlap(spark, sf).cache()
+    assert(out.count() == 3)
+    assert(out.select("index_a", "index_b").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSet ==
+      Set(("ivf", "lsh"), ("ivf", "pq_adc"), ("lsh", "pq_adc")))
+    // per-probe overlap is bounded by the list length
+    assert(out.filter(col("min_overlap") < 0 || col("max_overlap") > 10 ||
+      col("min_overlap") > col("max_overlap") ||
+      col("sum_overlap") > col("n_probes") * 10 ||
+      col("mean_overlap_at_10") < 0 ||
+      col("mean_overlap_at_10") > 1).count() == 0)
+    // direct recount: the ivf-lsh total equals a plain intersection count
+    val direct = EmbeddingOps.annIvf(spark, sf)
+      .select("probe_id", "neighbor_id")
+      .join(EmbeddingOps.annLsh(spark, sf)
+        .select("probe_id", "neighbor_id"),
+        Seq("probe_id", "neighbor_id")).count()
+    assert(out.filter(col("index_a") === "ivf" && col("index_b") === "lsh")
+      .head.getAs[Long]("sum_overlap") == direct)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("pq distortion: full grid, code bounds, share partition") {
     val out = EmbeddingOps.embedPqDistortion(spark, sf).cache()
     import graft.operators.EmbeddingOps.{PqSub, PqK}

@@ -98,6 +98,9 @@ class EdgeSpec extends SparkSpec {
       .count() == 3)
     assert(SparkEntry.queries("q_dedup_banding_sweep")(spark, emptyDir)
       .count() == 4)
+    // C112 keeps its 3-pair grid (n_probes = 0, NULL means, never a throw)
+    assert(SparkEntry.queries("q_ann_overlap")(spark, emptyDir)
+      .count() == 3)
     assert(SparkEntry.queries("q_span_savings")(spark, emptyDir)
       .count() == 1)
     // the covariance grid keeps its 2080-cell shape (zeros, n_vecs = 0)
