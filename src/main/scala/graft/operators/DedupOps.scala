@@ -2133,8 +2133,14 @@ object DedupOps {
 
   /** C107 per-doc core (no doc join, unsorted): shared with C108's
     * per-source rollup, which joins the corpus on its own terms. */
-  private def maskPerDoc(spark: SparkSession, dir: String): DataFrame = {
-    val rows = spanMaskRows(spark, dir)
+  private def maskPerDoc(spark: SparkSession, dir: String): DataFrame =
+    coalesceIntervals(spanMaskRows(spark, dir))
+
+  /** The C107 gaps-and-islands merge over any (doc_id, span_start) mask
+    * relation → per-doc (n_mask_rows, n_intervals, masked_tokens).
+    * Shared by the dir-bound C107/C108 and D35's per-batch body. */
+  private def coalesceIntervals(maskRows: DataFrame): DataFrame = {
+    val rows = maskRows
       .select(col("doc_id"), col("span_start"),
         (col("span_start") + SpanTok).as("span_end"))
     val ord = Window.partitionBy("doc_id").orderBy("span_start")
@@ -2153,6 +2159,31 @@ object DedupOps {
       .agg(sum("n_abs").as("n_mask_rows"),
         count(lit(1)).as("n_intervals"),
         sum(col("m_end") - col("m_start")).as("masked_tokens"))
+  }
+
+  /** D35's batch body: the C108 accounting grid of an arbitrary
+    * (doc_id, source, text) batch against a frozen span index — D34's
+    * no-keeper mask semantics (every index hit is maskable; the
+    * canonical copy lives in the standing corpus) run through the C107
+    * interval merge, rolled up per source as PLAIN ADDITIVE COUNTERS
+    * (no shares — ratios are not mergeable across epochs; the consumer
+    * divides after summing, the D29/D31 convention). Per-doc quantities
+    * are additive across any batch split because docs arrive whole. */
+  def maskDatasheetAgainst(docs: DataFrame, spanIndex: DataFrame): DataFrame = {
+    val perDoc = coalesceIntervals(spanMaskAgainst(docs, spanIndex))
+      .select("doc_id", "masked_tokens")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("doc_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("masked_tokens").isNotNull, 1L).otherwise(0L))
+          .as("n_affected_docs"),
+        sum(col("doc_tokens")).as("tokens_total"),
+        sum(coalesce(col("masked_tokens"), lit(0L))).as("tokens_masked"))
   }
 
   /** C107 per-doc core as a DuckDB CTE body (mirrors [[maskPerDoc]]). */

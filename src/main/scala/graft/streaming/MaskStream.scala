@@ -52,4 +52,32 @@ object MaskStream {
           .parquet(targetDir)
       }
       .start()
+
+  /** D35: streaming twin of C108 — the per-source masking ACCOUNTING
+    * maintained continuously: each micro-batch of (doc_id, source, text)
+    * rows is run through D34's mask semantics + C107's interval merge
+    * (all batch-local — docs arrive whole, the index side is frozen) and
+    * lands as a per-epoch grid of PLAIN ADDITIVE COUNTERS (docs,
+    * affected docs, token mass, exactly-merged masked mass — no shares;
+    * ratios are not mergeable, the consumer divides after summing, the
+    * D29/D31 convention). The running read `SUM(...) GROUP BY source`
+    * over the sink answers "which feed is shipping us boilerplate spans
+    * TODAY" while the batch C108 report is a day away. Idempotent
+    * batch_id-partitioned writes (the D24/D27 pattern). */
+  def runningDatasheet(docs: DataFrame, spanIndex: DataFrame,
+           targetDir: String, checkpointDir: String,
+           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        graft.operators.DedupOps.maskDatasheetAgainst(batch, spanIndex)
+          .withColumn("batch_id", lit(epoch))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(targetDir)
+      }
+      .start()
 }

@@ -1874,6 +1874,54 @@ class StreamingSpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D35 running mask datasheet: additive grid equals batch twin, replay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    val docs = graft.sources.Tables.documents(sp, sf)
+    val spanIndex = graft.operators.DedupOps.substrDupSpans(sp, sf)
+      .select("span_hash").cache()
+    val feed = docs.orderBy("doc_id").select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val target = tmpDir("d35_target") + "/grid"
+    val ckpt = tmpDir("d35_ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    def run(): Unit =
+      MaskStream.runningDatasheet(in.toDF().toDF("doc_id", "source", "text"),
+        spanIndex, target, ckpt).awaitTermination()
+    in.addData(b1: _*); run()
+    in.addData(b2: _*); run()
+    // additive counters: the summed grid IS the whole-feed batch grid
+    val summed = sp.read.parquet(target).groupBy("source").agg(
+      sum("n_docs").as("n_docs"),
+      sum("n_affected_docs").as("n_affected_docs"),
+      sum("tokens_total").as("tokens_total"),
+      sum("tokens_masked").as("tokens_masked"))
+    val batch = graft.operators.DedupOps.maskDatasheetAgainst(
+      docs.select("doc_id", "source", "text"), spanIndex)
+    assert(summed.count() == batch.count() && batch.count() > 0)
+    assert(summed.except(batch).count() == 0)
+    assert(batch.except(summed).count() == 0)
+    // the no-keeper stream mass dominates C108's keeper-excluding mass
+    val c108 = graft.operators.DedupOps.maskDatasheet(sp, sf)
+      .select(col("source"), col("tokens_masked").as("m108"))
+    assert(summed.join(c108, "source")
+      .filter(col("tokens_masked") < col("m108")).count() == 0)
+    // at-least-once replay: dropped commit marker must not double-count
+    val before = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    dropNewestCommit(ckpt)
+    run()
+    val after = sp.read.parquet(target).collect()
+      .map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before,
+      "replayed epoch changed the grid (append instead of overwrite?)")
+    spanIndex.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D29 per-epoch gram grids sum cellwise to the batch covariance") {
     val sp = spark
     import sp.implicits._
