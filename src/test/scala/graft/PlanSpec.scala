@@ -512,6 +512,17 @@ class PlanSpec extends SparkSpec {
     // C110: a single corpus pass — chunk votes collapse in-pipeline
     val lm = scanLeaves("q_doc_lang_mix")
     assert(lm == Seq("file"), lm)
+    // C111: every leaf is a cache read — the sampled gram sets (truth's
+    // two sides + the sample count) and the C2 signature cache (its own
+    // internal materialization, both join sides + the hot screen) — the
+    // corpus text is never re-scanned for the report
+    val rc = scanLeaves("q_dedup_lsh_recall")
+    assert(!rc.contains("file") && rc.count(_ == "mem") == 7, rc)
+    // C112: the three bounded lists are cached; each pair branch reads
+    // only caches (probes union: 2, intersection join: 2) — no search
+    // plan replays across the three report branches
+    val ov = scanLeaves("q_ann_overlap")
+    assert(!ov.contains("file") && ov.count(_ == "mem") == 12, ov)
     spark.catalog.clearCache(): Unit
   }
 
