@@ -556,6 +556,131 @@ object Etl {
     FROM ($validateDetailsSql)
     ORDER BY entidad"""
 
+  /** A15 window start — the reference's `_run_complete_etl` syncs documents
+    * from "the last 7 days" (scheduler_endpoints.py:197); pinned to the
+    * synthetic corpus's final week (max o_orderdate 2001-08-01 − 7 days) so
+    * the daily run is deterministic at every scale factor. */
+  val DailyEtlCutoff: String = "2001-07-25"
+
+  /** The A15 per-step report before the total row: clients and products run
+    * COMPLETE (the reference re-syncs both wholesale every morning,
+    * scheduler_endpoints.py:188-194), documents and their detail lines run
+    * INCREMENTAL over the [[DailyEtlCutoff]] window (ibid:196-199). Every
+    * count comes off the SAME validator plans the loads themselves run
+    * (A1-A4) — no second rule encoding that could drift. */
+  private def dailyEtlSteps(spark: SparkSession, dir: String): DataFrame = {
+    val cutoffTs = lit(DailyEtlCutoff).cast("timestamp")
+    def stepRow(paso: Long, entity: String, modo: String, input: DataFrame,
+        loaded: DataFrame, warn: Column): DataFrame =
+      loaded.agg(count(lit(1)).as("n_cargados"),
+          sum(warn.cast("long")).as("n_adv"))
+        .crossJoin(broadcast(input.agg(count(lit(1)).as("n_entrada"))))
+        .select(lit(paso).as("paso"), lit(entity).as("entidad"),
+          lit(modo).as("modo"), col("n_entrada"), col("n_cargados"),
+          (col("n_entrada") - col("n_cargados")).as("n_rechazados"),
+          coalesce(col("n_adv"), lit(0L)).as("n_advertencias"))
+    val winIds = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= cutoffTs)
+      .select(col("o_orderkey").as("id_documento"))
+    stepRow(1L, "clientes", "completa", Tables.customer(spark, dir),
+        validateClients(spark, dir),
+        !(col("rut_valido") && col("email_valido") && col("saldo_ok")))
+      .unionByName(stepRow(2L, "productos", "completa",
+        Tables.part(spark, dir), validateProducts(spark, dir),
+        col("margen_negativo")))
+      .unionByName(stepRow(3L, "documentos", "incremental", winIds,
+        validateDocuments(spark, dir)
+          .filter(col("fecha_emision") >= cutoffTs.cast("date")),
+        !col("montos_coherentes")))
+      .unionByName(stepRow(4L, "detalles", "incremental",
+        Feeds.details(spark, dir).join(winIds, Seq("id_documento"),
+          "left_semi"),
+        validateDetails(spark, dir).join(winIds, Seq("id_documento"),
+          "left_semi"),
+        !col("linea_coherente")))
+  }
+
+  /** A15: `q_daily_etl_report` — the reference's daily scheduler run
+    * (`run_daily_etl` → `_run_complete_etl`, scheduler_endpoints.py:19-70,
+    * 184-199) as ONE composed report: per step (clients complete, products
+    * complete, documents + detail lines incremental over the last-week
+    * window) the input/loaded/rejected/warning counts the per-entity sync
+    * endpoints report individually (A13), plus the TOTAL row the scheduler
+    * response summarizes — overall volumes and the run's success flag
+    * (every step loaded something). This is the ETL-side capstone mirroring
+    * how C81 composes the corpus gates: the steps stay independently
+    * oracle-checked (A1-A4, A13), and this row proves they compose into the
+    * one artifact the morning operator reads.
+    *
+    * Exactness: integer counts throughout; `paso_ok`/`run ok` are count
+    * comparisons.
+    *
+    * Scale: each step is a 1-row reduction off the validator plans (narrow
+    * codegen'd scans; the detail window is a semi-join on the week's doc
+    * ids — at 100 TB the window is days, not history, and the semi-join
+    * broadcasts it). The 4-row step relation is computed ONCE and cache()d
+    * — the TOTAL row re-reads the cache instead of replaying the validator
+    * subtrees (the C75 lesson: union branches do not share exchanges), so
+    * composing the total adds ZERO scans (PlanSpec-pinned). */
+  def dailyEtlReport(spark: SparkSession, dir: String): DataFrame = {
+    val steps = dailyEtlSteps(spark, dir)
+      .withColumn("paso_ok", col("n_cargados") > 0).cache()
+    val total = steps.agg(sum("n_entrada").as("n_entrada"),
+        sum("n_cargados").as("n_cargados"),
+        sum("n_rechazados").as("n_rechazados"),
+        sum("n_advertencias").as("n_advertencias"),
+        bool_and(col("paso_ok")).as("paso_ok"))
+      .select(lit(5L).as("paso"), lit("total").as("entidad"),
+        lit("resumen").as("modo"), col("n_entrada"), col("n_cargados"),
+        col("n_rechazados"), col("n_advertencias"), col("paso_ok"))
+    steps.unionByName(total).orderBy("paso")
+  }
+
+  lazy val dailyEtlReportSql: String = s"""
+    WITH win AS (
+      SELECT o_orderkey AS id_documento FROM orders
+      WHERE o_orderdate >= TIMESTAMP '$DailyEtlCutoff 00:00:00'),
+    steps AS (
+      SELECT CAST(1 AS BIGINT) AS paso, 'clientes' AS entidad,
+        'completa' AS modo,
+        (SELECT count(*) FROM customer) AS n_entrada,
+        count(*) AS n_cargados,
+        CAST(coalesce(SUM(CAST(NOT (rut_valido AND email_valido AND saldo_ok)
+          AS INT)), 0) AS BIGINT) AS n_advertencias
+      FROM ($validateClientsSql)
+      UNION ALL
+      SELECT 2, 'productos', 'completa',
+        (SELECT count(*) FROM part), count(*),
+        CAST(coalesce(SUM(CAST(margen_negativo AS INT)), 0) AS BIGINT)
+      FROM ($validateProductsSql)
+      UNION ALL
+      SELECT 3, 'documentos', 'incremental',
+        (SELECT count(*) FROM win), count(*),
+        CAST(coalesce(SUM(CAST(NOT montos_coherentes AS INT)), 0) AS BIGINT)
+      FROM ($validateDocumentsSql)
+      WHERE id_documento IN (SELECT id_documento FROM win)
+      UNION ALL
+      SELECT 4, 'detalles', 'incremental',
+        (SELECT count(*) FROM (${Feeds.detailsSql})
+         WHERE id_documento IN (SELECT id_documento FROM win)),
+        count(*),
+        CAST(coalesce(SUM(CAST(NOT linea_coherente AS INT)), 0) AS BIGINT)
+      FROM ($validateDetailsSql)
+      WHERE id_documento IN (SELECT id_documento FROM win)),
+    flagged AS (
+      SELECT paso, entidad, modo, n_entrada, n_cargados,
+        n_entrada - n_cargados AS n_rechazados, n_advertencias,
+        n_cargados > 0 AS paso_ok
+      FROM steps)
+    SELECT * FROM flagged
+    UNION ALL
+    SELECT 5, 'total', 'resumen',
+      CAST(SUM(n_entrada) AS BIGINT), CAST(SUM(n_cargados) AS BIGINT),
+      CAST(SUM(n_rechazados) AS BIGINT), CAST(SUM(n_advertencias) AS BIGINT),
+      bool_and(paso_ok)
+    FROM flagged
+    ORDER BY paso"""
+
   /** Replace-partition load — the Spark-native twin of the reference's
     * DELETE+INSERT fallback (`_bigquery_delete_and_insert`,
     * /root/reference/app/services/etl_service.py:296-325): when a keyed

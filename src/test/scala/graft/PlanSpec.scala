@@ -197,6 +197,20 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("daily ETL report: the TOTAL row reads the cached steps, zero scans") {
+    // A15 composes the 4 step rows + a total; the step relation is
+    // cache()d, so the final plan's only leaves are two cache reads (the
+    // steps branch and the total branch) — the validator subtrees are
+    // never replayed (the C75 union-replay lesson)
+    val leaves = scanLeaves("q_daily_etl_report")
+    info(s"leaves=$leaves")
+    assert(leaves.count(_ == "mem") == 2,
+      s"expected the steps + total branches to read the cache, saw $leaves")
+    assert(leaves.count(_ == "file") == 0,
+      s"total row replayed validator scans: $leaves")
+    spark.catalog.clearCache()
+  }
+
   test("attribution computes the touch×purchase subtree once (3 scans)") {
     // round-7 plan audit: the per-model self-union recomputed the join +
     // both pick windows per branch (6 events scans). The unpivoted
