@@ -29,11 +29,10 @@ object Kernels {
 
   /** Universal-hash ROW FAMILY shared by the MinHash rows (k = 1..12) and
     * the CMS depth rows (k = 1..4) — and ONLY those:
-    * A_k = (RowA0 + RowA1·k + RowA2·k²) mod p, B_k likewise. The HLL row
-    * deliberately does NOT draw from this family: [[HllA]]/[[HllB]] stay
-    * pinned to their own spec-validated constants (see the note on their
-    * declaration — rowA(13) estimated ~2× high), so do not "clean up" the
-    * HLL estimator onto rowA/rowB(13).
+    * A_k = (RowA0 + RowA1·k + RowA2·k²) mod p, B_k likewise. The HLL
+    * deliberately does NOT draw from this family: its rho statistic reads
+    * LEADING-bit structure, which no affine-mod-p map of sequential ids
+    * scrambles (see [[hllHash]]), so HLL hashes through md5 instead.
     *
     * The quadratic + nonzero constant terms are load-bearing. The previous
     * family was LINEAR in k (A_k = c·k mod p, B_k = c'·k mod p), which made
@@ -287,27 +286,34 @@ object Kernels {
     acc
   }
 
-  /** Flat cell indices (d·width + g_d) of a key in the sketch, using the
-    * same universal hash family as the MinHash rows:
-    * g_d = ((A_{d+1}·h + B_{d+1}) mod p) mod width. */
-  def cmsCells(s: UTF8String): ArrayData = {
+  /** Flat cell indices (d·width + g_d) of a key in a depth×width sketch,
+    * using the same universal hash family as the MinHash rows:
+    * g_d = ((A_{d+1}·h + B_{d+1}) mod p) mod width. Depth rows are the
+    * 1..depth PREFIX of the quadratic family (the production 4×64 geometry
+    * uses rows 1-4), so every sweep geometry shares the production
+    * arithmetic — the sweep measures geometry, never a different hash. */
+  def cmsCellsG(s: UTF8String, depth: Int, width: Int): ArrayData = {
     val h = cmsBaseHash(s)
-    val out = new Array[Long](CmsDepth)
+    val out = new Array[Long](depth)
     var d = 0
-    while (d < CmsDepth) {
+    while (d < depth) {
       val a = rowA(d + 1)
       val b = rowB(d + 1)
-      out(d) = d.toLong * CmsWidth + ((a * h + b) % P) % CmsWidth
+      out(d) = d.toLong * width + ((a * h + b) % P) % width
       d += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Production-geometry cells — delegates to [[cmsCellsG]] so the default
+    * sketch and the sweep can never drift. */
+  def cmsCells(s: UTF8String): ArrayData = cmsCellsG(s, CmsDepth, CmsWidth)
+
   /** Bloom-filter geometry for the decontamination screen (C84):
     * [[BloomBits]] bits (2^18 = 32 KiB as [[BloomWordCount]] longs), k =
     * [[BloomK]] hash rows drawn from the quadratic [[rowA]]/[[rowB]] family
     * at rows [[BloomRow0]]..[[BloomRow0]]+k−1 — disjoint from the MinHash
-    * rows (1..12), the CMS rows (1..4) and the HLL row (13), so adding the
+    * rows (1..12) and the CMS rows (1..4), so adding the
     * bloom cannot correlate with any existing sketch. At the test bench-set
     * cardinality (~hundreds of distinct grams) the load factor is far below
     * the 1%-FP design point n ≈ m/(10k); a production deployment scales m
@@ -391,34 +397,82 @@ object Kernels {
     * answer to COUNT(DISTINCT) when exact distinct is a full key shuffle. */
   val HllM: Int = 64
 
-  /** Max rho: 6 index bits leave 25 hash bits, so rho ∈ [1, 26]. */
-  val HllMaxRho: Int = 26
-
-  /** Universal-hash row used for HLL (a dedicated row k = 13 keeps it
-    * independent of the MinHash/CMS rows). Pinned to the legacy linear
-    * k=13 constants rather than [[rowA]](13): HLL is a SINGLE row (family
-    * independence is irrelevant) and its rho statistic needs the
-    * multiplier to spread leading bits well over sequential-integer key
-    * spaces — this pair is spec-validated within raw-HLL error bounds on
-    * n=5000 sequential ids, where rowA(13) estimated 2× high. */
-  val HllA: Long = (506952114L * 13) % P
-  val HllB: Long = (1013904223L * 13) % P
+  /** Max rho at the production m = 64: 28 hash bits − 6 index bits leave a
+    * 22-bit window, rho ∈ [1, 23]. */
+  val HllMaxRho: Int = 23
 
   /** alpha_64 · m² for the raw HLL estimate, precomputed once so operator
     * and oracle interpolate the IDENTICAL double literal. */
   val HllAlphaM2: Double = 0.709 * 64.0 * 64.0
 
-  /** (register index, rho) of a value: h = (A·(x mod p) + B) mod p,
-    * register = h mod 64, rho = leading-zero count of the remaining 25-bit
-    * window + 1 (= 26 − bitlength(h div 64); 26 when the window is zero). */
-  def hllRegRho(x: Long): (Int, Int) = {
-    val h = (HllA * (x % P) + HllB) % P
-    val reg = (h % HllM).toInt
-    val w = h / HllM
-    val rho = if (w == 0L) HllMaxRho
-      else HllMaxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
+  /** HLL input hash: the first 7 hex nibbles of md5(decimal string of x) —
+    * 28 uniformly-mixed bits both engines produce bit-identically (md5 hex
+    * is already the cross-engine workhorse). An affine (A·x + B) mod p hash
+    * is NOT usable here, measured, not hypothetical: HLL's rho statistic
+    * reads the leading bits of h div m, and affine maps of sequential ids
+    * keep those bits on an arithmetic progression — the B48 sweep measured
+    * 0.9-1.1 RELATIVE error at m = 32..64 on 10k sequential event ids
+    * (theory: 0.13-0.18), non-monotone in m. With md5 mixing the measured
+    * curve sits within ~1σ of 1.04/√m at every probed m. */
+  def hllHash(x: Long): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val dig = md.digest(String.valueOf(x).getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 7) {
+      val byte = dig(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) byte >> 4 else byte & 0xf
+      h = h * 16 + nib
+      i += 1
+    }
+    h
+  }
+
+  /** The identical 28-bit hash as a DuckDB SQL fragment. */
+  def hllHashSql(x: String): String =
+    s"""list_reduce(list_transform(range(1, 8), i ->
+      CAST(strpos('0123456789abcdef',
+        substr(md5(CAST(($x) AS VARCHAR)), CAST(i AS INT), 1)) - 1
+        AS BIGINT)),
+      (acc, c) -> acc * 16 + c)"""
+
+  /** Max rho for an m-register HLL (m a power of two): the 28-bit hash
+    * leaves 28 − log2(m) window bits, rho ∈ [1, window + 1]. */
+  def hllMaxRhoOf(m: Int): Int = {
+    require(m >= 2 && m <= (1 << 20) && Integer.bitCount(m) == 1,
+      s"HLL m must be a power of two in [2, 2^20], got $m")
+    29 - Integer.numberOfTrailingZeros(m)
+  }
+
+  /** alpha_m for the raw HLL estimate — the standard bias constants
+    * (Flajolet et al. 2007): 0.673 / 0.697 / 0.709 for m = 16/32/64,
+    * 0.7213/(1 + 1.079/m) above. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** alpha_m · m², the one double literal operator and oracle share. */
+  def hllAlphaM2Of(m: Int): Double = hllAlpha(m) * m.toDouble * m.toDouble
+
+  /** (register index, rho) of a value in an m-register sketch:
+    * h = [[hllHash]](x), register = h mod m, rho = leading-zero count of
+    * the remaining window + 1 (= maxRho − bitlength(h div m); maxRho when
+    * the window is zero). */
+  def hllRegRho(x: Long, m: Int): (Int, Int) = {
+    val h = hllHash(x)
+    val reg = (h % m).toInt
+    val w = h / m
+    val maxRho = hllMaxRhoOf(m)
+    val rho = if (w == 0L) maxRho
+      else maxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
     (reg, rho)
   }
+
+  /** Production-m register/rho — delegates to the parameterized form. */
+  def hllRegRho(x: Long): (Int, Int) = hllRegRho(x, HllM)
 
   /** Registers the kernels as SQL temp functions. Idempotent AND quiet: a
     * re-register on a session that already has them would log a "function
@@ -426,8 +480,11 @@ object Kernels {
     * log — so short-circuit when the marker function exists. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // the marker must be the NEWEST function: an older marker would
+    // short-circuit on sessions registered by a previous kernel set and
+    // silently skip the additions
     if (reg.functionExists(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cms_cells")))
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll_sketch_m")))
       return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
@@ -450,12 +507,22 @@ object Kernels {
     reg.createOrReplaceTempFunction("graft_bloom_cells",
       args => BloomCells(args.head,
         if (args.length > 1) args(1) else Literal(BloomBits)), "built-in")
+    // geometry arguments must be foldable integer literals — evaluated at
+    // registration, never per row
+    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
     reg.createOrReplaceTempFunction("graft_cms_cells",
       args => CmsCells(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_cells_g",
+      args => CmsCellsG(args(0), litInt(args(1)), litInt(args(2))), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_sketch",
       args => CountMinSketchAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_cms_sketch_g",
+      args => CountMinSketchAgg(args(0), litInt(args(1)), litInt(args(2))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_hll_sketch",
       args => HllSketchAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hll_sketch_m",
+      args => HllSketchAgg(args(0), litInt(args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_agg",
       args => GramMatrixAgg(args.head), "built-in")
   }
@@ -616,6 +683,20 @@ case class CmsCells(child: Expression)
     copy(child = newChild)
 }
 
+/** [[CmsCells]] at an explicit depth×width geometry (the C-sweep probe). */
+case class CmsCellsG(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cmsCellsG(input.asInstanceOf[UTF8String], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.cmsCellsG($c, $depth, $width)")
+  override protected def withNewChildInternal(newChild: Expression): CmsCellsG =
+    copy(child = newChild)
+}
+
 /** Count-min sketch of a string column as a custom Catalyst aggregate —
   * buffer is the flat depth×width cell matrix; update adds 1 to one cell
   * per hash row, merge is cellwise addition (commutative + associative, so
@@ -624,12 +705,17 @@ case class CmsCells(child: Expression)
   * (see [[Kernels.cmsCells]]). */
 case class CountMinSketchAgg(
     child: Expression,
+    depth: Int = Kernels.CmsDepth,
+    width: Int = Kernels.CmsWidth,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
   with ExpectsInputTypes {
 
-  private val size = Kernels.CmsDepth * Kernels.CmsWidth
+  require(depth >= 1 && depth <= 12 && width >= 1,
+    s"CMS geometry out of range: ${depth}x$width (depth rows share the " +
+      "1..12 quadratic hash family)")
+  private val size = depth * width
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -640,9 +726,9 @@ case class CountMinSketchAgg(
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val cells = Kernels.cmsCells(v.asInstanceOf[UTF8String])
+      val cells = Kernels.cmsCellsG(v.asInstanceOf[UTF8String], depth, width)
       var d = 0
-      while (d < Kernels.CmsDepth) {
+      while (d < depth) {
         buf(cells.getLong(d).toInt) += 1L
         d += 1
       }
@@ -749,22 +835,25 @@ case class GramMatrixAgg(
   * alpha·m²/Σ2^(−reg) is computed on top by the caller. */
 case class HllSketchAgg(
     child: Expression,
+    m: Int = Kernels.HllM,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
   with ExpectsInputTypes {
+
+  Kernels.hllMaxRhoOf(m) // validates m is a power of two >= 2
 
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Kernels.HllM)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
 
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val (reg, rho) = Kernels.hllRegRho(v.asInstanceOf[Long])
+      val (reg, rho) = Kernels.hllRegRho(v.asInstanceOf[Long], m)
       if (rho > buf(reg)) buf(reg) = rho.toLong
     }
     buf
@@ -772,7 +861,7 @@ case class HllSketchAgg(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < Kernels.HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
     a
   }
 
@@ -780,13 +869,13 @@ case class HllSketchAgg(
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(Kernels.HllM * 8)
+    val bb = java.nio.ByteBuffer.allocate(m * 8)
     bb.asLongBuffer().put(buf)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](Kernels.HllM)
+    val out = new Array[Long](m)
     java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
     out
   }

@@ -79,12 +79,12 @@ object Sketches {
   }
 
   val eventsHllSql: String = {
-    import graft.functions.Kernels.{HllA, HllB, HllM, HllMaxRho, HllAlphaM2}
+    import graft.functions.Kernels.{HllM, HllMaxRho, HllAlphaM2}
     s"""
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
     h AS (
       SELECT event_type,
-        ($HllA * (user_id % 2147483647) + $HllB) % 2147483647 AS h
+        ${graft.functions.Kernels.hllHashSql("user_id")} AS h
       FROM du),
     rr AS (
       SELECT event_type, h % $HllM AS reg,
@@ -111,6 +111,185 @@ object Sketches {
     FROM exact JOIN est ON exact.event_type = est.event_type
     ORDER BY exact.event_type"""
   }
+
+  /** Register counts probed by the B48 HLL sweep — brackets the production
+    * m = 64 by 2 doublings each way. */
+  val HllSweepMs: Seq[Int] = Seq(16, 32, 64, 128, 256, 512)
+
+  /** B48: `q_hll_m_sweep` — the HLL OPERATING CURVE: the raw estimate and
+    * its relative error at each register count m, over the event-id stream
+    * (10k distinct at sf0.01), next to the exact COUNT(DISTINCT). This is
+    * the knob table an operator reads before sizing the sketch: error
+    * tracks ~1.04/√m until m approaches the true cardinality, where the
+    * raw estimator's small-range bias takes over (the reading that says
+    * "switch to linear counting there, or shrink m"). Completes the
+    * approximate-family curve set (ANN has C91, banding C93, simhash C98,
+    * LSH recall C111) — B20's production m = 64 now sits on a measured
+    * curve instead of a point.
+    *
+    * Plan: ONE events scan computes the exact distinct AND every m's
+    * registers (each sketch is its own distributive aggregate — m longs of
+    * partial state, max-merged map-side); the 1-row result is cache()d and
+    * the per-m rows read the cache (the C75 union-replay lesson), so the
+    * sweep costs one scan + |ms| one-row projections at any corpus size.
+    *
+    * Exactness: registers are exact integers (max-merge); the estimate
+    * α·m²/Σ2^(−reg) stays in exact-double territory (powers of two whose
+    * exponent span < 53 bits, one division), α·m² interpolated into both
+    * engines from the same Scala double literal; rel_err is one
+    * subtraction + one division on bit-identical inputs. */
+  def hllMSweep(spark: SparkSession, dir: String,
+      ms: Seq[Int] = HllSweepMs): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val aggs = countDistinct(col("event_id")).as("n_exact") +:
+      ms.map(m => expr(s"graft_hll_sketch_m(event_id, $m)").as(s"regs_$m"))
+    val one = Tables.events(spark, dir).agg(aggs.head, aggs.tail: _*).cache()
+    ms.map { m =>
+      val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+      one.select(lit(m.toLong).as("m"), col("n_exact"),
+        expr(s"CAST('$am2' AS DOUBLE) / aggregate(regs_$m, " +
+          "CAST(0 AS DOUBLE), (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))")
+          .as("hll_est"))
+    }.reduce(_ unionByName _)
+      .withColumn("rel_err", (col("hll_est") - col("n_exact").cast("double"))
+        / col("n_exact").cast("double"))
+      .orderBy("m")
+  }
+
+  /** DuckDB twin builder (ParamCheck re-interpolates it at non-default m
+    * lists) — the register algebra in closed form per m, off one distinct
+    * id set. */
+  def hllMSweepSqlFor(ms: Seq[Int]): String = {
+    val blocks = ms.map { m =>
+      val maxRho = graft.functions.Kernels.hllMaxRhoOf(m)
+      val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+      s"""SELECT CAST($m AS BIGINT) AS m,
+        CAST('$am2' AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(r ORDER BY j), x -> pow(CAST(2 AS DOUBLE), -x))),
+          (acc, b) -> acc + b) AS hll_est
+      FROM (
+        SELECT g.j, coalesce(MAX(CASE WHEN h.h // $m = 0 THEN $maxRho
+            ELSE $maxRho - length(bin(h.h // $m)) END), 0) AS r
+        FROM (SELECT unnest(range(0, $m)) AS j) g
+        LEFT JOIN h ON h.h % $m = g.j
+        GROUP BY g.j)"""
+    }
+    s"""
+    WITH du AS (SELECT DISTINCT event_id AS x FROM events),
+    ex AS (SELECT count(*) AS n_exact FROM du),
+    h AS (SELECT ${graft.functions.Kernels.hllHashSql("x")} AS h FROM du)
+    SELECT e.m, ex.n_exact, e.hll_est,
+      (e.hll_est - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)
+        AS rel_err
+    FROM (${blocks.mkString(" UNION ALL ")}) e, ex
+    ORDER BY m"""
+  }
+
+  lazy val hllMSweepSql: String = hllMSweepSqlFor(HllSweepMs)
+
+  /** Geometries probed by the B49 CMS sweep — the depth × width grid
+    * around the production 4×64. */
+  val CmsSweepGeoms: Seq[(Int, Int)] =
+    Seq((1, 16), (1, 64), (1, 256), (2, 16), (2, 64), (2, 256),
+      (4, 16), (4, 64), (4, 256))
+
+  /** B49: `q_cms_geometry_sweep` — the COUNT-MIN OPERATING CURVE: per
+    * (depth × width) geometry, the overestimate mass the sketch carries on
+    * a 750-key stream ((event_type, user) pairs) — total and max
+    * overestimate, and the share of keys read back exactly. Width buys
+    * fewer collisions per row (error ∝ n/width), depth buys min-over-rows
+    * escape hatches from any single collision — the table shows both axes
+    * so an operator sizes the 2 KiB-vs-accuracy trade instead of guessing;
+    * B13's production 4×64 becomes a measured point on its own curve.
+    *
+    * Plan: ONE events scan builds ALL geometries' sketches (each a
+    * distributive aggregate, depth·width longs of partial state); a second
+    * narrow scan counts true key frequencies (the evaluation harness — at
+    * production scale this runs on a sampled slice, the sketch being the
+    * thing that EXISTS to avoid the exact groupBy). The per-geometry
+    * estimates ride one explode over the broadcast 1-row sketch relation —
+    * no per-geometry rescans, no union replay.
+    *
+    * Exactness: pure integer algebra (cell sums, min over rows, count/sum/
+    * max rollups) except the one final share division. */
+  def cmsGeometrySweep(spark: SparkSession, dir: String,
+      geoms: Seq[(Int, Int)] = CmsSweepGeoms): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit(":"),
+        col("user_id").cast("string")).as("key"))
+    val aggs = geoms.map { case (d, w) =>
+      expr(s"graft_cms_sketch_g(key, $d, $w)").as(s"m_${d}_$w") }
+    val sk = ev.agg(aggs.head, aggs.tail: _*)
+    val kc = ev.groupBy("key").agg(count(lit(1)).as("n_true"))
+    val gs = geoms.map { case (d, w) =>
+      struct(lit(d.toLong).as("depth"), lit(w.toLong).as("width"),
+        expr(s"array_min(transform(graft_cms_cells_g(key, $d, $w), " +
+          s"c -> element_at(m_${d}_$w, CAST(c + 1 AS INT))))").as("est")) }
+    kc.crossJoin(broadcast(sk))
+      .select(col("n_true"), explode(array(gs: _*)).as("g"))
+      .select(col("g.depth").as("depth"), col("g.width").as("width"),
+        col("n_true"), col("g.est").as("est"))
+      .groupBy("depth", "width")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("est") === col("n_true"), 1L).otherwise(0L))
+          .as("n_exact_keys"),
+        sum(col("est") - col("n_true")).as("overest_total"),
+        max(col("est") - col("n_true")).as("overest_max"))
+      .withColumn("exact_share",
+        col("n_exact_keys").cast("double") / col("n_keys").cast("double"))
+      .orderBy("depth", "width")
+  }
+
+  /** DuckDB twin builder — the sketch algebra in closed form per geometry
+    * (cell value = sum of colliding keys' counts, estimate = min over
+    * rows), same quadratic hash family rows 1..depth. */
+  def cmsGeometrySweepSqlFor(geoms: Seq[(Int, Int)]): String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    val blocks = geoms.zipWithIndex.map { case ((dep, w), i) =>
+      s"""
+      kc$i AS (
+        SELECT key, n_true, d,
+          (${rowASql("d + 1")} * h + ${rowBSql("d + 1")})
+            % 2147483647 % $w AS g
+        FROM hk, (SELECT unnest(range(0, $dep)) AS d)),
+      cells$i AS (
+        SELECT d, g, CAST(SUM(n_true) AS BIGINT) AS c FROM kc$i GROUP BY 1, 2),
+      est$i AS (
+        SELECT kc.key, kc.n_true, MIN(cells.c) AS est
+        FROM kc$i kc JOIN cells$i cells ON kc.d = cells.d AND kc.g = cells.g
+        GROUP BY 1, 2),
+      agg$i AS (
+        SELECT CAST($dep AS BIGINT) AS depth, CAST($w AS BIGINT) AS width,
+          count(*) AS n_keys,
+          CAST(SUM(CASE WHEN est = n_true THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact_keys,
+          CAST(SUM(est - n_true) AS BIGINT) AS overest_total,
+          CAST(MAX(est - n_true) AS BIGINT) AS overest_max
+        FROM est$i)"""
+    }
+    val unions = geoms.indices.map(i => s"SELECT * FROM agg$i")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH keys AS (
+      SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS key,
+        count(*) AS n_true
+      FROM events GROUP BY 1),
+    hk AS (
+      SELECT key, n_true,
+        list_reduce(list_transform(range(1, length(key) + 1), i ->
+          CAST(ascii(substr(key, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM keys),
+    ${blocks.mkString(",")}
+    SELECT depth, width, n_keys, n_exact_keys, overest_total, overest_max,
+      CAST(n_exact_keys AS DOUBLE) / CAST(n_keys AS DOUBLE) AS exact_share
+    FROM ($unions)
+    ORDER BY depth, width"""
+  }
+
+  lazy val cmsGeometrySweepSql: String = cmsGeometrySweepSqlFor(CmsSweepGeoms)
 
   /** B14: `q_events_paths` — each user's full event journey as an ordered
     * path string (funnel/path analysis input). One shuffle on user_id; the

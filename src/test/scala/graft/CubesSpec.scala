@@ -143,4 +143,37 @@ class CubesSpec extends SparkSpec {
     // partition count (merge tree shape) must not change the registers
     assert(regs(1) == regs(7))
   }
+
+  test("B48 HLL m-sweep: error bounded at every m, hash-defect detector") {
+    // the affine-hash failure mode this sweep exists to catch measured
+    // 0.9-1.1 relative error at m = 32..64 on sequential ids; the md5
+    // hash sits within ~1-2σ of 1.04/√m. Band: 3σ with a 0.3 floor for
+    // the small-range raw-estimator bias at large m — still well inside
+    // the defect's signature at every probed m.
+    val rows = operators.Sketches.hllMSweep(spark, sf).collect()
+    assert(rows.length == operators.Sketches.HllSweepMs.length)
+    for (r <- rows) {
+      val m = r.getLong(0)
+      val err = math.abs(r.getAs[Double]("rel_err"))
+      val band = math.max(3.0 * 1.04 / math.sqrt(m.toDouble), 0.3)
+      assert(err <= band, s"m=$m rel_err $err out of band $band")
+    }
+  }
+
+  test("B49 CMS sweep: never underestimates; overestimate depth-monotone") {
+    // est = min over hash rows and the depth-d row set is a PREFIX of the
+    // depth-(d+1) set, so per-key estimates — and the overestimate mass —
+    // can only fall as depth grows at fixed width. A CMS can never read
+    // below the true count.
+    val rows = operators.Sketches.cmsGeometrySweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(rows.forall { case (_, _, tot, mx) => tot >= 0 && mx >= 0 },
+      s"CMS underestimated: ${rows.mkString(",")}")
+    val byWidth = rows.groupBy(_._2)
+    for ((w, g) <- byWidth) {
+      val byDepth = g.sortBy(_._1).map(_._3).toSeq
+      assert(byDepth == byDepth.sorted.reverse,
+        s"width $w overestimate not depth-monotone: ${byDepth.mkString(",")}")
+    }
+  }
 }
