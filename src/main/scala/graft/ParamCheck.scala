@@ -95,7 +95,12 @@ object ParamCheck {
         (s, d) => graft.operators.Sketches.cmsGeometrySweep(s, d,
           geoms = Seq((3, 32), (6, 128))),
         graft.operators.Sketches.cmsGeometrySweepSqlFor(
-          geoms = Seq((3, 32), (6, 128)))))
+          geoms = Seq((3, 32), (6, 128)))),
+      // the salted plan is factor-INVARIANT: non-default fan-out, SAME
+      // unsalted oracle SQL
+      ("q_skew_salted_agg_f3",
+        (s, d) => graft.operators.Skew.skewSaltedAgg(s, d, factor = 3),
+        graft.operators.Skew.skewSaltedAggSql))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -50,6 +50,68 @@ object Skew {
       .agg(merge.head, merge.tail: _*)
   }
 
+  /** Salt fan-out for the registered C113 run — at 100 TB the deployment
+    * rule is factor ∝ hot-key depth / per-task budget (the SkewProbe
+    * measures exactly that curve); the RESULT is factor-invariant, which
+    * is what the shared oracle row proves. */
+  val SaltedAggFactor: Int = 8
+
+  /** Per-key exact top-k carried through the salted two-phase. */
+  val SaltedTopK: Int = 3
+
+  /** C113: `q_skew_salted_agg` — the mitigation C102's audit prescribes for
+    * hundreds-× aggregate keys, RUN AS A QUERY on the hottest audited
+    * family (events.user_id): per user the event count, exact cents total,
+    * and the exact top-[[SaltedTopK]] event values, all computed through
+    * [[saltedAgg]]'s two-phase (key, salt) → key plan. The algebraic
+    * columns (count/sum) re-partial trivially; the HOLISTIC top-k is the
+    * one that needs the salt at scale — collect-list state is O(rows per
+    * key) and Catalyst's map-side partials bound it per TASK but the
+    * reduce step for one hot key is a single task, which a bot user
+    * (C102's named 100 TB sentinel) grows without bound. Phase 1 caps
+    * every task's state at hot/factor rows and emits k-bounded partials;
+    * phase 2 merges ≤ factor·k candidates per key — exact because the
+    * global top-k is contained in the union of per-salt top-ks.
+    *
+    * The oracle row is the UNSALTED plain GROUP BY: the salted plan must
+    * be bit-identical at any factor (ParamCheck re-runs it at factor 3
+    * against the SAME SQL; SkewSpec pins factor-invariance on real data;
+    * the SkewProbe measures the straggler curve the salt exists to
+    * flatten).
+    *
+    * Exactness: integer cents throughout; top-k are picked values, not
+    * arithmetic; ties among equal cents collapse (values equal). */
+  def skewSaltedAgg(spark: org.apache.spark.sql.SparkSession, dir: String,
+      factor: Int = SaltedAggFactor): DataFrame = {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_id"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+    saltedAgg(ev, "user_id", col("event_id"), factor,
+      partials = Seq(count(lit(1)).as("n_p"), sum("cents").as("s_p"),
+        expr(s"slice(sort_array(collect_list(cents), false), 1, $SaltedTopK)")
+          .as("t_p")),
+      merge = Seq(sum("n_p").as("n_events"),
+        sum("s_p").as("value_cents_total"),
+        expr(s"slice(sort_array(flatten(collect_list(t_p)), false), 1, $SaltedTopK)")
+          .as("t")))
+      .select(col("user_id"), col("n_events"), col("value_cents_total"),
+        expr("try_element_at(t, 1)").as("top1_cents"),
+        expr("try_element_at(t, 2)").as("top2_cents"),
+        expr("try_element_at(t, 3)").as("top3_cents"))
+      .orderBy("user_id")
+  }
+
+  val skewSaltedAggSql: String = s"""
+    SELECT user_id, count(*) AS n_events,
+      CAST(SUM(cents) AS BIGINT) AS value_cents_total,
+      (list(cents ORDER BY cents DESC))[1] AS top1_cents,
+      (list(cents ORDER BY cents DESC))[2] AS top2_cents,
+      (list(cents ORDER BY cents DESC))[3] AS top3_cents
+    FROM (SELECT user_id,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events)
+    GROUP BY user_id ORDER BY user_id"""
+
   /** Hot keys reported per family by C102's audit. */
   val SkewTopK: Int = 3
 

@@ -181,6 +181,27 @@ class SkewSpec extends SparkSpec {
       }
     }
   }
+  test("C113 salted agg equals the unsalted plan on real events, any factor") {
+    // the registered query's oracle row is the UNSALTED SQL; pin the same
+    // invariance on real data across salt fan-outs, including the holistic
+    // top-k columns the salt exists for
+    val plain = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents_total"),
+        expr("slice(sort_array(collect_list(cents), false), 1, 3)").as("t"))
+      .select(col("user_id"), col("n_events"), col("value_cents_total"),
+        expr("try_element_at(t, 1)").as("top1_cents"),
+        expr("try_element_at(t, 2)").as("top2_cents"),
+        expr("try_element_at(t, 3)").as("top3_cents"))
+    for (f <- Seq(1, 2, 8, 31)) {
+      val salted = Skew.skewSaltedAgg(spark, sf, factor = f)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted factor=$f diverged from the plain aggregation")
+    }
+  }
+
   test("skew audit (C102): bounded ranked rows with exact hot-key counts") {
     val a = Skew.skewAudit(spark, sf).cache()
     // 5 families x top-3 (every family has >= 3 distinct keys at sf0.001)
