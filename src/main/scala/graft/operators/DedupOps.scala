@@ -1573,7 +1573,11 @@ object DedupOps {
       .select(col("doc_id"), expr("graft_minhash_rows(norm)").as("mins"))
       .repartition(par, col("doc_id"))
       .cache()
-    val gsets = gramSets(spark, dir)
+    // cache()d: each config's budgeted verifier joins the gram sets on
+    // BOTH pair sides — un-cached, "shared" was only plan-shared and the
+    // sweep re-tokenized the corpus 2x per config (8 document scans,
+    // caught by the round-9 scan-shape pin)
+    val gsets = gramSets(spark, dir).cache()
     BandingSweep.map { case (bc, r) =>
       val sigs = minima.select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(0, ${bc - 1}), b ->
@@ -2312,14 +2316,24 @@ object DedupOps {
     * the sample; the C2 pair set joins back on (doc_a, doc_b) — O(sample²
     * + pairs), both budget-bounded. */
   def dedupLshRecall(spark: SparkSession, dir: String,
-      mod: Int = RecallDocMod): DataFrame = {
+      mod: Int = RecallDocMod): DataFrame =
+    lshRecallOf(spark, dir,
+      dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"), mod)
+
+  /** [[dedupLshRecall]] against an ARBITRARY candidate pair set — the
+    * registered query scores C2's production banding; the C111 negative
+    * control scores a deliberately degenerate banding through the same
+    * metric and must see recall drop (the metric detects what it exists
+    * to detect — the C101/C103 constructed-degeneracy pattern). */
+  private[graft] def lshRecallOf(spark: SparkSession, dir: String,
+      candidates: DataFrame, mod: Int): DataFrame = {
     graft.functions.Kernels.register(spark)
     val gs = gramSets(spark, dir)
       .filter(expr(
         s"graft_str_hash(concat('rcl|', cast(doc_id as string))) % $mod = 0"))
       .cache()
     val nSample = gs.agg(count(lit(1)).as("n_sample_docs"))
-    val mh = dedupMinhashLsh(spark, dir)
+    val mh = candidates
       .select(col("doc_a"), col("doc_b"), lit(1L).as("cand"))
     val truth = gs.select(col("doc_id").as("doc_a"), col("gl").as("gl_a"))
       .join(broadcast(
@@ -2348,6 +2362,35 @@ object DedupOps {
         when(col("n_true_pairs") > 0L, col("n_caught").cast("double")
           / col("n_true_pairs").cast("double")).as("recall_est"))
       .orderBy("threshold")
+  }
+
+  /** Candidate pairs from regrouping the SAME 12 raw minima as
+    * bands × rowsPer (bands·rowsPer ≤ 12) with the production hot-bucket
+    * cap — C93's per-config generator in standalone form, exposed so the
+    * C111 negative control can feed a deliberately bad banding through
+    * the recall metric. */
+  private[graft] def bandedCandidates(spark: SparkSession, dir: String,
+      bands: Int, rowsPer: Int): DataFrame = {
+    require(bands * rowsPer <= 12, s"banding ${bands}x$rowsPer exceeds 12 rows")
+    graft.functions.Kernels.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), expr("graft_minhash_rows(norm)").as("mins"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b ->
+              concat_ws(':', transform(sequence(0, ${rowsPer - 1}), rr ->
+                cast(element_at(mins, b * $rowsPer + rr + 1) as string))))""")))
+      .toDF("doc_id", "band", "sig")
+    val hot = sigs.groupBy("band", "sig")
+      .agg(count(lit(1)).as("df")).filter(col("df") > MaxBucketDocs)
+      .select("band", "sig")
+    val cold = sigs.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+    cold.as("a").join(cold.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   def dedupLshRecallSqlFor(mod: Int = RecallDocMod): String = s"""

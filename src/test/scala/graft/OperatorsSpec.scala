@@ -1945,6 +1945,55 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("lsh recall NEGATIVE CONTROL: a degenerate banding drops recall") {
+    // the round-8 verdict: "flat-low = banding problem" was asserted, not
+    // demonstrated. Feed a deliberately bad regrouping of the SAME 12
+    // minima — 2 bands x 6 rows (a candidate needs 6 consecutive row
+    // agreements: collision prob 1-(1-s^6)^2 vs production's
+    // 1-(1-s^3)^4, a ~10x drop at moderate similarity) — through the
+    // same metric; the metric must SEE the damage. The test corpus'
+    // near-dups are all-or-nothing (every banding agrees on them), so
+    // the control runs on a CONSTRUCTED corpus (the C101/C103 degeneracy
+    // device): 150 base docs of 60 per-doc-unique tokens, each with one
+    // variant sharing a 30/40/50-token prefix — token-3-gram jaccard
+    // graded ~0.32/0.49/0.71, the moderate-similarity band where
+    // bandings actually differ.
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 150).flatMap { i =>
+      val keep = 30 + (i % 3) * 10
+      def tok(j: Int, v: String) = s"t${i}x$j$v"
+      val base = (0 until 60).map(tok(_, "a"))
+      val variant = base.take(keep) ++ (keep until 60).map(tok(_, "b"))
+      Seq((i.toLong, base.mkString(" "), "en", "s0", 1L),
+        (10000L + i, variant.mkString(" "), "en", "s0", 1L))
+    }
+    val dir = tmpDir("graft-neg-control-")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val good = operators.DedupOps.lshRecallOf(spark, dir,
+      operators.DedupOps.dedupMinhashLsh(spark, dir)
+        .select("doc_a", "doc_b"), mod = 2).cache()
+    val bad = operators.DedupOps.lshRecallOf(spark, dir,
+      operators.DedupOps.bandedCandidates(spark, dir, bands = 2, rowsPer = 6),
+      mod = 2).cache()
+    val g = good.collect().map(r => r.getString(0) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    val b = bad.collect().map(r => r.getString(0) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    // identical candidate-independent ground truth on both runs
+    assert(g.keySet == b.keySet &&
+      g.forall { case (k, (t, _)) => b(k)._1 == t },
+      s"truth sets diverged: $g vs $b")
+    // the degenerate banding catches strictly less in total and never
+    // more at any threshold
+    assert(g.values.map(_._2).sum > b.values.map(_._2).sum,
+      s"negative control failed to fire: good=$g bad=$b")
+    assert(g.forall { case (k, (_, c)) => b(k)._2 <= c },
+      s"degenerate banding beat production somewhere: good=$g bad=$b")
+    spark.catalog.clearCache(): Unit
+  }
+
   test("mask datasheet: full-corpus accounting reconciles with C107") {
     val ds = operators.DedupOps.maskDatasheet(spark, sf).cache()
     val mc = operators.DedupOps.maskCoalesce(spark, sf).cache()

@@ -500,6 +500,30 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("sweep quartet (C89/C91/C93/C98): scan shapes") {
+    // C89: the whole heavy subtree (staged pair artifacts + gram joins)
+    // collapses inside the cached 1-row `tot` (the C75 cell device) — the
+    // 3 report rows are its only leaves
+    val pp = scanLeaves("q_dedup_pair_precision")
+    assert(!pp.contains("file") && pp.count(_ == "mem") == 3, pp)
+    // C91: candidates scored ONCE (cached, with the cached inverted file
+    // inside) — the 4 sweep points read the scored cache; the only file
+    // scans are the probe side + the centroid pass, exactly as C13 deploys
+    val np = scanLeaves("q_ann_nprobe_sweep")
+    assert(np.count(_ == "mem") == 2 && np.count(_ == "file") == 2, np)
+    // C93: ONE shingle pass (cached minima, both self-join sides) and ONE
+    // gram-set pass (cached, both verifier sides) — 4 cache reads per
+    // config, and the corpus text is never re-scanned per config (the
+    // uncached round-8 shape re-tokenized documents 8 times)
+    val bs = scanLeaves("q_dedup_banding_sweep")
+    assert(!bs.contains("file") && bs.count(_ == "mem") == 16, bs)
+    // C98: the C14 candidate set is computed once (cached) and the scored
+    // sample once (cached) — every radius point reads caches only
+    val rs = scanLeaves("q_simhash_radius_sweep")
+    assert(!rs.contains("file") && rs.count(_ == "mem") == 8, rs)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("span-mask family and star-schema additions: scan shapes") {
     // C106: the anchored-occurrence relation is cached ONCE for its three
     // consumers (plan rows, dup set, keeper mins) — no file re-scan
