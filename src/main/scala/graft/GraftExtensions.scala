@@ -72,15 +72,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BloomCells(args.head, if (args.length > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(
           Kernels.BloomBits))))
+    // geometry arguments must be foldable integer literals
+    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
     ext.injectFunction(fn("graft_cms_cells",
       "flat count-min-sketch cell indices of a string key",
       args => CmsCells(args.head)))
+    ext.injectFunction(fn("graft_cms_cells_g",
+      "count-min cell indices at an explicit depth x width geometry",
+      args => CmsCellsG(args(0), litInt(args(1)), litInt(args(2)))))
     ext.injectFunction(fn("graft_cms_sketch",
       "count-min sketch aggregate of a string column (flat depth x width matrix)",
       args => CountMinSketchAgg(args.head)))
+    ext.injectFunction(fn("graft_cms_sketch_g",
+      "count-min sketch aggregate at an explicit depth x width geometry",
+      args => CountMinSketchAgg(args(0), litInt(args(1)), litInt(args(2)))))
     ext.injectFunction(fn("graft_hll_sketch",
       "HyperLogLog register-vector aggregate of a long column (m=64)",
       args => HllSketchAgg(args.head)))
+    ext.injectFunction(fn("graft_hll_sketch_m",
+      "HyperLogLog register-vector aggregate at an explicit register count",
+      args => HllSketchAgg(args(0), litInt(args(1)))))
     ext.injectFunction(fn("graft_gram_agg",
       "quantized Gram/covariance matrix aggregate of an embedding column",
       args => GramMatrixAgg(args.head)))
