@@ -95,9 +95,15 @@ object ScaleProbe {
     "q_dedup_pair_degree",           // C105: O(pairs) artifact-fed rollup
     // final round-8 additions
     "q_mask_coalesce",   // C107: C106 plan + doc-partitioned interval merge
-    "q_small_qty_revenue") // B45: l_partkey window whose partitions DEEPEN
+    "q_small_qty_revenue", // B45: l_partkey window whose partitions DEEPEN
                            // with inflation (l_partkey is not offset) —
                            // the hard direction for the windowed Q17 shape
+    // round-9 additions
+    "q_daily_etl_report",   // A15: validator 1-row reductions + cached total
+    "q_hll_m_sweep",        // B48: 6 distributive sketches in one scan
+    "q_cms_geometry_sweep", // B49: 9 distributive sketches + key counts
+    "q_skew_salted_agg")    // C113: two-phase salted agg (straggler curve
+                            // has its own SkewProbe; this gates bulk wall)
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
