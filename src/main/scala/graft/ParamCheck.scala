@@ -100,7 +100,13 @@ object ParamCheck {
       // unsalted oracle SQL
       ("q_skew_salted_agg_f3",
         (s, d) => graft.operators.Skew.skewSaltedAgg(s, d, factor = 3),
-        graft.operators.Skew.skewSaltedAggSql))
+        graft.operators.Skew.skewSaltedAggSql),
+      ("q_cms_heavy_hitters_d200",
+        (s, d) => graft.operators.Sketches.cmsHeavyHitters(s, d, denom = 200L),
+        graft.operators.Sketches.cmsHeavyHittersSqlFor(denom = 200L)),
+      ("q_hll_month_overlap_m32",
+        (s, d) => graft.operators.Sketches.hllMonthOverlap(s, d, m = 32),
+        graft.operators.Sketches.hllMonthOverlapSqlFor(m = 32)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -102,8 +102,10 @@ object ScaleProbe {
     "q_daily_etl_report",   // A15: validator 1-row reductions + cached total
     "q_hll_m_sweep",        // B48: 6 distributive sketches in one scan
     "q_cms_geometry_sweep", // B49: 9 distributive sketches + key counts
-    "q_skew_salted_agg")    // C113: two-phase salted agg (straggler curve
+    "q_skew_salted_agg",    // C113: two-phase salted agg (straggler curve
                             // has its own SkewProbe; this gates bulk wall)
+    "q_cms_heavy_hitters",  // B50: broadcast-sketch screen + survivor agg
+    "q_hll_month_overlap")  // B51: 12-sketch grid + register-merge venn
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

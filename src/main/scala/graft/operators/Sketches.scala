@@ -291,6 +291,190 @@ object Sketches {
 
   lazy val cmsGeometrySweepSql: String = cmsGeometrySweepSqlFor(CmsSweepGeoms)
 
+  /** Support threshold denominator for B50: a heavy hitter is a key with
+    * frequency ≥ N/[[HhSupportDenom]] (φ = 1/500) — an exact rational so
+    * the threshold T = ⌈N/500⌉ is integer arithmetic on both engines. */
+  val HhSupportDenom: Long = 500L
+
+  /** B50's sketch geometry — the B49 sizing rule APPLIED: width must
+    * track the live key space (hundreds of value buckets at test SFs; the
+    * production 64 would collision-inflate every light key past T — B49
+    * measures exact_share 0 there) while depth 4 keeps the min-over-rows
+    * escape. 4×1024 longs = 32 KiB broadcast, still O(1) per partition at
+    * any corpus size. */
+  val HhDepth: Int = 4
+  val HhWidth: Int = 1024
+
+  /** B50: `q_cms_heavy_hitters` — the production CONSUMER of the B13
+    * sketch: φ-heavy hitters over the integer value buckets of the event
+    * stream (the dominant price points / durations — the one key family
+    * in this corpus with a genuinely skewed, scale-stable tail: ~113 true
+    * φ=1/500 hitters at every SF), screened by the count-min sketch and
+    * exactly confirmed. This is the
+    * C84 inverted-screen pattern at the FREQUENCY level: the broadcast
+    * 32 KiB matrix rides the scan's codegen references, every row checks
+    * its own key's estimate ≥ T map-side — the cold bulk (at 100 TB,
+    * ~everything) dies in the narrow pass with no shuffle — and only hot
+    * rows reach the exact groupBy. The confirm count is exact BY
+    * CONSTRUCTION: the estimate is row-independent, so a surviving key
+    * survives with ALL its rows. CMS never underestimates, so every true
+    * heavy hitter is in the output (no false negatives — spec-pinned);
+    * collision-inflated light keys appear with `is_true_hh = false`, the
+    * false-positive cost the exact confirm exists to resolve.
+    *
+    * Exactness: pure integer algebra — cell sums, min over rows,
+    * T = (N + 499) div 500, exact survivor counts. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+      denom: Long = HhSupportDenom): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(floor(col("value")).cast("long").cast("string").as("key"))
+    val sk = ev.agg(
+      expr(s"graft_cms_sketch_g(key, $HhDepth, $HhWidth)").as("m"),
+      count(lit(1)).as("n"))
+    ev.crossJoin(broadcast(sk))
+      .withColumn("t", expr(s"(n + ${denom - 1L}) div $denom"))
+      .withColumn("cms_est", expr(
+        s"array_min(transform(graft_cms_cells_g(key, $HhDepth, $HhWidth), " +
+          "c -> element_at(m, CAST(c + 1 AS INT))))"))
+      .filter(col("cms_est") >= col("t"))
+      .groupBy("key")
+      .agg(min("cms_est").as("cms_est"), count(lit(1)).as("n_true"),
+        min("t").as("t"))
+      .select(col("key"), col("cms_est"), col("n_true"),
+        (col("n_true") >= col("t")).as("is_true_hh"))
+      .orderBy("key")
+  }
+
+  def cmsHeavyHittersSqlFor(denom: Long): String = s"""
+    WITH ev AS (
+      SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+      FROM events),
+    nn AS (SELECT count(*) AS n FROM ev),
+    th AS (SELECT (n + ${denom - 1L}) // $denom AS t FROM nn),
+    kc AS (SELECT key, count(*) AS n_true FROM ev GROUP BY 1),
+    hk AS (
+      SELECT key, n_true,
+        list_reduce(list_transform(range(1, length(key) + 1), i ->
+          CAST(ascii(substr(key, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM kc),
+    kcell AS (
+      SELECT key, n_true, d,
+        (${graft.functions.Kernels.rowASql("d + 1")} * h
+          + ${graft.functions.Kernels.rowBSql("d + 1")})
+          % 2147483647 % $HhWidth AS g
+      FROM hk, (SELECT unnest(range(0, $HhDepth)) AS d)),
+    cells AS (
+      SELECT d, g, CAST(SUM(n_true) AS BIGINT) AS c FROM kcell GROUP BY 1, 2),
+    est AS (
+      SELECT kcell.key, kcell.n_true, MIN(cells.c) AS cms_est
+      FROM kcell JOIN cells ON kcell.d = cells.d AND kcell.g = cells.g
+      GROUP BY 1, 2)
+    SELECT key, cms_est, n_true, n_true >= th.t AS is_true_hh
+    FROM est, th WHERE cms_est >= th.t
+    ORDER BY key"""
+
+  lazy val cmsHeavyHittersSql: String = cmsHeavyHittersSqlFor(HhSupportDenom)
+
+  /** B51: `q_hll_month_overlap` — the MERGEABLE-sketch payoff, run as a
+    * query: month-over-month customer-audience overlap from PER-MONTH HLL
+    * register vectors alone. Registers max-merge, so |A∪B| comes from
+    * `zip_with(regs_a, regs_b, greatest)` and |A∩B| by inclusion-exclusion
+    * — 66 month-pair venn cells answered from 12 sketches of 64 longs
+    * WITHOUT re-scanning orders (at 100 TB: per-segment sketches persist
+    * once and any union/overlap query is register arithmetic; the exact
+    * twin would re-shuffle the fact table per pair). The exact pairwise
+    * intersection rides next to the estimates as the evaluation column
+    * (a self-join of the SAME cached (month, customer) relation the
+    * sketches are built from — HLL updates are idempotent, so the sketch
+    * of the distinct set equals the sketch of the raw stream).
+    *
+    * Exactness: registers are exact integers; estimates are the B20
+    * closed form; inclusion-exclusion is one subtraction of
+    * bit-identical doubles (may go negative at small cardinalities — the
+    * raw estimator's documented behavior, reported as-is). */
+  def hllMonthOverlap(spark: SparkSession, dir: String,
+      m: Int = graft.functions.Kernels.HllM): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    def estOf(regs: String) =
+      expr(s"CAST('$am2' AS DOUBLE) / aggregate($regs, CAST(0 AS DOUBLE), " +
+        "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))")
+    val mc = Tables.orders(spark, dir)
+      .select(month(col("o_orderdate")).cast("long").as("mth"),
+        col("o_custkey"))
+      .distinct().cache()
+    val sk = mc.groupBy("mth")
+      .agg(expr(s"graft_hll_sketch_m(o_custkey, $m)").as("regs"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.mth") < col("b.mth"))
+      .select(col("a.mth").as("month_a"), col("b.mth").as("month_b"),
+        estOf("a.regs").as("est_a"), estOf("b.regs").as("est_b"),
+        expr("zip_with(a.regs, b.regs, (x, y) -> greatest(x, y))")
+          .as("u"))
+      .withColumn("est_union", estOf("u"))
+      .select(col("month_a"), col("month_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+    val exact = mc.as("x").join(mc.as("y"),
+        col("x.o_custkey") === col("y.o_custkey") &&
+          col("x.mth") < col("y.mth"))
+      .groupBy(col("x.mth").as("month_a"), col("y.mth").as("month_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    pairs.join(exact, Seq("month_a", "month_b"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
+      .orderBy("month_a", "month_b")
+  }
+
+  def hllMonthOverlapSqlFor(m: Int): String = {
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    val maxRho = graft.functions.Kernels.hllMaxRhoOf(m)
+    def est(src: String) = s"""CAST('$am2' AS DOUBLE) / list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_transform(list(r ORDER BY j), x -> pow(CAST(2 AS DOUBLE), -x))),
+        (acc, b) -> acc + b)"""
+    s"""
+    WITH mc AS (
+      SELECT DISTINCT CAST(month(o_orderdate) AS BIGINT) AS mth, o_custkey
+      FROM orders),
+    h AS (
+      SELECT mth, ${graft.functions.Kernels.hllHashSql("o_custkey")} AS h
+      FROM mc),
+    regs AS (
+      SELECT m.mth, g.j, coalesce(MAX(CASE WHEN h.h // $m = 0 THEN $maxRho
+          ELSE $maxRho - length(bin(h.h // $m)) END), 0) AS r
+      FROM (SELECT DISTINCT mth FROM mc) m
+      CROSS JOIN (SELECT unnest(range(0, $m)) AS j) g
+      LEFT JOIN h ON h.mth = m.mth AND h.h % $m = g.j
+      GROUP BY 1, 2),
+    ests AS (SELECT mth, ${est("regs")} AS e FROM regs GROUP BY mth),
+    uni AS (
+      SELECT a.mth AS month_a, b.mth AS month_b, a.j,
+        greatest(a.r, b.r) AS r
+      FROM regs a JOIN regs b ON a.j = b.j AND a.mth < b.mth),
+    uests AS (
+      SELECT month_a, month_b, CAST('$am2' AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(r ORDER BY j), x -> pow(CAST(2 AS DOUBLE), -x))),
+          (acc, b) -> acc + b) AS est_union
+      FROM uni GROUP BY 1, 2),
+    ex AS (
+      SELECT x.mth AS month_a, y.mth AS month_b, count(*) AS n_exact_inter
+      FROM mc x JOIN mc y ON x.o_custkey = y.o_custkey AND x.mth < y.mth
+      GROUP BY 1, 2)
+    SELECT u.month_a, u.month_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
+      ea.e + eb.e - u.est_union AS est_inter,
+      coalesce(ex.n_exact_inter, 0) AS n_exact_inter
+    FROM uests u
+    JOIN ests ea ON ea.mth = u.month_a
+    JOIN ests eb ON eb.mth = u.month_b
+    LEFT JOIN ex ON ex.month_a = u.month_a AND ex.month_b = u.month_b
+    ORDER BY u.month_a, u.month_b"""
+  }
+
+  lazy val hllMonthOverlapSql: String =
+    hllMonthOverlapSqlFor(graft.functions.Kernels.HllM)
+
   /** B14: `q_events_paths` — each user's full event journey as an ordered
     * path string (funnel/path analysis input). One shuffle on user_id; the
     * per-user sort happens inside the aggregate on collected structs, and

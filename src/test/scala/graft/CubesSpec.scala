@@ -160,6 +160,48 @@ class CubesSpec extends SparkSpec {
     }
   }
 
+  test("B50 heavy hitters: no false negatives, selective screen") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.Sketches.cmsHeavyHitters(spark, sf).cache()
+    // CMS never underestimates -> est >= exact on every surviving row
+    assert(out.filter(col("cms_est") < col("n_true")).count() == 0)
+    // completeness: EVERY true phi-heavy key is in the output (the sketch
+    // screen cannot drop one), flagged true
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(floor(col("value")).cast("long").cast("string").as("key"))
+    val n = ev.count()
+    val t = (n + operators.Sketches.HhSupportDenom - 1) /
+      operators.Sketches.HhSupportDenom
+    val trueHh = ev.groupBy("key").count().filter(col("count") >= t)
+    val missed = trueHh.join(out.filter(col("is_true_hh")), Seq("key"),
+      "left_anti").count()
+    assert(missed == 0, s"$missed true heavy hitters missed by the screen")
+    // flags are exactly the threshold test on the exact confirm count
+    // (selectivity itself is density-dependent: at sf0.001 the mean key
+    // frequency exceeds phi*N, so every key is GENUINELY heavy and the
+    // screen rightly passes all of them; the sf0.01 oracle row shows the
+    // selective regime, 70 survivors of 750 keys)
+    assert(out.filter(col("is_true_hh") =!= (col("n_true") >= t))
+      .count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("B51 venn: register-merge invariants hold on every pair") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Sketches.hllMonthOverlap(spark, sf).cache()
+    assert(out.count() == 66) // 12 calendar months -> C(12,2) pairs
+    // union registers dominate each side elementwise, so the union
+    // estimate can never fall below either side's (and the
+    // inclusion-exclusion intersection never exceeds either side)
+    assert(out.filter(col("est_union") < col("est_a") ||
+      col("est_union") < col("est_b")).count() == 0)
+    assert(out.filter(col("est_inter") > col("est_a") ||
+      col("est_inter") > col("est_b")).count() == 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("B49 CMS sweep: never underestimates; overestimate depth-monotone") {
     // est = min over hash rows and the depth-d row set is a PREFIX of the
     // depth-(d+1) set, so per-key estimates — and the overestimate mass —
