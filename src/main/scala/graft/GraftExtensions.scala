@@ -72,8 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BloomCells(args.head, if (args.length > 1) args(1)
         else org.apache.spark.sql.catalyst.expressions.Literal(
           Kernels.BloomBits))))
-    // geometry arguments must be foldable integer literals
-    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    // geometry arguments must be foldable integer literals — guard so a
+    // column argument fails with a clear analysis error, not an eval() NPE
+    def litInt(e: Expression): Int = {
+      require(e.foldable,
+        s"geometry argument must be an integer literal, got: $e")
+      e.eval().asInstanceOf[Number].intValue
+    }
     ext.injectFunction(fn("graft_cms_cells",
       "flat count-min-sketch cell indices of a string key",
       args => CmsCells(args.head)))

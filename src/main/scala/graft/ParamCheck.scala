@@ -86,11 +86,13 @@ object ParamCheck {
       ("q_dedup_lsh_recall_mod3",
         (s, d) => graft.operators.DedupOps.dedupLshRecall(s, d, mod = 3),
         graft.operators.DedupOps.dedupLshRecallSqlFor(mod = 3)),
-      // sketch sweeps at off-grid geometries: m = 8 / 2048 bracket the
-      // registered list; depth 3 / 6 exercise non-default hash-row prefixes
-      ("q_hll_m_sweep_m8_2048",
-        (s, d) => graft.operators.Sketches.hllMSweep(s, d, ms = Seq(8, 2048)),
-        graft.operators.Sketches.hllMSweepSqlFor(ms = Seq(8, 2048))),
+      // sketch sweeps at off-grid geometries: m = 1024 / 2048 sit above the
+      // registered list (16 is the estimator's published floor, so the
+      // bracket is one-sided); depth 3 / 6 exercise non-default hash-row
+      // prefixes
+      ("q_hll_m_sweep_m1024_2048",
+        (s, d) => graft.operators.Sketches.hllMSweep(s, d, ms = Seq(1024, 2048)),
+        graft.operators.Sketches.hllMSweepSqlFor(ms = Seq(1024, 2048))),
       ("q_cms_geometry_sweep_3x32_6x128",
         (s, d) => graft.operators.Sketches.cmsGeometrySweep(s, d,
           geoms = Seq((3, 32), (6, 128))),

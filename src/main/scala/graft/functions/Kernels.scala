@@ -397,17 +397,34 @@ object Kernels {
     * answer to COUNT(DISTINCT) when exact distinct is a full key shuffle. */
   val HllM: Int = 64
 
-  /** Max rho at the production m = 64: 28 hash bits − 6 index bits leave a
-    * 22-bit window, rho ∈ [1, 23]. */
-  val HllMaxRho: Int = 23
+  /** Max rho at the production m = 64: 48 hash bits − 6 index bits leave a
+    * 42-bit window, rho ∈ [1, 43]. */
+  val HllMaxRho: Int = 43
 
   /** alpha_64 · m² for the raw HLL estimate, precomputed once so operator
     * and oracle interpolate the IDENTICAL double literal. */
   val HllAlphaM2: Double = 0.709 * 64.0 * 64.0
 
-  /** HLL input hash: the first 7 hex nibbles of md5(decimal string of x) —
-    * 28 uniformly-mixed bits both engines produce bit-identically (md5 hex
-    * is already the cross-engine workhorse). An affine (A·x + B) mod p hash
+  /** Thread-local scratch for [[hllHash]]: a reused MessageDigest plus
+    * input (decimal digits of a long, ≤ 20 bytes) and output (16-byte md5)
+    * buffers — this is the inner loop of full-table aggregate scans
+    * (B20/B48/B51), so zero per-row allocation. */
+  private val hllMdLocal =
+    new ThreadLocal[(MessageDigest, Array[Byte], Array[Byte])] {
+      override def initialValue() =
+        (MessageDigest.getInstance("MD5"), new Array[Byte](20),
+          new Array[Byte](16))
+    }
+
+  /** HLL input hash: the first 12 hex nibbles of md5(decimal string of x) —
+    * 48 uniformly-mixed bits both engines produce bit-identically (md5 hex
+    * is already the cross-engine workhorse). 48 bits, not fewer, so the
+    * hash space never saturates at deployment cardinalities (distinct
+    * values stop colliding below ~2^48 ≈ 2.8·10^14 — comfortably past a
+    * 100 TB key column; upstream HLLs hash to 64 bits but 48 is the most
+    * the exact-double oracle contract allows: Σ2^(−rho) spans ≤ 49
+    * exponent bits for every supported m, inside the 53-bit mantissa).
+    * An affine (A·x + B) mod p hash
     * is NOT usable here, measured, not hypothetical: HLL's rho statistic
     * reads the leading bits of h div m, and affine maps of sequential ids
     * keep those bits on an arithmetic progression — the B48 sweep measured
@@ -415,38 +432,52 @@ object Kernels {
     * (theory: 0.13-0.18), non-monotone in m. With md5 mixing the measured
     * curve sits within ~1σ of 1.04/√m at every probed m. */
   def hllHash(x: Long): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val dig = md.digest(String.valueOf(x).getBytes("UTF-8"))
+    val (md, in, out) = hllMdLocal.get()
+    // decimal digits of x written into `in` from the right, no allocation
+    // (negative work-space covers Long.MinValue)
+    var i = in.length
+    var v = if (x > 0L) -x else x
+    while ({ i -= 1
+      in(i) = ('0' - (v % 10L)).toByte
+      v /= 10L
+      v != 0L }) ()
+    if (x < 0L) { i -= 1; in(i) = '-' }
+    md.update(in, i, in.length - i)
+    md.digest(out, 0, 16)
     var h = 0L
-    var i = 0
-    while (i < 7) {
-      val byte = dig(i >> 1) & 0xff
-      val nib = if ((i & 1) == 0) byte >> 4 else byte & 0xf
+    var j = 0
+    while (j < 12) {
+      val byte = out(j >> 1) & 0xff
+      val nib = if ((j & 1) == 0) byte >> 4 else byte & 0xf
       h = h * 16 + nib
-      i += 1
+      j += 1
     }
     h
   }
 
-  /** The identical 28-bit hash as a DuckDB SQL fragment. */
+  /** The identical 48-bit hash as a DuckDB SQL fragment. */
   def hllHashSql(x: String): String =
-    s"""list_reduce(list_transform(range(1, 8), i ->
+    s"""list_reduce(list_transform(range(1, 13), i ->
       CAST(strpos('0123456789abcdef',
         substr(md5(CAST(($x) AS VARCHAR)), CAST(i AS INT), 1)) - 1
         AS BIGINT)),
       (acc, c) -> acc * 16 + c)"""
 
-  /** Max rho for an m-register HLL (m a power of two): the 28-bit hash
-    * leaves 28 − log2(m) window bits, rho ∈ [1, window + 1]. */
+  /** Max rho for an m-register HLL (m a power of two): the 48-bit hash
+    * leaves 48 − log2(m) window bits, rho ∈ [1, window + 1]. The floor is
+    * m = 16 — the smallest register count Flajolet et al. publish an α
+    * constant for; below that the estimator has no defined bias
+    * correction. */
   def hllMaxRhoOf(m: Int): Int = {
-    require(m >= 2 && m <= (1 << 20) && Integer.bitCount(m) == 1,
-      s"HLL m must be a power of two in [2, 2^20], got $m")
-    29 - Integer.numberOfTrailingZeros(m)
+    require(m >= 16 && m <= (1 << 20) && Integer.bitCount(m) == 1,
+      s"HLL m must be a power of two in [16, 2^20], got $m")
+    49 - Integer.numberOfTrailingZeros(m)
   }
 
   /** alpha_m for the raw HLL estimate — the standard bias constants
     * (Flajolet et al. 2007): 0.673 / 0.697 / 0.709 for m = 16/32/64,
-    * 0.7213/(1 + 1.079/m) above. */
+    * 0.7213/(1 + 1.079/m) for m ≥ 128 (the formula's published domain;
+    * [[hllMaxRhoOf]] floors m at 16 so no m ever falls outside these). */
   def hllAlpha(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697
@@ -508,8 +539,13 @@ object Kernels {
       args => BloomCells(args.head,
         if (args.length > 1) args(1) else Literal(BloomBits)), "built-in")
     // geometry arguments must be foldable integer literals — evaluated at
-    // registration, never per row
-    def litInt(e: Expression): Int = e.eval().asInstanceOf[Number].intValue
+    // registration, never per row; guard so a column argument fails with a
+    // clear analysis error instead of an opaque eval() NPE
+    def litInt(e: Expression): Int = {
+      require(e.foldable,
+        s"geometry argument must be an integer literal, got: $e")
+      e.eval().asInstanceOf[Number].intValue
+    }
     reg.createOrReplaceTempFunction("graft_cms_cells",
       args => CmsCells(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_cms_cells_g",
@@ -841,7 +877,11 @@ case class HllSketchAgg(
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
   with ExpectsInputTypes {
 
-  Kernels.hllMaxRhoOf(m) // validates m is a power of two >= 2
+  Kernels.hllMaxRhoOf(m) // validates m is a power of two >= 16
+
+  // hoisted out of update(): recomputing the window size per row would put
+  // a require + two integer ops in the inner loop of full-table scans
+  @transient private lazy val maxRho: Int = Kernels.hllMaxRhoOf(m)
 
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -853,7 +893,11 @@ case class HllSketchAgg(
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val (reg, rho) = Kernels.hllRegRho(v.asInstanceOf[Long], m)
+      val h = Kernels.hllHash(v.asInstanceOf[Long])
+      val reg = (h % m).toInt
+      val w = h / m
+      val rho = if (w == 0L) maxRho
+        else maxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
       if (rho > buf(reg)) buf(reg) = rho.toLong
     }
     buf
