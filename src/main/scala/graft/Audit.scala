@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Dev tool: whole-surface plan hazard sweep. For every registered query,
-  * flags the two shapes that pass local tests but die at 100 TB:
+  * flags the shapes that pass local tests but die at 100 TB:
   *
   *  - an EXPLICIT `broadcast()` hint over a subtree that scans a FACT
   *    table (orders / lineitem / events / documents / embeddings) with no
@@ -29,6 +30,14 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    puts a whole source in one task at 100 TB). Keys whose partitions
   *    are bounded by construction (chunk ids, per-user sessions with
   *    upstream bot screening) are vetted in [[knownBounded]].
+  *  - a query whose plan holds MORE THAN [[MaxFactScans]] file-scan leaves
+  *    of the same fact table, cache boundaries counted as one (the C93
+  *    class, now bitten twice: a "shared" relation is only PLAN-shared, so
+  *    a config-sweep loop replays its whole subtree — tokenization,
+  *    explode, aggregation — once per consumer branch; at 100 TB that is
+  *    |configs| extra corpus passes). Queries whose extra scans are
+  *    genuinely distinct passes are vetted in [[knownBounded]] WITH their
+  *    count (`repeated-scan:events:x4`) so any drift re-flags.
   *
   * Anything NEW is a regression to investigate. Run:
   * `sbt "runMain graft.Audit"`. */
@@ -153,7 +162,58 @@ object Audit {
     // user's events, hot users bounded by the B41 bot screen upstream, and
     // the streaming twins (D2/D5) hold O(1)-per-user state instead
     ("q_events_sessionize", "running-window-over-fact:events"),
-    ("q_events_asof", "running-window-over-fact:events")
+    ("q_events_asof", "running-window-over-fact:events"),
+    // ---- repeated-scan vetting (counts pinned: drift re-flags) ----
+    // Every entry below was hand-audited when the round-10 sweep first ran:
+    // the scans are DISTINCT pruned passes (different filter/projection
+    // roles), not replays of one subtree — the two genuine C93 shapes the
+    // sweep caught (q_ann_recall_report's 3x ground-truth replay,
+    // q_split_leakage's per-policy branch replay) were FIXED, not vetted.
+    // ANN searches read the embeddings file once per role — corpus pass,
+    // probe batch, centroid/codebook seed, assignment — each a different
+    // pushed filter; the probe/centroid roles are the same filter-bounded
+    // subtrees vetted as hinted broadcasts above, and at deployment they
+    // persist as artifacts (the C74/C29 story) instead of re-filtering:
+    ("q_ann_ivf", "repeated-scan:embeddings:x4"),
+    ("q_ann_cell_balance", "repeated-scan:embeddings:x4"),
+    ("q_ann_pq_adc", "repeated-scan:embeddings:x4"),
+    // C91 composes C13's roles plus the sweep's cached score/inverted-file
+    // materializations (PlanSpec pins 2 file + 2 mem at the leaf level)
+    ("q_ann_nprobe_sweep", "repeated-scan:embeddings:x6"),
+    // C96 fuses the lsh (x2) and ivf (x4) searches, each run ONCE
+    ("q_retrieval_rrf", "repeated-scan:embeddings:x6"),
+    // C40 = bruteforce (x2) + lsh (x2) + ivf (x4), each list cached and
+    // computed once; the rrf row fuses the SAME cached lists
+    ("q_ann_recall_report", "repeated-scan:embeddings:x8"),
+    // C112 = the three searches (4+2+4), each bounded list cached once
+    ("q_ann_overlap", "repeated-scan:embeddings:x10"),
+    // C35 IVF-blocked dedup: same per-role reads as C13
+    ("q_semantic_dedup", "repeated-scan:embeddings:x6"),
+    // C82 composes C35's stages — per-stage passes by definition of a
+    // funnel, each stage's count a 1-row reduction
+    ("q_dedup_funnel", "repeated-scan:embeddings:x6"),
+    // A15: steps 3/4 each derive the last-week window from orders (filter
+    // pass + n_entrada count) — date-pruned narrow scans; at 100 TB
+    // partition pruning reads days, not history (PlanSpec pins the cached
+    // step relation: the TOTAL row adds zero scans)
+    ("q_daily_etl_report", "repeated-scan:orders:x4"),
+    // artifact-family consumers: pairs/labels staged ONCE per (dir, JVM)
+    // by DedupArtifacts (manifest-memoized); the counts are the distinct
+    // build passes, measured by the *_artifact ScaleProbe rows
+    ("q_dedup_agreement_samesource", "repeated-scan:documents:x4"),
+    // C58: standing-index + feed + confirm passes — PlanSpec pins the
+    // leaf shape (5 file + 2 mem); distinct projections, no replay
+    ("q_dedup_incremental", "repeated-scan:documents:x6"),
+    // C71/C76/C81: feed gram pass + standing-corpus reference passes
+    // (hash set, gram index, per-source stats) — each a different pruned
+    // projection, PlanSpec-pinned (mem reads cover the shared feeds);
+    // at deployment the standing indexes persist as artifacts (C29/C84)
+    ("q_novelty_curve", "repeated-scan:documents:x4"),
+    ("q_feed_novelty", "repeated-scan:documents:x5"),
+    ("q_admission_report", "repeated-scan:documents:x6"),
+    // C97: ONE text-bearing pass feeds the cached token grid; the other
+    // passes are column-pruned id-only scans (bucket sizes, 1-row max)
+    ("q_vocab_growth", "repeated-scan:documents:x4")
   )
 
   /** Explicit broadcast hints whose subtree scans a fact table and carries
@@ -191,6 +251,48 @@ object Audit {
     case m: InMemoryTableScanExec => factBelow(m.relation.cachedPlan)
     case other => other.children.flatMap(factBelow).headOption
   }
+
+  /** Fact tables a single query may scan from file more than this many
+    * times before the repeated-scan hazard flags it. 3 admits the honest
+    * shapes (a self-join or build-vs-probe pass is 2, one extra
+    * eval/report pass is 3); the C93 class — a config-sweep loop replaying
+    * an uncached shared relation — lands at |configs| × passes (8 there). */
+  val MaxFactScans: Int = 3
+
+  /** Per-fact-table FILE scan counts below a physical plan — the C93
+    * hazard's measurement. Each distinct cached relation is descended
+    * exactly once (a cached subtree's file scan happens once at
+    * materialization no matter how many consumers read the cache, so cache
+    * boundaries count as one); a ReusedExchange is a reuse of a subtree
+    * counted at its original site. */
+  def factScanCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    val seenCaches =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case f: FileSourceScanExec =>
+        val path = f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("")
+        factTables.find(t => path.contains(t)).toSeq
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case m: InMemoryTableScanExec =>
+        if (seenCaches.add(m.relation.cacheBuilder))
+          walk(m.relation.cachedPlan)
+        else Seq.empty
+      case _: ReusedExchangeExec => Seq.empty
+      case other =>
+        (other.children ++ other.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .groupBy(identity).map { case (t, hits) => t -> hits.size }
+  }
+
+  /** Repeated-scan hazards for a query: every fact table whose file-scan
+    * leaf count exceeds [[MaxFactScans]]. */
+  def repeatedScanHazards(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    factScanCounts(df).collect {
+      case (t, n) if n > MaxFactScans => s"repeated-scan:$t:x$n"
+    }.toSeq.sorted
 
   /** True when the window computes a running aggregate: ordered, with an
     * agg expression framed from UnboundedPreceding but NOT the full
@@ -236,9 +338,11 @@ object Audit {
     var newFindings = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val qe = fn(spark, dir).queryExecution
+        val df = fn(spark, dir)
+        val qe = df.queryExecution
         val hazards =
-          (hintHazards(qe.analyzed) ++ windowHazards(qe.executedPlan)).distinct
+          (hintHazards(qe.analyzed) ++ windowHazards(qe.executedPlan)
+            ++ repeatedScanHazards(df)).distinct
         hazards.foreach { h =>
           if (knownBounded.contains((name, h))) println(s"known   $name  $h")
           else { newFindings += 1; println(s"NEW     $name  $h") }

@@ -744,8 +744,17 @@ object EmbeddingOps {
     * the verdict joins key on (probe_id, neighbor_id) — top-k-bounded
     * rows, k·|probes| each side, dimension-free. */
   def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    // the C112 assembly lesson, caught by the round-10 repeated-scan audit:
+    // each bounded list is computed ONCE and cached (top-k rows, probe-batch
+    // bounded), and the rrf row fuses the SAME cached lsh/ivf lists
+    // ([[rrfFuse]] is C96's arithmetic, so the fused list is bit-identical
+    // to retrievalRrf's). The previous shape replayed the brute-force
+    // ground truth per union branch and re-ran both searches inside the
+    // fusion — 18 embeddings file scans; now each search runs once.
     val base = annBruteforce(spark, dir)
-      .select(col("probe_id"), col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    val lsh = annLsh(spark, dir).cache()
+    val ivf = annIvf(spark, dir).cache()
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val hits = base.join(approx.select(col("probe_id"), col("neighbor_id"))
           .withColumn("hit", lit(1L)),
@@ -756,12 +765,16 @@ object EmbeddingOps {
           (col("n_hit").cast("double") / col("n_true").cast("double"))
             .as("recall_at_10"))
     }
-    recallOf("lsh", annLsh(spark, dir))
-      .unionByName(recallOf("ivf", annIvf(spark, dir)))
+    recallOf("lsh", lsh)
+      .unionByName(recallOf("ivf", ivf))
       // round-8: the fused C96 list measured against the same truth set -
       // "fusion recovers recall neither index has alone" as a number the
       // report ships, not a claim the scaladoc makes
-      .unionByName(recallOf("rrf", retrievalRrf(spark, dir)))
+      .unionByName(recallOf("rrf", rrfFuse(
+        lsh.select(col("probe_id"), col("neighbor_id"),
+          col("rnk").as("lsh_rnk")),
+        ivf.select(col("probe_id"), col("neighbor_id"),
+          col("rnk").as("ivf_rnk")))))
       .orderBy("metodo")
   }
 

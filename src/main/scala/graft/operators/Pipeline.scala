@@ -1407,10 +1407,16 @@ object Pipeline {
       .select(md5(lower(trim(col("text"))).cast("binary")).as("nh"),
         splitOf(expr("graft_str_hash(lower(trim(text)))") % 100).as("sc"),
         splitOf(expr("graft_str_hash(cast(doc_id as string))") % 100).as("si"))
-    val l = b.select(lit("by_content").as("policy"), col("nh"),
-        col("sc").as("split"))
-      .unionByName(b.select(lit("by_doc_id").as("policy"), col("nh"),
-        col("si").as("split")))
+    // ONE corpus pass for both policies: the union-of-branches shape
+    // replayed the whole hash/normalize subtree per policy (the C93 class,
+    // caught by the round-10 repeated-scan audit) — a per-row 2-element
+    // explode emits both policy rows map-side instead
+    val l = b.select(col("nh"), explode(array(
+        struct(lit("by_content").as("policy"), col("sc").as("split")),
+        struct(lit("by_doc_id").as("policy"), col("si").as("split"))))
+        .as("ps"))
+      .select(col("ps.policy").as("policy"), col("nh"),
+        col("ps.split").as("split"))
     l.groupBy("policy", "nh", "split").agg(count(lit(1)).as("c"))
       .groupBy("policy", "nh")
       .agg(sum("c").as("n"), sum(expr("c * (c - 1) DIV 2")).as("same"))

@@ -564,4 +564,83 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("repeated-scan audit catches the C93 replay shape, clears on cache") {
+    // reconstruct the C93 pre-fix shape: a derived token relation consumed
+    // by a per-config union loop WITHOUT cache — every branch replays the
+    // whole tokenize subtree, so the corpus file is scanned once per config
+    def sweepOver(grams: org.apache.spark.sql.DataFrame) =
+      Seq(2, 3, 4, 5).map { k =>
+        grams.filter(length(col("t")) >= k)
+          .agg(count(lit(1)).as("n")).select(lit(k.toLong).as("k"), col("n"))
+      }.reduce(_ unionByName _)
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+    val uncached = sweepOver(grams)
+    assert(Audit.factScanCounts(uncached).getOrElse("documents", 0) >= 4,
+      Audit.factScanCounts(uncached).toString)
+    assert(Audit.repeatedScanHazards(uncached)
+      .exists(_.startsWith("repeated-scan:documents")),
+      "the audit must flag the uncached sweep")
+    // cache() collapses the replay: ONE materialization, counted once
+    val shared = grams.cache()
+    try {
+      val cached = sweepOver(shared)
+      assert(Audit.factScanCounts(cached).getOrElse("documents", 0) <= 1,
+        Audit.factScanCounts(cached).toString)
+      assert(Audit.repeatedScanHazards(cached).isEmpty)
+    } finally { shared.unpersist(): Unit }
+  }
+
+  test("round-10 pins: sketch sweeps, HH screen, venn, salted agg shapes") {
+    import graft.operators.Sketches
+    // B48: ONE events scan computes exact + every m's registers; the 1-row
+    // result is cached and each per-m row reads the cache
+    val sw = scanLeaves("q_hll_m_sweep")
+    assert(!sw.contains("file") &&
+      sw.count(_ == "mem") == Sketches.HllSweepMs.length, sw)
+    assert(Audit.factScanCounts(
+      SparkEntry.queries("q_hll_m_sweep")(spark, sf))
+      .getOrElse("events", 0) == 1, "B48 must build all sketches in 1 scan")
+    spark.catalog.clearCache()
+    // B49: ONE scan builds ALL geometries' sketches + one narrow
+    // true-count pass — never a scan per geometry
+    val cg = SparkEntry.queries("q_cms_geometry_sweep")(spark, sf)
+    assert(Audit.factScanCounts(cg).getOrElse("events", 0) == 2,
+      Audit.factScanCounts(cg).toString)
+    // B50: the cold bulk dies map-side — the screen filter sits UNDER the
+    // one confirm-groupBy exchange (no shuffle before the confirm), and
+    // the sketch rides in as a broadcast
+    val hh = SparkEntry.queries("q_cms_heavy_hitters")(spark, sf)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(hhPlan).length
+    assert(hashExchanges == 1, s"expected 1 confirm exchange:\n$hhPlan")
+    val belowConfirm = hhPlan.substring(
+      hhPlan.indexOf("Exchange hashpartitioning"))
+    assert(belowConfirm.contains("array_min") &&
+      belowConfirm.contains("BroadcastNestedLoopJoin")
+      || belowConfirm.contains("BroadcastExchange"),
+      s"screen must run under the confirm exchange:\n$hhPlan")
+    assert(Audit.factScanCounts(hh).getOrElse("events", 0) == 2,
+      "B50 = one sketch pass + one screened pass")
+    // B51: ONE cached (month, customer) relation feeds sketches (both
+    // pair sides) and the exact evaluation self-join — orders is read
+    // from file exactly once, at cache materialization
+    val vn = scanLeaves("q_hll_month_overlap")
+    assert(!vn.contains("file") && vn.count(_ == "mem") == 4, vn)
+    assert(Audit.factScanCounts(
+      SparkEntry.queries("q_hll_month_overlap")(spark, sf))
+      .getOrElse("orders", 0) == 1)
+    spark.catalog.clearCache()
+    // C113: the two-phase salted aggregate is exactly two key exchanges —
+    // (key, salt) partials then key merge — plus nothing else
+    val sa = SparkEntry.queries("q_skew_salted_agg")(spark, sf)
+    val saPlan = sa.queryExecution.executedPlan.toString
+    val saExchanges = "Exchange hashpartitioning".r
+      .findAllIn(saPlan).length
+    assert(saExchanges == 2, s"expected the 2-phase shape:\n$saPlan")
+    assert(Audit.factScanCounts(sa).getOrElse("events", 0) == 1,
+      "C113 is one events pass")
+  }
+
 }
