@@ -106,6 +106,14 @@ object ParamCheck {
       ("q_cms_heavy_hitters_d200",
         (s, d) => graft.operators.Sketches.cmsHeavyHitters(s, d, denom = 200L),
         graft.operators.Sketches.cmsHeavyHittersSqlFor(denom = 200L)),
+      // width 64 = B49's measured exact_share-0 regime: collision-inflated
+      // light keys survive the screen and resolve is_true_hh = false — the
+      // FALSE-POSITIVE branch the exact confirm exists for, which the
+      // production 4x1024 geometry never reaches (every survivor true)
+      ("q_cms_heavy_hitters_w64",
+        (s, d) => graft.operators.Sketches.cmsHeavyHitters(s, d, width = 64),
+        graft.operators.Sketches.cmsHeavyHittersSqlFor(
+          denom = graft.operators.Sketches.HhSupportDenom, width = 64)),
       ("q_hll_month_overlap_m32",
         (s, d) => graft.operators.Sketches.hllMonthOverlap(s, d, m = 32),
         graft.operators.Sketches.hllMonthOverlapSqlFor(m = 32)))

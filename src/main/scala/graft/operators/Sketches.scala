@@ -325,17 +325,18 @@ object Sketches {
     * Exactness: pure integer algebra — cell sums, min over rows,
     * T = (N + 499) div 500, exact survivor counts. */
   def cmsHeavyHitters(spark: SparkSession, dir: String,
-      denom: Long = HhSupportDenom): DataFrame = {
+      denom: Long = HhSupportDenom,
+      depth: Int = HhDepth, width: Int = HhWidth): DataFrame = {
     graft.functions.Kernels.register(spark)
     val ev = Tables.events(spark, dir)
       .select(floor(col("value")).cast("long").cast("string").as("key"))
     val sk = ev.agg(
-      expr(s"graft_cms_sketch_g(key, $HhDepth, $HhWidth)").as("m"),
+      expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"),
       count(lit(1)).as("n"))
     ev.crossJoin(broadcast(sk))
       .withColumn("t", expr(s"(n + ${denom - 1L}) div $denom"))
       .withColumn("cms_est", expr(
-        s"array_min(transform(graft_cms_cells_g(key, $HhDepth, $HhWidth), " +
+        s"array_min(transform(graft_cms_cells_g(key, $depth, $width), " +
           "c -> element_at(m, CAST(c + 1 AS INT))))"))
       .filter(col("cms_est") >= col("t"))
       .groupBy("key")
@@ -346,7 +347,8 @@ object Sketches {
       .orderBy("key")
   }
 
-  def cmsHeavyHittersSqlFor(denom: Long): String = s"""
+  def cmsHeavyHittersSqlFor(denom: Long,
+      depth: Int = HhDepth, width: Int = HhWidth): String = s"""
     WITH ev AS (
       SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
       FROM events),
@@ -363,8 +365,8 @@ object Sketches {
       SELECT key, n_true, d,
         (${graft.functions.Kernels.rowASql("d + 1")} * h
           + ${graft.functions.Kernels.rowBSql("d + 1")})
-          % 2147483647 % $HhWidth AS g
-      FROM hk, (SELECT unnest(range(0, $HhDepth)) AS d)),
+          % 2147483647 % $width AS g
+      FROM hk, (SELECT unnest(range(0, $depth)) AS d)),
     cells AS (
       SELECT d, g, CAST(SUM(n_true) AS BIGINT) AS c FROM kcell GROUP BY 1, 2),
     est AS (

@@ -185,6 +185,19 @@ class CubesSpec extends SparkSpec {
     // selective regime, 70 survivors of 750 keys)
     assert(out.filter(col("is_true_hh") =!= (col("n_true") >= t))
       .count() == 0)
+    // the FALSE-POSITIVE branch, exercised where it exists: at width 64
+    // (B49's exact_share-0 regime) collision-inflated light keys survive
+    // the screen and the exact confirm resolves them is_true_hh = false —
+    // the resolution path the production geometry never reaches. No false
+    // negatives still holds (CMS never underestimates at ANY geometry).
+    val narrow = operators.Sketches.cmsHeavyHitters(spark, sf, width = 64)
+      .cache()
+    assert(narrow.filter(!col("is_true_hh")).count() > 0,
+      "width 64 must collision-inflate at least one light key past T")
+    assert(narrow.filter(col("cms_est") < col("n_true")).count() == 0)
+    val missedNarrow = trueHh.join(narrow.filter(col("is_true_hh")),
+      Seq("key"), "left_anti").count()
+    assert(missedNarrow == 0)
     spark.catalog.clearCache(): Unit
   }
 
