@@ -61,7 +61,7 @@ object DedupArtifacts {
     * exactly what caps peak memory at one generator. The manifest's
     * (n_rows, checksum) is re-derived from the WRITTEN files, so a read
     * that reverifies it proves file integrity end-to-end. */
-  private def writeArtifact(df: DataFrame, path: String,
+  private[operators] def writeArtifact(df: DataFrame, path: String,
       key: String): Unit = {
     val spark = df.sparkSession
     val par = spark.sessionState.conf.numShufflePartitions

@@ -328,11 +328,25 @@ object Sketches {
       denom: Long = HhSupportDenom,
       depth: Int = HhDepth, width: Int = HhWidth): DataFrame = {
     graft.functions.Kernels.register(spark)
-    val ev = Tables.events(spark, dir)
-      .select(floor(col("value")).cast("long").cast("string").as("key"))
+    val ev = hhKeys(spark, dir)
     val sk = ev.agg(
       expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"),
       count(lit(1)).as("n"))
+    hhScreen(ev, sk, denom, depth, width)
+  }
+
+  /** B50's key stream — the integer value buckets of the event stream. */
+  private[operators] def hhKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value")).cast("long").cast("string").as("key"))
+
+  /** B50's screen + exact confirm over an arbitrary 1-row sketch relation
+    * `(m, n)` — shared verbatim by the inline plan and the
+    * [[SketchArtifacts]] store consumer (a deployment merges persisted
+    * per-segment matrices into `sk` by cell sum and runs the identical
+    * screen). */
+  private[operators] def hhScreen(ev: DataFrame, sk: DataFrame, denom: Long,
+      depth: Int, width: Int): DataFrame =
     ev.crossJoin(broadcast(sk))
       .withColumn("t", expr(s"(n + ${denom - 1L}) div $denom"))
       .withColumn("cms_est", expr(
@@ -345,7 +359,6 @@ object Sketches {
       .select(col("key"), col("cms_est"), col("n_true"),
         (col("n_true") >= col("t")).as("is_true_hh"))
       .orderBy("key")
-  }
 
   def cmsHeavyHittersSqlFor(denom: Long,
       depth: Int = HhDepth, width: Int = HhWidth): String = s"""
@@ -399,16 +412,31 @@ object Sketches {
   def hllMonthOverlap(spark: SparkSession, dir: String,
       m: Int = graft.functions.Kernels.HllM): DataFrame = {
     graft.functions.Kernels.register(spark)
+    val mc = monthCustomers(spark, dir).cache()
+    val sk = mc.groupBy("mth")
+      .agg(expr(s"graft_hll_sketch_m(o_custkey, $m)").as("regs"))
+    overlapAssemble(sk, mc, m)
+  }
+
+  /** The cached (month, customer) relation B51's sketches AND its exact
+    * evaluation column both derive from. */
+  private[operators] def monthCustomers(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(month(col("o_orderdate")).cast("long").as("mth"),
+        col("o_custkey"))
+      .distinct()
+
+  /** B51's venn assembly from a per-month register relation `(mth, regs)`
+    * — shared verbatim by the inline plan and the [[SketchArtifacts]]
+    * store consumer, so artifact-fed answers are byte-identical by
+    * construction. `mc` feeds only the exact evaluation column. */
+  private[operators] def overlapAssemble(sk: DataFrame, mc: DataFrame,
+      m: Int): DataFrame = {
     val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
     def estOf(regs: String) =
       expr(s"CAST('$am2' AS DOUBLE) / aggregate($regs, CAST(0 AS DOUBLE), " +
         "(acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))")
-    val mc = Tables.orders(spark, dir)
-      .select(month(col("o_orderdate")).cast("long").as("mth"),
-        col("o_custkey"))
-      .distinct().cache()
-    val sk = mc.groupBy("mth")
-      .agg(expr(s"graft_hll_sketch_m(o_custkey, $m)").as("regs"))
     val pairs = sk.as("a").join(sk.as("b"), col("a.mth") < col("b.mth"))
       .select(col("a.mth").as("month_a"), col("b.mth").as("month_b"),
         estOf("a.regs").as("est_a"), estOf("b.regs").as("est_b"),

@@ -198,4 +198,35 @@ class ArtifactSpec extends SparkSpec {
     assert(DedupArtifacts.agreementStaged(spark, empty).count() == 3)
     spark.catalog.clearCache(): Unit
   }
+
+  test("sketch store: persisted segments answer B50/B51 byte-identically") {
+    import operators.{SketchArtifacts, Sketches}
+    val r = tmpDir("graft-sketch-store-")
+    SketchArtifacts.write(spark, sf, r)
+    // B51 from the 12 persisted register vectors == the inline plan (the
+    // registers survive the parquet round trip bit-for-bit, and max-merge
+    // is partition-agnostic)
+    assert(SketchArtifacts.monthOverlap(spark, sf, r).collect().toSeq ==
+      Sketches.hllMonthOverlap(spark, sf).collect().toSeq,
+      "store-fed B51 diverges from inline")
+    spark.catalog.clearCache()
+    // the deployment shape: every estimate column derives from the
+    // artifact rows alone — ZERO fact-table scans in the plan
+    val est = SketchArtifacts.monthOverlapEstimates(spark, r)
+    assert(Audit.factScanCounts(est).isEmpty,
+      s"estimates-only consumer touched a fact table: " +
+        s"${Audit.factScanCounts(est)}")
+    val inlineEst = Sketches.hllMonthOverlap(spark, sf).select(
+      "month_a", "month_b", "est_a", "est_b", "est_union", "est_inter")
+    assert(est.collect().toSeq == inlineEst.collect().toSeq,
+      "estimates-only consumer diverges from inline estimates")
+    spark.catalog.clearCache()
+    // B50 from the cell-summed per-type matrices == the inline
+    // single-pass sketch (the types partition the stream, so every cell
+    // sum is exactly the one-pass cell)
+    assert(SketchArtifacts.heavyHitters(spark, sf, r).collect().toSeq ==
+      Sketches.cmsHeavyHitters(spark, sf).collect().toSeq,
+      "store-fed B50 diverges from inline")
+    spark.catalog.clearCache(): Unit
+  }
 }
