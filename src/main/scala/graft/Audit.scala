@@ -83,6 +83,12 @@ object Audit {
     // C97's cumulative pass runs over the <= VocabBuckets-row grid (an
     // aggregate of the corpus, bounded by the decile rule)
     ("q_vocab_growth", "global-window"),
+    // B52/B53: the quantile readout's cumsum runs over the sketch's
+    // bucket histogram — an aggregate of the corpus bounded by GEOMETRY
+    // ((64−s)·2^s rows, ≤ 14336 at the swept s = 8), the B24 cents-
+    // histogram device with a fixed ceiling
+    ("q_value_quantile_sketch", "global-window"),
+    ("q_qsketch_s_sweep", "global-window"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale

@@ -100,6 +100,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_gram_agg",
       "quantized Gram/covariance matrix aggregate of an embedding column",
       args => GramMatrixAgg(args.head)))
+    ext.injectFunction(fn("graft_qsketch",
+      "log2-linear quantile-sketch bucket counts of a long column (s=6)",
+      args => QuantileSketchAgg(args.head)))
+    ext.injectFunction(fn("graft_qsketch_s",
+      "quantile-sketch bucket counts at an explicit subdivision s",
+      args => QuantileSketchAgg(args(0), litInt(args(1)))))
     ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }

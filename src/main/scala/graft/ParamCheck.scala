@@ -116,7 +116,18 @@ object ParamCheck {
           denom = graft.operators.Sketches.HhSupportDenom, width = 64)),
       ("q_hll_month_overlap_m32",
         (s, d) => graft.operators.Sketches.hllMonthOverlap(s, d, m = 32),
-        graft.operators.Sketches.hllMonthOverlapSqlFor(m = 32)))
+        graft.operators.Sketches.hllMonthOverlapSqlFor(m = 32)),
+      // quantile sketch at off-grid subdivisions (s = 3 between the exact
+      // range and the production 6; the sweep at 3/10 brackets its list)
+      ("q_value_quantile_sketch_s3",
+        (s, d) => graft.operators.Sketches.valueQuantileSketch(s, d, s = 3),
+        graft.operators.Sketches.valueQuantileSketchSqlFor(s = 3)),
+      ("q_qsketch_s_sweep_s3_10",
+        (s, d) => graft.operators.Sketches.qsketchSSweep(s, d, ss = Seq(3, 10)),
+        graft.operators.Sketches.qsketchSSweepSqlFor(ss = Seq(3, 10))),
+      ("q_value_quantiles_by_type_s3",
+        (s, d) => graft.operators.Sketches.valueQuantilesByType(s, d, s = 3),
+        graft.operators.Sketches.valueQuantilesByTypeSqlFor(s = 3)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -505,6 +505,89 @@ object Kernels {
   /** Production-m register/rho — delegates to the parameterized form. */
   def hllRegRho(x: Long): (Int, Int) = hllRegRho(x, HllM)
 
+  /** Production subdivision for the quantile sketch: s index bits per
+    * octave → relative value error ≤ 2^−6 ≈ 1.6% per bucket, 3712 longs
+    * (29 KiB) of distributive state at any corpus size. */
+  val QSketchS: Int = 6
+
+  /** The per-mille quantile grid the quantile queries read (exact
+    * rationals, so target ranks are integer arithmetic on both engines). */
+  val QuantileGridPm: Seq[Int] = Seq(250, 500, 750, 900, 990)
+
+  /** Bucket count of an s-bit quantile sketch: 2^s exact small-value
+    * buckets + (63 − s) octaves × 2^s linear subdivisions each for
+    * v < 2^63 — closed form (64 − s)·2^s. */
+  def qsketchBuckets(s: Int): Int = {
+    require(s >= 1 && s <= 16, s"qsketch subdivision must be in [1,16], got $s")
+    (64 - s) << s
+  }
+
+  /** Log2-linear bucket of a nonnegative long (HDR-histogram geometry —
+    * the DETERMINISTIC mergeable quantile summary; see
+    * [[QuantileSketchAgg]] for why not a literal KLL):
+    * v < 2^s maps to itself (exact); otherwise with e = bitlength(v) − 1
+    * the top s+1 bits m = v >> (e−s) ∈ [2^s, 2^(s+1)) index a linear
+    * subdivision of the octave: bucket = (e−s)·2^s + m. Monotone in v,
+    * continuous across octave boundaries, pure integer/bit arithmetic
+    * both engines reproduce exactly. Values ≤ 0 clamp to bucket 0 (the
+    * engine's money/count/length domains are nonnegative). */
+  def qsketchBucket(v: Long, s: Int): Int =
+    if (v <= 0L) 0
+    else if (v < (1L << s)) v.toInt
+    else {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      (((e - s) << s) + (v >>> (e - s))).toInt
+    }
+
+  /** Inclusive lower bound of bucket b — the value the quantile readout
+    * returns. With k = b >> s: k ≤ 1 means the bucket is exact (value =
+    * b); otherwise the octave is e = s + k − 1 and the bound is
+    * (b − (k−1)·2^s) << (k−1). Monotone in b; qsketchLower(b+1) is
+    * bucket b's exclusive upper bound. */
+  def qsketchLower(b: Int, s: Int): Long = {
+    val k = b >> s
+    if (k <= 1) b.toLong
+    else (b.toLong - ((k - 1).toLong << s)) << (k - 1)
+  }
+
+  /** The identical bucket map as a DuckDB SQL fragment (x must be a
+    * BIGINT expression; bin() gives the exact bit length). */
+  def qsketchBucketSql(x: String, s: Int): String = s"""
+    CASE WHEN ($x) <= 0 THEN 0
+         WHEN ($x) < ${1L << s} THEN ($x)
+         ELSE (CAST(length(bin($x)) AS BIGINT) - 1 - $s) * ${1L << s}
+              + (($x) >> (CAST(length(bin($x)) AS BIGINT) - 1 - $s))
+    END"""
+
+  /** The identical lower-bound map as a DuckDB SQL fragment (b BIGINT). */
+  def qsketchLowerSql(b: String, s: Int): String = s"""
+    CASE WHEN (($b) >> $s) <= 1 THEN ($b)
+         ELSE (($b) - ((($b) >> $s) - 1) * ${1L << s})
+              << ((($b) >> $s) - 1)
+    END"""
+
+  /** [[qsketchLower]] as a Spark SQL fragment (shiftleft/shiftright — the
+    * Spark-side spelling of [[qsketchLowerSql]]'s >> / <<). */
+  def qsketchLowerSparkSql(b: String, s: Int): String =
+    s"CASE WHEN shiftright($b, $s) <= 1 THEN CAST($b AS BIGINT) " +
+      s"ELSE shiftleft(CAST($b AS BIGINT) - (CAST(shiftright($b, $s) AS " +
+      s"BIGINT) - 1) * ${1L << s}, shiftright($b, $s) - 1) END"
+
+  /** Spark SQL fragment picking the 0-based index of the FIRST bucket
+    * whose cumulative count reaches rank column/expr `r`, from a bucket-
+    * count array `regs` — the quantile readout as a single higher-order
+    * fold (the streaming twin's per-window readout; the batch queries use
+    * the relational explode+cumsum instead, same arithmetic). */
+  def qsketchPickSparkSql(regs: String, r: String): String = s"""
+    aggregate($regs,
+      named_struct('c', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT),
+                   'b', CAST(-1 AS BIGINT)),
+      (acc, x) -> named_struct('c', acc.c + x, 'i', acc.i + 1,
+        'b', CASE WHEN acc.b >= 0 THEN acc.b
+                  WHEN acc.c + x >= ($r) THEN acc.i
+                  ELSE CAST(-1 AS BIGINT) END),
+      acc -> acc.b)"""
+
   /** Registers the kernels as SQL temp functions. Idempotent AND quiet: a
     * re-register on a session that already has them would log a "function
     * replaced" warning per kernel per query — noise in every bench/verify
@@ -515,7 +598,7 @@ object Kernels {
     // short-circuit on sessions registered by a previous kernel set and
     // silently skip the additions
     if (reg.functionExists(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll_sketch_m")))
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qsketch_s")))
       return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
@@ -561,6 +644,10 @@ object Kernels {
       args => HllSketchAgg(args(0), litInt(args(1))), "built-in")
     reg.createOrReplaceTempFunction("graft_gram_agg",
       args => GramMatrixAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_qsketch",
+      args => QuantileSketchAgg(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_qsketch_s",
+      args => QuantileSketchAgg(args(0), litInt(args(1))), "built-in")
   }
 }
 
@@ -930,5 +1017,73 @@ case class HllSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** The DETERMINISTIC mergeable quantile summary (B52-B54) — bucket counts
+  * over [[Kernels.qsketchBucket]]'s log2-linear (HDR-histogram) geometry.
+  * Fills KLL's role — mergeable quantiles with small bounded state — but
+  * NOT via KLL's compactor: KLL compaction depends on arrival/merge order,
+  * and Spark's partial-aggregation merge tree is nondeterministic, so a
+  * literal KLL cannot satisfy this engine's contracts (bit-exact DuckDB
+  * twin, registers invariant across partitionings). Bucket counts are a
+  * pure distributive SUM: commutative, associative, partition-agnostic —
+  * the B13/B20 precedent — at the cost of a fixed value-relative bucket
+  * width 2^−s instead of KLL's distribution-free rank error. The readout
+  * guarantee is still exact and spec-pinned: the returned bucket's
+  * cumulative range brackets the target rank, so rank slack ≤ the bucket's
+  * own mass and the value bracket [lower, upper) is ≤ 2^−s relative.
+  * State: (64−s)·2^s longs (29 KiB at the production s = 6) per group at
+  * ANY corpus size — where exact quantiles shuffle every value. */
+case class QuantileSketchAgg(
+    child: Expression,
+    s: Int = Kernels.QSketchS,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes {
+
+  private val nBuckets: Int = Kernels.qsketchBuckets(s) // validates s
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBuckets)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) buf(Kernels.qsketchBucket(v.asInstanceOf[Long], s)) += 1L
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < nBuckets) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(nBuckets * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](nBuckets)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): QuantileSketchAgg =
     copy(child = newChildren.head)
 }

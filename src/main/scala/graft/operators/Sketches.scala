@@ -505,6 +505,249 @@ object Sketches {
   lazy val hllMonthOverlapSql: String =
     hllMonthOverlapSqlFor(graft.functions.Kernels.HllM)
 
+  /** Spark-side SQL for [[graft.functions.Kernels.qsketchLower]]. */
+  private def qLowerSpark(b: String, s: Int): String =
+    graft.functions.Kernels.qsketchLowerSparkSql(b, s)
+
+  /** The integer cents stream B52-B54 sketch (the C113 cents device). */
+  private def eventCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_type"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+
+  /** Quantile readout over a sketch relation `(keyCols..., n, regsCol)`:
+    * explode the bucket counts (≤ (64−s)·2^s rows per key — an aggregate
+    * of the corpus, bounded by geometry), cumulative-sum them, and pick
+    * per per-mille quantile the first bucket whose cumulative count
+    * reaches the target rank r = ⌈q·n/1000⌉. Returns one row per
+    * (key, q_pm) with the bucket's value bracket [est_lo, est_hi) and its
+    * cumulative bracket (n_below, n_thru] — `n_below < r ≤ n_thru` holds
+    * BY CONSTRUCTION (the rank-error guarantee, spec-pinned). Exact
+    * integer arithmetic end to end. */
+  private def qReadout(sk: DataFrame, regsCol: String, keyCols: Seq[String],
+      s: Int, qPms: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val hist = sk.select(keys ++ Seq(col("n"),
+      posexplode(col(regsCol)).as(Seq("bucket", "cnt"))): _*)
+      .filter(col("cnt") > 0)
+    val w = (if (keyCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys: _*)).orderBy("bucket")
+    // alias the cum side's columns (fresh attribute ids) — grid and cum
+    // share sk's lineage, so unaliased key equality would be ambiguous
+    val cum = hist.withColumn("n_thru", sum("cnt").over(w))
+      .select(keyCols.map(k => col(k).as(s"cum_$k")) ++
+        Seq(col("bucket"), col("cnt"), col("n_thru")): _*)
+    val grid = sk.select(keys ++ Seq(col("n"),
+      explode(array(qPms.map(q => lit(q.toLong)): _*)).as("q_pm")): _*)
+      .withColumn("r", expr("(q_pm * n + 999) div 1000"))
+    val joinCond = keyCols.map(k => col(s"cum_$k") === col(k))
+      .foldLeft(col("n_thru") >= col("r"))(_ && _)
+    grid.join(cum, joinCond)
+      .groupBy(keys :+ col("q_pm") :+ col("n") :+ col("r"): _*)
+      .agg(min("bucket").as("bucket"),
+        min_by(col("cnt"), col("bucket")).as("cnt"),
+        min_by(col("n_thru"), col("bucket")).as("n_thru"))
+      .select(keys ++ Seq(col("q_pm"), col("n"), col("r"),
+        expr(qLowerSpark("bucket", s)).as("est_lo"),
+        expr(qLowerSpark("(bucket + 1)", s)).as("est_hi"),
+        (col("n_thru") - col("cnt")).as("n_below"), col("n_thru")): _*)
+      .orderBy((keyCols :+ "q_pm").map(col): _*)
+  }
+
+  /** B52: `q_value_quantile_sketch` — corpus value quantiles from the
+    * DETERMINISTIC mergeable quantile sketch
+    * ([[graft.functions.QuantileSketchAgg]]): one events pass builds the
+    * (64−s)·2^s bucket counts as a distributive SUM aggregate (29 KiB of
+    * state at the production s = 6, partial-aggregated map-side at any
+    * corpus size — where exact quantiles shuffle every value), and the
+    * readout returns, per per-mille quantile, the picked bucket's value
+    * bracket [est_lo, est_hi) (relative width ≤ 2^−s) and cumulative
+    * bracket (n_below, n_thru] (the EXACT rank guarantee: the target rank
+    * always lands inside — spec-pinned, so rank slack is bounded by the
+    * bucket's own mass). Completes the mergeable-sketch triad: HLL (B20)
+    * answers distinct, CMS (B13) frequency, this one rank/quantile — and
+    * like those, per-segment sketches persist once and merge exactly.
+    * B21/B24 remain the exact paths; this is the unbounded-domain scale
+    * path their cents histogram cannot give.
+    *
+    * Exactness: pure integer bit arithmetic (bucket map, shifts, cumsum,
+    * ⌈q·n/1000⌉ on exact per-mille rationals) — both engines bit-equal. */
+  def valueQuantileSketch(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val sk = eventCents(spark, dir)
+      .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
+        count(lit(1)).as("n")).cache()
+    qReadout(sk, "regs", Seq.empty, s, qPms)
+  }
+
+  def valueQuantileSketchSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (SELECT ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+    cum AS (
+      SELECT bucket, cnt,
+        CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (SELECT count(*) AS n FROM c),
+    grid AS (
+      SELECT CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid JOIN cum ON cum.n_thru >= grid.r
+      GROUP BY 1, 2, 3)
+    SELECT p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p JOIN cum ON cum.bucket = p.bucket
+    ORDER BY p.q_pm"""
+  }
+
+  lazy val valueQuantileSketchSql: String =
+    valueQuantileSketchSqlFor(graft.functions.Kernels.QSketchS)
+
+  /** Subdivisions probed by the B53 sweep — brackets the production s = 6
+    * by 2 doublings each way (state 248 / 960 / 3712 / 14336 cells). */
+  val QSketchSweepSs: Seq[Int] = Seq(2, 4, 6, 8)
+
+  /** B53: `q_qsketch_s_sweep` — the quantile sketch's OPERATING CURVE:
+    * per subdivision s, per grid quantile, the value bracket width and
+    * the picked bucket's mass (= the worst-case rank slack), next to the
+    * geometry's total and occupied cell counts — the state-vs-precision
+    * knob table (each +2 on s quarters the bracket width and 4×es the
+    * state). The B48/B49 device: ONE events scan builds EVERY s's bucket
+    * counts (each its own distributive aggregate), the 1-row result is
+    * cache()d, and each s's readout reads the cache — no per-s rescans.
+    * Finer s splits buckets on a superset of coarser boundaries, so
+    * bucket mass per quantile is non-increasing in s (spec-pinned
+    * monotonicity, the B49 depth-monotone precedent). */
+  def qsketchSSweep(spark: SparkSession, dir: String,
+      ss: Seq[Int] = QSketchSweepSs,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val aggs = count(lit(1)).as("n") +:
+      ss.map(s => expr(s"graft_qsketch_s(cents, $s)").as(s"regs_$s"))
+    val one = eventCents(spark, dir).agg(aggs.head, aggs.tail: _*).cache()
+    ss.map { s =>
+      qReadout(one.select(col("n"), col(s"regs_$s").as("regs")),
+          "regs", Seq.empty, s, qPms)
+        .crossJoin(one.select(
+          lit(s.toLong).as("s"),
+          lit(graft.functions.Kernels.qsketchBuckets(s).toLong)
+            .as("n_cells"),
+          expr(s"CAST(size(filter(regs_$s, x -> x > 0)) AS BIGINT)")
+            .as("n_cells_used")))
+        .select("s", "q_pm", "n", "r", "est_lo", "est_hi", "n_below",
+          "n_thru", "n_cells", "n_cells_used")
+    }.reduce(_ unionByName _).orderBy("s", "q_pm")
+  }
+
+  def qsketchSSweepSqlFor(ss: Seq[Int],
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql,
+      qsketchBuckets}
+    val blocks = ss.map { s =>
+      s"""
+      b$s AS (SELECT ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+      h$s AS (SELECT bucket, count(*) AS cnt FROM b$s GROUP BY 1),
+      cum$s AS (
+        SELECT bucket, cnt,
+          CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS n_thru
+        FROM h$s),
+      pick$s AS (
+        SELECT q_pm, n, r, MIN(bucket) AS bucket
+        FROM grid JOIN cum$s ON cum$s.n_thru >= grid.r
+        GROUP BY 1, 2, 3),
+      res$s AS (
+        SELECT CAST($s AS BIGINT) AS s, p.q_pm, p.n, p.r,
+          ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+          ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+          cum.n_thru - cum.cnt AS n_below, cum.n_thru,
+          CAST(${qsketchBuckets(s)} AS BIGINT) AS n_cells,
+          (SELECT count(*) FROM h$s) AS n_cells_used
+        FROM pick$s p JOIN cum$s cum ON cum.bucket = p.bucket)"""
+    }
+    val unions = ss.map(s => s"SELECT * FROM res$s").mkString(" UNION ALL ")
+    s"""
+    WITH c AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    tot AS (SELECT count(*) AS n FROM c),
+    grid AS (
+      SELECT CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    ${blocks.mkString(",")}
+    SELECT * FROM ($unions) ORDER BY s, q_pm"""
+  }
+
+  lazy val qsketchSSweepSql: String = qsketchSSweepSqlFor(QSketchSweepSs)
+
+  /** B54: `q_value_quantiles_by_type` — the GROUPED sketch path: one
+    * events pass builds a 29 KiB sketch PER event type (the shape that
+    * matters at scale: per-segment quantile state is fixed-size, so a
+    * million segments cost a million small rows, not a million sorts),
+    * then the identical readout runs per type off the cached sketch
+    * relation. The per-type cumsum window partitions by type over
+    * histogram rows — an aggregate of the corpus, geometry-bounded. */
+  def valueQuantilesByType(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val sk = eventCents(spark, dir)
+      .groupBy("event_type")
+      .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
+        count(lit(1)).as("n")).cache()
+    qReadout(sk, "regs", Seq("event_type"), s, qPms)
+  }
+
+  def valueQuantilesByTypeSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT event_type,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT event_type, ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    h AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+          AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT g.event_type, q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid g JOIN cum
+        ON cum.event_type = g.event_type AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.event_type, p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p
+    JOIN cum ON cum.event_type = p.event_type AND cum.bucket = p.bucket
+    ORDER BY p.event_type, p.q_pm"""
+  }
+
+  lazy val valueQuantilesByTypeSql: String =
+    valueQuantilesByTypeSqlFor(graft.functions.Kernels.QSketchS)
+
   /** B14: `q_events_paths` — each user's full event journey as an ordered
     * path string (funnel/path analysis input). One shuffle on user_id; the
     * per-user sort happens inside the aggregate on collected structs, and

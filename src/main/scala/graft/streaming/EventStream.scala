@@ -94,6 +94,40 @@ object EventStream {
     * holds O(1) registers per day instead, watermark-closed. The estimate
     * is deterministic, so the two-micro-batch ≡ one-batch equality is
     * spec-pinned bit-for-bit, sketch column included. */
+  /** D36: streaming per-window value QUANTILES (B52's streaming face,
+    * completing the sketch triad's streaming coverage next to D13's HLL
+    * and D8's exact counters) — per tumbling hour a quantile sketch of
+    * the value cents ([[graft.functions.QuantileSketchAgg]], the same
+    * distributive bucket counts as B52) plus the median/p90 readout as a
+    * higher-order fold over the window's own registers. Exact streaming
+    * quantiles would hold O(values/window) state; the sketch holds a
+    * fixed (64−s)·2^s longs per open window, watermark-closed. Every
+    * output column is exact integer arithmetic on deterministic
+    * registers, so two-micro-batch ≡ one-batch bit-for-bit
+    * (StreamingSpec). */
+  def hourlyValueQuantiles(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.Kernels
+    Kernels.register(events.sparkSession)
+    val s = Kernels.QSketchS
+    def pickLower(qPm: Int, out: String): Seq[(String, String)] = Seq(
+      s"r_$qPm" -> s"(($qPm * n_valores) + 999) div 1000",
+      s"b_$qPm" -> Kernels.qsketchPickSparkSql("regs", s"r_$qPm"),
+      out -> Kernels.qsketchLowerSparkSql(s"b_$qPm", s))
+    val base = events
+      .withWatermark("ts", watermark)
+      .select(window(col("ts"), "1 hour").as("win"),
+        cents(col("value")).as("val_c"))
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_valores"),
+        expr(s"graft_qsketch_s(val_c, $s)").as("regs"))
+    (pickLower(500, "p50_lo") ++ pickLower(900, "p90_lo"))
+      .foldLeft(base) { case (df, (name, sql)) =>
+        df.withColumn(name, expr(sql)) }
+      .select(col("win.start").as("hora"), col("n_valores"),
+        col("p50_lo"), col("p90_lo"))
+  }
+
   def dailyActive(events: DataFrame, watermark: String = "1 day"): DataFrame = {
     graft.functions.Kernels.register(events.sparkSession)
     val am2 = graft.functions.Kernels.HllAlphaM2

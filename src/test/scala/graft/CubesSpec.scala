@@ -201,6 +201,57 @@ class CubesSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("B52-B54 quantile sketch: rank guarantee and bracket width hold") {
+    import graft.functions.Kernels.QSketchS
+    // every readout row must bracket its target rank: n_below < r <= n_thru
+    // (exact by construction — the sketch's formal guarantee), and the
+    // value bracket is <= 2^-s relative once past the exact range
+    for (df <- Seq(operators.Sketches.valueQuantileSketch(spark, sf),
+        operators.Sketches.valueQuantilesByType(spark, sf))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      for (row <- rows) {
+        val (r, lo, hi, below, thru) = (
+          row.getAs[Long]("r"), row.getAs[Long]("est_lo"),
+          row.getAs[Long]("est_hi"), row.getAs[Long]("n_below"),
+          row.getAs[Long]("n_thru"))
+        assert(below < r && r <= thru, s"rank guarantee broken: $row")
+        assert(lo < hi, row.toString)
+        if (lo >= (1L << QSketchS))
+          assert(hi - lo <= math.max(lo >> QSketchS, 1L),
+            s"bracket wider than 2^-s relative: $row")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("B53 sweep: bucket mass per quantile non-increasing in s") {
+    // finer subdivisions split buckets on a SUPERSET of coarser
+    // boundaries, so the picked bucket's mass — the worst-case rank
+    // slack — can only fall as s grows (the B49 depth-monotone
+    // precedent); occupied cells can only grow
+    val rows = operators.Sketches.qsketchSSweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("s"), r.getAs[Long]("q_pm"),
+        r.getAs[Long]("n_thru") - r.getAs[Long]("n_below"),
+        r.getAs[Long]("n_cells"), r.getAs[Long]("n_cells_used")))
+    assert(rows.length ==
+      operators.Sketches.QSketchSweepSs.length *
+        graft.functions.Kernels.QuantileGridPm.length)
+    rows.groupBy(_._2).foreach { case (q, grp) =>
+      val byS = grp.sortBy(_._1)
+      byS.sliding(2).foreach {
+        case Array((s1, _, m1, _, u1), (s2, _, m2, _, u2)) =>
+          assert(m2 <= m1, s"q=$q mass grew s=$s1($m1) -> s=$s2($m2)")
+          assert(u2 >= u1, s"q=$q occupied cells fell $s1 -> $s2")
+        case _ => ()
+      }
+    }
+    rows.foreach { case (_, _, _, cells, used) =>
+      assert(used <= cells)
+    }
+    spark.catalog.clearCache(): Unit
+  }
+
   test("B51 venn: register-merge invariants hold on every pair") {
     import org.apache.spark.sql.functions._
     val out = operators.Sketches.hllMonthOverlap(spark, sf).cache()

@@ -126,4 +126,57 @@ class KernelsSpec extends SparkSpec {
     assert(row.selectExpr("graft_winnow_fp(norm)").head.isNullAt(0))
     assert(row.selectExpr("graft_minhash_sigs(norm)").head.isNullAt(0))
   }
+
+  test("qsketch bucket map: monotone, bracketing, exact inverse on bounds") {
+    import graft.functions.Kernels._
+    for (s <- Seq(2, 4, 6, 8, 12)) {
+      val probe: Seq[Long] = (0L to (2L << s)) ++
+        Seq.tabulate(200)(i => (1L << (i % 50 + s)) + i * 2654435761L %
+          (1L << (i % 50 + s))) ++
+        Seq(Long.MaxValue, Long.MaxValue - 1, 1L << 62)
+      val sorted = probe.filter(_ >= 0).distinct.sorted
+      // monotone: bucket never decreases as v grows
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(qsketchBucket(a, s) <= qsketchBucket(b, s), s"s=$s $a>$b")
+        case _ => ()
+      }
+      for (v <- sorted) {
+        val b = qsketchBucket(v, s)
+        assert(b >= 0 && b < qsketchBuckets(s), s"s=$s v=$v b=$b")
+        val lo = qsketchLower(b, s)
+        val hi = qsketchLower(b + 1, s)
+        // the bucket brackets its value...
+        assert(lo <= v && (v < hi || b == qsketchBuckets(s) - 1),
+          s"s=$s v=$v not in [$lo, $hi)")
+        // ...within relative width 2^-s once past the exact range
+        if (v >= (1L << s) && b < qsketchBuckets(s) - 1)
+          assert(hi - lo <= (lo >> s).max(1L), s"s=$s v=$v width ${hi - lo}")
+        // bound values are left-inverses: bucket(lower(b)) == b
+        assert(qsketchBucket(lo, s) == b, s"s=$s lower($b)=$lo maps back")
+      }
+      // negatives and zero clamp to bucket 0
+      assert(qsketchBucket(0L, s) == 0 && qsketchBucket(-7L, s) == 0)
+    }
+  }
+
+  test("qsketch registers are invariant across partitionings and grouping") {
+    val sp = spark
+    import sp.implicits._
+    val vals = (0L until 5000L).map(i => (i % 7, i * i % 1000000L)).toDF("g", "v")
+    def regs(parts: Int): Seq[Long] =
+      vals.repartition(parts).agg(expr("graft_qsketch(v)")).head.getSeq[Long](0)
+    // merge-tree shape must not change the counts (the property literal
+    // KLL cannot give — the reason this sketch is a bucket compactor)
+    assert(regs(1) == regs(13))
+    // grouped sketches sum to the global sketch (mergeability)
+    val grouped = vals.groupBy("g").agg(expr("graft_qsketch(v)").as("r"))
+      .agg(expr("aggregate(collect_list(r), " +
+        s"array_repeat(CAST(0 AS BIGINT), ${graft.functions.Kernels.qsketchBuckets(graft.functions.Kernels.QSketchS)}), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"))
+      .head.getSeq[Long](0)
+    assert(grouped == regs(1))
+    // total mass equals the row count
+    assert(regs(1).sum == 5000L)
+  }
 }

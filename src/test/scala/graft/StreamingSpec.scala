@@ -787,6 +787,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D36 hourlyValueQuantiles: two micro-batches equal one batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val rows = sources.Tables.events(sp, sf)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      .as[(Timestamp, Double)].collect().toSeq.sortBy(_._1.getTime)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = EventStream.hourlyValueQuantiles(in.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("d36_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = sp.table("d36_out")
+      // the sketch registers are deterministic and merge-order-free, so
+      // the readout matches the one-batch run bit-for-bit
+      val batch = EventStream.hourlyValueQuantiles(rows.toDF("ts", "value"))
+      assert(streamed.count() == batch.count() && streamed.count() > 0)
+      assert(streamed.except(batch).count() == 0)
+      assert(batch.except(streamed).count() == 0)
+      // per window: p50 <= p90 and both positive (values are cents > 0)
+      assert(streamed.filter(col("p50_lo") > col("p90_lo")).count() == 0)
+      assert(streamed.filter(col("p50_lo") <= 0).count() == 0)
+    } finally q.stop()
+  }
+
   test("D12 CorpusStream curation equals batch C17 with dups across batches") {
     val sp = spark
     import sp.implicits._
