@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+/** MULTI-DAY REPLAY INTEGRATION (round-10): the daily capstones and the
+  * frozen-model streaming gates are each proven on one batch/epoch
+  * elsewhere; this suite composes a simulated 7-DAY TIMELINE — one feed
+  * slice per day, each day its own stream run against the SAME checkpoint
+  * (so state and offsets survive every day boundary), day-partitioned
+  * idempotent sink writes (one batch_id partition per day), and ONE
+  * mid-week crash-replay (day 4's commit marker dropped, the epoch
+  * replayed at-least-once) — then reconciles the day-summed artifacts
+  * against the whole-window batch run over the union feed. This is the
+  * deployment cadence the D-components claim to support, executed: a
+  * nightly job that dies on Wednesday and is rerun must leave the week's
+  * artifacts byte-identical to a week that never crashed. */
+class ReplaySpec extends SparkSpec {
+
+  /** Delete the newest checkpoint commit marker — the process died after
+    * the sink write, before the commit; the restart replays that epoch
+    * with the SAME batch id (StreamingSpec's crash device). */
+  private def dropNewestCommit(ckpt: String): Unit = {
+    val commitDir = new java.io.File(ckpt + "/commits")
+    val newest = commitDir.listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    val crc = new java.io.File(commitDir, s".${newest.getName}.crc")
+    assert(newest.delete())
+    if (crc.exists()) assert(crc.delete())
+  }
+
+  private val Days = 7
+  private val CrashAfterDay = 4
+
+  /** Split a feed into the week's daily arrivals (7 non-empty slices). */
+  private def week[T](rows: Seq[T]): Seq[Seq[T]] = {
+    val per = math.max(1, math.ceil(rows.size / Days.toDouble).toInt)
+    val slices = rows.grouped(per).toSeq
+    assert(slices.size == Days && slices.forall(_.nonEmpty),
+      s"fixture too small for a $Days-day split: ${rows.size} rows")
+    slices
+  }
+
+  /** Drive one gate through the week: day-by-day runs on one checkpoint,
+    * crash-replay after day [[CrashAfterDay]], then the remaining days.
+    * Returns the target path for reconciliation. */
+  private def driveWeek[T](days: Seq[Seq[T]], in: MemoryStream[T],
+      runOnce: () => Unit, ckpt: String): Unit = {
+    days.zipWithIndex.foreach { case (day, i) =>
+      in.addData(day: _*)
+      runOnce()
+      if (i + 1 == CrashAfterDay) {
+        // Wednesday night's process died before committing — the rerun
+        // replays the epoch; day-partitioned overwrite keeps it idempotent
+        dropNewestCommit(ckpt)
+        runOnce()
+      }
+    }
+  }
+
+  test("7-day replay: five frozen-model gates, week-sum == batch, crash mid-week") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    val docs = graft.sources.Tables.documents(sp, sf)
+
+    // ---- D18: incremental dedup against the frozen standing index
+    val standing = docs.filter(col("doc_id") % graft.sources.Feeds.IncrMod
+      =!= graft.sources.Feeds.IncrRem)
+    val (indexHash, coldSigs) =
+      graft.operators.DedupOps.buildIncrementalIndex(sp, standing)
+    val dedupFeed = graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val d18Target = tmpDir("wk_d18") + "/verdicts"
+    val d18Ckpt = tmpDir("wk_d18_ck")
+    val d18In = MemoryStream[(Long, String)]
+    driveWeek(week(dedupFeed), d18In,
+      () => DedupStream.incremental(d18In.toDF().toDF("doc_id", "text"),
+        indexHash, coldSigs, d18Target, d18Ckpt).awaitTermination(),
+      d18Ckpt)
+
+    // ---- D24: novelty gate against the frozen standing gram index
+    val grams = graft.operators.Pipeline.standingGramIndex(sp, sf).cache()
+    val novFeed = graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("source", "text")
+      .as[(String, String)].collect().toSeq
+    val d24Target = tmpDir("wk_d24") + "/novelty"
+    val d24Ckpt = tmpDir("wk_d24_ck")
+    val d24In = MemoryStream[(String, String)]
+    driveWeek(week(novFeed), d24In,
+      () => CorpusStream.noveltyGate(d24In.toDF().toDF("source", "text"),
+        grams, d24Target, d24Ckpt).awaitTermination(),
+      d24Ckpt)
+
+    // ---- D27: bloom decontamination gate against the frozen filter
+    val benchGrams = graft.operators.Pipeline.decontamGrams(
+        graft.operators.Pipeline.decontamBaseOf(docs))
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod ===
+        graft.operators.Pipeline.BenchRem)
+      .select("gram").distinct().cache()
+    val words = graft.operators.Pipeline.bloomBuild(benchGrams)
+    val bloomFeed = docs
+      .filter(col("doc_id") % graft.operators.Pipeline.BenchMod =!=
+        graft.operators.Pipeline.BenchRem)
+      .orderBy("doc_id").select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val d27Target = tmpDir("wk_d27") + "/verdicts"
+    val d27Ckpt = tmpDir("wk_d27_ck")
+    val d27In = MemoryStream[(Long, String, String)]
+    driveWeek(week(bloomFeed), d27In,
+      () => BloomGateStream.gate(
+        d27In.toDF().toDF("doc_id", "source", "text"),
+        benchGrams, words, d27Target, d27Ckpt).awaitTermination(),
+      d27Ckpt)
+
+    // ---- D30: snapshot diff against the frozen old-snapshot signatures
+    val oldSigs = graft.operators.Pipeline.snapshotSig(docs).cache()
+    val snapFeed = graft.sources.Feeds.recrawlSnapshot(sp, sf)
+      .orderBy("doc_id").select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val d30Target = tmpDir("wk_d30") + "/diff"
+    val d30Ckpt = tmpDir("wk_d30_ck")
+    val d30In = MemoryStream[(Long, String, String)]
+    driveWeek(week(snapFeed), d30In,
+      () => SnapshotDiffStream.diff(
+        d30In.toDF().toDF("doc_id", "source", "text"),
+        oldSigs, d30Target, d30Ckpt).awaitTermination(),
+      d30Ckpt)
+
+    // ---- D34: span-mask plan against the frozen dup-span index
+    val spanIndex = graft.operators.DedupOps.substrDupSpans(sp, sf)
+      .select("span_hash").cache()
+    val maskFeed = docs.orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val d34Target = tmpDir("wk_d34") + "/masks"
+    val d34Ckpt = tmpDir("wk_d34_ck")
+    val d34In = MemoryStream[(Long, String)]
+    driveWeek(week(maskFeed), d34In,
+      () => MaskStream.plan(d34In.toDF().toDF("doc_id", "text"),
+        spanIndex, d34Target, d34Ckpt).awaitTermination(),
+      d34Ckpt)
+
+    // ---- reconciliation: 7 day partitions each, no duplicated epochs,
+    // and the week's union/sums equal the whole-window batch runs
+    for (t <- Seq(d18Target, d24Target, d27Target, d30Target, d34Target))
+      assert(sp.read.parquet(t).select("batch_id").distinct()
+        .count() == Days,
+        s"$t: expected $Days day partitions (crash replay must not add one)")
+
+    // D18: per-doc verdict union == batch C58
+    val d18Week = sp.read.parquet(d18Target).drop("batch_id")
+    val d18Batch = graft.operators.DedupOps.dedupIncremental(sp, sf)
+    assert(d18Week.count() == d18Batch.count())
+    assert(d18Week.except(d18Batch).count() == 0)
+    assert(d18Batch.except(d18Week).count() == 0)
+
+    // D24: day-summed novelty counters == batch C76
+    val d24Week = sp.read.parquet(d24Target).groupBy("source").agg(
+      sum("n_docs").as("n_docs"), sum("n_gram_occ").as("n_gram_occ"),
+      sum("novel_occ").as("novel_occ"))
+    val d24Batch = graft.operators.Pipeline.feedNovelty(sp, sf)
+      .select("source", "n_docs", "n_gram_occ", "novel_occ")
+    assert(d24Week.except(d24Batch).count() == 0)
+    assert(d24Batch.except(d24Week).count() == 0)
+
+    // D27: per-doc verdict union == batch C25
+    val d27Week = sp.read.parquet(d27Target)
+      .select("doc_id", "source", "n_hits", "contaminated")
+    val d27Batch = graft.operators.Pipeline.corpusDecontaminate(sp, sf)
+    assert(d27Week.count() == d27Batch.count())
+    assert(d27Week.except(d27Batch).count() == 0)
+    assert(d27Batch.except(d27Week).count() == 0)
+
+    // D30: day-summed observed diff classes == batch C83
+    val d30Week = sp.read.parquet(d30Target).groupBy("source").agg(
+      sum("n_added").as("s_added"), sum("n_changed").as("s_changed"),
+      sum("n_unchanged").as("s_unchanged"))
+    val d30Batch = graft.operators.Pipeline.snapshotDiff(sp, sf)
+    val d30J = d30Week.join(d30Batch, "source")
+    assert(d30J.count() == d30Batch.count())
+    assert(d30J.filter(col("s_added") =!= col("n_added") ||
+      col("s_changed") =!= col("n_changed") ||
+      col("s_unchanged") =!= col("n_unchanged")).count() == 0)
+
+    // D34: per-span mask union == the batch mask set over the same feed
+    val d34Week = sp.read.parquet(d34Target)
+      .select("doc_id", "span_start", "span_tokens", "span_hash")
+    val d34Batch = graft.operators.DedupOps.spanMaskAgainst(
+      docs.select("doc_id", "text"), spanIndex)
+    assert(d34Week.count() == d34Batch.count() && d34Batch.count() > 0)
+    assert(d34Week.except(d34Batch).count() == 0)
+    assert(d34Batch.except(d34Week).count() == 0)
+
+    grams.unpersist(); benchGrams.unpersist(); oldSigs.unpersist()
+    spanIndex.unpersist()
+    sp.catalog.clearCache(): Unit
+  }
+}
