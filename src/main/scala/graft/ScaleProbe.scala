@@ -105,7 +105,11 @@ object ScaleProbe {
     "q_skew_salted_agg",    // C113: two-phase salted agg (straggler curve
                             // has its own SkewProbe; this gates bulk wall)
     "q_cms_heavy_hitters",  // B50: broadcast-sketch screen + survivor agg
-    "q_hll_month_overlap")  // B51: 12-sketch grid + register-merge venn
+    "q_hll_month_overlap",  // B51: 12-sketch grid + register-merge venn
+    // round-10 additions
+    "q_value_quantile_sketch",   // B52: one distributive qsketch pass
+    "q_qsketch_s_sweep",         // B53: 4 qsketch geometries in one scan
+    "q_value_quantiles_by_type") // B54: grouped qsketches, per-type readout
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
@@ -251,6 +255,11 @@ object ScaleProbe {
     (wall, (Work.settled() - w0) / 1e3)
   }
 
+  /** One persisted sketch store per probed dir (the consumer/build split:
+    * `sketch_store_read`'s min-of-2 measures the artifact READ path). */
+  private val sketchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder("local[32]", 32)
@@ -315,6 +324,32 @@ object ScaleProbe {
               .map(_.group(1).toInt).getOrElse(1)
             graft.operators.DedupOps.dedupLshRecall(s, d,
               mod = graft.operators.DedupOps.RecallDocMod * k)
+          })) :+
+        // The sketch store's two halves, separated (round-10): the BUILD is
+        // the per-segment ingest pass — one narrow scan per family, cost ∝
+        // corpus — while the READ answers B51's 66 venn cells from the 12
+        // persisted register vectors with ZERO fact scans, so its curve
+        // must be FLAT in corpus size (the mergeable-sketch payoff,
+        // measured). Build stages a fresh root per call; the read memoizes
+        // one store per dir (the DedupArtifacts consumer/build split).
+        ("sketch_store_build" ->
+          ((s: SparkSession, d: String) => {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft-scale-sketch-").toString
+            graft.operators.SketchArtifacts.write(s, d, root)
+            graft.operators.SketchArtifacts.hllMonths(s, root).select("mth")
+              .unionByName(graft.operators.SketchArtifacts.cmsTypes(s, root)
+                .select(col("n").as("mth")))
+          })) :+
+        ("sketch_store_read" ->
+          ((s: SparkSession, d: String) => {
+            val root = sketchRoots.computeIfAbsent(d, { _ =>
+              val r = java.nio.file.Files
+                .createTempDirectory("graft-scale-sketchr-").toString
+              graft.operators.SketchArtifacts.write(s, d, r)
+              r
+            })
+            graft.operators.SketchArtifacts.monthOverlapEstimates(s, root)
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString

@@ -135,16 +135,139 @@ object StreamProbe {
         f" ${c.ratio}%4.1fx | ${if (c.ok) "PASS" else "FAIL"} |"
     }
     (Seq(header, sep) ++ rows).foreach(println)
+
+    // ---- SECOND AXIS (round-10): per-batch wall vs STANDING-INDEX size at
+    // a FIXED feed — the frozen-model gates' deployment claim is that a
+    // bigger standing corpus does not grow the per-day cost
+    val idxCurves = indexAxis(sp)
+    val ih = f"| ${"gate (fixed feed)"}%-18s |" +
+      IndexScales.map(k => f" ${s"${k}x index"}%10s |").mkString +
+      " 16x/1x | gate |"
+    val isep = "|" + "-" * 20 + "|" + ("-" * 12 + "|") * IndexScales.size +
+      "--------|------|"
+    val irows = idxCurves.map { c =>
+      f"| ${c.name}%-18s |" + c.secs.map(v => f" $v%9.2fs |").mkString +
+        f" ${c.secs.last / math.max(c.secs.head, FloorSec)}%5.1fx" +
+        f" | ${if (flatOk(c)) "PASS" else "FAIL"} |"
+    }
+    (Seq(ih, isep) ++ irows).foreach(println)
+
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "")
     if (out.nonEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        (Seq(header, sep) ++ rows).mkString("", "\n", "\n"))
+        (Seq(header, sep) ++ rows ++ Seq("", ih, isep) ++ irows)
+          .mkString("", "\n", "\n"))
     sp.stop()
-    val failed = curves.filterNot(_.ok).map(_.name)
+    val failed = curves.filterNot(_.ok).map(_.name) ++
+      idxCurves.filterNot(flatOk).map(_.name)
     if (failed.nonEmpty) {
       System.err.println(
         s"[streamprobe] superlinear micro-batch growth: ${failed.mkString(", ")}")
       sys.exit(1)
     }
+  }
+
+  /** Standing-index growth factors for the second axis. */
+  val IndexScales: Seq[Int] = Seq(1, 4, 16)
+
+  /** Flat gate: a 16× standing index may at most double the per-batch
+    * wall (floor-absorbed) — per-day cost must be driven by the FEED, not
+    * the corpus the index summarizes. */
+  val FlatRatio: Double = 2.0
+
+  private def flatOk(c: Curve): Boolean =
+    c.secs.last <= FlatRatio * math.max(c.secs.head, FloorSec)
+
+  /** Synthetic standing corpus with the PREFIX property (scale k's docs
+    * are a superset of scale 1's, so the fixed feed hits every scale
+    * identically): blocks of 4 identical docs (dup spans + near-dup
+    * structure exist at every scale), ~40 tokens from a 500-token
+    * vocabulary. */
+  private def synthDocs(sp: SparkSession, n: Long) =
+    sp.range(n).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.expr("concat('s', id % 5)").as("source"),
+      org.apache.spark.sql.functions.expr(
+        """concat_ws(' ', transform(sequence(1, 40),
+             j -> concat('tok', pmod((id - id % 4) * 131 + j * j, 500))))""")
+        .as("text"))
+
+  /** Drive the three frozen-model gates (D18 signature index, D24 gram
+    * index, D34 span index) at 1×/4×/16× standing-corpus size with the
+    * SAME 500-doc feed: per scale, build + persist the index off the
+    * clock (the nightly job, measured by ScaleProbe), then time
+    * warmup + min-of-2 gate micro-batches. */
+  private def indexAxis(sp: SparkSession): Seq[Curve] = {
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.functions._
+    graft.functions.Kernels.register(sp)
+    val BaseDocs = 4000L
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-idxprobe-").toString
+    // fixed feed: 400 standing dups (from the 1x prefix) + 100 novel docs
+    val feed = synthDocs(sp, 400L)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("source"),
+        col("text"))
+      .unionByName(sp.range(100).select(
+        (col("id") + 2000000000L).as("doc_id"),
+        expr("concat('s', id % 5)").as("source"),
+        expr("""concat_ws(' ', transform(sequence(1, 40),
+              j -> concat('nov', id * 977 + j)))""").as("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    def persisted(df: org.apache.spark.sql.DataFrame, path: String) = {
+      df.write.mode("overwrite").parquet(path); sp.read.parquet(path)
+    }
+    def timeGate(run: () => Unit): Double = {
+      run() // warmup: codegen + sink open
+      def one(): Double = {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      math.min(one(), one())
+    }
+    def curve(name: String, mk: Int => (() => Unit)): Curve =
+      Curve(name, IndexScales.map { k => timeGate(mk(k)) })
+
+    val d18 = curve("D18 sig index", { k =>
+      val standing = synthDocs(sp, BaseDocs * k)
+      val (ih, cold) = graft.operators.DedupOps
+        .buildIncrementalIndex(sp, standing)
+      val (ihF, coldF) = (persisted(ih, tmp()), persisted(cold, tmp()))
+      val in = MemoryStream[(Long, String, String)]
+      val (target, ck) = (tmp() + "/v", tmp())
+      () => {
+        in.addData(feed: _*)
+        DedupStream.incremental(
+          in.toDF().toDF("doc_id", "source", "text").drop("source"),
+          ihF, coldF, target, ck).awaitTermination()
+      }
+    })
+    val d24 = curve("D24 gram index", { k =>
+      val idx = persisted(graft.operators.Pipeline
+        .standingGramIndexOf(synthDocs(sp, BaseDocs * k)), tmp())
+      val in = MemoryStream[(Long, String, String)]
+      val (target, ck) = (tmp() + "/n", tmp())
+      () => {
+        in.addData(feed: _*)
+        CorpusStream.noveltyGate(
+          in.toDF().toDF("doc_id", "source", "text").select("source", "text"),
+          idx, target, ck).awaitTermination()
+      }
+    })
+    val d34 = curve("D34 span index", { k =>
+      val idx = persisted(graft.operators.DedupOps
+        .anchoredSpans(synthDocs(sp, BaseDocs * k))
+        .select("span_hash").distinct(), tmp())
+      val in = MemoryStream[(Long, String, String)]
+      val (target, ck) = (tmp() + "/m", tmp())
+      () => {
+        in.addData(feed: _*)
+        MaskStream.plan(
+          in.toDF().toDF("doc_id", "source", "text").select("doc_id", "text"),
+          idx, target, ck).awaitTermination()
+      }
+    })
+    Seq(d18, d24, d34)
   }
 }

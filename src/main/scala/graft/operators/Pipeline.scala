@@ -1218,8 +1218,13 @@ object Pipeline {
     * production deployment materializes once (bucketed on gram_hash, the
     * C58 signature-index contract) and D24 freezes for the stream. */
   def standingGramIndex(spark: SparkSession, dir: String): DataFrame =
-    sourceGramsOf(Tables.documents(spark, dir)
-        .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem))
+    standingGramIndexOf(Tables.documents(spark, dir)
+      .filter(col("doc_id") % Feeds.IncrMod =!= Feeds.IncrRem))
+
+  /** [[standingGramIndex]] of an ARBITRARY (source, text) frame — DF-
+    * parametric so StreamProbe's standing-index axis can size it. */
+  private[graft] def standingGramIndexOf(docs: DataFrame): DataFrame =
+    sourceGramsOf(docs)
       .select("gram_hash").distinct().withColumn("known", lit(1L))
 
   /** C76's report on ANY (source, text) feed frame against ANY standing
