@@ -89,6 +89,9 @@ object Audit {
     // histogram device with a fixed ceiling
     ("q_value_quantile_sketch", "global-window"),
     ("q_qsketch_s_sweep", "global-window"),
+    // B55: the month-over-month lag orders ≤ 12 calendar rows ABOVE the
+    // per-month sketch aggregate
+    ("q_value_quantile_drift", "global-window"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)
     // hit-set broadcast for the doc fetch — both fixed-size at any scale

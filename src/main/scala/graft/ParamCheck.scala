@@ -127,7 +127,10 @@ object ParamCheck {
         graft.operators.Sketches.qsketchSSweepSqlFor(ss = Seq(3, 10))),
       ("q_value_quantiles_by_type_s3",
         (s, d) => graft.operators.Sketches.valueQuantilesByType(s, d, s = 3),
-        graft.operators.Sketches.valueQuantilesByTypeSqlFor(s = 3)))
+        graft.operators.Sketches.valueQuantilesByTypeSqlFor(s = 3)),
+      ("q_value_quantile_drift_s3",
+        (s, d) => graft.operators.Sketches.valueQuantileDrift(s, d, s = 3),
+        graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

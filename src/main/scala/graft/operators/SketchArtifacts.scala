@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * `_graft_manifest.json` (n_rows, checksum) contract of
   * [[DedupArtifacts.readVerified]]):
   * {{{
-  *   hll_month/  mth, regs          12 rows × m longs   (B51's segments)
-  *   cms_type/   event_type, m, n   |types| rows × d·w  (B50's segments)
+  *   hll_month/      mth, regs          12 rows × m longs  (B51's segments)
+  *   cms_type/       event_type, m, n   |types| × d·w      (B50's segments)
+  *   qsketch_day/    day_epoch, regs, n  1/day × (64−s)·2^s  (B55's)
   * }}}
   *
   * The registered B50/B51 queries stay inline (they measure the one-pass
@@ -55,6 +56,23 @@ object SketchArtifacts {
         .agg(expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"),
           count(lit(1)).as("n")),
       s"$root/cms_type", "event_type")
+    DedupArtifacts.writeArtifact(
+      Sketches.dayValueSketches(spark, dir,
+        graft.functions.Kernels.QSketchS),
+      s"$root/qsketch_day", "day_epoch")
+  }
+
+  /** Manifest-verified per-day quantile-sketch bucket counts. */
+  def qsketchDays(spark: SparkSession, root: String): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/qsketch_day")
+
+  /** B55 answered FROM THE STORE: day-over-day value-quantile drift from
+    * the persisted bucket-count rows alone — zero fact scans
+    * (plan-pinned), byte-equal to the inline B55 (ArtifactSpec). */
+  def valueQuantileDrift(spark: SparkSession, root: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Sketches.quantileDriftAssemble(qsketchDays(spark, root),
+      graft.functions.Kernels.QSketchS)
   }
 
   /** Manifest-verified per-month HLL register vectors. */

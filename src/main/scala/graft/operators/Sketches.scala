@@ -748,6 +748,102 @@ object Sketches {
   lazy val valueQuantilesByTypeSql: String =
     valueQuantilesByTypeSqlFor(graft.functions.Kernels.QSketchS)
 
+  /** The per-day (day_epoch, regs, n) quantile-sketch relation B55 reads
+    * and [[SketchArtifacts]] persists — epoch day from the event's UTC
+    * nanos (the B37 bucket device), cents from the C113 device. */
+  private[operators] def dayValueSketches(spark: SparkSession, dir: String,
+      s: Int): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("ts div 86400000000000").as("day_epoch"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("day_epoch")
+      .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
+        count(lit(1)).as("n"))
+
+  /** B55's drift assembly from a per-day sketch relation — shared
+    * verbatim by the inline plan and the [[SketchArtifacts]] store
+    * consumer (the B51 pattern for the quantile family). */
+  private[operators] def quantileDriftAssemble(sk: DataFrame,
+      s: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Kernels
+    def pickCols(df: DataFrame, qPm: Int, out: String): DataFrame =
+      df.withColumn(s"r_$qPm", expr(s"($qPm * n + 999) div 1000"))
+        .withColumn(s"b_$qPm",
+          expr(Kernels.qsketchPickSparkSql("regs", s"r_$qPm")))
+        .withColumn(out,
+          expr(Kernels.qsketchLowerSparkSql(s"b_$qPm", s)))
+    // calendar-bounded lag (one row per observed day, above the aggregate)
+    val w = Window.orderBy("day_epoch")
+    pickCols(pickCols(sk, 500, "p50_lo"), 900, "p90_lo")
+      .select(col("day_epoch"), col("n"), col("p50_lo"), col("p90_lo"))
+      .withColumn("d50", col("p50_lo") - lag("p50_lo", 1).over(w))
+      .withColumn("d90", col("p90_lo") - lag("p90_lo", 1).over(w))
+      .orderBy("day_epoch")
+  }
+
+  /** B55: `q_value_quantile_drift` — the quantile sketch's PRODUCTION
+    * CONSUMER (the B50/B51 pattern applied to the third sketch family):
+    * day-over-day value-distribution drift read from PER-DAY quantile
+    * sketches alone — per day the median and p90 value (bucket lower
+    * bounds, ≤ 2^−s relative) plus their deltas against the previous
+    * day. At 100 TB each day's ingest leaves a 29 KiB sketch behind
+    * ([[SketchArtifacts]] persists them, byte-equality pinned) and ANY
+    * later drift question is a calendar-row readout — no fact re-scan;
+    * the exact twin re-sorts a day of values per cell. A p50 step says
+    * the typical value moved; p90-only movement says the tail did — the
+    * monitoring row a pricing/anomaly pipeline trends daily.
+    *
+    * Exactness: the readout is the B52 integer algebra as a higher-order
+    * fold per day row (the D36 device); deltas are long subtraction; the
+    * lag window orders one row per calendar day above the aggregate. */
+  def valueQuantileDrift(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    quantileDriftAssemble(dayValueSketches(spark, dir, s), s)
+  }
+
+  def valueQuantileDriftSqlFor(s: Int): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT day_epoch, ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    h AS (SELECT day_epoch, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT day_epoch, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY day_epoch ORDER BY bucket)
+          AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (SELECT day_epoch, count(*) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT day_epoch, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([500, 900]) AS q_pm), tot),
+    pick AS (
+      SELECT g.day_epoch, g.q_pm, g.n, MIN(bucket) AS bucket
+      FROM grid g
+      JOIN cum ON cum.day_epoch = g.day_epoch AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3),
+    vals AS (
+      SELECT day_epoch, n,
+        MIN(CASE WHEN q_pm = 500
+          THEN ${qsketchLowerSql("bucket", s)} END) AS p50_lo,
+        MIN(CASE WHEN q_pm = 900
+          THEN ${qsketchLowerSql("bucket", s)} END) AS p90_lo
+      FROM pick GROUP BY 1, 2)
+    SELECT day_epoch, n, p50_lo, p90_lo,
+      p50_lo - lag(p50_lo, 1) OVER (ORDER BY day_epoch) AS d50,
+      p90_lo - lag(p90_lo, 1) OVER (ORDER BY day_epoch) AS d90
+    FROM vals ORDER BY day_epoch"""
+  }
+
+  lazy val valueQuantileDriftSql: String =
+    valueQuantileDriftSqlFor(graft.functions.Kernels.QSketchS)
+
   /** B14: `q_events_paths` — each user's full event journey as an ordered
     * path string (funnel/path analysis input). One shuffle on user_id; the
     * per-user sort happens inside the aggregate on collected structs, and

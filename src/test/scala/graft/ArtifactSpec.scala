@@ -227,6 +227,15 @@ class ArtifactSpec extends SparkSpec {
     assert(SketchArtifacts.heavyHitters(spark, sf, r).collect().toSeq ==
       Sketches.cmsHeavyHitters(spark, sf).collect().toSeq,
       "store-fed B50 diverges from inline")
+    spark.catalog.clearCache()
+    // B55 from the 12 persisted quantile-sketch rows == the inline plan,
+    // and the consumer touches ZERO fact tables
+    val drift = SketchArtifacts.valueQuantileDrift(spark, r)
+    assert(Audit.factScanCounts(drift).isEmpty,
+      s"store-fed B55 touched a fact table: ${Audit.factScanCounts(drift)}")
+    assert(drift.collect().toSeq ==
+      Sketches.valueQuantileDrift(spark, sf).collect().toSeq,
+      "store-fed B55 diverges from inline")
     spark.catalog.clearCache(): Unit
   }
 }
