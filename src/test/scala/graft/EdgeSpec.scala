@@ -108,4 +108,69 @@ class EdgeSpec extends SparkSpec {
       .count() == 64 * 65 / 2)
     spark.catalog.clearCache(): Unit
   }
+
+  test("quantile sketch edges: empty, single, identical, huge, mixed") {
+    val sp = spark
+    import sp.implicits._
+    def eventsDir(values: Seq[Double]): String = {
+      val dir = tmpDir("qs_edge")
+      values.zipWithIndex.map { case (v, i) =>
+        (i.toLong, 1700000000000000000L + i * 1000000000L, i.toLong % 7,
+          "click", v, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // empty stream: every quantile query returns zero rows, never throws
+    val empty = eventsDir(Seq.empty)
+    for (q <- Seq("q_value_quantile_sketch", "q_qsketch_s_sweep",
+        "q_value_quantiles_by_type", "q_value_quantile_drift")) {
+      assert(SparkEntry.queries(q)(sp, empty).count() == 0,
+        s"$q must be empty on an empty stream")
+      sp.catalog.clearCache()
+    }
+    // single value: every grid quantile returns ITS bucket — rank bracket
+    // (0, 1], value bracket containing the one observation
+    val single = eventsDir(Seq(123.45))
+    val cents = 12345L
+    for (r <- operators.Sketches.valueQuantileSketch(sp, single).collect()) {
+      assert(r.getAs[Long]("n") == 1 && r.getAs[Long]("r") == 1)
+      assert(r.getAs[Long]("n_below") == 0 && r.getAs[Long]("n_thru") == 1)
+      assert(r.getAs[Long]("est_lo") <= cents &&
+        cents < r.getAs[Long]("est_hi"), r.toString)
+    }
+    sp.catalog.clearCache()
+    // 1000 identical values: one occupied bucket, every quantile lands in
+    // it with the full mass
+    val same = eventsDir(Seq.fill(1000)(42.0))
+    for (r <- operators.Sketches.valueQuantileSketch(sp, same).collect()) {
+      assert(r.getAs[Long]("n_below") == 0 &&
+        r.getAs[Long]("n_thru") == 1000)
+      assert(r.getAs[Long]("est_lo") <= 4200L &&
+        4200L < r.getAs[Long]("est_hi"))
+    }
+    sp.catalog.clearCache()
+    // huge + tiny mixed (centuries of octaves apart): the rank guarantee
+    // and the 2^-s relative bracket hold across the whole range — the
+    // unbounded-domain case the B24 cents histogram cannot serve
+    val mixed = eventsDir(
+      Seq.fill(50)(0.01) ++ Seq.fill(30)(9999.99) ++
+        Seq.fill(20)(1.23456789e14))
+    val rows = operators.Sketches.valueQuantileSketch(sp, mixed).collect()
+    assert(rows.length == graft.functions.Kernels.QuantileGridPm.length)
+    for (r <- rows) {
+      val (rk, below, thru) = (r.getAs[Long]("r"),
+        r.getAs[Long]("n_below"), r.getAs[Long]("n_thru"))
+      assert(below < rk && rk <= thru, r.toString)
+      val (lo, hi) = (r.getAs[Long]("est_lo"), r.getAs[Long]("est_hi"))
+      if (lo >= (1L << graft.functions.Kernels.QSketchS))
+        assert(hi - lo <= math.max(lo >> graft.functions.Kernels.QSketchS,
+          1L), r.toString)
+    }
+    // q250/q500 land in the cents-1 bucket, q990 in the 1.23e16 octave
+    val byQ = rows.map(r => r.getAs[Long]("q_pm") -> r).toMap
+    assert(byQ(250L).getAs[Long]("est_lo") == 1L)
+    assert(byQ(990L).getAs[Long]("est_lo") > 1000000000000000L)
+    sp.catalog.clearCache(): Unit
+  }
 }
