@@ -643,4 +643,31 @@ class PlanSpec extends SparkSpec {
       "C113 is one events pass")
   }
 
+  test("quantile sketch family pins: one scan each, cached readouts") {
+    // B52: ONE events pass builds the sketch; the readout's histogram and
+    // quantile grid both read the cached 1-row relation
+    val b52 = SparkEntry.queries("q_value_quantile_sketch")(spark, sf)
+    assert(Audit.factScanCounts(b52).getOrElse("events", 0) == 1)
+    val l52 = scanLeavesOf(b52)
+    assert(!l52.contains("file") && l52.count(_ == "mem") >= 2, l52)
+    spark.catalog.clearCache()
+    // B53: ONE scan builds EVERY geometry's counts (the B48 device) —
+    // each s's readout (hist + grid + cell stats) reads the cache
+    val b53 = SparkEntry.queries("q_qsketch_s_sweep")(spark, sf)
+    assert(Audit.factScanCounts(b53).getOrElse("events", 0) == 1,
+      "B53 must build all geometries in one scan")
+    val l53 = scanLeavesOf(b53)
+    assert(!l53.contains("file") &&
+      l53.count(_ == "mem") >= operators.Sketches.QSketchSweepSs.length * 2,
+      l53)
+    spark.catalog.clearCache()
+    // B54 grouped / B55 per-day drift: one events pass each
+    for (q <- Seq("q_value_quantiles_by_type", "q_value_quantile_drift")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(Audit.factScanCounts(df).getOrElse("events", 0) == 1,
+        s"$q must be one events pass")
+      spark.catalog.clearCache()
+    }
+  }
+
 }
