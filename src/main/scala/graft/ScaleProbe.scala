@@ -109,7 +109,8 @@ object ScaleProbe {
     // round-10 additions
     "q_value_quantile_sketch",   // B52: one distributive qsketch pass
     "q_qsketch_s_sweep",         // B53: 4 qsketch geometries in one scan
-    "q_value_quantiles_by_type") // B54: grouped qsketches, per-type readout
+    "q_value_quantiles_by_type", // B54: grouped qsketches, per-type readout
+    "q_value_quantile_drift")    // B55: per-day qsketches + calendar lag
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
