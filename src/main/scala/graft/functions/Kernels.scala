@@ -1034,7 +1034,12 @@ case class HllSketchAgg(
   * cumulative range brackets the target rank, so rank slack ≤ the bucket's
   * own mass and the value bracket [lower, upper) is ≤ 2^−s relative.
   * State: (64−s)·2^s longs (29 KiB at the production s = 6) per group at
-  * ANY corpus size — where exact quantiles shuffle every value. */
+  * ANY corpus size — where exact quantiles shuffle every value. The
+  * grouping key is meant to be a SEGMENT (event type, day, month, shard
+  * — B54/B55's shapes): a per-entity key (user, doc) would multiply the
+  * 29 KiB buffer by the entity count in the aggregation hash map; at
+  * that granularity size s down (s = 2 is 2 KiB at 25% brackets) or
+  * pre-aggregate entities onto segments first. */
 case class QuantileSketchAgg(
     child: Expression,
     s: Int = Kernels.QSketchS,
