@@ -89,8 +89,8 @@ object Audit {
     // histogram device with a fixed ceiling
     ("q_value_quantile_sketch", "global-window"),
     ("q_qsketch_s_sweep", "global-window"),
-    // B55: the month-over-month lag orders ≤ 12 calendar rows ABOVE the
-    // per-month sketch aggregate
+    // B55: the day-over-day lag orders one row per observed calendar day
+    // ABOVE the per-day sketch aggregate (calendar-bounded)
     ("q_value_quantile_drift", "global-window"),
     ("q_ann_hard_negatives", "hinted-fact-broadcast:embeddings"),
     // C74 serving: inherits C6's probe broadcast, plus the O(batch·10)

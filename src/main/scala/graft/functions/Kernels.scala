@@ -543,8 +543,13 @@ object Kernels {
     * returns. With k = b >> s: k ≤ 1 means the bucket is exact (value =
     * b); otherwise the octave is e = s + k − 1 and the bound is
     * (b − (k−1)·2^s) << (k−1). Monotone in b; qsketchLower(b+1) is
-    * bucket b's exclusive upper bound. */
+    * bucket b's exclusive upper bound. The one-past-the-top index
+    * b = (64−s)·2^s (the top bucket's upper bound) would be 2^63, which
+    * overflows Long — it clamps to Long.MaxValue, making the top bucket's
+    * bracket [lo, Long.MaxValue] inclusive (every representable value is
+    * covered; no negative est_hi). */
   def qsketchLower(b: Int, s: Int): Long = {
+    if (b >= qsketchBuckets(s)) return Long.MaxValue
     val k = b >> s
     if (k <= 1) b.toLong
     else (b.toLong - ((k - 1).toLong << s)) << (k - 1)
@@ -559,17 +564,23 @@ object Kernels {
               + (($x) >> (CAST(length(bin($x)) AS BIGINT) - 1 - $s))
     END"""
 
-  /** The identical lower-bound map as a DuckDB SQL fragment (b BIGINT). */
+  /** The identical lower-bound map as a DuckDB SQL fragment (b BIGINT) —
+    * including the one-past-the-top clamp to Long.MaxValue (without it the
+    * top octave's exclusive upper bound 2^63 wraps negative, and Spark's
+    * shiftleft wrap vs DuckDB's << overflow behavior would diverge). */
   def qsketchLowerSql(b: String, s: Int): String = s"""
-    CASE WHEN (($b) >> $s) <= 1 THEN ($b)
+    CASE WHEN ($b) >= ${qsketchBuckets(s)} THEN ${Long.MaxValue}
+         WHEN (($b) >> $s) <= 1 THEN ($b)
          ELSE (($b) - ((($b) >> $s) - 1) * ${1L << s})
               << ((($b) >> $s) - 1)
     END"""
 
   /** [[qsketchLower]] as a Spark SQL fragment (shiftleft/shiftright — the
-    * Spark-side spelling of [[qsketchLowerSql]]'s >> / <<). */
+    * Spark-side spelling of [[qsketchLowerSql]]'s >> / <<), with the same
+    * one-past-the-top clamp. */
   def qsketchLowerSparkSql(b: String, s: Int): String =
-    s"CASE WHEN shiftright($b, $s) <= 1 THEN CAST($b AS BIGINT) " +
+    s"CASE WHEN ($b) >= ${qsketchBuckets(s)} THEN ${Long.MaxValue}L " +
+      s"WHEN shiftright($b, $s) <= 1 THEN CAST($b AS BIGINT) " +
       s"ELSE shiftleft(CAST($b AS BIGINT) - (CAST(shiftright($b, $s) AS " +
       s"BIGINT) - 1) * ${1L << s}, shiftright($b, $s) - 1) END"
 

@@ -146,17 +146,32 @@ class KernelsSpec extends SparkSpec {
         assert(b >= 0 && b < qsketchBuckets(s), s"s=$s v=$v b=$b")
         val lo = qsketchLower(b, s)
         val hi = qsketchLower(b + 1, s)
-        // the bucket brackets its value...
-        assert(lo <= v && (v < hi || b == qsketchBuckets(s) - 1),
+        // the bucket brackets its value (the top bucket's upper bound
+        // clamps to Long.MaxValue, so its bracket is inclusive)
+        assert(lo <= v && (v < hi || hi == Long.MaxValue),
           s"s=$s v=$v not in [$lo, $hi)")
         // ...within relative width 2^-s once past the exact range
-        if (v >= (1L << s) && b < qsketchBuckets(s) - 1)
+        if (v >= (1L << s))
           assert(hi - lo <= (lo >> s).max(1L), s"s=$s v=$v width ${hi - lo}")
         // bound values are left-inverses: bucket(lower(b)) == b
         assert(qsketchBucket(lo, s) == b, s"s=$s lower($b)=$lo maps back")
       }
       // negatives and zero clamp to bucket 0
       assert(qsketchBucket(0L, s) == 0 && qsketchBucket(-7L, s) == 0)
+      // the TOP bucket's edge is DEFINED, not carved out: one past the top
+      // index clamps to Long.MaxValue (2^63 would wrap negative), so
+      // est_hi ≥ est_lo holds for top-octave values (v ≥ 2^62 at s=6)
+      assert(qsketchLower(qsketchBuckets(s), s) == Long.MaxValue)
+      val topLo = qsketchLower(qsketchBuckets(s) - 1, s)
+      assert(topLo > 0 && topLo < Long.MaxValue &&
+        qsketchBucket(Long.MaxValue, s) == qsketchBuckets(s) - 1)
+      // and the Spark SQL spelling agrees on the clamped edge (b = one
+      // past the top bucket as well as the top bucket's own lower bound)
+      val sqlEdge = spark.range(1).selectExpr(
+        qsketchLowerSparkSql(s"${qsketchBuckets(s)}", s) + " AS hi",
+        qsketchLowerSparkSql(s"${qsketchBuckets(s) - 1}", s) + " AS lo")
+        .head
+      assert(sqlEdge.getLong(0) == Long.MaxValue && sqlEdge.getLong(1) == topLo)
     }
   }
 
