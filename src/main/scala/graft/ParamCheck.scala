@@ -130,6 +130,21 @@ object ParamCheck {
         graft.operators.Sketches.valueQuantilesByTypeSqlFor(s = 3)),
       ("q_value_quantile_drift_s3",
         (s, d) => graft.operators.Sketches.valueQuantileDrift(s, d, s = 3),
+        graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)),
+      // the PERSISTED store at a non-default geometry, end-to-end: write
+      // at s=3 (manifest records the geometry), read back through the
+      // geometry-checked verifier, answer B55 from the artifact rows —
+      // hash-compared against DuckDB recomputing inline at the SAME s.
+      // This is the round-11 manifest-geometry contract exercised through
+      // the full write → verify → consume cycle, not just the spec's
+      // mismatch rejection.
+      ("q_value_quantile_drift_store_s3",
+        (s, d) => {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-pc-sketch-").toString
+          graft.operators.SketchArtifacts.write(s, d, root, s = 3)
+          graft.operators.SketchArtifacts.valueQuantileDrift(s, root, s = 3)
+        },
         graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

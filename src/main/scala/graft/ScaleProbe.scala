@@ -351,6 +351,48 @@ object ScaleProbe {
               r
             })
             graft.operators.SketchArtifacts.monthOverlapEstimates(s, root)
+          })) :+
+        // The store's INCREMENTAL maintenance (round 11), two directions:
+        // `qsketch_append_day` appends one of the corpus's own days — its
+        // cost is that day's volume, which inflation grows linearly (and
+        // the local layout has no date partitioning, so the day filter
+        // scans the table: linear, an upper bound on the pruned
+        // deployment read). `qsketch_append_fixedday` appends a
+        // CONSTRUCTED day of FIXED volume into the same growing store —
+        // this one must be FLAT in corpus size, which is the claim "append
+        // cost ∝ day volume, not corpus size" measured directly (the
+        // manifest re-stamp reads one row per observed day — calendar-
+        // bounded, not corpus-bounded). Both reuse the memoized store
+        // (append mutates only the synthetic/restated slice; the
+        // hll_month rows sketch_store_read consumes are untouched).
+        ("qsketch_append_day" ->
+          ((s: SparkSession, d: String) => {
+            val root = sketchRoots.computeIfAbsent(d, { _ =>
+              val r = java.nio.file.Files
+                .createTempDirectory("graft-scale-sketchr-").toString
+              graft.operators.SketchArtifacts.write(s, d, r)
+              r
+            })
+            graft.operators.SketchArtifacts
+              .appendQsketchDayFrom(s, d, root, 19730L)
+            graft.operators.SketchArtifacts.qsketchDays(s, root)
+              .select("day_epoch", "n")
+          })) :+
+        ("qsketch_append_fixedday" ->
+          ((s: SparkSession, d: String) => {
+            val root = sketchRoots.computeIfAbsent(d, { _ =>
+              val r = java.nio.file.Files
+                .createTempDirectory("graft-scale-sketchr-").toString
+              graft.operators.SketchArtifacts.write(s, d, r)
+              r
+            })
+            val day = s.range(50000).select(
+              (lit(21000L) * lit(86400000000000L) + col("id")).as("ts"),
+              (col("id") % 997).cast("double").as("value"))
+            graft.operators.SketchArtifacts
+              .appendQsketchDay(s, root, 21000L, day)
+            graft.operators.SketchArtifacts.qsketchDays(s, root)
+              .select("day_epoch", "n")
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString

@@ -60,48 +60,135 @@ object DedupArtifacts {
     * NEXT artifact's job starts with a clean store — this sequencing is
     * exactly what caps peak memory at one generator. The manifest's
     * (n_rows, checksum) is re-derived from the WRITTEN files, so a read
-    * that reverifies it proves file integrity end-to-end. */
+    * that reverifies it proves file integrity end-to-end. `params` records
+    * the BUILD PARAMETERS the rows are only meaningful under (sketch
+    * geometry — m / depth·width / s): a reader that states its expected
+    * params fails fast on mismatch instead of silently reinterpreting
+    * registers under the wrong bucket map (the round-10 latent-defect
+    * class). */
   private[operators] def writeArtifact(df: DataFrame, path: String,
-      key: String): Unit = {
+      key: String, params: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val par = spark.sessionState.conf.numShufflePartitions
     df.repartition(par, col(key))
       .write.mode(SaveMode.Overwrite).parquet(path)
+    refreshManifest(spark, path, params)
+    spark.catalog.clearCache()
+  }
+
+  /** Hive-layout variant of [[writeArtifact]]: rows land under
+    * `partCol=<value>/` directories, so a later restatement can swap ONE
+    * slice ([[graft.operators.Etl.replaceSlice]]) and re-stamp the
+    * manifest without rewriting the rest — the incremental-append story
+    * for per-segment sketch stores. */
+  private[operators] def writePartitionedArtifact(df: DataFrame,
+      path: String, partCol: String,
+      params: Map[String, String] = Map.empty): Unit = {
+    val spark = df.sparkSession
+    // co-locate each slice's rows so every partCol=… directory holds one
+    // file (segment-sketch slices are one row each; no small-file spray)
+    df.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    refreshManifest(spark, path, params)
+    spark.catalog.clearCache()
+  }
+
+  /** Recompute (n_rows, checksum) FROM THE FILES and rewrite the
+    * manifest. The checksum is an order-free row-set digest
+    * (bit_xor of per-row xxhash64), so an artifact assembled slice by
+    * slice carries the SAME manifest as one written in a single pass —
+    * append ≡ rebuild is checkable by manifest equality alone. Cost is
+    * one narrow O(artifact) pass (tiny for sketch stores: one row per
+    * segment). */
+  private[operators] def refreshManifest(spark: SparkSession, path: String,
+      params: Map[String, String] = Map.empty): Unit = {
     val back = spark.read.parquet(path)
     val row = back.agg(count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64(${back.columns.mkString(", ")}))"),
         lit(0L)).as("ck")).head()
-    writeManifest(spark, path, row.getLong(0), row.getLong(1))
-    spark.catalog.clearCache()
+    writeManifest(spark, path, row.getLong(0), row.getLong(1), params)
+  }
+
+  /** The manifest's recorded params, or None when no manifest exists yet
+    * (a store being initialized by its first append). */
+  private[operators] def manifestParams(spark: SparkSession,
+      path: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim match {
+        case manifestRe(_, _, ps) => Some(Option(ps).toSeq
+          .flatMap(s => paramRe.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2)))
+          .toMap)
+        case other =>
+          sys.error(s"unparseable artifact manifest at $path: $other")
+      }
+    }
   }
 
   private def manifestPath(path: String) = s"$path/_graft_manifest.json"
 
-  private def writeManifest(spark: SparkSession, path: String,
-      nRows: Long, checksum: Long): Unit = {
+  private[operators] def writeManifest(spark: SparkSession, path: String,
+      nRows: Long, checksum: Long,
+      params: Map[String, String] = Map.empty): Unit = {
     val p = new org.apache.hadoop.fs.Path(manifestPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paramsJson =
+      if (params.isEmpty) ""
+      else params.toSeq.sorted
+        .map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","params":{""", ",", "}")
     val out = fs.create(p, true)
     try out.write(
-      s"""{"n_rows":$nRows,"checksum":$checksum}""".getBytes("UTF-8"))
+      s"""{"n_rows":$nRows,"checksum":$checksum$paramsJson}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
+
+  private val manifestRe =
+    """\{"n_rows":(-?\d+),"checksum":(-?\d+)(?:,"params":\{(.*)\})?\}""".r
+  private val paramRe = """"([^"]+)":"([^"]*)"""".r
 
   /** Manifest-verified artifact read: recompute (n_rows, checksum) from
     * the files and compare before handing the frame out — ONE narrow
     * O(artifact) pass, no shuffle; skipping it would let a lost part file
-    * read as a clean smaller pair set. */
-  def readVerified(spark: SparkSession, path: String): DataFrame = {
+    * read as a clean smaller pair set. `expectParams` (when non-empty)
+    * must ALL be recorded in the manifest with the same values — a store
+    * built at one sketch geometry read under another is a silent
+    * wrong-answer path, so the mismatch (or a legacy manifest recording
+    * no params at all) fails fast naming both sides. */
+  def readVerified(spark: SparkSession, path: String,
+      expectParams: Map[String, String] = Map.empty): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(manifestPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val re = """\{"n_rows":(-?\d+),"checksum":(-?\d+)\}""".r
-    val (wantN, wantCk) = txt.trim match {
-      case re(n, c) => (n.toLong, c.toLong)
+    val (wantN, wantCk, recorded) = txt.trim match {
+      case manifestRe(n, c, ps) =>
+        val params = Option(ps).toSeq
+          .flatMap(s => paramRe.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2)))
+          .toMap
+        (n.toLong, c.toLong, params)
       case other => sys.error(s"unparseable artifact manifest at $path: $other")
     }
+    val mismatched = expectParams.filter { case (k, v) =>
+      !recorded.get(k).contains(v)
+    }
+    if (mismatched.nonEmpty)
+      sys.error(s"artifact $path geometry mismatch: reader expects " +
+        mismatched.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("(", ", ", ")") +
+        s", manifest records " +
+        (if (recorded.isEmpty) "no params (legacy manifest — rebuild the store)"
+         else recorded.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+           .mkString("(", ", ", ")")))
     val df = spark.read.parquet(path)
     val row = df.agg(count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))"),

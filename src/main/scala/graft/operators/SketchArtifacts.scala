@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * round trip.
   *
   * Layout under a root (each directory carries the
-  * `_graft_manifest.json` (n_rows, checksum) contract of
-  * [[DedupArtifacts.readVerified]]):
+  * `_graft_manifest.json` (n_rows, checksum, geometry params) contract of
+  * [[DedupArtifacts.readVerified]] — readers state the geometry they
+  * expect and the read fails fast on mismatch):
   * {{{
   *   hll_month/      mth, regs          12 rows × m longs  (B51's segments)
   *   cms_type/       event_type, m, n   |types| × d·w      (B50's segments)
@@ -35,19 +36,36 @@ import org.apache.spark.sql.functions._
   */
 object SketchArtifacts {
 
+  /** Geometry params each family's manifest records — the ROUND-11
+    * contract: a register vector is only meaningful under the geometry it
+    * was built with (wrong m → wrong alpha·m² in HLL estimates; mismatched
+    * depth·width → zip_with over different-length CMS matrices; wrong s →
+    * a different bucket map), so every reader states its expected geometry
+    * and [[DedupArtifacts.readVerified]] fails fast on mismatch instead of
+    * silently reinterpreting. */
+  private def hllParams(m: Int) =
+    Map("family" -> "hll", "m" -> m.toString)
+  private def cmsParams(depth: Int, width: Int) =
+    Map("family" -> "cms", "depth" -> depth.toString,
+      "width" -> width.toString)
+  private def qsketchParams(s: Int) =
+    Map("family" -> "qsketch", "s" -> s.toString)
+
   /** Build the store: one narrow pass per sketch family. The HLL segments
     * come off the SAME (month, customer) relation the inline B51 uses
     * (HLL updates are idempotent, so sketch(distinct) ≡ sketch(stream));
-    * the CMS segments partition B50's key stream by event type. */
+    * the CMS segments partition B50's key stream by event type. Each
+    * directory's manifest records the build geometry. */
   def write(spark: SparkSession, dir: String, root: String,
       m: Int = graft.functions.Kernels.HllM,
-      depth: Int = Sketches.HhDepth, width: Int = Sketches.HhWidth): Unit = {
+      depth: Int = Sketches.HhDepth, width: Int = Sketches.HhWidth,
+      s: Int = graft.functions.Kernels.QSketchS): Unit = {
     graft.functions.Kernels.register(spark)
     DedupArtifacts.writeArtifact(
       Sketches.monthCustomers(spark, dir)
         .groupBy("mth")
         .agg(expr(s"graft_hll_sketch_m(o_custkey, $m)").as("regs")),
-      s"$root/hll_month", "mth")
+      s"$root/hll_month", "mth", hllParams(m))
     DedupArtifacts.writeArtifact(
       graft.sources.Tables.events(spark, dir)
         .select(col("event_type"),
@@ -55,33 +73,91 @@ object SketchArtifacts {
         .groupBy("event_type")
         .agg(expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"),
           count(lit(1)).as("n")),
-      s"$root/cms_type", "event_type")
-    DedupArtifacts.writeArtifact(
-      Sketches.dayValueSketches(spark, dir,
-        graft.functions.Kernels.QSketchS),
-      s"$root/qsketch_day", "day_epoch")
+      s"$root/cms_type", "event_type", cmsParams(depth, width))
+    DedupArtifacts.writePartitionedArtifact(
+      Sketches.dayValueSketches(spark, dir, s),
+      s"$root/qsketch_day", "day_epoch", qsketchParams(s))
   }
 
-  /** Manifest-verified per-day quantile-sketch bucket counts. */
-  def qsketchDays(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/qsketch_day")
+  /** INCREMENTAL store maintenance (round 11): day N's ingest leaves ONLY
+    * day N's 29 KiB sketch row behind — the deployment cadence B55's
+    * scaladoc sells, executed. The day's events slice (date-pruned at a
+    * partitioned deployment; [[appendQsketchDayFrom]] expresses the
+    * filter for the pruner) aggregates to one (day_epoch, regs, n) row,
+    * which swaps in via [[graft.operators.Etl.replaceSlice]]'s
+    * write-new → rename publish: run twice ≡ run once, and a RESTATED day
+    * (late data, corrected feed) replaces its slice without touching the
+    * others. The manifest then re-stamps from the files (order-free
+    * row-set digest), so an append-built store carries the SAME manifest
+    * checksum as a single-pass rebuild — append ≡ rebuild is pinned by
+    * manifest equality in ArtifactSpec. Geometry handshake: appending at
+    * a different s than the store records fails fast BEFORE writing
+    * (a mixed-geometry store would be silently unreadable).
+    *
+    * `dayEvents` needs (ts, value); rows outside `dayEpoch` are filtered
+    * out by the slice swap (a mislabeled row can never leak in). */
+  def appendQsketchDay(spark: SparkSession, root: String, dayEpoch: Long,
+      dayEvents: DataFrame,
+      s: Int = graft.functions.Kernels.QSketchS): Unit = {
+    graft.functions.Kernels.register(spark)
+    val path = s"$root/qsketch_day"
+    DedupArtifacts.manifestParams(spark, path).foreach { rec =>
+      if (rec != qsketchParams(s))
+        sys.error(s"sketch store $path geometry mismatch: append at " +
+          s"s=$s against a store recording " +
+          rec.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("(", ", ", ")"))
+    }
+    Etl.replaceSlice(spark, path, "day_epoch", dayEpoch.toString,
+      Sketches.dayValueSketchesOf(dayEvents, s))
+    DedupArtifacts.refreshManifest(spark, path, qsketchParams(s))
+  }
+
+  /** [[appendQsketchDay]] reading day `dayEpoch`'s slice from the source
+    * dir — the filter is the date predicate a ts-partitioned deployment
+    * prunes on, so the ingest cost is the DAY's volume, not the corpus
+    * ([[graft.ScaleProbe]]'s `qsketch_append_fixedday` probe measures the
+    * flat curve). */
+  def appendQsketchDayFrom(spark: SparkSession, dir: String, root: String,
+      dayEpoch: Long,
+      s: Int = graft.functions.Kernels.QSketchS): Unit =
+    appendQsketchDay(spark, root, dayEpoch,
+      graft.sources.Tables.events(spark, dir)
+        .filter(expr("ts div 86400000000000") === lit(dayEpoch)), s)
+
+  /** Manifest-verified per-day quantile-sketch bucket counts — fails fast
+    * unless the store was built at subdivision `s`. Normalizes the
+    * hive-partitioned read back to the builder's (day_epoch long, regs,
+    * n) surface. */
+  def qsketchDays(spark: SparkSession, root: String,
+      s: Int = graft.functions.Kernels.QSketchS): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/qsketch_day",
+        qsketchParams(s))
+      .select(col("day_epoch").cast("long").as("day_epoch"),
+        col("regs"), col("n"))
 
   /** B55 answered FROM THE STORE: day-over-day value-quantile drift from
     * the persisted bucket-count rows alone — zero fact scans
-    * (plan-pinned), byte-equal to the inline B55 (ArtifactSpec). */
-  def valueQuantileDrift(spark: SparkSession, root: String): DataFrame = {
+    * (plan-pinned), byte-equal to the inline B55 (ArtifactSpec). The
+    * geometry handshake: the read rejects a store built at any other s. */
+  def valueQuantileDrift(spark: SparkSession, root: String,
+      s: Int = graft.functions.Kernels.QSketchS): DataFrame = {
     graft.functions.Kernels.register(spark)
-    Sketches.quantileDriftAssemble(qsketchDays(spark, root),
-      graft.functions.Kernels.QSketchS)
+    Sketches.quantileDriftAssemble(qsketchDays(spark, root, s), s)
   }
 
-  /** Manifest-verified per-month HLL register vectors. */
-  def hllMonths(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/hll_month")
+  /** Manifest-verified per-month HLL register vectors (built at `m`). */
+  def hllMonths(spark: SparkSession, root: String,
+      m: Int = graft.functions.Kernels.HllM): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/hll_month", hllParams(m))
 
-  /** Manifest-verified per-event-type CMS matrices. */
-  def cmsTypes(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/cms_type")
+  /** Manifest-verified per-event-type CMS matrices (built at
+    * depth × width). */
+  def cmsTypes(spark: SparkSession, root: String,
+      depth: Int = Sketches.HhDepth,
+      width: Int = Sketches.HhWidth): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/cms_type",
+      cmsParams(depth, width))
 
   /** B51 answered FROM THE STORE: the 66 venn cells come from the 12
     * persisted register vectors alone (max-merge via zip_with/greatest —
@@ -93,7 +169,7 @@ object SketchArtifacts {
   def monthOverlap(spark: SparkSession, dir: String, root: String,
       m: Int = graft.functions.Kernels.HllM): DataFrame = {
     graft.functions.Kernels.register(spark)
-    Sketches.overlapAssemble(hllMonths(spark, root),
+    Sketches.overlapAssemble(hllMonths(spark, root, m),
       Sketches.monthCustomers(spark, dir).cache(), m)
   }
 
@@ -102,7 +178,7 @@ object SketchArtifacts {
   def monthOverlapEstimates(spark: SparkSession, root: String,
       m: Int = graft.functions.Kernels.HllM): DataFrame = {
     graft.functions.Kernels.register(spark)
-    val sk = hllMonths(spark, root)
+    val sk = hllMonths(spark, root, m)
     val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
     def estOf(regs: String) =
       expr(s"CAST('$am2' AS DOUBLE) / aggregate($regs, CAST(0 AS DOUBLE), " +
@@ -130,7 +206,7 @@ object SketchArtifacts {
       depth: Int = Sketches.HhDepth, width: Int = Sketches.HhWidth): DataFrame = {
     graft.functions.Kernels.register(spark)
     val cells = depth * width
-    val sk = cmsTypes(spark, root)
+    val sk = cmsTypes(spark, root, depth, width)
       .agg(
         expr(s"aggregate(collect_list(m), " +
           s"array_repeat(CAST(0 AS BIGINT), $cells), " +

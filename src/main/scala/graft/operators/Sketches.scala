@@ -748,13 +748,45 @@ object Sketches {
   lazy val valueQuantilesByTypeSql: String =
     valueQuantilesByTypeSqlFor(graft.functions.Kernels.QSketchS)
 
+  /** B54's grouped path with a SYNTHETIC segment explosion — probe-only
+    * device for [[graft.SegmentProbe]] (round 11): the segment key is
+    * event_type × (event_id mod segMul), so the SAME corpus builds
+    * |types|·segMul fixed-size sketches instead of |types|. This measures
+    * the granularity contract documented on
+    * [[graft.functions.QuantileSketchAgg]] — per-group state is a fixed
+    * (64−s)·2^s longs, so total aggregation-map state grows ∝ segment
+    * count while the build stays ONE corpus pass and the readout stays
+    * one geometry-bounded histogram per segment. */
+  private[graft] def valueQuantilesBySyntheticSegments(spark: SparkSession,
+      dir: String, segMul: Int,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val sk = Tables.events(spark, dir)
+      .select(
+        concat_ws("_", col("event_type"),
+          pmod(col("event_id"), lit(segMul.toLong)).cast("string"))
+          .as("segment"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .groupBy("segment")
+      .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
+        count(lit(1)).as("n")).cache()
+    qReadout(sk, "regs", Seq("segment"), s, qPms)
+  }
+
   /** The per-day (day_epoch, regs, n) quantile-sketch relation B55 reads
     * and [[SketchArtifacts]] persists — epoch day from the event's UTC
     * nanos (the B37 bucket device), cents from the C113 device. */
   private[operators] def dayValueSketches(spark: SparkSession, dir: String,
       s: Int): DataFrame =
-    Tables.events(spark, dir)
-      .select(expr("ts div 86400000000000").as("day_epoch"),
+    dayValueSketchesOf(Tables.events(spark, dir), s)
+
+  /** [[dayValueSketches]] of an ARBITRARY events frame — frame-parametric
+    * so the store's per-day APPEND can feed it one day's (date-pruned)
+    * slice instead of the whole table. */
+  private[operators] def dayValueSketchesOf(ev: DataFrame,
+      s: Int): DataFrame =
+    ev.select(expr("ts div 86400000000000").as("day_epoch"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
       .groupBy("day_epoch")
       .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),

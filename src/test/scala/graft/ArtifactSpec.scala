@@ -238,4 +238,95 @@ class ArtifactSpec extends SparkSpec {
       "store-fed B55 diverges from inline")
     spark.catalog.clearCache(): Unit
   }
+
+  test("sketch store manifest records geometry; mismatched readers fail fast") {
+    import operators.{SketchArtifacts, Sketches}
+    val r = tmpDir("graft-sketch-geom-")
+    // a NON-default store: every knob off its session default
+    SketchArtifacts.write(spark, sf, r, m = 32, depth = 3, width = 64, s = 4)
+    // readers that state the matching geometry reproduce the inline plans
+    assert(SketchArtifacts.valueQuantileDrift(spark, r, s = 4)
+      .collect().toSeq ==
+      Sketches.valueQuantileDrift(spark, sf, s = 4).collect().toSeq,
+      "non-default store-fed B55 diverges from inline at the same s")
+    spark.catalog.clearCache()
+    val est = SketchArtifacts.monthOverlapEstimates(spark, r, m = 32)
+    val inlineEst = Sketches.hllMonthOverlap(spark, sf, m = 32).select(
+      "month_a", "month_b", "est_a", "est_b", "est_union", "est_inter")
+    assert(est.collect().toSeq == inlineEst.collect().toSeq,
+      "non-default store-fed estimates diverge from inline at the same m")
+    spark.catalog.clearCache()
+    assert(SketchArtifacts.heavyHitters(spark, sf, r, depth = 3, width = 64)
+      .collect().toSeq ==
+      Sketches.cmsHeavyHitters(spark, sf, depth = 3, width = 64)
+        .collect().toSeq,
+      "non-default store-fed B50 diverges from inline at the same geometry")
+    spark.catalog.clearCache()
+    // readers under SESSION DEFAULTS must fail fast NAMING the geometry —
+    // before round 11 they silently reinterpreted the registers
+    for ((label, bad) <- Seq[(String, () => Any)](
+      ("qsketch s", () => SketchArtifacts.valueQuantileDrift(spark, r)),
+      ("hll m", () => SketchArtifacts.monthOverlapEstimates(spark, r)),
+      ("cms depth/width", () => SketchArtifacts.heavyHitters(spark, sf, r))
+    )) {
+      val e = intercept[RuntimeException](bad())
+      assert(e.getMessage.contains("geometry mismatch") &&
+        e.getMessage.contains("manifest records"),
+        s"$label default-geometry read: wrong error: ${e.getMessage}")
+    }
+    // a LEGACY manifest (no params) read by a geometry-stating reader
+    // must also fail fast, pointing at the rebuild
+    val mf = java.nio.file.Paths.get(s"$r/qsketch_day/_graft_manifest.json")
+    val legacy = java.nio.file.Files.readString(mf)
+      .replaceAll(""","params":\{[^}]*\}""", "")
+    java.nio.file.Files.writeString(mf, legacy)
+    // drop the local-FS checksum sidecar the out-of-band rewrite staled
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$r/qsketch_day/._graft_manifest.json.crc"))
+    val e = intercept[RuntimeException](
+      SketchArtifacts.qsketchDays(spark, r, s = 4))
+    assert(e.getMessage.contains("legacy manifest"),
+      s"legacy-manifest read: wrong error: ${e.getMessage}")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("qsketch store: per-day append == single-pass rebuild (manifest-equal)") {
+    import operators.{SketchArtifacts, Sketches}
+    val full = tmpDir("graft-sketch-full-")
+    val incr = tmpDir("graft-sketch-incr-")
+    SketchArtifacts.write(spark, sf, full)
+    def manifest(root: String): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/qsketch_day/_graft_manifest.json"))
+    val days = sources.Tables.events(spark, sf)
+      .select(expr("ts div 86400000000000").as("d"))
+      .distinct().orderBy("d").collect().map(_.getLong(0)).toSeq
+    assert(days.size > 5, s"fixture too small: ${days.size} days")
+    // the nightly cadence: each day's ingest appends ONLY its own slice
+    days.foreach(d => SketchArtifacts.appendQsketchDayFrom(spark, sf, incr, d))
+    assert(manifest(incr) == manifest(full),
+      "append-built store manifest diverges from the single-pass rebuild")
+    assert(SketchArtifacts.valueQuantileDrift(spark, incr).collect().toSeq ==
+      Sketches.valueQuantileDrift(spark, sf).collect().toSeq,
+      "append-built store B55 diverges from inline")
+    // IDEMPOTENT: a retried day leaves the store byte-identical
+    SketchArtifacts.appendQsketchDayFrom(spark, sf, incr, days.head)
+    assert(manifest(incr) == manifest(full), "retried append changed the store")
+    // RESTATEMENT: a corrupted day is fixed by re-appending the true feed
+    val sp = spark
+    SketchArtifacts.appendQsketchDay(sp, incr, days.head,
+      sources.Tables.events(sp, sf)
+        .filter(expr("ts div 86400000000000") === lit(days.head))
+        .withColumn("value", col("value") * lit(2.0)))
+    assert(manifest(incr) != manifest(full), "corrupted restatement was a no-op")
+    SketchArtifacts.appendQsketchDayFrom(sp, sf, incr, days.head)
+    assert(manifest(incr) == manifest(full),
+      "restated day did not restore append == rebuild")
+    // geometry handshake on APPEND: a wrong-s append fails BEFORE writing
+    val e = intercept[RuntimeException](
+      SketchArtifacts.appendQsketchDayFrom(sp, sf, incr, days.head, s = 3))
+    assert(e.getMessage.contains("geometry mismatch"),
+      s"wrong-s append: wrong error: ${e.getMessage}")
+    assert(manifest(incr) == manifest(full), "failed append mutated the store")
+    spark.catalog.clearCache(): Unit
+  }
 }
