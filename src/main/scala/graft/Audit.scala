@@ -222,7 +222,41 @@ object Audit {
     ("q_admission_report", "repeated-scan:documents:x6"),
     // C97: ONE text-bearing pass feeds the cached token grid; the other
     // passes are column-pruned id-only scans (bucket sizes, 1-row max)
-    ("q_vocab_growth", "repeated-scan:documents:x4")
+    ("q_vocab_growth", "repeated-scan:documents:x4"),
+    // ---- cartesian-shape vetting (round-11 sweep) ----
+    // Every bnlj-broadcast-fact below is the PHYSICAL face of a broadcast
+    // subtree already vetted as hinted-fact-broadcast above: the ANN
+    // probe batches / centroid / codebook sets join the corpus on a
+    // non-equi (or absent) condition, so the planner executes the vetted
+    // bounded broadcast as a BroadcastNestedLoopJoin build side. The
+    // bound is the HINT's (filter-bounded, fixed-size at any corpus
+    // scale — each operator's scaladoc); the equi-keyed ANN variants
+    // (LSH band join, gram joins) correctly do not flag. No
+    // cartesian-over-fact exists anywhere on the surface (the sweep's
+    // other half came back empty).
+    ("q_ann_bruteforce", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_cell_balance", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_hard_negatives", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_ivf", "bnlj-broadcast-fact:embeddings"),
+    // C91 additionally crosses its 4-row nprobe grid with the bounded
+    // brute-force top-k list (EmbeddingOps nprobe-sweep recall join) —
+    // sweep-cardinality × top-k-bounded, the one cross the round-10
+    // verdict called out by line
+    ("q_ann_nprobe_sweep", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_overlap", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_pq_adc", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_recall_report", "bnlj-broadcast-fact:embeddings"),
+    ("q_ann_serve", "bnlj-broadcast-fact:embeddings"),
+    ("q_cluster_profile", "bnlj-broadcast-fact:embeddings"),
+    ("q_dedup_funnel", "bnlj-broadcast-fact:embeddings"),
+    ("q_dedup_lsh_recall", "bnlj-broadcast-fact:documents"),
+    ("q_embed_kmeans", "bnlj-broadcast-fact:embeddings"),
+    ("q_embed_pq", "bnlj-broadcast-fact:embeddings"),
+    ("q_embed_pq_distortion", "bnlj-broadcast-fact:embeddings"),
+    ("q_retrieval_maxsim", "bnlj-broadcast-fact:embeddings"),
+    ("q_retrieval_rrf", "bnlj-broadcast-fact:embeddings"),
+    ("q_semantic_dedup", "bnlj-broadcast-fact:embeddings"),
+    ("q_semantic_drift", "bnlj-broadcast-fact:embeddings")
   )
 
   /** Explicit broadcast hints whose subtree scans a fact table and carries
@@ -303,6 +337,44 @@ object Audit {
       case (t, n) if n > MaxFactScans => s"repeated-scan:$t:x$n"
     }.toSeq.sorted
 
+  /** The FIFTH hazard class (round 11): unhinted cartesian shapes. A
+    * CartesianProduct multiplies its sides — if EITHER side scans a fact
+    * table with no aggregate reduction below, the pair count scales with
+    * the corpus (squared when both do) and no cluster outruns it. A
+    * BroadcastNestedLoopJoin is the same bomb with a driver fuse when its
+    * BUILD side is unreduced fact-derived: the whole side materializes on
+    * the driver before the loop even starts (a bounded STREAMED side over
+    * a small broadcast — the scalar-join device — is fine and not
+    * flagged). Filter-bounded sides (probe batches, sweep grids crossed
+    * with top-k lists) are vetted in [[knownBounded]] with the operator's
+    * scaladoc carrying the bound. */
+  def cartesianHazards(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def walk(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case c: CartesianProductExec =>
+          c.children.flatMap(factBelow)
+            .map(t => s"cartesian-over-fact:$t").distinct
+        case b: BroadcastNestedLoopJoinExec =>
+          val build = b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }
+          factBelow(build).map(t => s"bnlj-broadcast-fact:$t").toSeq
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children ++ other.subqueries
+      }
+      here ++ kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).distinct.sorted
+  }
+
   /** True when the window computes a running aggregate: ordered, with an
     * agg expression framed from UnboundedPreceding but NOT the full
     * partition (a full-partition frame is a per-group aggregate, not a
@@ -351,7 +423,7 @@ object Audit {
         val qe = df.queryExecution
         val hazards =
           (hintHazards(qe.analyzed) ++ windowHazards(qe.executedPlan)
-            ++ repeatedScanHazards(df)).distinct
+            ++ repeatedScanHazards(df) ++ cartesianHazards(df)).distinct
         hazards.foreach { h =>
           if (knownBounded.contains((name, h))) println(s"known   $name  $h")
           else { newFindings += 1; println(s"NEW     $name  $h") }

@@ -131,6 +131,9 @@ object ParamCheck {
       ("q_value_quantile_drift_s3",
         (s, d) => graft.operators.Sketches.valueQuantileDrift(s, d, s = 3),
         graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)),
+      ("q_value_quantile_week_s3",
+        (s, d) => graft.operators.Sketches.valueQuantileWeek(s, d, s = 3),
+        graft.operators.Sketches.valueQuantileWeekSqlFor(s = 3)),
       // the PERSISTED store at a non-default geometry, end-to-end: write
       // at s=3 (manifest records the geometry), read back through the
       // geometry-checked verifier, answer B55 from the artifact rows —

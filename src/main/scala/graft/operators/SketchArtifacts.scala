@@ -146,6 +146,16 @@ object SketchArtifacts {
     Sketches.quantileDriftAssemble(qsketchDays(spark, root, s), s)
   }
 
+  /** B56 answered FROM THE STORE: week quantiles by cell-summing the
+    * persisted per-day register vectors — zero fact scans (plan-pinned),
+    * byte-equal to the inline B56 (ArtifactSpec). The roll-up any
+    * calendar grain gets for free once the days persist. */
+  def valueQuantileWeek(spark: SparkSession, root: String,
+      s: Int = graft.functions.Kernels.QSketchS): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    Sketches.weekQuantileAssemble(qsketchDays(spark, root, s), s)
+  }
+
   /** Manifest-verified per-month HLL register vectors (built at `m`). */
   def hllMonths(spark: SparkSession, root: String,
       m: Int = graft.functions.Kernels.HllM): DataFrame =

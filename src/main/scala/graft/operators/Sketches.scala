@@ -792,6 +792,88 @@ object Sketches {
       .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
         count(lit(1)).as("n"))
 
+  /** B56's week assembly from a per-day sketch relation — shared verbatim
+    * by the inline plan and the [[SketchArtifacts]] store consumer: weeks
+    * merge by elementwise REGISTER SUM (zip_with over ≤ 7 day vectors per
+    * week — the quantile sketch is a pure distributive count vector, so
+    * the merged sketch is bit-identical to sketching the week's stream in
+    * one pass), then the identical keyed readout. */
+  private[operators] def weekQuantileAssemble(days: DataFrame, s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    val nb = graft.functions.Kernels.qsketchBuckets(s)
+    val wk = days
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(
+        expr(s"aggregate(collect_list(regs), " +
+          s"array_repeat(CAST(0 AS BIGINT), $nb), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("regs"),
+        sum("n").as("n")).cache()
+    qReadout(wk, "regs", Seq("week_epoch"), s, qPms)
+  }
+
+  /** B56: `q_value_quantile_week` — the quantile sketch's MERGE exercised
+    * cross-engine (the B51 max-merge analog for the third sketch family):
+    * ONE events pass builds the per-day register vectors (exactly the
+    * rows [[SketchArtifacts]] persists), and each week's quantiles come
+    * from CELL-SUMMING its ≤ 7 day vectors — never re-touching a value.
+    * At 100 TB this is the whole point of the mergeable-sketch store: any
+    * calendar roll-up (week, month, quarter) is integer register
+    * arithmetic over a handful of 29 KiB rows. The DuckDB twin performs
+    * the SAME register sum relationally (per-day bucket histograms
+    * cell-summed onto weeks) — the merge itself is what the oracle
+    * checks, bit-exactly, not just each day's readout. */
+  def valueQuantileWeek(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    weekQuantileAssemble(dayValueSketches(spark, dir, s), s, qPms)
+  }
+
+  def valueQuantileWeekSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT day_epoch, ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    hd AS (  -- the per-day register vectors (what the store persists)
+      SELECT day_epoch, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    h AS (   -- the REGISTER SUM merge: cells add across a week's days
+      SELECT day_epoch // 7 AS week_epoch, bucket,
+        CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM hd GROUP BY 1, 2),
+    cum AS (
+      SELECT week_epoch, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY week_epoch ORDER BY bucket)
+          AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (
+      SELECT week_epoch, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM h GROUP BY 1),
+    grid AS (
+      SELECT week_epoch, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT g.week_epoch, q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid g JOIN cum
+        ON cum.week_epoch = g.week_epoch AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.week_epoch, p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p
+    JOIN cum ON cum.week_epoch = p.week_epoch AND cum.bucket = p.bucket
+    ORDER BY p.week_epoch, p.q_pm"""
+  }
+
+  lazy val valueQuantileWeekSql: String =
+    valueQuantileWeekSqlFor(graft.functions.Kernels.QSketchS)
+
   /** B55's drift assembly from a per-day sketch relation — shared
     * verbatim by the inline plan and the [[SketchArtifacts]] store
     * consumer (the B51 pattern for the quantile family). */

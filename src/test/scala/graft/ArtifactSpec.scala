@@ -236,6 +236,15 @@ class ArtifactSpec extends SparkSpec {
     assert(drift.collect().toSeq ==
       Sketches.valueQuantileDrift(spark, sf).collect().toSeq,
       "store-fed B55 diverges from inline")
+    spark.catalog.clearCache()
+    // B56 from the store: the register-SUM week merge over the persisted
+    // day rows == the inline plan, zero fact tables touched
+    val week = SketchArtifacts.valueQuantileWeek(spark, r)
+    assert(Audit.factScanCounts(week).isEmpty,
+      s"store-fed B56 touched a fact table: ${Audit.factScanCounts(week)}")
+    assert(week.collect().toSeq ==
+      Sketches.valueQuantileWeek(spark, sf).collect().toSeq,
+      "store-fed B56 diverges from inline")
     spark.catalog.clearCache(): Unit
   }
 

@@ -661,13 +661,40 @@ class PlanSpec extends SparkSpec {
       l53.count(_ == "mem") >= operators.Sketches.QSketchSweepSs.length * 2,
       l53)
     spark.catalog.clearCache()
-    // B54 grouped / B55 per-day drift: one events pass each
-    for (q <- Seq("q_value_quantiles_by_type", "q_value_quantile_drift")) {
+    // B54 grouped / B55 per-day drift / B56 week register-sum merge: one
+    // events pass each (B56's merge sits ABOVE the per-day aggregate)
+    for (q <- Seq("q_value_quantiles_by_type", "q_value_quantile_drift",
+        "q_value_quantile_week")) {
       val df = SparkEntry.queries(q)(spark, sf)
       assert(Audit.factScanCounts(df).getOrElse("events", 0) == 1,
         s"$q must be one events pass")
       spark.catalog.clearCache()
     }
+  }
+
+  test("audit's cartesian sweep catches constructed regressions") {
+    val docs = sources.Tables.documents(spark, sf).select("doc_id")
+    val events = sources.Tables.events(spark, sf).select("event_id")
+    // a genuine CartesianProduct over two unreduced fact sides (broadcast
+    // disabled so the tiny test tables can't hide it behind a BNLJ)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cart = docs.crossJoin(events)
+      assert(Audit.cartesianHazards(cart) ==
+        Seq("cartesian-over-fact:documents", "cartesian-over-fact:events"),
+        Audit.cartesianHazards(cart))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // a BNLJ whose BUILD side is unreduced fact-derived — the forced
+    // driver materialization of a corpus-scaled side
+    val bn = broadcast(docs).crossJoin(events)
+    assert(Audit.cartesianHazards(bn) == Seq("bnlj-broadcast-fact:documents"),
+      Audit.cartesianHazards(bn))
+    // the scalar-join device is NOT flagged: the broadcast side reduces
+    // through an aggregate, and the fact side merely STREAMS the loop
+    val safe = docs.crossJoin(
+      broadcast(sources.Tables.events(spark, sf).agg(count(lit(1)).as("n"))))
+    assert(Audit.cartesianHazards(safe).isEmpty, Audit.cartesianHazards(safe))
   }
 
 }

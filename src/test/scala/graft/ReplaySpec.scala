@@ -198,4 +198,89 @@ class ReplaySpec extends SparkSpec {
     spanIndex.unpersist()
     sp.catalog.clearCache(): Unit
   }
+
+  test("one replay day off the PERSISTED index store == in-session indexes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.{DedupOps, Pipeline, StreamArtifacts}
+    import org.apache.spark.sql.DataFrame
+
+    // the admission pipeline's once-a-day indexing job
+    val root = tmpDir("wk_idx_store")
+    StreamArtifacts.write(sp, sf, root)
+
+    def sameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+      assert(a.count() == b.count() && a.except(b).count() == 0 &&
+        b.except(a).count() == 0, s"$what diverges from in-session build")
+    }
+    // the persisted relations ARE the in-session indexes (manifest- and
+    // split-verified on the way back in)
+    val docs = graft.sources.Tables.documents(sp, sf)
+    val standing = docs.filter(col("doc_id") % graft.sources.Feeds.IncrMod
+      =!= graft.sources.Feeds.IncrRem)
+    val (ihLive, csLive) = DedupOps.buildIncrementalIndex(sp, standing)
+    sameRows(StreamArtifacts.incrHash(sp, root), ihLive, "incr_hash")
+    sameRows(StreamArtifacts.incrSigs(sp, root), csLive, "incr_sigs")
+    sameRows(StreamArtifacts.gramIndex(sp, root),
+      Pipeline.standingGramIndex(sp, sf), "gram_index")
+    sameRows(StreamArtifacts.spanIndex(sp, root),
+      DedupOps.substrDupSpans(sp, sf).select("span_hash"), "span_index")
+
+    // one replay day through each frozen-model gate, fed from the STORE —
+    // the 100 TB cadence (index read, never rebuilt); output must equal
+    // the in-session-index day bit for bit
+    def day[T](rows: Seq[T]): Seq[T] = week(rows).head
+    def runDay[T: org.apache.spark.sql.Encoder](rows: Seq[T], label: String,
+        gate: (DataFrame, String, String) => Unit,
+        toDf: org.apache.spark.sql.Dataset[T] => DataFrame): DataFrame = {
+      val in = MemoryStream[T]
+      val target = tmpDir(s"wk_idx_$label") + "/out"
+      in.addData(rows: _*)
+      gate(toDf(in.toDS()), target, tmpDir(s"wk_idx_${label}_ck"))
+      sp.read.parquet(target).drop("batch_id")
+    }
+
+    val dedupDay = day(graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq)
+    val d18Store = runDay[(Long, String)](dedupDay, "d18s",
+      (df, t, ck) => DedupStream.incremental(df,
+        StreamArtifacts.incrHash(sp, root), StreamArtifacts.incrSigs(sp, root),
+        t, ck).awaitTermination(),
+      _.toDF("doc_id", "text"))
+    val d18Live = runDay[(Long, String)](dedupDay, "d18l",
+      (df, t, ck) => DedupStream.incremental(df, ihLive, csLive,
+        t, ck).awaitTermination(),
+      _.toDF("doc_id", "text"))
+    sameRows(d18Store, d18Live, "D18 day off the store")
+
+    val novDay = day(graft.sources.Feeds.incomingDocs(sp, sf)
+      .orderBy("doc_id").select("source", "text")
+      .as[(String, String)].collect().toSeq)
+    val d24Store = runDay[(String, String)](novDay, "d24s",
+      (df, t, ck) => CorpusStream.noveltyGate(df,
+        StreamArtifacts.gramIndex(sp, root), t, ck).awaitTermination(),
+      _.toDF("source", "text"))
+    val d24Live = runDay[(String, String)](novDay, "d24l",
+      (df, t, ck) => CorpusStream.noveltyGate(df,
+        Pipeline.standingGramIndex(sp, sf), t, ck).awaitTermination(),
+      _.toDF("source", "text"))
+    sameRows(d24Store, d24Live, "D24 day off the store")
+
+    val maskDay = day(docs.orderBy("doc_id").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq)
+    val d34Store = runDay[(Long, String)](maskDay, "d34s",
+      (df, t, ck) => MaskStream.plan(df,
+        StreamArtifacts.spanIndex(sp, root), t, ck).awaitTermination(),
+      _.toDF("doc_id", "text"))
+    val d34Live = runDay[(Long, String)](maskDay, "d34l",
+      (df, t, ck) => MaskStream.plan(df,
+        DedupOps.substrDupSpans(sp, sf).select("span_hash"), t, ck)
+        .awaitTermination(),
+      _.toDF("doc_id", "text"))
+    sameRows(d34Store, d34Live, "D34 day off the store")
+    sp.catalog.clearCache(): Unit
+  }
 }
