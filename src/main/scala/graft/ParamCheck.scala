@@ -134,6 +134,13 @@ object ParamCheck {
       ("q_value_quantile_week_s3",
         (s, d) => graft.operators.Sketches.valueQuantileWeek(s, d, s = 3),
         graft.operators.Sketches.valueQuantileWeekSqlFor(s = 3)),
+      ("q_cms_week_merge_3x128",
+        (s, d) => graft.operators.Sketches.cmsWeekMerge(s, d,
+          depth = 3, width = 128),
+        graft.operators.Sketches.cmsWeekMergeSqlFor(depth = 3, width = 128)),
+      ("q_hll_week_actives_m128",
+        (s, d) => graft.operators.Sketches.hllWeekActives(s, d, m = 128),
+        graft.operators.Sketches.hllWeekActivesSqlFor(m = 128)),
       // the PERSISTED store at a non-default geometry, end-to-end: write
       // at s=3 (manifest records the geometry), read back through the
       // geometry-checked verifier, answer B55 from the artifact rows —

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   * {{{
   *   hll_month/      mth, regs          12 rows × m longs  (B51's segments)
   *   cms_type/       event_type, m, n   |types| × d·w      (B50's segments)
-  *   qsketch_day/    day_epoch, regs, n  1/day × (64−s)·2^s  (B55's)
+  *   qsketch_day/    day_epoch, regs, n  1/day × (64−s)·2^s  (B55/B56's)
+  *   cms_day/        day_epoch, m        1/day × d·w         (B57's)
+  *   hll_day/        day_epoch, regs     1/day × m longs     (B58's)
   * }}}
+  * The three day-grain families share the per-day APPEND path
+  * ([[appendQsketchDay]]/[[appendCmsDay]]/[[appendHllDay]]): day N's
+  * ingest swaps in only day N's slice, and append-built ≡ single-pass
+  * rebuild holds by manifest equality (ArtifactSpec).
   *
   * The registered B50/B51 queries stay inline (they measure the one-pass
   * build); the store is the deployment path for REPEAT consumers, its
@@ -59,7 +65,10 @@ object SketchArtifacts {
   def write(spark: SparkSession, dir: String, root: String,
       m: Int = graft.functions.Kernels.HllM,
       depth: Int = Sketches.HhDepth, width: Int = Sketches.HhWidth,
-      s: Int = graft.functions.Kernels.QSketchS): Unit = {
+      s: Int = graft.functions.Kernels.QSketchS,
+      dayM: Int = Sketches.WeekHllM,
+      dayDepth: Int = Sketches.WeekCmsDepth,
+      dayWidth: Int = Sketches.WeekCmsWidth): Unit = {
     graft.functions.Kernels.register(spark)
     DedupArtifacts.writeArtifact(
       Sketches.monthCustomers(spark, dir)
@@ -74,9 +83,20 @@ object SketchArtifacts {
         .agg(expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"),
           count(lit(1)).as("n")),
       s"$root/cms_type", "event_type", cmsParams(depth, width))
+    // the DAY-grain families (round 11): each day's ingest leaves one
+    // fixed-size row per family behind, and any calendar roll-up (B56/
+    // B57/B58) is register arithmetic over the persisted rows — all
+    // three appendable slice-by-slice via the append* entries below
     DedupArtifacts.writePartitionedArtifact(
       Sketches.dayValueSketches(spark, dir, s),
       s"$root/qsketch_day", "day_epoch", qsketchParams(s))
+    DedupArtifacts.writePartitionedArtifact(
+      Sketches.dayCmsSketchesOf(Sketches.dayValueKeys(spark, dir),
+        dayDepth, dayWidth),
+      s"$root/cms_day", "day_epoch", cmsParams(dayDepth, dayWidth))
+    DedupArtifacts.writePartitionedArtifact(
+      Sketches.dayHllSketchesOf(Sketches.dayUsers(spark, dir), dayM),
+      s"$root/hll_day", "day_epoch", hllParams(dayM))
   }
 
   /** INCREMENTAL store maintenance (round 11): day N's ingest leaves ONLY
@@ -96,22 +116,67 @@ object SketchArtifacts {
     *
     * `dayEvents` needs (ts, value); rows outside `dayEpoch` are filtered
     * out by the slice swap (a mislabeled row can never leak in). */
+  /** The per-day slice swap shared by all three day-grain families:
+    * geometry handshake (fail fast BEFORE writing — a mixed-geometry
+    * store would be silently unreadable), then the replaceSlice
+    * write-new → rename publish, then the manifest re-stamp from the
+    * files (order-free row-set digest: append-built ≡ single-pass
+    * rebuild by manifest equality). */
+  private def appendDaySlice(spark: SparkSession, root: String, sub: String,
+      dayEpoch: Long, slice: DataFrame,
+      params: Map[String, String]): Unit = {
+    val path = s"$root/$sub"
+    DedupArtifacts.manifestParams(spark, path).foreach { rec =>
+      if (rec != params)
+        sys.error(s"sketch store $path geometry mismatch: append expects " +
+          params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("(", ", ", ")") +
+          s" against a store recording " +
+          rec.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("(", ", ", ")"))
+    }
+    Etl.replaceSlice(spark, path, "day_epoch", dayEpoch.toString, slice)
+    DedupArtifacts.refreshManifest(spark, path, params)
+  }
+
   def appendQsketchDay(spark: SparkSession, root: String, dayEpoch: Long,
       dayEvents: DataFrame,
       s: Int = graft.functions.Kernels.QSketchS): Unit = {
     graft.functions.Kernels.register(spark)
-    val path = s"$root/qsketch_day"
-    DedupArtifacts.manifestParams(spark, path).foreach { rec =>
-      if (rec != qsketchParams(s))
-        sys.error(s"sketch store $path geometry mismatch: append at " +
-          s"s=$s against a store recording " +
-          rec.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-            .mkString("(", ", ", ")"))
-    }
-    Etl.replaceSlice(spark, path, "day_epoch", dayEpoch.toString,
-      Sketches.dayValueSketchesOf(dayEvents, s))
-    DedupArtifacts.refreshManifest(spark, path, qsketchParams(s))
+    appendDaySlice(spark, root, "qsketch_day", dayEpoch,
+      Sketches.dayValueSketchesOf(dayEvents, s), qsketchParams(s))
   }
+
+  /** [[appendQsketchDay]]'s sibling for the per-day CMS matrices
+    * (`dayEvents` needs (ts, value)). */
+  def appendCmsDay(spark: SparkSession, root: String, dayEpoch: Long,
+      dayEvents: DataFrame,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth): Unit = {
+    graft.functions.Kernels.register(spark)
+    appendDaySlice(spark, root, "cms_day", dayEpoch,
+      Sketches.dayCmsSketchesOf(dayEvents.select(
+        expr("ts div 86400000000000").as("day_epoch"),
+        floor(col("value")).cast("long").cast("string").as("key")),
+        depth, width),
+      cmsParams(depth, width))
+  }
+
+  /** [[appendQsketchDay]]'s sibling for the per-day HLL register vectors
+    * (`dayEvents` needs (ts, user_id)). */
+  def appendHllDay(spark: SparkSession, root: String, dayEpoch: Long,
+      dayEvents: DataFrame, m: Int = Sketches.WeekHllM): Unit = {
+    graft.functions.Kernels.register(spark)
+    appendDaySlice(spark, root, "hll_day", dayEpoch,
+      Sketches.dayHllSketchesOf(dayEvents.select(
+        expr("ts div 86400000000000").as("day_epoch"), col("user_id")), m),
+      hllParams(m))
+  }
+
+  private def daySliceOf(spark: SparkSession, dir: String,
+      dayEpoch: Long): DataFrame =
+    graft.sources.Tables.events(spark, dir)
+      .filter(expr("ts div 86400000000000") === lit(dayEpoch))
 
   /** [[appendQsketchDay]] reading day `dayEpoch`'s slice from the source
     * dir — the filter is the date predicate a ts-partitioned deployment
@@ -121,9 +186,18 @@ object SketchArtifacts {
   def appendQsketchDayFrom(spark: SparkSession, dir: String, root: String,
       dayEpoch: Long,
       s: Int = graft.functions.Kernels.QSketchS): Unit =
-    appendQsketchDay(spark, root, dayEpoch,
-      graft.sources.Tables.events(spark, dir)
-        .filter(expr("ts div 86400000000000") === lit(dayEpoch)), s)
+    appendQsketchDay(spark, root, dayEpoch, daySliceOf(spark, dir, dayEpoch), s)
+
+  def appendCmsDayFrom(spark: SparkSession, dir: String, root: String,
+      dayEpoch: Long,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth): Unit =
+    appendCmsDay(spark, root, dayEpoch, daySliceOf(spark, dir, dayEpoch),
+      depth, width)
+
+  def appendHllDayFrom(spark: SparkSession, dir: String, root: String,
+      dayEpoch: Long, m: Int = Sketches.WeekHllM): Unit =
+    appendHllDay(spark, root, dayEpoch, daySliceOf(spark, dir, dayEpoch), m)
 
   /** Manifest-verified per-day quantile-sketch bucket counts — fails fast
     * unless the store was built at subdivision `s`. Normalizes the
@@ -154,6 +228,48 @@ object SketchArtifacts {
       s: Int = graft.functions.Kernels.QSketchS): DataFrame = {
     graft.functions.Kernels.register(spark)
     Sketches.weekQuantileAssemble(qsketchDays(spark, root, s), s)
+  }
+
+  /** Manifest-verified per-day CMS matrices (built at depth × width). */
+  def cmsDays(spark: SparkSession, root: String,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/cms_day",
+        cmsParams(depth, width))
+      .select(col("day_epoch").cast("long").as("day_epoch"), col("m"))
+
+  /** Manifest-verified per-day HLL register vectors (built at `m`). */
+  def hllDays(spark: SparkSession, root: String,
+      m: Int = Sketches.WeekHllM): DataFrame =
+    DedupArtifacts.readVerified(spark, s"$root/hll_day", hllParams(m))
+      .select(col("day_epoch").cast("long").as("day_epoch"), col("regs"))
+
+  /** B57 answered FROM THE STORE: the merged week matrices come from the
+    * persisted per-day rows; the exact per-week key counts (the
+    * evaluation harness) still read events once — the screen's subject,
+    * not a sketch rebuild (the B50 split). Byte-equal to the inline B57
+    * (ArtifactSpec). */
+  def cmsWeekMerge(spark: SparkSession, dir: String, root: String,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val kc = Sketches.dayValueKeys(spark, dir)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"), col("key"))
+      .agg(count(lit(1)).as("n_true"))
+    Sketches.cmsWeekAssemble(cmsDays(spark, root, depth, width), kc,
+      depth, width)
+  }
+
+  /** B58 answered FROM THE STORE: week registers max-merge from the
+    * persisted per-day vectors; the exact distinct column (evaluation)
+    * reads events once. Byte-equal to the inline B58 (ArtifactSpec). */
+  def hllWeekActives(spark: SparkSession, dir: String, root: String,
+      m: Int = Sketches.WeekHllM): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ex = Sketches.dayUsers(spark, dir)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    Sketches.hllWeekAssemble(hllDays(spark, root, m), ex, m)
   }
 
   /** Manifest-verified per-month HLL register vectors (built at `m`). */

@@ -874,6 +874,234 @@ object Sketches {
   lazy val valueQuantileWeekSql: String =
     valueQuantileWeekSqlFor(graft.functions.Kernels.QSketchS)
 
+  /** B57's geometry — deliberately UNDER-provisioned (the B49 curve's
+    * collision regime) so the merged week matrices carry visible
+    * overestimate mass and the merge arithmetic is exercised on inflated
+    * cells, not just exact ones. */
+  val WeekCmsDepth: Int = 2
+  val WeekCmsWidth: Int = 64
+
+  /** B57: `q_cms_week_merge` — the CMS register-SUM merge exercised
+    * cross-engine (the B56 analog for the frequency family, completing
+    * the per-family merge-oracle trilogy: B51 HLL max-merge, B56 qsketch
+    * sum-merge, this one CMS sum-merge): per-DAY count-min matrices over
+    * the value-bucket key stream cell-sum onto weeks — the days partition
+    * the stream, so every merged cell is exactly the week's single-pass
+    * cell — and each week reports its estimate-quality rollup (keys read
+    * back exactly, total/max overestimate) against the exact per-week
+    * counts. At 100 TB the per-day matrices are what an ingest pass
+    * leaves behind; any calendar roll-up is cell arithmetic over
+    * depth·width-long rows. The DuckDB twin builds the SAME per-day cells
+    * relationally and sums them onto weeks — the merge is what the
+    * oracle checks.
+    *
+    * Exactness: pure integer algebra (cell sums, min over rows, count/
+    * sum/max rollups) except the one final share division. */
+  /** B57's per-day key stream: (day_epoch, value-bucket key). */
+  private[operators] def dayValueKeys(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      expr("ts div 86400000000000").as("day_epoch"),
+      floor(col("value")).cast("long").cast("string").as("key"))
+
+  /** B57's per-day CMS matrices — the rows [[SketchArtifacts]] persists
+    * as `cms_day`. Frame-parametric for the store's per-day append. */
+  private[operators] def dayCmsSketchesOf(ev: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    ev.groupBy("day_epoch")
+      .agg(expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"))
+
+  /** B57's week assembly from a per-day matrix relation + the exact
+    * per-week key counts (the evaluation harness) — shared verbatim by
+    * the inline plan and the [[SketchArtifacts]] store consumer. */
+  private[operators] def cmsWeekAssemble(daySk: DataFrame, kc: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val cells = depth * width
+    val wkSk = daySk.groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(expr(s"aggregate(collect_list(m), " +
+        s"array_repeat(CAST(0 AS BIGINT), $cells), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("m"))
+    kc.join(broadcast(wkSk), Seq("week_epoch"))
+      .select(col("week_epoch"), col("n_true"),
+        expr(s"array_min(transform(graft_cms_cells_g(key, $depth, $width), " +
+          "c -> element_at(m, CAST(c + 1 AS INT))))").as("est"))
+      .groupBy("week_epoch")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("est") === col("n_true"), 1L).otherwise(0L))
+          .as("n_exact_keys"),
+        sum(col("est") - col("n_true")).as("overest_total"),
+        max(col("est") - col("n_true")).as("overest_max"))
+      .withColumn("exact_share",
+        col("n_exact_keys").cast("double") / col("n_keys").cast("double"))
+      .orderBy("week_epoch")
+  }
+
+  def cmsWeekMerge(spark: SparkSession, dir: String,
+      depth: Int = WeekCmsDepth, width: Int = WeekCmsWidth): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ev = dayValueKeys(spark, dir)
+    val kc = ev.groupBy(expr("day_epoch div 7").as("week_epoch"), col("key"))
+      .agg(count(lit(1)).as("n_true"))
+    cmsWeekAssemble(dayCmsSketchesOf(ev, depth, width), kc, depth, width)
+  }
+
+  def cmsWeekMergeSqlFor(depth: Int = WeekCmsDepth,
+      width: Int = WeekCmsWidth): String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    s"""
+    WITH e AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+      FROM events),
+    kcd AS (SELECT day_epoch, key, count(*) AS n FROM e GROUP BY 1, 2),
+    dk AS (SELECT DISTINCT key FROM kcd),
+    hk AS (
+      SELECT key,
+        list_reduce(list_transform(range(1, length(key) + 1), i ->
+          CAST(ascii(substr(key, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM dk),
+    kcell AS (
+      SELECT key, d,
+        (${rowASql("d + 1")} * h + ${rowBSql("d + 1")})
+          % 2147483647 % $width AS g
+      FROM hk, (SELECT unnest(range(0, $depth)) AS d)),
+    cellsd AS (  -- the per-day matrices (what an ingest pass persists)
+      SELECT kcd.day_epoch, kcell.d, kcell.g, CAST(SUM(kcd.n) AS BIGINT) AS c
+      FROM kcd JOIN kcell ON kcd.key = kcell.key
+      GROUP BY 1, 2, 3),
+    cellsw AS (  -- the REGISTER SUM merge: cells add across a week's days
+      SELECT day_epoch // 7 AS week_epoch, d, g, CAST(SUM(c) AS BIGINT) AS c
+      FROM cellsd GROUP BY 1, 2, 3),
+    kcw AS (
+      SELECT day_epoch // 7 AS week_epoch, key, CAST(SUM(n) AS BIGINT)
+        AS n_true
+      FROM kcd GROUP BY 1, 2),
+    est AS (
+      SELECT kcw.week_epoch, kcw.key, kcw.n_true, MIN(cw.c) AS est
+      FROM kcw
+      JOIN kcell ON kcell.key = kcw.key
+      JOIN cellsw cw ON cw.week_epoch = kcw.week_epoch
+        AND cw.d = kcell.d AND cw.g = kcell.g
+      GROUP BY 1, 2, 3)
+    SELECT week_epoch, count(*) AS n_keys,
+      CAST(SUM(CASE WHEN est = n_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_exact_keys,
+      CAST(SUM(est - n_true) AS BIGINT) AS overest_total,
+      CAST(MAX(est - n_true) AS BIGINT) AS overest_max,
+      CAST(SUM(CASE WHEN est = n_true THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS exact_share
+    FROM est GROUP BY 1 ORDER BY 1"""
+  }
+
+  lazy val cmsWeekMergeSql: String = cmsWeekMergeSqlFor()
+
+  /** B58's register count — B20's production m, now on the calendar
+    * roll-up path. */
+  val WeekHllM: Int = 64
+
+  /** B58: `q_hll_week_actives` — the HLL register MAX-merge on the
+    * CALENDAR axis (B51's venn is the month-PAIR overlap; this is the
+    * roll-up a WAU dashboard runs): per-day HLL register vectors over the
+    * user stream max-merge onto weeks — max is associative and
+    * idempotent, so the merged vector is bit-identical to sketching the
+    * week in one pass — and each week reports the estimate next to the
+    * exact distinct-user count (the B37 evaluation column). The DuckDB
+    * twin builds per-day registers and MAXes them onto weeks — the merge
+    * is what the oracle checks, at both engines' register grain.
+    *
+    * Exactness: registers are exact integers; the estimate is the B48
+    * fold (sequential Σ2^−r in register order, exact-double powers of
+    * two); rel_err one subtraction + division on bit-identical inputs. */
+  /** B58's per-day user stream. */
+  private[operators] def dayUsers(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      expr("ts div 86400000000000").as("day_epoch"), col("user_id"))
+
+  /** B58's per-day HLL register vectors — the rows [[SketchArtifacts]]
+    * persists as `hll_day`. Frame-parametric for the per-day append. */
+  private[operators] def dayHllSketchesOf(ev: DataFrame, m: Int): DataFrame =
+    ev.groupBy("day_epoch")
+      .agg(expr(s"graft_hll_sketch_m(user_id, $m)").as("regs"))
+
+  /** B58's week assembly from a per-day register relation + the exact
+    * per-week distinct counts (the evaluation column) — shared verbatim
+    * by the inline plan and the [[SketchArtifacts]] store consumer. */
+  private[operators] def hllWeekAssemble(daySk: DataFrame, ex: DataFrame,
+      m: Int): DataFrame = {
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    val wkSk = daySk.groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(expr(s"aggregate(collect_list(regs), " +
+        s"array_repeat(CAST(0 AS BIGINT), $m), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+        .as("regs"))
+    wkSk.join(ex, Seq("week_epoch"))
+      .select(col("week_epoch"), col("n_exact"),
+        expr(s"CAST('$am2' AS DOUBLE) / aggregate(regs, " +
+          "CAST(0 AS DOUBLE), (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))")
+          .as("hll_est"))
+      .withColumn("rel_err",
+        (col("hll_est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"))
+      .orderBy("week_epoch")
+  }
+
+  def hllWeekActives(spark: SparkSession, dir: String,
+      m: Int = WeekHllM): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val ev = dayUsers(spark, dir)
+    val ex = ev.groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    hllWeekAssemble(dayHllSketchesOf(ev, m), ex, m)
+  }
+
+  def hllWeekActivesSqlFor(m: Int = WeekHllM): String = {
+    val maxRho = graft.functions.Kernels.hllMaxRhoOf(m)
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    s"""
+    WITH e AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        user_id
+      FROM events),
+    du AS (SELECT DISTINCT day_epoch, user_id FROM e),
+    h AS (
+      SELECT day_epoch, ${graft.functions.Kernels.hllHashSql("user_id")} AS h
+      FROM du),
+    rd AS (  -- the per-day register vectors (what an ingest pass persists)
+      SELECT day_epoch, h % $m AS j,
+        MAX(CASE WHEN h // $m = 0 THEN $maxRho
+            ELSE $maxRho - length(bin(h // $m)) END) AS r
+      FROM h GROUP BY 1, 2),
+    rw AS (  -- the register MAX merge: registers max across a week's days
+      SELECT day_epoch // 7 AS week_epoch, j, MAX(r) AS r
+      FROM rd GROUP BY 1, 2),
+    grid AS (
+      SELECT wg.week_epoch, wg.j, coalesce(rw.r, 0) AS r
+      FROM (SELECT w.week_epoch, g.j
+            FROM (SELECT DISTINCT week_epoch FROM rw) w,
+                 (SELECT unnest(range(0, $m)) AS j) g) wg
+      LEFT JOIN rw ON rw.week_epoch = wg.week_epoch AND rw.j = wg.j),
+    est AS (
+      SELECT week_epoch,
+        CAST('$am2' AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(r ORDER BY j),
+              x -> pow(CAST(2 AS DOUBLE), -x))),
+          (acc, b) -> acc + b) AS hll_est
+      FROM grid GROUP BY 1),
+    ex AS (
+      SELECT day_epoch // 7 AS week_epoch, count(DISTINCT user_id) AS n_exact
+      FROM e GROUP BY 1)
+    SELECT est.week_epoch, ex.n_exact, est.hll_est,
+      (est.hll_est - CAST(ex.n_exact AS DOUBLE))
+        / CAST(ex.n_exact AS DOUBLE) AS rel_err
+    FROM est JOIN ex ON ex.week_epoch = est.week_epoch
+    ORDER BY est.week_epoch"""
+  }
+
+  lazy val hllWeekActivesSql: String = hllWeekActivesSqlFor()
+
   /** B55's drift assembly from a per-day sketch relation — shared
     * verbatim by the inline plan and the [[SketchArtifacts]] store
     * consumer (the B51 pattern for the quantile family). */

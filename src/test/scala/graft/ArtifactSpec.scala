@@ -245,6 +245,23 @@ class ArtifactSpec extends SparkSpec {
     assert(week.collect().toSeq ==
       Sketches.valueQuantileWeek(spark, sf).collect().toSeq,
       "store-fed B56 diverges from inline")
+    spark.catalog.clearCache()
+    // B57/B58 from the store: merged week matrices / registers come from
+    // the persisted day rows; only the exact evaluation pass reads events
+    // (the B50 screen-subject split) — ONE scan each, pinned
+    val cmsWk = SketchArtifacts.cmsWeekMerge(spark, sf, r)
+    assert(Audit.factScanCounts(cmsWk).getOrElse("events", 0) == 1,
+      s"store-fed B57 scans: ${Audit.factScanCounts(cmsWk)}")
+    assert(cmsWk.collect().toSeq ==
+      Sketches.cmsWeekMerge(spark, sf).collect().toSeq,
+      "store-fed B57 diverges from inline")
+    spark.catalog.clearCache()
+    val hllWk = SketchArtifacts.hllWeekActives(spark, sf, r)
+    assert(Audit.factScanCounts(hllWk).getOrElse("events", 0) == 1,
+      s"store-fed B58 scans: ${Audit.factScanCounts(hllWk)}")
+    assert(hllWk.collect().toSeq ==
+      Sketches.hllWeekActives(spark, sf).collect().toSeq,
+      "store-fed B58 diverges from inline")
     spark.catalog.clearCache(): Unit
   }
 
@@ -304,16 +321,26 @@ class ArtifactSpec extends SparkSpec {
     val full = tmpDir("graft-sketch-full-")
     val incr = tmpDir("graft-sketch-incr-")
     SketchArtifacts.write(spark, sf, full)
-    def manifest(root: String): String = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$root/qsketch_day/_graft_manifest.json"))
+    def manifestOf(root: String, sub: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/$sub/_graft_manifest.json"))
+    def manifest(root: String): String = manifestOf(root, "qsketch_day")
     val days = sources.Tables.events(spark, sf)
       .select(expr("ts div 86400000000000").as("d"))
       .distinct().orderBy("d").collect().map(_.getLong(0)).toSeq
     assert(days.size > 5, s"fixture too small: ${days.size} days")
-    // the nightly cadence: each day's ingest appends ONLY its own slice
-    days.foreach(d => SketchArtifacts.appendQsketchDayFrom(spark, sf, incr, d))
+    // the nightly cadence: each day's ingest appends ONLY its own slice —
+    // all three day-grain families
+    days.foreach { d =>
+      SketchArtifacts.appendQsketchDayFrom(spark, sf, incr, d)
+      SketchArtifacts.appendCmsDayFrom(spark, sf, incr, d)
+      SketchArtifacts.appendHllDayFrom(spark, sf, incr, d)
+    }
     assert(manifest(incr) == manifest(full),
       "append-built store manifest diverges from the single-pass rebuild")
+    for (sub <- Seq("cms_day", "hll_day"))
+      assert(manifestOf(incr, sub) == manifestOf(full, sub),
+        s"append-built $sub diverges from the single-pass rebuild")
     assert(SketchArtifacts.valueQuantileDrift(spark, incr).collect().toSeq ==
       Sketches.valueQuantileDrift(spark, sf).collect().toSeq,
       "append-built store B55 diverges from inline")

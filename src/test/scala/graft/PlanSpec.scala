@@ -670,6 +670,15 @@ class PlanSpec extends SparkSpec {
         s"$q must be one events pass")
       spark.catalog.clearCache()
     }
+    // B57/B58 week merges: sketch-build pass + exact-evaluation pass, two
+    // events scans, never a per-week rescan
+    for (q <- Seq("q_cms_week_merge", "q_hll_week_actives")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(Audit.factScanCounts(df).getOrElse("events", 0) == 2,
+        s"$q must be sketch pass + evaluation pass: " +
+          s"${Audit.factScanCounts(df)}")
+      spark.catalog.clearCache()
+    }
   }
 
   test("audit's cartesian sweep catches constructed regressions") {
