@@ -110,7 +110,11 @@ object ScaleProbe {
     "q_value_quantile_sketch",   // B52: one distributive qsketch pass
     "q_qsketch_s_sweep",         // B53: 4 qsketch geometries in one scan
     "q_value_quantiles_by_type", // B54: grouped qsketches, per-type readout
-    "q_value_quantile_drift")    // B55: per-day qsketches + calendar lag
+    "q_value_quantile_drift",    // B55: per-day qsketches + calendar lag
+    // round-11 additions: the calendar register-merge trilogy
+    "q_value_quantile_week",     // B56: day vectors cell-SUMMED onto weeks
+    "q_cms_week_merge",          // B57: day matrices + exact eval pass
+    "q_hll_week_actives")        // B58: day registers MAX-merged + exact
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
