@@ -134,6 +134,14 @@ object ParamCheck {
       ("q_value_quantile_week_s3",
         (s, d) => graft.operators.Sketches.valueQuantileWeek(s, d, s = 3),
         graft.operators.Sketches.valueQuantileWeekSqlFor(s = 3)),
+      ("q_order_value_quantiles_by_month_s3",
+        (s, d) => graft.operators.Sketches.orderValueQuantilesByMonth(s, d,
+          s = 3),
+        graft.operators.Sketches.orderValueQuantilesByMonthSqlFor(s = 3)),
+      ("q_doclen_quantiles_by_source_s3",
+        (s, d) => graft.operators.Sketches.doclenQuantilesBySource(s, d,
+          s = 3),
+        graft.operators.Sketches.doclenQuantilesBySourceSqlFor(s = 3)),
       ("q_cms_week_merge_3x128",
         (s, d) => graft.operators.Sketches.cmsWeekMerge(s, d,
           depth = 3, width = 128),

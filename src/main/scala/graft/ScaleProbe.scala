@@ -114,7 +114,9 @@ object ScaleProbe {
     // round-11 additions: the calendar register-merge trilogy
     "q_value_quantile_week",     // B56: day vectors cell-SUMMED onto weeks
     "q_cms_week_merge",          // B57: day matrices + exact eval pass
-    "q_hll_week_actives")        // B58: day registers MAX-merged + exact
+    "q_hll_week_actives",        // B58: day registers MAX-merged + exact
+    "q_order_value_quantiles_by_month", // B59: 80-month grouped qsketch
+    "q_doclen_quantiles_by_source")     // C114: per-source length sketch
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

@@ -1102,6 +1102,124 @@ object Sketches {
 
   lazy val hllWeekActivesSql: String = hllWeekActivesSqlFor()
 
+  /** B59: `q_order_value_quantiles_by_month` — the quantile sketch on the
+    * ORDERS domain with a real multi-year calendar axis (80 months at
+    * every test SF, vs the events table's single January): per calendar
+    * month (ym = year·100 + month, integer both engines) the order-value
+    * quantile brackets from one orders pass — the monthly pricing-trend
+    * panel B21/B24's exact cents histogram cannot give at unbounded value
+    * domains, and the shape a finance dashboard trends: 80 × 29 KiB of
+    * distributive state instead of 80 sorts of a month's orders. Same
+    * exact-integer readout contract as B52/B54 (rank bracket guarantee,
+    * ≤ 2^−s value bracket). */
+  def orderValueQuantilesByMonth(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val sk = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * lit(100) + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("ym")
+      .agg(expr(s"graft_qsketch_s(cents, $s)").as("regs"),
+        count(lit(1)).as("n")).cache()
+    qReadout(sk, "regs", Seq("ym"), s, qPms)
+  }
+
+  def orderValueQuantilesByMonthSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+          AS ym,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    b AS (SELECT ym, ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    h AS (SELECT ym, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT ym, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY ym ORDER BY bucket) AS BIGINT)
+          AS n_thru
+      FROM h),
+    tot AS (SELECT ym, count(*) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT ym, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT g.ym, q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid g JOIN cum ON cum.ym = g.ym AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.ym, p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p JOIN cum ON cum.ym = p.ym AND cum.bucket = p.bucket
+    ORDER BY p.ym, p.q_pm"""
+  }
+
+  lazy val orderValueQuantilesByMonthSql: String =
+    orderValueQuantilesByMonthSqlFor(graft.functions.Kernels.QSketchS)
+
+  /** C114: `q_doclen_quantiles_by_source` — the quantile sketch on the
+    * DOCUMENTS domain: per-source document-length quantile brackets
+    * (n_chars is already an exact long) from one corpus pass. The
+    * datasheet length panel at 100 TB scale: C43's exact histogram
+    * shuffles every length; this holds one 29 KiB vector per source and
+    * still answers p25/p50/p75/p90/p99 brackets with the exact rank
+    * guarantee — the per-source length-distribution row a curation
+    * pipeline trends per crawl (truncation regressions, boilerplate
+    * floods, a source suddenly shipping fragments all move these
+    * quantiles before they move the mean). */
+  def doclenQuantilesBySource(spark: SparkSession, dir: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val sk = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+      .groupBy("source")
+      .agg(expr(s"graft_qsketch_s(n_chars, $s)").as("regs"),
+        count(lit(1)).as("n")).cache()
+    qReadout(sk, "regs", Seq("source"), s, qPms)
+  }
+
+  def doclenQuantilesBySourceSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (SELECT source, n_chars FROM documents),
+    b AS (
+      SELECT source, ${qsketchBucketSql("n_chars", s)} AS bucket FROM c),
+    h AS (SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT source, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket)
+          AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (SELECT source, count(*) AS n FROM c GROUP BY 1),
+    grid AS (
+      SELECT source, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT g.source, q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid g JOIN cum
+        ON cum.source = g.source AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.source, p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p
+    JOIN cum ON cum.source = p.source AND cum.bucket = p.bucket
+    ORDER BY p.source, p.q_pm"""
+  }
+
+  lazy val doclenQuantilesBySourceSql: String =
+    doclenQuantilesBySourceSqlFor(graft.functions.Kernels.QSketchS)
+
   /** B55's drift assembly from a per-day sketch relation — shared
     * verbatim by the inline plan and the [[SketchArtifacts]] store
     * consumer (the B51 pattern for the quantile family). */

@@ -679,6 +679,14 @@ class PlanSpec extends SparkSpec {
           s"${Audit.factScanCounts(df)}")
       spark.catalog.clearCache()
     }
+    // B59/C114: the sketch on the other two fact domains — one pass each
+    for ((q, t) <- Seq(("q_order_value_quantiles_by_month", "orders"),
+        ("q_doclen_quantiles_by_source", "documents"))) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(Audit.factScanCounts(df).getOrElse(t, 0) == 1,
+        s"$q must be one $t pass: ${Audit.factScanCounts(df)}")
+      spark.catalog.clearCache()
+    }
   }
 
   test("audit's cartesian sweep catches constructed regressions") {
