@@ -283,4 +283,50 @@ class ReplaySpec extends SparkSpec {
     sameRows(d34Store, d34Live, "D34 day off the store")
     sp.catalog.clearCache(): Unit
   }
+
+  test("D37: streaming-built qsketch store == batch build (manifest-equal, crash)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.SketchArtifacts
+
+    val full = tmpDir("d37_full")
+    val root = tmpDir("d37_store")
+    SketchArtifacts.write(sp, sf, full)
+    def manifest(r: String): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$r/qsketch_day/_graft_manifest.json"))
+
+    // the daily-feed cadence: one micro-batch per calendar day (each
+    // addData group becomes its own epoch under AvailableNow)
+    val byDay = graft.sources.Tables.events(sp, sf)
+      .select(expr("ts div 86400000000000").as("d"), col("ts"), col("value"))
+      .orderBy("d", "ts").as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)))
+    assert(byDay.size > 5, s"fixture too small: ${byDay.size} days")
+
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = tmpDir("d37_ck")
+    def runOnce(): Unit = SketchStoreStream.qsketchDaily(
+      in.toDF().toDF("ts", "value"), root, ckpt).awaitTermination()
+
+    val (firstHalf, secondHalf) = byDay.splitAt(byDay.size / 2)
+    firstHalf.foreach(day => in.addData(day: _*))
+    runOnce()
+    // the process died after the swap, before the commit — the restart
+    // replays the newest epoch; replaceSlice makes the replay ≡ first run
+    dropNewestCommit(ckpt)
+    runOnce()
+    secondHalf.foreach(day => in.addData(day: _*))
+    runOnce()
+
+    assert(manifest(root) == manifest(full),
+      "streaming-built qsketch store diverges from the batch build")
+    // and the geometry-checked consumer reads it like any batch store
+    assert(SketchArtifacts.valueQuantileWeek(sp, root).collect().toSeq ==
+      graft.operators.Sketches.valueQuantileWeek(sp, sf).collect().toSeq,
+      "store-fed week readout diverges after the streaming build")
+    sp.catalog.clearCache(): Unit
+  }
 }
