@@ -27,6 +27,7 @@ object ParamCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val tempRoots = scala.collection.mutable.ListBuffer.empty[String]
     // probeLo = 1, probeBatch = 2 → probe ids [100, 300); k = 2 → centroid
     // ids {50, 150} — all present at every test SF, all ≠ the defaults
     val variants: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -155,12 +156,15 @@ object ParamCheck {
       // hash-compared against DuckDB recomputing inline at the SAME s.
       // This is the round-11 manifest-geometry contract exercised through
       // the full write → verify → consume cycle, not just the spec's
-      // mismatch rejection.
+      // mismatch rejection. Only the qsketch_day family is written (the
+      // variant consumes nothing else), and the temp root is deleted
+      // after the readout materializes (tempRoots below).
       ("q_value_quantile_drift_store_s3",
         (s, d) => {
           val root = java.nio.file.Files
             .createTempDirectory("graft-pc-sketch-").toString
-          graft.operators.SketchArtifacts.write(s, d, root, s = 3)
+          tempRoots += root
+          graft.operators.SketchArtifacts.writeQsketchDays(s, d, root, s = 3)
           graft.operators.SketchArtifacts.valueQuantileDrift(s, root, s = 3)
         },
         graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)))
@@ -171,6 +175,17 @@ object ParamCheck {
         System.err.println(s"[paramcheck] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // a variant's staged stores are dead once its output parquet is
+      // written — reclaim instead of accumulating one per run
+      tempRoots.foreach { r =>
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(r)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      tempRoots.clear()
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -133,9 +133,23 @@ object DedupArtifacts {
 
   private def manifestPath(path: String) = s"$path/_graft_manifest.json"
 
+  /** Param keys/values are interpolated into the manifest JSON verbatim
+    * and parsed back by regex, so they are restricted to a charset that
+    * can never break either side (no quotes, braces, backslashes,
+    * whitespace). Enforced at WRITE time: a param that would produce a
+    * manifest the reader rejects as unparseable must fail the build, not
+    * the read. */
+  private val paramCharsRe = """[A-Za-z0-9_.\-]+""".r
+
   private[operators] def writeManifest(spark: SparkSession, path: String,
       nRows: Long, checksum: Long,
       params: Map[String, String] = Map.empty): Unit = {
+    params.foreach { case (k, v) =>
+      if (!paramCharsRe.matches(k) || !paramCharsRe.matches(v))
+        sys.error(s"artifact manifest param ($k=$v) for $path: keys and " +
+          "values must match [A-Za-z0-9_.-]+ (they are interpolated into " +
+          "the manifest JSON and parsed back by regex)")
+    }
     val p = new org.apache.hadoop.fs.Path(manifestPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paramsJson =

@@ -706,7 +706,13 @@ object Etl {
         slice.filter(col(partitionCol) === lit(partitionValue))
           .drop(partitionCol) // hive layout: the value lives in the path
       else slice
-    val tmp = new Path(dir.toString + ".staging")
+    // staged INSIDE the table root but `_`-prefixed: `key=value.staging`
+    // would match hive partition naming and be discovered as a data
+    // partition by any reader that runs while a swap is in flight (or
+    // after a crash that is never retried) — duplicating the slice and
+    // flipping the inferred partition type to string. Spark's FileIndex
+    // ignores `_`-prefixed dirs, so the staging copy is invisible.
+    val tmp = new Path(dir.getParent, "_" + dir.getName + ".staging")
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(tmp.toString)
     graft.sources.Export.publish(fs, tmp, dir)

@@ -87,9 +87,7 @@ object SketchArtifacts {
     // fixed-size row per family behind, and any calendar roll-up (B56/
     // B57/B58) is register arithmetic over the persisted rows — all
     // three appendable slice-by-slice via the append* entries below
-    DedupArtifacts.writePartitionedArtifact(
-      Sketches.dayValueSketches(spark, dir, s),
-      s"$root/qsketch_day", "day_epoch", qsketchParams(s))
+    writeQsketchDays(spark, dir, root, s)
     DedupArtifacts.writePartitionedArtifact(
       Sketches.dayCmsSketchesOf(Sketches.dayValueKeys(spark, dir),
         dayDepth, dayWidth),
@@ -97,6 +95,17 @@ object SketchArtifacts {
     DedupArtifacts.writePartitionedArtifact(
       Sketches.dayHllSketchesOf(Sketches.dayUsers(spark, dir), dayM),
       s"$root/hll_day", "day_epoch", hllParams(dayM))
+  }
+
+  /** Just the qsketch_day family — for harnesses (ParamCheck's
+    * non-default-geometry store variant) that only consume this family
+    * and should not pay the other four families' build passes. */
+  def writeQsketchDays(spark: SparkSession, dir: String, root: String,
+      s: Int = graft.functions.Kernels.QSketchS): Unit = {
+    graft.functions.Kernels.register(spark)
+    DedupArtifacts.writePartitionedArtifact(
+      Sketches.dayValueSketches(spark, dir, s),
+      s"$root/qsketch_day", "day_epoch", qsketchParams(s))
   }
 
   /** INCREMENTAL store maintenance (round 11): day N's ingest leaves ONLY
@@ -123,8 +132,8 @@ object SketchArtifacts {
     * files (order-free row-set digest: append-built ≡ single-pass
     * rebuild by manifest equality). */
   private def appendDaySlice(spark: SparkSession, root: String, sub: String,
-      dayEpoch: Long, slice: DataFrame,
-      params: Map[String, String]): Unit = {
+      dayEpoch: Long, slice: DataFrame, params: Map[String, String],
+      restamp: Boolean): Unit = {
     val path = s"$root/$sub"
     DedupArtifacts.manifestParams(spark, path).foreach { rec =>
       if (rec != params)
@@ -136,15 +145,24 @@ object SketchArtifacts {
             .mkString("(", ", ", ")"))
     }
     Etl.replaceSlice(spark, path, "day_epoch", dayEpoch.toString, slice)
-    DedupArtifacts.refreshManifest(spark, path, params)
+    if (restamp) DedupArtifacts.refreshManifest(spark, path, params)
   }
 
+  /** `restamp = false` defers the manifest re-stamp: between the slice
+    * swap and the re-stamp the store's data is ahead of its manifest, so
+    * VERIFIED readers reject it (fail fast — never a wrong answer). A
+    * caller appending SEVERAL days (the D37-39 streaming writers' one
+    * micro-batch = N days) passes false per day and calls the matching
+    * `restamp*` ONCE at the end — one O(store) manifest pass per batch
+    * instead of one per day, and the verified-unreadable window spans
+    * the batch's swaps instead of reopening per day. */
   def appendQsketchDay(spark: SparkSession, root: String, dayEpoch: Long,
       dayEvents: DataFrame,
-      s: Int = graft.functions.Kernels.QSketchS): Unit = {
+      s: Int = graft.functions.Kernels.QSketchS,
+      restamp: Boolean = true): Unit = {
     graft.functions.Kernels.register(spark)
     appendDaySlice(spark, root, "qsketch_day", dayEpoch,
-      Sketches.dayValueSketchesOf(dayEvents, s), qsketchParams(s))
+      Sketches.dayValueSketchesOf(dayEvents, s), qsketchParams(s), restamp)
   }
 
   /** [[appendQsketchDay]]'s sibling for the per-day CMS matrices
@@ -152,26 +170,46 @@ object SketchArtifacts {
   def appendCmsDay(spark: SparkSession, root: String, dayEpoch: Long,
       dayEvents: DataFrame,
       depth: Int = Sketches.WeekCmsDepth,
-      width: Int = Sketches.WeekCmsWidth): Unit = {
+      width: Int = Sketches.WeekCmsWidth,
+      restamp: Boolean = true): Unit = {
     graft.functions.Kernels.register(spark)
     appendDaySlice(spark, root, "cms_day", dayEpoch,
       Sketches.dayCmsSketchesOf(dayEvents.select(
         expr("ts div 86400000000000").as("day_epoch"),
         floor(col("value")).cast("long").cast("string").as("key")),
         depth, width),
-      cmsParams(depth, width))
+      cmsParams(depth, width), restamp)
   }
 
   /** [[appendQsketchDay]]'s sibling for the per-day HLL register vectors
     * (`dayEvents` needs (ts, user_id)). */
   def appendHllDay(spark: SparkSession, root: String, dayEpoch: Long,
-      dayEvents: DataFrame, m: Int = Sketches.WeekHllM): Unit = {
+      dayEvents: DataFrame, m: Int = Sketches.WeekHllM,
+      restamp: Boolean = true): Unit = {
     graft.functions.Kernels.register(spark)
     appendDaySlice(spark, root, "hll_day", dayEpoch,
       Sketches.dayHllSketchesOf(dayEvents.select(
         expr("ts div 86400000000000").as("day_epoch"), col("user_id")), m),
-      hllParams(m))
+      hllParams(m), restamp)
   }
+
+  /** The deferred manifest re-stamps paired with `restamp = false`
+    * appends — one per family, each ONE order-free O(store) digest pass
+    * (append-built ≡ rebuild stays pinned by manifest equality). */
+  def restampQsketchDays(spark: SparkSession, root: String,
+      s: Int = graft.functions.Kernels.QSketchS): Unit =
+    DedupArtifacts.refreshManifest(spark, s"$root/qsketch_day",
+      qsketchParams(s))
+
+  def restampCmsDays(spark: SparkSession, root: String,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth): Unit =
+    DedupArtifacts.refreshManifest(spark, s"$root/cms_day",
+      cmsParams(depth, width))
+
+  def restampHllDays(spark: SparkSession, root: String,
+      m: Int = Sketches.WeekHllM): Unit =
+    DedupArtifacts.refreshManifest(spark, s"$root/hll_day", hllParams(m))
 
   private def daySliceOf(spark: SparkSession, dir: String,
       dayEpoch: Long): DataFrame =

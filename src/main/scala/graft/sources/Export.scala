@@ -52,7 +52,9 @@ object Export {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new Path(path + ".compact")
+    // `_`-prefixed so a compaction of a partition dir never leaves a
+    // sibling the table root's FileIndex would discover as data
+    val tmp = new Path(target.getParent, "_" + target.getName + ".compact")
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     publish(fs, tmp, target)
@@ -63,12 +65,22 @@ object Export {
     * atomic-ish on rename-capable filesystems (local, HDFS; S3A via its
     * committers): stage the old dir out, rename the new one in, drop the
     * old. Readers see the old contents or the new, never a mix. Shared by
-    * [[compact]] and [[graft.operators.Etl.replaceSlice]]. */
+    * [[compact]] and [[graft.operators.Etl.replaceSlice]].
+    *
+    * The staged-out dir is `_`-PREFIXED (`_<name>.old`): when the target
+    * is a hive partition dir (`key=value`) inside a table root, a
+    * `key=value.old` sibling would be DISCOVERED as a data partition by
+    * any concurrent or post-crash `spark.read` of the root — duplicating
+    * the slice and flipping the inferred partition type to string.
+    * Spark's FileIndex ignores `_`/`.`-prefixed paths, so a crash between
+    * the two renames leaves the root readable (old slice absent, swap
+    * retriable) instead of corrupted. Same reasoning as
+    * [[graft.operators.Etl.replaceSlice]]'s `_`-prefixed staging dir. */
   private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       target: org.apache.hadoop.fs.Path): Unit = {
     import org.apache.hadoop.fs.Path
-    val old = new Path(target.toString + ".old")
+    val old = new Path(target.getParent, "_" + target.getName + ".old")
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target) && !fs.rename(target, old))
       sys.error(s"could not stage out $target")

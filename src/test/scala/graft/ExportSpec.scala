@@ -61,9 +61,17 @@ class ExportSpec extends SparkSpec {
     val after = new java.io.File(dir, "fecha=d1").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSeq
     assert(after == before)
-    // no staging/old leftovers
+    // no staging/old leftovers — and the names Spark's FileIndex would
+    // ignore anyway (`_`-prefixed, never `fecha=d2.staging` which hive
+    // partition discovery would read as a data partition)
+    assert(!new java.io.File(dir, "_fecha=d2.staging").exists())
+    assert(!new java.io.File(dir, "_fecha=d2.old").exists())
     assert(!new java.io.File(dir, "fecha=d2.staging").exists())
     assert(!new java.io.File(dir, "fecha=d2.old").exists())
+    // a reader discovering the root mid-crash must never see a phantom
+    // partition: every child dir is a clean key=value name
+    assert(new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .forall(_.getName.matches("fecha=d[123]")))
   }
 
   test("evolved read conforms drifted files to the canonical schema") {
@@ -223,9 +231,13 @@ class ExportSpec extends SparkSpec {
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     assert(files.length == 1)
-    // no stray staging dirs left behind
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".compact")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    // no stray staging dirs left behind (old or `_`-prefixed names)
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val base = new org.apache.hadoop.fs.Path(dir).getName
+    for (n <- Seq(dir + ".compact", dir + ".old",
+        new org.apache.hadoop.fs.Path(parent, "_" + base + ".compact").toString,
+        new org.apache.hadoop.fs.Path(parent, "_" + base + ".old").toString))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(n)), n)
     // identical content modulo order
     val after = sp.read.parquet(dir).as[(Long, Long)].collect().toSeq.sorted
     assert(after == expect)

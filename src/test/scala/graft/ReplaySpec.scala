@@ -329,4 +329,68 @@ class ReplaySpec extends SparkSpec {
       "store-fed week readout diverges after the streaming build")
     sp.catalog.clearCache(): Unit
   }
+
+  test("D38/D39: streaming cms_day + hll_day stores == batch (manifest-equal, crash)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.SketchArtifacts
+
+    val full = tmpDir("d3839_full")
+    SketchArtifacts.write(sp, sf, full)
+    def manifest(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+
+    // D38: the cms_day writer, fed day-grouped (ts, value) micro-batches,
+    // with a dropped-commit crash replay mid-run (the D37 harness)
+    val cmsRoot = tmpDir("d38_store")
+    val byDayV = graft.sources.Tables.events(sp, sf)
+      .select(expr("ts div 86400000000000").as("d"), col("ts"), col("value"))
+      .orderBy("d", "ts").as[(Long, Long, Double)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)))
+    val inV = MemoryStream[(Long, Double)]
+    val ckV = tmpDir("d38_ck")
+    def runCms(): Unit = SketchStoreStream.cmsDaily(
+      inV.toDF().toDF("ts", "value"), cmsRoot, ckV).awaitTermination()
+    val (v1, v2) = byDayV.splitAt(byDayV.size / 2)
+    v1.foreach(day => inV.addData(day: _*))
+    runCms()
+    dropNewestCommit(ckV)
+    runCms()
+    v2.foreach(day => inV.addData(day: _*))
+    runCms()
+    assert(manifest(cmsRoot, "cms_day") == manifest(full, "cms_day"),
+      "streaming-built cms_day store diverges from the batch build")
+    assert(SketchArtifacts.cmsWeekMerge(sp, sf, cmsRoot).collect().toSeq ==
+      graft.operators.Sketches.cmsWeekMerge(sp, sf).collect().toSeq,
+      "store-fed cms week merge diverges after the streaming build")
+
+    // D39: the hll_day writer over (ts, user_id) micro-batches
+    val hllRoot = tmpDir("d39_store")
+    val byDayU = graft.sources.Tables.events(sp, sf)
+      .select(expr("ts div 86400000000000").as("d"), col("ts"), col("user_id"))
+      .orderBy("d", "ts").as[(Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)))
+    val inU = MemoryStream[(Long, Long)]
+    val ckU = tmpDir("d39_ck")
+    def runHll(): Unit = SketchStoreStream.hllDaily(
+      inU.toDF().toDF("ts", "user_id"), hllRoot, ckU).awaitTermination()
+    val (u1, u2) = byDayU.splitAt(byDayU.size / 2)
+    u1.foreach(day => inU.addData(day: _*))
+    runHll()
+    dropNewestCommit(ckU)
+    runHll()
+    u2.foreach(day => inU.addData(day: _*))
+    runHll()
+    assert(manifest(hllRoot, "hll_day") == manifest(full, "hll_day"),
+      "streaming-built hll_day store diverges from the batch build")
+    assert(SketchArtifacts.hllWeekActives(sp, sf, hllRoot).collect().toSeq ==
+      graft.operators.Sketches.hllWeekActives(sp, sf).collect().toSeq,
+      "store-fed hll week actives diverge after the streaming build")
+    sp.catalog.clearCache(): Unit
+  }
 }
