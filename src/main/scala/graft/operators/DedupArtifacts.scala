@@ -48,6 +48,39 @@ object DedupArtifacts {
 
   val PairMethods: Seq[String] = Seq("minhash_lsh", "ngram_jaccard", "simhash_band")
 
+  /** The BUILD GEOMETRY each pair/component artifact records in its
+    * manifest (round-12: the round-11 sketch-store params contract
+    * extended to the dedup stores). Today the generators expose no knobs
+    * — these are the session constants their rows are only meaningful
+    * under — but the round-10 sketch-store lesson was exactly that the
+    * manifest should make implicit build config EXPLICIT before an API
+    * change makes a mismatch reachable: a pair set generated under a
+    * different banding (or hot-bucket cap, or gram size) silently changes
+    * what "candidate" means, and every downstream
+    * agreement/precision/funnel report would misattribute the drift to
+    * the data. Readers state these and
+    * [[readVerified]] fails fast on any difference. */
+  private[graft] def pairParams(method: String): Map[String, String] = {
+    val hotCap = Map("max_bucket_docs" -> DedupOps.MaxBucketDocs.toString)
+    method match {
+      case "minhash_lsh" => Map("family" -> "pairs_minhash_lsh",
+        "shingle_chars" -> "5", "bands" -> "4", "rows_per_band" -> "3") ++
+        hotCap
+      case "ngram_jaccard" => Map("family" -> "pairs_ngram_jaccard",
+        "gram_words" -> "3", "max_gram_df" -> DedupOps.MaxGramDf.toString,
+        "min_jaccard" -> "0.2")
+      case "simhash_band" => Map("family" -> "pairs_simhash_band",
+        "sim_bits" -> "32", "bands" -> "4", "band_bits" -> "8",
+        "max_hamming" -> DedupOps.SimhashMaxHamming.toString) ++ hotCap
+    }
+  }
+
+  /** C18's labels inherit the minhash banding (its edges are the C2
+    * bucket co-membership relation). */
+  private[graft] def componentParams: Map[String, String] =
+    Map("family" -> "components", "shingle_chars" -> "5", "bands" -> "4",
+      "rows_per_band" -> "3")
+
   private def generator(spark: SparkSession, dir: String,
       method: String): DataFrame = method match {
     case "minhash_lsh"   => DedupOps.dedupMinhashLsh(spark, dir)
@@ -111,7 +144,7 @@ object DedupArtifacts {
 
   /** The manifest's recorded params, or None when no manifest exists yet
     * (a store being initialized by its first append). */
-  private[operators] def manifestParams(spark: SparkSession,
+  private[graft] def manifestParams(spark: SparkSession,
       path: String): Option[Map[String, String]] = {
     val p = new org.apache.hadoop.fs.Path(manifestPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +174,7 @@ object DedupArtifacts {
     * the read. */
   private val paramCharsRe = """[A-Za-z0-9_.\-]+""".r
 
-  private[operators] def writeManifest(spark: SparkSession, path: String,
+  private[graft] def writeManifest(spark: SparkSession, path: String,
       nRows: Long, checksum: Long,
       params: Map[String, String] = Map.empty): Unit = {
     params.foreach { case (k, v) =>
@@ -214,16 +247,19 @@ object DedupArtifacts {
     df
   }
 
-  /** Write the three candidate pair sets, one generator job at a time. */
+  /** Write the three candidate pair sets, one generator job at a time;
+    * each manifest records its generator's build geometry
+    * ([[pairParams]]). */
   def writePairs(spark: SparkSession, dir: String, root: String): Unit =
     PairMethods.foreach { m =>
-      writeArtifact(generator(spark, dir, m), s"$root/pairs_$m", "doc_a")
+      writeArtifact(generator(spark, dir, m), s"$root/pairs_$m", "doc_a",
+        pairParams(m))
     }
 
   /** Write C18's component labels (one iterative job + one write). */
   def writeComponents(spark: SparkSession, dir: String, root: String): Unit =
     writeArtifact(DedupOps.dedupComponents(spark, dir),
-      s"$root/components", "doc_id")
+      s"$root/components", "doc_id", componentParams)
 
   /** Full artifact build — the once-a-day indexing job. */
   def write(spark: SparkSession, dir: String, root: String): Unit = {
@@ -232,10 +268,10 @@ object DedupArtifacts {
   }
 
   def pairs(spark: SparkSession, root: String, method: String): DataFrame =
-    readVerified(spark, s"$root/pairs_$method")
+    readVerified(spark, s"$root/pairs_$method", pairParams(method))
 
   def components(spark: SparkSession, root: String): DataFrame =
-    readVerified(spark, s"$root/components")
+    readVerified(spark, s"$root/components", componentParams)
 
   // ---- artifact-fed reports (byte-equal to the inline plans, ArtifactSpec)
 

@@ -316,6 +316,35 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("dedup artifacts record their build geometry; mismatch fails fast") {
+    // round 12: the sketch-store params contract extended to the dedup
+    // stores — every manifest must carry the generator's session
+    // constants, not an empty map
+    for (m <- DedupArtifacts.PairMethods) {
+      val rec = DedupArtifacts.manifestParams(spark, s"$root/pairs_$m")
+      assert(rec.exists(_.nonEmpty), s"pairs_$m manifest records no params")
+      assert(rec.get == DedupArtifacts.pairParams(m),
+        s"pairs_$m manifest params != the build geometry")
+    }
+    assert(DedupArtifacts.manifestParams(spark, s"$root/components").get ==
+      DedupArtifacts.componentParams,
+      "components manifest params != the build geometry")
+    // a reader stating a DIFFERENT geometry fails fast naming both sides
+    val e = intercept[RuntimeException](
+      DedupArtifacts.readVerified(spark, s"$root/pairs_minhash_lsh",
+        DedupArtifacts.pairParams("minhash_lsh") + ("bands" -> "8")))
+    assert(e.getMessage.contains("geometry mismatch") &&
+      e.getMessage.contains("bands=8"),
+      s"wrong mismatch error: ${e.getMessage}")
+    // write-time validation: a param that would break the regex-parsed
+    // manifest must fail the BUILD, not a later read
+    val bad = intercept[RuntimeException](
+      DedupArtifacts.writeManifest(spark, tmpDir("graft-badparam-"),
+        0L, 0L, Map("k" -> """va"l""")))
+    assert(bad.getMessage.contains("[A-Za-z0-9_.-]+"),
+      s"wrong param-charset error: ${bad.getMessage}")
+  }
+
   test("qsketch store: per-day append == single-pass rebuild (manifest-equal)") {
     import operators.{SketchArtifacts, Sketches}
     val full = tmpDir("graft-sketch-full-")
