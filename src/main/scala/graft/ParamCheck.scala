@@ -167,7 +167,33 @@ object ParamCheck {
           graft.operators.SketchArtifacts.writeQsketchDays(s, d, root, s = 3)
           graft.operators.SketchArtifacts.valueQuantileDrift(s, root, s = 3)
         },
-        graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)))
+        graft.operators.Sketches.valueQuantileDriftSqlFor(s = 3)),
+      // the ANN index store at a NON-DEFAULT codebook (pqK = 2) and probe
+      // window, end-to-end: write (manifests record k/sub geometry), read
+      // through the geometry-checked verifiers, search from the persisted
+      // codes — hash-compared against DuckDB recomputing inline at the
+      // SAME parameters (the round-11 store-cycle contract applied to the
+      // round-12 store).
+      ("q_ann_pq_adc_store_k2_pb2lo1",
+        (s, d) => {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-pc-ann-").toString
+          tempRoots += root
+          graft.operators.AnnArtifacts.write(s, d, root, pqK = 2)
+          graft.operators.AnnArtifacts.annPqAdc(s, root, pqK = 2,
+            probeBatch = 2, probeLo = 1)
+        },
+        EmbeddingOps.annPqAdcSqlFor(k = 2, probeBatch = 2, probeLo = 1)),
+      ("q_ann_serve_store_pb2lo1",
+        (s, d) => {
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-pc-ann2-").toString
+          tempRoots += root
+          graft.operators.AnnArtifacts.write(s, d, root)
+          graft.operators.AnnArtifacts.annServe(s, d, root,
+            probeBatch = 2, probeLo = 1)
+        },
+        EmbeddingOps.annServeSqlFor(probeBatch = 2, probeLo = 1)))
     variants.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

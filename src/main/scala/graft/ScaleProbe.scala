@@ -116,7 +116,13 @@ object ScaleProbe {
     "q_cms_week_merge",          // B57: day matrices + exact eval pass
     "q_hll_week_actives",        // B58: day registers MAX-merged + exact
     "q_order_value_quantiles_by_month", // B59: 80-month grouped qsketch
-    "q_doclen_quantiles_by_source")     // C114: per-source length sketch
+    "q_doclen_quantiles_by_source",     // C114: per-source length sketch
+    // round-12 additions: the persisted ANN index's consumer paths (the
+    // registered store-fed queries read the per-dir memoized index, so
+    // min-of-2 measures the deployment READ; the build is probed by
+    // ann_index_build below)
+    "q_ann_serve_store",   // C115: flat-index brute force + payload fetch
+    "q_pq_code_usage")     // C117: O(corpus) 4-int code scan + k-grid agg
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead
@@ -267,6 +273,19 @@ object ScaleProbe {
   private val sketchRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One persisted ANN index per probed dir (round 12 — the same split
+    * for the ANN store: `ann_index_route`/`ann_index_search` read it). */
+  private val annRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annRootOf(s: SparkSession, d: String): String =
+    annRoots.computeIfAbsent(d, { _ =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-scale-annr-").toString
+      graft.operators.AnnArtifacts.write(s, d, r)
+      r
+    })
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder("local[32]", 32)
@@ -384,6 +403,39 @@ object ScaleProbe {
             graft.operators.SketchArtifacts.qsketchDays(s, root)
               .select("day_epoch", "n")
           })) :+
+        // The ANN index store's three cost curves (round 12): BUILD is the
+        // nightly indexing job — one norm pass, one corpus × O(k)
+        // assignment pass, one corpus × O(pqK·sub) code pass — linear in
+        // the corpus by construction, measured here against a fresh root
+        // per call. ROUTE is the query router's bootstrap — manifest-
+        // verified read of the O(k) centroid rows + routing a FIXED
+        // synthetic probe batch — and must be FLAT in corpus size: the
+        // payoff of persisting the quantizer (a serving node never
+        // touches cells to route). SEARCH is the store-fed C13 read path
+        // (probes off the flat index, cells read cell-major): per-probe
+        // work is nprobe/k of the corpus, so the curve is LINEAR at the
+        // fixed production k — the documented deployment rule is k ∝
+        // corpus (the C35-quantizer device), which ann_index_route shows
+        // costs the router nothing.
+        ("ann_index_build" ->
+          ((s: SparkSession, d: String) => {
+            val root = java.nio.file.Files
+              .createTempDirectory("graft-scale-annb-").toString
+            graft.operators.AnnArtifacts.write(s, d, root)
+            graft.operators.AnnArtifacts.centroids(s, root).select("cent_id")
+              .unionByName(graft.operators.AnnArtifacts.pqCodes(s, root)
+                .select(col("vec_id").as("cent_id")))
+          })) :+
+        ("ann_index_route" ->
+          ((s: SparkSession, d: String) => {
+            val root = annRootOf(s, d)
+            val probes = s.range(8).selectExpr("id AS probe_id",
+              "transform(sequence(0, 63), j -> CAST((id * 7 + j) % 13 AS FLOAT)) AS embedding")
+            graft.operators.AnnArtifacts.routeProbes(s, root, probes)
+          })) :+
+        ("ann_index_search" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.AnnArtifacts.annIvf(s, annRootOf(s, d)))) :+
         ("qsketch_append_fixedday" ->
           ((s: SparkSession, d: String) => {
             val root = sketchRoots.computeIfAbsent(d, { _ =>

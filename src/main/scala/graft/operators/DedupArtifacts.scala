@@ -314,7 +314,7 @@ object DedupArtifacts {
       }))
   }
 
-  private def stagingRoot(): String = {
+  private[operators] def stagingRoot(): String = {
     val r = java.nio.file.Files.createTempDirectory("graft-dedup-artifacts-")
       .toString
     stagedRoots.add(r)

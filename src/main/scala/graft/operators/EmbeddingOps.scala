@@ -40,7 +40,7 @@ object EmbeddingOps {
 
   /** Probe-batch predicate: every 100th vector id, windowed to
     * [lo·100, (lo+batch)·100). */
-  private def probeFilter(lo: Int, batch: Int) =
+  private[operators] def probeFilter(lo: Int, batch: Int) =
     col("vec_id") % 100 === 0 &&
       col("vec_id") >= lit(lo.toLong * 100L) &&
       col("vec_id") < lit((lo.toLong + batch) * 100L)
@@ -67,9 +67,10 @@ object EmbeddingOps {
   /** Sequential-fold dot product of two float vectors as doubles — native
     * codegen kernel [[graft.functions.Kernels.dotF]], same fold order as the
     * oracle's `list_reduce`. */
-  private def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
+  private[operators] def dotExpr(a: String, b: String): String =
+    s"graft_dot($a, $b)"
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -165,9 +166,17 @@ object EmbeddingOps {
     * batch (vec_id ≡ 0 mod 100, capped at [[ProbeBatch]]). Probes broadcast;
     * ties broken by neighbor id so the ranking is deterministic. */
   def annBruteforce(spark: SparkSession, dir: String,
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame =
+    bruteforceHits(vectors(spark, dir), probeBatch, probeLo)
+
+  /** C6's search over an ARBITRARY (vec_id, embedding, n2) relation —
+    * frame-parametric so [[AnnArtifacts]]' flat-index store can feed it
+    * the persisted serving snapshot instead of the embeddings table
+    * (probes come from the same relation: the store-fed serve path scans
+    * ZERO embeddings, plan-pinned). */
+  private[operators] def bruteforceHits(v: DataFrame,
       probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = vectors(spark, dir)
     val probes = v.filter(probeFilter(probeLo, probeBatch))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"))
@@ -225,8 +234,14 @@ object EmbeddingOps {
     * projection survives). Joining the other way (shuffling documents to
     * the hits) would move the corpus to serve 640 rows. */
   def annServe(spark: SparkSession, dir: String,
-      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
-    val hits = annBruteforce(spark, dir, probeBatch, probeLo)
+      probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame =
+    serveJoin(spark, dir, annBruteforce(spark, dir, probeBatch, probeLo))
+
+  /** C74's payload fetch for an ARBITRARY bounded hit set — shared by the
+    * inline plan and the store-fed serve so the document-side join shape
+    * cannot drift. */
+  private[operators] def serveJoin(spark: SparkSession, dir: String,
+      hits: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("lang"),
         when(length(trim(col("text"))) === 0, 0L)
@@ -335,7 +350,7 @@ object EmbeddingOps {
     * is never cross-joined. */
   /** Deterministic coarse centroids (vec_id ≡ 50 mod 100, capped at k) —
     * the stand-in for a trained quantizer, shared by C13 and C35. */
-  private def ivfCentroids(v: DataFrame, k: Int): DataFrame =
+  private[graft] def ivfCentroids(v: DataFrame, k: Int): DataFrame =
     v.filter(col("vec_id") % 100 === 50 && col("vec_id") < lit(k.toLong * 100L))
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
         col("n2").as("c_n2"))
@@ -343,7 +358,7 @@ object EmbeddingOps {
   /** Nearest-centroid cell assignment (argmax cosine, centroid-id
     * tie-break): ONE narrow pass over the corpus against the broadcast
     * centroid set. Shared by C13 (IVF search) and C35 (semantic dedup). */
-  private def ivfAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def ivfAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
@@ -358,13 +373,23 @@ object EmbeddingOps {
   def annIvf(spark: SparkSession, dir: String, k: Int = IvfK,
       probeBatch: Int = ProbeBatch, probeLo: Int = 0,
       nprobe: Int = IvfNprobe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
     val cents = ivfCentroids(v, k)
+    ivfSearch(v, cents, ivfAssigned(v, cents), probeBatch, probeLo, nprobe)
+  }
+
+  /** C13's search over ARBITRARY index relations — frame-parametric so
+    * [[AnnArtifacts]] can feed the PERSISTED centroid set and cell-major
+    * assignments (probes from the persisted flat index): `probeSrc` needs
+    * (vec_id, embedding, n2), `cents` (cent_id, c_emb, c_n2), `assigned`
+    * (vec_id, embedding, n2, cent_id). */
+  private[operators] def ivfSearch(probeSrc: DataFrame, cents: DataFrame,
+      assigned: DataFrame, probeBatch: Int, probeLo: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def centCos = (expr(dotExpr("embedding", "c_emb")) /
       (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos")
-    val assigned = ivfAssigned(v, cents)
-    val probeCells = v.filter(probeFilter(probeLo, probeBatch))
+    val probeCells = probeSrc.filter(probeFilter(probeLo, probeBatch))
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("n2").as("p_n2"), col("cent_id"), centCos)
@@ -1157,6 +1182,39 @@ object EmbeddingOps {
 
   val embedPqSql: String = embedPqSqlFor()
 
+  /** C117's oracle: DuckDB recomputes the per-vector codes inline (the
+    * C55 pick) and aggregates the per-(subspace, codeword) usage grid —
+    * hash equality across the store round-trip is the correctness pin.
+    * The share is one division of exact longs (the window sums integers
+    * over the ≤ sub·k grid). */
+  def pqCodeUsageSqlFor(k: Int = PqK): String = s"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb
+      FROM v WHERE ${centSqlPred("vec_id", k)}),
+    d AS (
+      SELECT v.vec_id, u.sub_id, c.cent_id,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(range(1, ${PqSubDim + 1}), i ->
+            (CAST(v.embedding[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)) *
+            (CAST(v.embedding[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE) -
+             CAST(c.c_emb[CAST(u.sub_id * $PqSubDim + i AS INT)] AS DOUBLE)))),
+          (acc, x) -> acc + x) AS dist
+      FROM v, unnest(range(0, $PqSub)) AS u(sub_id), c),
+    pick AS (
+      SELECT vec_id, sub_id, cent_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, sub_id
+                                     ORDER BY dist, cent_id) AS r
+      FROM d) WHERE r = 1)
+    SELECT sub_id, code, count(*) AS n_vecs,
+      CAST(count(*) AS DOUBLE) /
+        CAST(SUM(count(*)) OVER (PARTITION BY sub_id) AS DOUBLE) AS share
+    FROM pick GROUP BY 1, 2
+    ORDER BY 1, 2"""
+
+  val pqCodeUsageSql: String = pqCodeUsageSqlFor()
+
   /** C56: `q_ann_pq_adc` — asymmetric-distance ANN search over the PQ
     * codes: the QUERY path of IVF-PQ (C55 compresses, this searches the
     * compressed corpus). Each probe precomputes a lookup table of
@@ -1178,9 +1236,16 @@ object EmbeddingOps {
     * corpus-side shuffle before the window. */
   def annPqAdc(spark: SparkSession, dir: String, k: Int = PqK,
       probeBatch: Int = ProbeBatch, probeLo: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vectors(spark, dir)
     val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
+    adcSearch(v, pqCodesWide(v, cb), cb, probeBatch, probeLo)
+  }
+
+  /** C56's per-vector code assembly in the INDEX layout (vec_id,
+    * code_0..code_{[[PqSub]]−1}) — the rows [[AnnArtifacts]] persists as
+    * `pq_codes`. One aggregate: the per-subspace argmins land map-side
+    * as conditional struct-MINs. */
+  private[graft] def pqCodesWide(v: DataFrame, cb: DataFrame): DataFrame = {
     val subSeq =
       expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))")
     val assigned = v
@@ -1192,15 +1257,25 @@ object EmbeddingOps {
       min(when(col("sub_id") === s,
         struct(col("dist").as("dist"), col("cent_id").as("cent_id"))))
         .as(s"m$s"))
-    val codes = assigned.groupBy("vec_id")
+    assigned.groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
       .select(col("vec_id") +:
         (0 until PqSub).map(s => col(s"m$s.cent_id").as(s"code_$s")): _*)
+  }
+
+  /** C56's ADC search over ARBITRARY code/codebook relations — frame-
+    * parametric so [[AnnArtifacts]] can feed the persisted codes and
+    * codebook (probes from the persisted flat index). */
+  private[operators] def adcSearch(probeSrc: DataFrame, codes: DataFrame,
+      cb: DataFrame, probeBatch: Int, probeLo: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subSeq =
+      expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))")
     // cache(): the four subspace joins each slice this LUT — uncached,
     // every lutS(s) would re-run the probe scan + distance folds (the C29
     // alias-divergence lesson). Bounded O(batch·PqSub·k) rows. Cache
     // ownership: caller reclaims via clearCache after its action.
-    val lut = v.filter(probeFilter(probeLo, probeBatch))
+    val lut = probeSrc.filter(probeFilter(probeLo, probeBatch))
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .select(col("probe_id"), col("p_emb"), explode(subSeq).as("sub_id"))
       .crossJoin(cb)

@@ -316,6 +316,76 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("ANN index store: store-fed searches byte-equal inline; zero embeddings scans") {
+    import operators.{AnnArtifacts, EmbeddingOps}
+    val r = tmpDir("graft-ann-store-")
+    AnnArtifacts.write(spark, sf, r)
+
+    // store-fed consumers ≡ the inline builds (both sides end in the
+    // same orderBy — row-for-row)
+    val pins = Seq[(String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)](
+      ("serve", AnnArtifacts.annServe(spark, sf, r),
+        EmbeddingOps.annServe(spark, sf)),
+      ("ivf", AnnArtifacts.annIvf(spark, r),
+        EmbeddingOps.annIvf(spark, sf)),
+      ("pq_adc", AnnArtifacts.annPqAdc(spark, r),
+        EmbeddingOps.annPqAdc(spark, sf)))
+    for ((name, art, inline) <- pins) {
+      assert(art.collect().toSeq == inline.collect().toSeq,
+        s"store-fed $name diverges from the inline build")
+      spark.catalog.clearCache()
+    }
+
+    // the store-fed search actions scan ZERO embeddings parquet — probes
+    // and corpus both come off the index (the deployment read); only the
+    // serve payload fetch may touch documents
+    for ((name, df) <- Seq(
+      ("serve", AnnArtifacts.annServe(spark, sf, r)),
+      ("ivf", AnnArtifacts.annIvf(spark, r)),
+      ("pq_adc", AnnArtifacts.annPqAdc(spark, r)),
+      ("code_usage", AnnArtifacts.pqCodeUsage(spark, r)))) {
+      val scans = filesUnder(df.queryExecution.executedPlan)
+      assert(!scans.exists(_.contains("embeddings.parquet")),
+        s"store-fed $name still scans the embeddings table: $scans")
+      spark.catalog.clearCache()
+    }
+
+    // code-usage report ≡ recomputing the codes inline
+    val v = EmbeddingOps.vectors(spark, sf)
+    val cb = EmbeddingOps.ivfCentroids(v, EmbeddingOps.PqK)
+      .select("cent_id", "c_emb")
+    assert(AnnArtifacts.pqCodeUsage(spark, r).collect().toSeq ==
+      AnnArtifacts.pqCodeUsageOf(EmbeddingOps.pqCodesWide(v, cb))
+        .collect().toSeq,
+      "store-fed code usage diverges from inline codes")
+    spark.catalog.clearCache()
+
+    // geometry handshake: a reader stating a different k / pqK fails
+    // fast naming both sides
+    for ((label, bad) <- Seq[(String, () => Any)](
+      ("ivf k", () => AnnArtifacts.centroids(spark, r, k = 7)),
+      ("cells k", () => AnnArtifacts.cells(spark, r, k = 7)),
+      ("pq k", () => AnnArtifacts.pqCodes(spark, r, pqK = 7)))) {
+      val e = intercept[RuntimeException](bad())
+      assert(e.getMessage.contains("geometry mismatch"),
+        s"$label mismatched read: wrong error: ${e.getMessage}")
+    }
+
+    // the router bootstrap reads only the centroid artifact (FLAT in
+    // corpus size — the ScaleProbe ann_index_route claim's plan shape)
+    val probes = spark.range(4).selectExpr("id AS probe_id",
+      "transform(sequence(0, 63), j -> CAST((id + j) % 7 AS FLOAT)) AS embedding")
+    val routed = AnnArtifacts.routeProbes(spark, r, probes)
+    assert(routed.count() == 4L * EmbeddingOps.IvfNprobe)
+    val routeScans = filesUnder(routed.queryExecution.executedPlan)
+    assert(routeScans.forall(s =>
+        !s.contains("embeddings.parquet") && !s.contains("/flat") &&
+        !s.contains("/ivf_cells") && !s.contains("/pq_")),
+      s"router bootstrap must read only centroids: $routeScans")
+    spark.catalog.clearCache(): Unit
+  }
+
   test("dedup artifacts record their build geometry; mismatch fails fast") {
     // round 12: the sketch-store params contract extended to the dedup
     // stores — every manifest must carry the generator's session

@@ -330,6 +330,42 @@ class ReplaySpec extends SparkSpec {
     sp.catalog.clearCache(): Unit
   }
 
+  test("D32 served off the persisted ANN index == the in-session corpus") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.AnnArtifacts
+
+    // the nightly index build, then a probe day served BOTH ways: corpus
+    // from the persisted flat index vs the in-session embeddings read —
+    // row-identical output (the store IS the serving corpus)
+    val root = tmpDir("d32_store")
+    AnnArtifacts.write(sp, sf, root)
+    val probes = graft.sources.Tables.embeddings(sp, sf)
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 6400L)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .orderBy("probe_id").as[(Long, Seq[Float])].collect().toSeq
+
+    def serveWith(corpus: org.apache.spark.sql.DataFrame,
+        label: String): org.apache.spark.sql.DataFrame = {
+      val in = MemoryStream[(Long, Seq[Float])]
+      val target = tmpDir(s"d32s_$label") + "/hits"
+      in.addData(probes: _*)
+      AnnStream.serve(in.toDF().toDF("probe_id", "embedding"), corpus,
+        target, tmpDir(s"d32s_${label}_ck")).awaitTermination()
+      sp.read.parquet(target).drop("batch_id")
+    }
+    val store = serveWith(
+      AnnArtifacts.flat(sp, root).select("vec_id", "embedding"), "store")
+    val live = serveWith(graft.sources.Tables.embeddings(sp, sf)
+      .select("vec_id", "embedding"), "live")
+    assert(store.count() == live.count() && store.count() > 0)
+    assert(store.except(live).count() == 0 && live.except(store).count() == 0,
+      "D32 day served off the store diverges from the in-session corpus")
+    sp.catalog.clearCache(): Unit
+  }
+
   test("D38/D39: streaming cms_day + hll_day stores == batch (manifest-equal, crash)") {
     val sp = spark
     import sp.implicits._
