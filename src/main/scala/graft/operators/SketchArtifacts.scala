@@ -310,6 +310,82 @@ object SketchArtifacts {
     Sketches.hllWeekAssemble(hllDays(spark, root, m), ex, m)
   }
 
+  /** B60: `q_cms_week_estimates` — the cms_day family's DEPLOYMENT shape
+    * (the B51 `monthOverlapEstimates` precedent applied to the week
+    * families): a weekly frequency panel for a FIXED probe-key list,
+    * every value derived from the persisted per-day matrices alone —
+    * ZERO fact scans, plan-pinned. The week merge is the same cell SUM
+    * B57 oracle-checks; the per-key estimate indexes the merged dense
+    * matrix (a key no stream row touched reads its true 0), so the
+    * consumer a dashboard runs daily costs O(days × depth·width) bytes,
+    * never an events pass. */
+  def cmsWeekEstimates(spark: SparkSession, root: String,
+      depth: Int = Sketches.WeekCmsDepth,
+      width: Int = Sketches.WeekCmsWidth,
+      keys: Seq[String] = Sketches.CmsProbeKeys): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val cells = depth * width
+    val wk = cmsDays(spark, root, depth, width)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(expr(s"aggregate(collect_list(m), " +
+        s"array_repeat(CAST(0 AS BIGINT), $cells), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("m"))
+    val keyArr = keys.map(k => s"'$k'").mkString("array(", ", ", ")")
+    wk.select(col("week_epoch"), col("m"),
+        explode(expr(keyArr)).as("key"))
+      .select(col("week_epoch"), col("key"),
+        expr(s"array_min(transform(graft_cms_cells_g(key, $depth, $width), " +
+          "c -> element_at(m, CAST(c + 1 AS INT))))").as("est"))
+      .orderBy("week_epoch", "key")
+  }
+
+  /** B61: `q_hll_week_estimates` — the hll_day family's estimates-only
+    * consumer: weekly active estimates (plus the persisted-day count)
+    * from the register MAX-merge alone — the WAU panel without the
+    * exact-evaluation events pass B58 carries as its harness. Zero fact
+    * scans, plan-pinned. */
+  def hllWeekEstimates(spark: SparkSession, root: String,
+      m: Int = Sketches.WeekHllM): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    hllDays(spark, root, m)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr(s"aggregate(collect_list(regs), " +
+          s"array_repeat(CAST(0 AS BIGINT), $m), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+          .as("regs"))
+      .select(col("week_epoch"), col("n_days"),
+        expr(s"CAST('$am2' AS DOUBLE) / aggregate(regs, " +
+          "CAST(0 AS DOUBLE), (acc, r) -> acc + pow(CAST(2 AS DOUBLE), -r))")
+          .as("hll_est"))
+      .orderBy("week_epoch")
+  }
+
+  // ---- staged registered queries (the DedupArtifacts memoization: the
+  // store is built ONCE per (source dir, JVM); B60/B61's registered
+  // actions measure what a deployment's weekly panel actually runs — a
+  // manifest-verified read of O(days) sketch rows)
+
+  private val storeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def storeRoot(spark: SparkSession, dir: String): String =
+    storeRoots.computeIfAbsent(dir, { _ =>
+      val root = DedupArtifacts.stagingRoot()
+      write(spark, dir, root)
+      root
+    })
+
+  /** The registered `q_cms_week_estimates` (B60). */
+  def cmsWeekEstimatesStaged(spark: SparkSession, dir: String): DataFrame =
+    cmsWeekEstimates(spark, storeRoot(spark, dir))
+
+  /** The registered `q_hll_week_estimates` (B61). */
+  def hllWeekEstimatesStaged(spark: SparkSession, dir: String): DataFrame =
+    hllWeekEstimates(spark, storeRoot(spark, dir))
+
   /** Manifest-verified per-month HLL register vectors (built at `m`). */
   def hllMonths(spark: SparkSession, root: String,
       m: Int = graft.functions.Kernels.HllM): DataFrame =

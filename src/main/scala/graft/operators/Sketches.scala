@@ -898,7 +898,7 @@ object Sketches {
     * Exactness: pure integer algebra (cell sums, min over rows, count/
     * sum/max rollups) except the one final share division. */
   /** B57's per-day key stream: (day_epoch, value-bucket key). */
-  private[operators] def dayValueKeys(spark: SparkSession,
+  private[graft] def dayValueKeys(spark: SparkSession,
       dir: String): DataFrame =
     Tables.events(spark, dir).select(
       expr("ts div 86400000000000").as("day_epoch"),
@@ -906,7 +906,7 @@ object Sketches {
 
   /** B57's per-day CMS matrices — the rows [[SketchArtifacts]] persists
     * as `cms_day`. Frame-parametric for the store's per-day append. */
-  private[operators] def dayCmsSketchesOf(ev: DataFrame, depth: Int,
+  private[graft] def dayCmsSketchesOf(ev: DataFrame, depth: Int,
       width: Int): DataFrame =
     ev.groupBy("day_epoch")
       .agg(expr(s"graft_cms_sketch_g(key, $depth, $width)").as("m"))
@@ -1101,6 +1101,126 @@ object Sketches {
   }
 
   lazy val hllWeekActivesSql: String = hllWeekActivesSqlFor()
+
+  /** B60's fixed probe-key panel: the value buckets a deployment's weekly
+    * frequency dashboard watches. Literal — the estimates-only consumer
+    * must know its keys WITHOUT scanning events (that is the point). */
+  val CmsProbeKeys: Seq[String] = (0 until 16).map(_.toString)
+
+  /** B60's oracle: DuckDB rebuilds the per-day cells relationally
+    * (exactly [[cmsWeekMergeSqlFor]]'s cellsd/cellsw), then estimates the
+    * SAME literal probe keys from the merged week cells — LEFT-joined
+    * onto the dense cell grid with `coalesce(c, 0)`, because a probe key
+    * may hash to a cell no stream key touched (the dense matrix reads 0
+    * there; a bare relational MIN over present cells would silently
+    * overestimate). */
+  def cmsWeekEstimatesSqlFor(depth: Int = WeekCmsDepth,
+      width: Int = WeekCmsWidth,
+      keys: Seq[String] = CmsProbeKeys): String = {
+    import graft.functions.Kernels.{rowASql, rowBSql}
+    val keyList = keys.map(k => s"'$k'").mkString(", ")
+    s"""
+    WITH e AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS key
+      FROM events),
+    kcd AS (SELECT day_epoch, key, count(*) AS n FROM e GROUP BY 1, 2),
+    dk AS (SELECT DISTINCT key FROM kcd),
+    hk AS (
+      SELECT key,
+        list_reduce(list_transform(range(1, length(key) + 1), i ->
+          CAST(ascii(substr(key, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM dk),
+    kcell AS (
+      SELECT key, d,
+        (${rowASql("d + 1")} * h + ${rowBSql("d + 1")})
+          % 2147483647 % $width AS g
+      FROM hk, (SELECT unnest(range(0, $depth)) AS d)),
+    cellsd AS (
+      SELECT kcd.day_epoch, kcell.d, kcell.g, CAST(SUM(kcd.n) AS BIGINT) AS c
+      FROM kcd JOIN kcell ON kcd.key = kcell.key
+      GROUP BY 1, 2, 3),
+    cellsw AS (
+      SELECT day_epoch // 7 AS week_epoch, d, g, CAST(SUM(c) AS BIGINT) AS c
+      FROM cellsd GROUP BY 1, 2, 3),
+    wk AS (SELECT DISTINCT day_epoch // 7 AS week_epoch FROM kcd),
+    pk AS (SELECT unnest([$keyList]) AS key),
+    pkh AS (
+      SELECT key,
+        list_reduce(list_transform(range(1, length(key) + 1), i ->
+          CAST(ascii(substr(key, CAST(i AS INT), 1)) AS BIGINT)),
+          (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM pk),
+    pkcell AS (
+      SELECT key, d,
+        (${rowASql("d + 1")} * h + ${rowBSql("d + 1")})
+          % 2147483647 % $width AS g
+      FROM pkh, (SELECT unnest(range(0, $depth)) AS d)),
+    grid AS (
+      SELECT wk.week_epoch, pkcell.key, pkcell.d, pkcell.g
+      FROM wk, pkcell),
+    est AS (
+      SELECT grid.week_epoch, grid.key,
+        MIN(coalesce(cw.c, CAST(0 AS BIGINT))) AS est
+      FROM grid LEFT JOIN cellsw cw
+        ON cw.week_epoch = grid.week_epoch
+        AND cw.d = grid.d AND cw.g = grid.g
+      GROUP BY 1, 2)
+    SELECT week_epoch, key, CAST(est AS BIGINT) AS est
+    FROM est ORDER BY week_epoch, key"""
+  }
+
+  lazy val cmsWeekEstimatesSql: String = cmsWeekEstimatesSqlFor()
+
+  /** B61's oracle: per-day registers rebuilt relationally (exactly
+    * [[hllWeekActivesSqlFor]]'s rd/rw/grid/est) plus the persisted-row
+    * count per week — every output column derivable from the day rows
+    * an ingest pass leaves behind. */
+  def hllWeekEstimatesSqlFor(m: Int = WeekHllM): String = {
+    val maxRho = graft.functions.Kernels.hllMaxRhoOf(m)
+    val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
+    s"""
+    WITH e AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        user_id
+      FROM events),
+    du AS (SELECT DISTINCT day_epoch, user_id FROM e),
+    h AS (
+      SELECT day_epoch, ${graft.functions.Kernels.hllHashSql("user_id")} AS h
+      FROM du),
+    rd AS (
+      SELECT day_epoch, h % $m AS j,
+        MAX(CASE WHEN h // $m = 0 THEN $maxRho
+            ELSE $maxRho - length(bin(h // $m)) END) AS r
+      FROM h GROUP BY 1, 2),
+    rw AS (
+      SELECT day_epoch // 7 AS week_epoch, j, MAX(r) AS r
+      FROM rd GROUP BY 1, 2),
+    grid AS (
+      SELECT wg.week_epoch, wg.j, coalesce(rw.r, 0) AS r
+      FROM (SELECT w.week_epoch, g.j
+            FROM (SELECT DISTINCT week_epoch FROM rw) w,
+                 (SELECT unnest(range(0, $m)) AS j) g) wg
+      LEFT JOIN rw ON rw.week_epoch = wg.week_epoch AND rw.j = wg.j),
+    est AS (
+      SELECT week_epoch,
+        CAST('$am2' AS DOUBLE) / list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(list(r ORDER BY j),
+              x -> pow(CAST(2 AS DOUBLE), -x))),
+          (acc, b) -> acc + b) AS hll_est
+      FROM grid GROUP BY 1),
+    nd AS (
+      SELECT day_epoch // 7 AS week_epoch,
+        count(DISTINCT day_epoch) AS n_days
+      FROM e GROUP BY 1)
+    SELECT est.week_epoch, nd.n_days, est.hll_est
+    FROM est JOIN nd ON nd.week_epoch = est.week_epoch
+    ORDER BY est.week_epoch"""
+  }
+
+  lazy val hllWeekEstimatesSql: String = hllWeekEstimatesSqlFor()
 
   /** B59: `q_order_value_quantiles_by_month` — the quantile sketch on the
     * ORDERS domain with a real multi-year calendar axis (80 months at

@@ -386,6 +386,66 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("week estimates consumers: zero fact scans, consistent with full consumers") {
+    import operators.{SketchArtifacts, Sketches}
+    val r = tmpDir("graft-wk-est-")
+    SketchArtifacts.write(spark, sf, r)
+
+    // zero events scans in BOTH estimates-only actions (the B51
+    // monthOverlapEstimates deployment shape, plan-pinned)
+    for ((name, df) <- Seq(
+      ("cmsWeekEstimates", SketchArtifacts.cmsWeekEstimates(spark, r)),
+      ("hllWeekEstimates", SketchArtifacts.hllWeekEstimates(spark, r)))) {
+      val scans = filesUnder(df.queryExecution.executedPlan)
+      assert(!scans.exists(_.contains("events.parquet")),
+        s"$name still scans events: $scans")
+    }
+
+    // B61's estimate column must be IDENTICAL to B58's (the full
+    // consumer carries the exact-evaluation pass; the estimates must not
+    // drift from it)
+    val est = SketchArtifacts.hllWeekEstimates(spark, r)
+      .select("week_epoch", "hll_est")
+    val full = Sketches.hllWeekActives(spark, sf)
+      .select("week_epoch", "hll_est")
+    assert(est.collect().toSeq == full.collect().toSeq,
+      "estimates-only weekly actives diverge from B58's estimate column")
+
+    // B60's estimates must match indexing the SAME merged matrices the
+    // inline B57 build produces (per probe key, per week)
+    val inlineDays = Sketches.dayCmsSketchesOf(
+      Sketches.dayValueKeys(spark, sf),
+      Sketches.WeekCmsDepth, Sketches.WeekCmsWidth)
+    val cells = Sketches.WeekCmsDepth * Sketches.WeekCmsWidth
+    val inlineWk = inlineDays
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(expr(s"aggregate(collect_list(m), " +
+        s"array_repeat(CAST(0 AS BIGINT), $cells), " +
+        "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("m"))
+    val keyArr = Sketches.CmsProbeKeys.map(k => s"'$k'")
+      .mkString("array(", ", ", ")")
+    val inlineEst = inlineWk
+      .select(col("week_epoch"), col("m"), explode(expr(keyArr)).as("key"))
+      .select(col("week_epoch"), col("key"),
+        expr(s"array_min(transform(graft_cms_cells_g(key, " +
+          s"${Sketches.WeekCmsDepth}, ${Sketches.WeekCmsWidth}), " +
+          "c -> element_at(m, CAST(c + 1 AS INT))))").as("est"))
+      .orderBy("week_epoch", "key")
+    assert(SketchArtifacts.cmsWeekEstimates(spark, r).collect().toSeq ==
+      inlineEst.collect().toSeq,
+      "store-fed weekly frequency panel diverges from the inline merge")
+    // and every estimate upper-bounds the exact count (CMS's guarantee —
+    // the panel must never under-report a watched key)
+    val exact = Sketches.dayValueKeys(spark, sf)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"), col("key"))
+      .agg(count(lit(1)).as("n_true"))
+    val under = SketchArtifacts.cmsWeekEstimates(spark, r)
+      .join(exact, Seq("week_epoch", "key"))
+      .filter(col("est") < col("n_true"))
+    assert(under.count() == 0, "a CMS estimate under-reports a probe key")
+    spark.catalog.clearCache(): Unit
+  }
+
   test("dedup artifacts record their build geometry; mismatch fails fast") {
     // round 12: the sketch-store params contract extended to the dedup
     // stores — every manifest must carry the generator's session
