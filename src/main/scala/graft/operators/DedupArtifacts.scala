@@ -142,6 +142,79 @@ object DedupArtifacts {
     writeManifest(spark, path, row.getLong(0), row.getLong(1), params)
   }
 
+  /** [[refreshManifest]] for LOG-STRUCTURED stores (round 12 — the
+    * StreamArtifacts day-slice layout): the digest is computed over the
+    * CANONICALIZED view (`canon` of the raw read, partition column
+    * dropped first), not the raw rows. A store assembled as day slices
+    * carries raw rows a single-pass rebuild would merge (per-slice
+    * distincts, per-slice partial aggregates); canonicalizing before the
+    * digest makes append-built ≡ rebuild checkable by manifest EQUALITY
+    * — the same logical index, regardless of how many slices delivered
+    * it. The integrity contract correspondingly covers the canonical
+    * view (what every consumer reads), not raw-slice bytes. One narrow
+    * O(store) pass. */
+  private[graft] def refreshManifestCanonical(spark: SparkSession,
+      path: String, params: Map[String, String],
+      dropCol: String, canon: DataFrame => DataFrame): Unit = {
+    val back = canon(spark.read.parquet(path).drop(dropCol))
+    val row = back.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(${back.columns.mkString(", ")}))"),
+        lit(0L)).as("ck")).head()
+    writeManifest(spark, path, row.getLong(0), row.getLong(1), params)
+  }
+
+  /** [[readVerified]] for log-structured stores: verifies the CANONICAL
+    * digest (see [[refreshManifestCanonical]]) and hands back the RAW
+    * frame (partition column dropped) for the caller's view derivation. */
+  private[graft] def readVerifiedCanonical(spark: SparkSession,
+      path: String, expectParams: Map[String, String],
+      dropCol: String, canon: DataFrame => DataFrame): DataFrame = {
+    val (wantN, wantCk) = checkManifest(spark, path, expectParams)
+    val raw = spark.read.parquet(path).drop(dropCol)
+    val c = canon(raw)
+    val row = c.agg(count(lit(1)).as("n"),
+      coalesce(expr(s"bit_xor(xxhash64(${c.columns.mkString(", ")}))"),
+        lit(0L)).as("ck")).head()
+    if (row.getLong(0) != wantN || row.getLong(1) != wantCk)
+      sys.error(s"artifact $path failed verification: manifest says " +
+        s"(n_rows=$wantN, checksum=$wantCk), canonical view says " +
+        s"(n_rows=${row.getLong(0)}, checksum=${row.getLong(1)})")
+    raw
+  }
+
+  /** Parse the manifest and enforce `expectParams`; returns the recorded
+    * (n_rows, checksum). Shared by [[readVerified]] and
+    * [[readVerifiedCanonical]]. */
+  private def checkManifest(spark: SparkSession, path: String,
+      expectParams: Map[String, String]): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val (wantN, wantCk, recorded) = txt.trim match {
+      case manifestRe(n, c, ps) =>
+        val params = Option(ps).toSeq
+          .flatMap(s => paramRe.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2)))
+          .toMap
+        (n.toLong, c.toLong, params)
+      case other => sys.error(s"unparseable artifact manifest at $path: $other")
+    }
+    val mismatched = expectParams.filter { case (k, v) =>
+      !recorded.get(k).contains(v)
+    }
+    if (mismatched.nonEmpty)
+      sys.error(s"artifact $path geometry mismatch: reader expects " +
+        mismatched.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("(", ", ", ")") +
+        s", manifest records " +
+        (if (recorded.isEmpty) "no params (legacy manifest — rebuild the store)"
+         else recorded.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+           .mkString("(", ", ", ")")))
+    (wantN, wantCk)
+  }
+
   /** The manifest's recorded params, or None when no manifest exists yet
     * (a store being initialized by its first append). */
   private[graft] def manifestParams(spark: SparkSession,
@@ -211,31 +284,7 @@ object DedupArtifacts {
     * no params at all) fails fast naming both sides. */
   def readVerified(spark: SparkSession, path: String,
       expectParams: Map[String, String] = Map.empty): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val (wantN, wantCk, recorded) = txt.trim match {
-      case manifestRe(n, c, ps) =>
-        val params = Option(ps).toSeq
-          .flatMap(s => paramRe.findAllMatchIn(s)
-            .map(m => m.group(1) -> m.group(2)))
-          .toMap
-        (n.toLong, c.toLong, params)
-      case other => sys.error(s"unparseable artifact manifest at $path: $other")
-    }
-    val mismatched = expectParams.filter { case (k, v) =>
-      !recorded.get(k).contains(v)
-    }
-    if (mismatched.nonEmpty)
-      sys.error(s"artifact $path geometry mismatch: reader expects " +
-        mismatched.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-          .mkString("(", ", ", ")") +
-        s", manifest records " +
-        (if (recorded.isEmpty) "no params (legacy manifest — rebuild the store)"
-         else recorded.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-           .mkString("(", ", ", ")")))
+    val (wantN, wantCk) = checkManifest(spark, path, expectParams)
     val df = spark.read.parquet(path)
     val row = df.agg(count(lit(1)).as("n"),
       coalesce(expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))"),

@@ -65,7 +65,7 @@ object DedupOps {
     * partial-aggregates map-side (hot keys combine before the shuffle) and
     * the hot set is Zipf-small → one broadcast anti-join, no reshuffle of
     * the bucket stream. */
-  private def dropHotBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def dropHotBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
     val hot = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > MaxBucketDocs)
@@ -94,7 +94,7 @@ object DedupOps {
   /** The same sig stage over an arbitrary (doc_id, text) relation — C58
     * signs the incoming FEED batch with it, so batch and corpus signatures
     * come from one code path and cannot drift. */
-  private def minhashSigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def minhashSigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Kernels.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions
     docs

@@ -1224,8 +1224,13 @@ object Pipeline {
   /** [[standingGramIndex]] of an ARBITRARY (source, text) frame — DF-
     * parametric so StreamProbe's standing-index axis can size it. */
   private[graft] def standingGramIndexOf(docs: DataFrame): DataFrame =
-    sourceGramsOf(docs)
-      .select("gram_hash").distinct().withColumn("known", lit(1L))
+    gramHashRows(docs).withColumn("known", lit(1L))
+
+  /** The raw distinct-gram-hash rows of a doc frame — the slice relation
+    * [[graft.operators.StreamArtifacts]] persists per ingest day (the
+    * `known` marker is a reader-side decoration). */
+  private[graft] def gramHashRows(docs: DataFrame): DataFrame =
+    sourceGramsOf(docs).select("gram_hash").distinct()
 
   /** C76's report on ANY (source, text) feed frame against ANY standing
     * gram set — batch C76 and D24's per-micro-batch scoring share this

@@ -4,28 +4,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The PERSISTED frozen-model index store for the streaming gates —
-  * round 11's E-surface addition (the [[SketchArtifacts]] manifest
-  * pattern applied to the standing indexes the D-components score
-  * against).
+  * round 11's E-surface component, INCREMENTALLY MAINTAINED since round
+  * 12 (the verdict's nightly cadence: a day's ADMITTED docs append to
+  * the standing indexes; nothing re-signatures the standing corpus).
   *
   * The frozen-model gates (D18 incremental dedup, D24 novelty, D34 span
   * masking) each compare a live feed against a STANDING index of the
-  * admitted corpus. The specs and ReplaySpec build those indexes
-  * in-session — fine at test scale, but at 100 TB an index over the
-  * standing corpus is a corpus pass no nightly stream job can afford to
-  * repeat: the index is built ONCE by the admission pipeline (the
-  * reference's analog is its keyed MERGE staging table,
-  * etl_service.py:252-293 — state written once, read by every consumer)
-  * and every stream run reads the artifact. This object writes the three
-  * index relations through the `_graft_manifest.json` (n_rows, checksum,
-  * params) contract of [[DedupArtifacts]]:
+  * admitted corpus. At 100 TB that index is built ONCE by the admission
+  * pipeline (the reference's analog is its keyed MERGE staging table,
+  * etl_service.py:252-293) and then MAINTAINED: each night the day's
+  * admitted docs are signatured — an O(day) pass, never an O(corpus)
+  * rebuild — and appended.
   *
+  * Layout: LOG-STRUCTURED day slices. Each family is hive-partitioned by
+  * `ingest_day` (0 = the initial build; day N's append lands as its own
+  * `ingest_day=N/` slice via [[graft.operators.Etl.replaceSlice]] — a
+  * restated day replaces its slice, run-twice ≡ run-once), and the
+  * persisted rows are the RAW per-slice relations:
   * {{{
-  *   incr_hash/   h, exact_partner        (D18's exact-dup index)
-  *   incr_sigs/   band, sig, partner      (D18's cold LSH signature index)
-  *   gram_index/  gram_hash, known        (D24's standing gram set)
-  *   span_index/  span_hash               (D34's duplicate-span index)
+  *   incr_hash/   h, doc_id                       (exact-dup occurrences)
+  *   incr_sigs/   band, sig, doc_id               (LSH signature rows)
+  *   gram_index/  gram_hash                       (per-slice distinct)
+  *   span_index/  span_hash, n_occ, n_docs, first_doc, last_doc
   * }}}
+  * Readers derive the gate views by a per-read merge (the LSM shape —
+  * read-side compaction): min-partner per hash, hot-bucket drop over
+  * CURRENT totals (a bucket that went hot through appends drops
+  * correctly, which a frozen cold view could not do), distinct grams,
+  * span counters summed across slices (doc sets are disjoint across
+  * ingest days, so per-slice distinct-doc counts ADD exactly).
+  *
+  * Manifest contract: the digest is over the CANONICAL view
+  * ([[DedupArtifacts.refreshManifestCanonical]]), so an append-built
+  * store is MANIFEST-EQUAL to a single-pass rebuild over the union
+  * corpus — append ≡ rebuild pinned by manifest equality (ArtifactSpec),
+  * exactly the sketch store's contract. The hot append path
+  * (`restamp = false`) is O(day): slice signatures + one slice swap; the
+  * nightly re-stamp is one narrow O(index) digest pass — index bytes,
+  * never corpus text. ScaleProbe measures all three curves
+  * (`stream_index_build` linear, `stream_index_append_slice` flat at a
+  * fixed day, `stream_index_append_fixedday` = slice + re-stamp).
   *
   * The params map records the STANDING-CORPUS SPLIT the indexes were
   * built against (doc_id % IncrMod ≠ IncrRem — the frozen-model
@@ -38,51 +56,164 @@ import org.apache.spark.sql.functions._
   * the store unchanged (ReplaySpec pins artifact-fed ≡ in-session). */
 object StreamArtifacts {
 
+  val Families: Seq[String] =
+    Seq("incr_hash", "incr_sigs", "gram_index", "span_index")
+
   private def splitParams(family: String) = Map(
     "family" -> family,
     "incr_mod" -> graft.sources.Feeds.IncrMod.toString,
     "incr_rem" -> graft.sources.Feeds.IncrRem.toString)
 
-  /** Build the store: one indexing job per artifact (the one-generator
-    * residency sequencing of [[DedupArtifacts.writeArtifact]]). */
-  def write(spark: SparkSession, dir: String, root: String): Unit = {
-    val standing = graft.sources.Tables.documents(spark, dir)
-      .filter(col("doc_id") % graft.sources.Feeds.IncrMod
-        =!= graft.sources.Feeds.IncrRem)
-    val (indexHash, coldSigs) =
-      DedupOps.buildIncrementalIndex(spark, standing)
-    DedupArtifacts.writeArtifact(indexHash, s"$root/incr_hash", "h",
-      splitParams("incr_hash"))
-    DedupArtifacts.writeArtifact(coldSigs, s"$root/incr_sigs", "band",
-      splitParams("incr_sigs"))
-    DedupArtifacts.writeArtifact(
-      Pipeline.standingGramIndex(spark, dir),
-      s"$root/gram_index", "gram_hash", splitParams("gram_index"))
-    // D34's span index is frozen over the WHOLE corpus (the span universe
-    // masking is planned against), not the incremental split — its params
-    // record only the family
-    DedupArtifacts.writeArtifact(
-      DedupOps.substrDupSpans(spark, dir).select("span_hash"),
-      s"$root/span_index", "span_hash", Map("family" -> "span_index"))
+  // D34's span index is frozen over the WHOLE corpus (the span universe
+  // masking is planned against), not the incremental split
+  private def familyParams(family: String): Map[String, String] =
+    if (family == "span_index") Map("family" -> "span_index")
+    else splitParams(family)
+
+  // ---- the raw per-slice relations (an O(slice) signature pass each)
+
+  private def hashRows(docs: DataFrame): DataFrame =
+    docs.select(md5(lower(trim(col("text"))).cast("binary")).as("h"),
+      col("doc_id"))
+
+  private def sigRows(spark: SparkSession, docs: DataFrame): DataFrame =
+    DedupOps.minhashSigsOf(spark, docs)
+      .select("band", "sig", "doc_id")
+
+  private def gramRows(docs: DataFrame): DataFrame =
+    graft.operators.Pipeline.gramHashRows(docs)
+
+  private def spanRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    DedupOps.anchoredSpans(docs)
+      .select(col("doc_id"), col("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
   }
 
-  /** D18's exact-dup index, manifest- and split-verified. */
-  def incrHash(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/incr_hash",
-      splitParams("incr_hash"))
+  // ---- the canonical (read-side-merged) views the manifests digest
 
-  /** D18's cold LSH signature index, manifest- and split-verified. */
+  private def canon(family: String): DataFrame => DataFrame = family match {
+    case "incr_hash" => raw =>
+      raw.groupBy("h").agg(min("doc_id").as("doc_id"))
+    case "incr_sigs" => raw => raw // one row per (doc, band) — no merge
+    case "gram_index" => raw => raw.distinct()
+    case "span_index" => raw =>
+      raw.groupBy("span_hash")
+        .agg(sum("n_occ").as("n_occ"), sum("n_docs").as("n_docs"),
+          min("first_doc").as("first_doc"), max("last_doc").as("last_doc"))
+  }
+
+  private def slices(family: String, spark: SparkSession,
+      docs: DataFrame): DataFrame = family match {
+    case "incr_hash"  => hashRows(docs)
+    case "incr_sigs"  => sigRows(spark, docs)
+    case "gram_index" => gramRows(docs)
+    case "span_index" => spanRows(spark, docs)
+  }
+
+  private def restampFamily(spark: SparkSession, root: String,
+      family: String): Unit =
+    DedupArtifacts.refreshManifestCanonical(spark, s"$root/$family",
+      familyParams(family), "ingest_day", canon(family))
+
+  /** Build the store from explicit doc frames — `standingDocs` feeds the
+    * split-scoped families, `spanDocs` the whole-corpus span universe
+    * (the D34 convention). Everything lands as `ingest_day=0`; each
+    * family's manifest digests the canonical view. */
+  def writeFrom(spark: SparkSession, standingDocs: DataFrame,
+      spanDocs: DataFrame, root: String): Unit =
+    Families.foreach { f =>
+      val docs = if (f == "span_index") spanDocs else standingDocs
+      val rows = slices(f, spark, docs).withColumn("ingest_day", lit(0L))
+      rows.repartition(col("ingest_day"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ingest_day").parquet(s"$root/$f")
+      restampFamily(spark, root, f)
+      spark.catalog.clearCache()
+    }
+
+  /** Build the store from a source dir: standing split for
+    * hash/sigs/grams, the whole corpus for spans. One indexing job per
+    * artifact (the one-generator residency sequencing). */
+  def write(spark: SparkSession, dir: String, root: String): Unit = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    writeFrom(spark,
+      docs.filter(col("doc_id") % graft.sources.Feeds.IncrMod
+        =!= graft.sources.Feeds.IncrRem),
+      docs, root)
+  }
+
+  /** The nightly cadence: day `dayEpoch`'s ADMITTED docs (doc_id, text,
+    * source) append to all four families — an O(day) signature pass plus
+    * one slice swap per family; the standing corpus is never re-read.
+    * CONTRACT: an admitted doc is a NEW doc — its id must not already
+    * exist in the store (the span counters sum per-slice distinct-doc
+    * counts, which is exact only while ingest days partition the doc
+    * universe; a re-ingested doc belongs in its original day's restated
+    * slice, not a new day).
+    * `restamp = false` defers the canonical re-stamp (the sketch-store
+    * device: a multi-day batch re-stamps once at the end via
+    * [[restamp]]); until the re-stamp, verified readers fail fast
+    * (data ahead of manifest — never a silent misread). Idempotent: a
+    * replayed or restated day replaces its own slice. */
+  def appendDay(spark: SparkSession, root: String, dayEpoch: Long,
+      dayDocs: DataFrame, restamp: Boolean = true): Unit = {
+    Families.foreach { f =>
+      DedupArtifacts.manifestParams(spark, s"$root/$f").foreach { rec =>
+        if (rec != familyParams(f))
+          sys.error(s"stream index $root/$f params mismatch: append " +
+            s"expects ${familyParams(f)}, store records $rec")
+      }
+      Etl.replaceSlice(spark, s"$root/$f", "ingest_day", dayEpoch.toString,
+        slices(f, spark, dayDocs))
+    }
+    if (restamp) this.restamp(spark, root)
+  }
+
+  /** The deferred canonical re-stamp for all four families — one narrow
+    * O(index) digest pass each (index bytes, never corpus text). */
+  def restamp(spark: SparkSession, root: String): Unit =
+    Families.foreach(restampFamily(spark, root, _))
+
+  private def rawVerified(spark: SparkSession, root: String,
+      family: String): DataFrame =
+    DedupArtifacts.readVerifiedCanonical(spark, s"$root/$family",
+      familyParams(family), "ingest_day", canon(family))
+
+  /** D18's exact-dup index (h, exact_partner), manifest- and
+    * split-verified; the partner is the min admitted doc per hash across
+    * all slices. */
+  def incrHash(spark: SparkSession, root: String): DataFrame =
+    rawVerified(spark, root, "incr_hash")
+      .groupBy("h").agg(min("doc_id").as("exact_partner"))
+
+  /** D18's cold LSH signature index (band, sig, partner), manifest- and
+    * split-verified. The hot-bucket drop runs over CURRENT totals, so a
+    * bucket that crossed the cap through appends drops exactly as a
+    * rebuild would drop it. */
   def incrSigs(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/incr_sigs",
-      splitParams("incr_sigs"))
+    DedupOps.dropHotBuckets(rawVerified(spark, root, "incr_sigs"),
+        Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id").as("partner"))
 
   /** D24's standing gram set, manifest- and split-verified. */
   def gramIndex(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/gram_index",
-      splitParams("gram_index"))
+    rawVerified(spark, root, "gram_index")
+      .distinct().withColumn("known", lit(1L))
 
-  /** D34's duplicate-span index, manifest-verified. */
+  /** D34's duplicate-span index, manifest-verified: spans whose merged
+    * distinct-doc count reaches 2 — including spans seen once in the
+    * standing corpus and once in an appended day, which neither slice
+    * alone could call a duplicate (the reason the store keeps counters,
+    * not the filtered set). */
   def spanIndex(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/span_index",
-      Map("family" -> "span_index"))
+    rawVerified(spark, root, "span_index")
+      .groupBy("span_hash")
+      .agg(sum("n_docs").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span_hash")
 }

@@ -446,6 +446,102 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("stream index store: day append == union rebuild (manifest-equal)") {
+    import operators.StreamArtifacts
+    graft.functions.Kernels.register(spark)
+    val docs = sources.Tables.documents(spark, sf)
+    val standing = docs.filter(col("doc_id") % sources.Feeds.IncrMod
+      =!= sources.Feeds.IncrRem)
+    // the admitted day carries NEW doc ids (the appendDay contract — an
+    // admitted doc is a new doc; the test feed reuses corpus ids, so
+    // remap them out of band)
+    val day = sources.Feeds.incomingDocs(spark, sf)
+      .select((col("doc_id") + 60000000000L).as("doc_id"),
+        col("text"), col("source"))
+    def manifest(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+
+    // appended store: initial build + one day's admitted docs
+    val rootA = tmpDir("graft-stream-append-")
+    StreamArtifacts.write(spark, sf, rootA)
+    StreamArtifacts.appendDay(spark, rootA, 1L, day)
+    // rebuild over the UNION universe in one pass
+    val rootB = tmpDir("graft-stream-rebuild-")
+    val cols = Seq("doc_id", "text", "source")
+    StreamArtifacts.writeFrom(spark,
+      standing.select(cols.map(col): _*)
+        .unionByName(day.select(cols.map(col): _*)),
+      docs.select(cols.map(col): _*)
+        .unionByName(day.select(cols.map(col): _*)), rootB)
+    for (f <- StreamArtifacts.Families)
+      assert(manifest(rootA, f) == manifest(rootB, f),
+        s"append-built $f diverges from the union rebuild")
+
+    // the appended store's READ views equal in-session builds over the
+    // union — the gates would score tomorrow's feed against exactly the
+    // index a full rebuild would give them
+    val union = standing.select(cols.map(col): _*)
+      .unionByName(day.select(cols.map(col): _*))
+    val (ihLive, csLive) =
+      operators.DedupOps.buildIncrementalIndex(spark, union)
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.count() == b.count() && a.except(b).count() == 0 &&
+        b.except(a).count() == 0, s"$what diverges from the union build")
+    sameRows(StreamArtifacts.incrHash(spark, rootA), ihLive, "incr_hash")
+    sameRows(StreamArtifacts.incrSigs(spark, rootA), csLive, "incr_sigs")
+    sameRows(StreamArtifacts.gramIndex(spark, rootA),
+      operators.Pipeline.standingGramIndexOf(union), "gram_index")
+    spark.catalog.clearCache()
+
+    // CROSS-SLICE merge semantics, constructed: append a day carrying a
+    // byte-identical copy of a standing doc under a LARGER id. The exact
+    // index must keep the STANDING partner (min across slices), and the
+    // copy's spans — seen once standing, once appended — must now be
+    // duplicate spans, which neither slice alone could call
+    val spanSeed = operators.DedupOps.anchoredSpans(docs)
+      .select("doc_id").limit(1).collect()
+    assert(spanSeed.nonEmpty, "fixture has no anchored spans")
+    val seedId = spanSeed.head.getLong(0)
+    val seed = docs.filter(col("doc_id") === seedId)
+      .select("doc_id", "text", "source").collect().head
+    val sp = spark
+    import sp.implicits._
+    val day2 = Seq((50000000007L, seed.getString(1), seed.getString(2)))
+      .toDF("doc_id", "text", "source")
+    val before = StreamArtifacts.spanIndex(spark, rootA).count()
+    StreamArtifacts.appendDay(spark, rootA, 2L, day2)
+    val hashRow = StreamArtifacts.incrHash(spark, rootA)
+      .filter(col("h") === md5(lower(trim(lit(seed.getString(1))))
+        .cast("binary")))
+      .collect()
+    assert(hashRow.length == 1 &&
+      hashRow.head.getAs[Long]("exact_partner") != 50000000007L,
+      "appended copy must not displace the standing exact partner")
+    val seedSpans = operators.DedupOps.anchoredSpans(day2)
+      .select("span_hash").distinct()
+    val after = StreamArtifacts.spanIndex(spark, rootA)
+    assert(after.join(seedSpans, Seq("span_hash")).count() ==
+      seedSpans.count(),
+      "cross-slice duplicate spans must surface in the merged index")
+    assert(after.count() >= before)
+    spark.catalog.clearCache()
+
+    // deferred re-stamp: data ahead of manifest → verified readers fail
+    // fast; the explicit restamp restores every consumer
+    StreamArtifacts.appendDay(spark, rootA, 3L,
+      Seq((50000000017L, (1 to 40).map(i => s"zzq$i").mkString(" "), "synth"))
+        .toDF("doc_id", "text", "source"), restamp = false)
+    val e = intercept[RuntimeException](
+      StreamArtifacts.gramIndex(spark, rootA).collect())
+    assert(e.getMessage.contains("failed verification"),
+      s"stale-manifest read: wrong error: ${e.getMessage}")
+    StreamArtifacts.restamp(spark, rootA)
+    assert(StreamArtifacts.gramIndex(spark, rootA).count() > 0)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("dedup artifacts record their build geometry; mismatch fails fast") {
     // round 12: the sketch-store params contract extended to the dedup
     // stores — every manifest must carry the generator's session
