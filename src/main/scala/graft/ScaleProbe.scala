@@ -265,7 +265,25 @@ object ScaleProbe {
     fn(spark, dir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
+    // build probes stage a fresh store per timed call — reclaim it the
+    // moment its readout has materialized (the ParamCheck temp-root rule;
+    // an 8x-corpus index dir per sample otherwise outlives the whole run)
+    while (!scratchRoots.isEmpty) deleteRoot(scratchRoots.poll())
     (wall, (Work.settled() - w0) / 1e3)
+  }
+
+  /** Per-timed-call store roots, drained (deleted) by [[timeOnce]] after
+    * the measurement's readout materializes. */
+  private val scratchRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def deleteRoot(r: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(r)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** One persisted sketch store per probed dir (the consumer/build split:
@@ -286,6 +304,38 @@ object ScaleProbe {
       r
     })
 
+  /** One persisted streaming frozen-model index per probed dir (round 13
+    * — `stream_index_read`/`stream_index_append_*` read and mutate it). */
+  private val streamRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamRootOf(s: SparkSession, d: String): String =
+    streamRoots.computeIfAbsent(d, { _ =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-scale-streamr-").toString
+      graft.operators.StreamArtifacts.write(s, d, r)
+      r
+    })
+
+  /** The constructed fixed-volume ingest day for the stream-index append
+    * probes: 2000 docs of ~40 tokens, NEGATIVE ids so they can never
+    * collide with any inflated replica's id universe (the appendDay
+    * contract: an admitted doc is a new doc). Same frame at every scale —
+    * the flat gate measures corpus-size dependence only. */
+  private val SynthIngestDay = 21000L
+
+  private def synthDay(s: SparkSession): DataFrame =
+    s.range(2000).select(
+      (-(col("id") + lit(1000000L))).as("doc_id"),
+      concat_ws(" ",
+        lit("synthetic fixed ingest day document"), col("id"),
+        lit(("the quick brown fox jumps over the lazy dog " * 5).trim),
+        (col("id") % 97).cast("string"),
+        lit("tail marker tokens alpha beta gamma delta epsilon zeta eta " +
+          "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"))
+        .as("text"),
+      lit("synth_feed").as("source"))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.builder("local[32]", 32)
@@ -295,7 +345,7 @@ object ScaleProbe {
     // C35 run the way a deployment would at each scale: centroid-id cap
     // high enough that every replica's candidate ids qualify, so the
     // quantizer grows with the corpus and per-cell volume stays flat.
-    val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
       Probes.map(n => n -> SparkEntry.queries(n)) :+
         ("semantic_dedup_kscaled" ->
           ((s: SparkSession, d: String) =>
@@ -362,6 +412,7 @@ object ScaleProbe {
           ((s: SparkSession, d: String) => {
             val root = java.nio.file.Files
               .createTempDirectory("graft-scale-sketch-").toString
+            scratchRoots.add(root)
             graft.operators.SketchArtifacts.write(s, d, root)
             graft.operators.SketchArtifacts.hllMonths(s, root).select("mth")
               .unionByName(graft.operators.SketchArtifacts.cmsTypes(s, root)
@@ -421,6 +472,7 @@ object ScaleProbe {
           ((s: SparkSession, d: String) => {
             val root = java.nio.file.Files
               .createTempDirectory("graft-scale-annb-").toString
+            scratchRoots.add(root)
             graft.operators.AnnArtifacts.write(s, d, root)
             graft.operators.AnnArtifacts.centroids(s, root).select("cent_id")
               .unionByName(graft.operators.AnnArtifacts.pqCodes(s, root)
@@ -451,6 +503,56 @@ object ScaleProbe {
               .appendQsketchDay(s, root, 21000L, day)
             graft.operators.SketchArtifacts.qsketchDays(s, root)
               .select("day_epoch", "n")
+          })) :+
+        // The streaming frozen-model index store's cost curves (round 13 —
+        // the claims StreamArtifacts' scaladoc makes, measured): BUILD is
+        // the admission pipeline's indexing job — one signature pass per
+        // family over the corpus — linear by construction. READ is a
+        // verified gate-view read (canonical re-digest + LSM merge):
+        // O(index) ∝ corpus, linear. APPEND_SLICE is the nightly hot path
+        // — a CONSTRUCTED day of FIXED volume signatured and slice-swapped
+        // with the re-stamp deferred (restamp = false) — and must be FLAT
+        // in corpus size: the payoff of log-structured slices (the
+        // standing corpus is never re-read). APPEND_FIXEDDAY is the same
+        // fixed day PLUS the canonical re-stamp — the O(index) digest puts
+        // it ≤ linear; the gap between the two curves IS the re-stamp
+        // cost, which the per-batch (not per-day) re-stamp policy
+        // amortizes. Execution order within a scale (read before the
+        // stale-manifest append_slice, restamping append_fixedday last)
+        // keeps every verified read canonical.
+        ("stream_index_build" ->
+          ((s: SparkSession, d: String) => {
+            val r = java.nio.file.Files
+              .createTempDirectory("graft-scale-streamb-").toString
+            scratchRoots.add(r)
+            graft.operators.StreamArtifacts.write(s, d, r)
+            graft.operators.StreamArtifacts.spanIndex(s, r)
+          })) :+
+        ("stream_index_read" ->
+          ((s: SparkSession, d: String) => {
+            val r = streamRootOf(s, d)
+            graft.operators.StreamArtifacts.incrHash(s, r)
+              .select(col("exact_partner").cast("string").as("x"))
+              .unionByName(graft.operators.StreamArtifacts.gramIndex(s, r)
+                .select(col("gram_hash").cast("string").as("x")))
+          })) :+
+        ("stream_index_append_slice" ->
+          ((s: SparkSession, d: String) => {
+            val r = streamRootOf(s, d)
+            graft.operators.StreamArtifacts.appendDay(s, r, SynthIngestDay,
+              synthDay(s), restamp = false)
+            s.read.parquet(s"$r/incr_hash")
+              .filter(col("ingest_day") === SynthIngestDay)
+              .groupBy().count()
+          })) :+
+        ("stream_index_append_fixedday" ->
+          ((s: SparkSession, d: String) => {
+            val r = streamRootOf(s, d)
+            graft.operators.StreamArtifacts.appendDay(s, r, SynthIngestDay,
+              synthDay(s), restamp = true)
+            s.read.parquet(s"$r/incr_hash")
+              .filter(col("ingest_day") === SynthIngestDay)
+              .groupBy().count()
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
@@ -459,6 +561,18 @@ object ScaleProbe {
       if (k != 1) inflate(spark, baseDir, d, k)
       k -> d
     }.toMap
+
+    // Optional second arg: a comma-separated probe-name subset (smoke runs
+    // and narrow A/Bs — the full sweep is the default and the gate).
+    val queries = args.drop(1).headOption match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- allQueries.map(_._1).toSet
+        if (unknown.nonEmpty)
+          sys.error(s"unknown probe names: ${unknown.mkString(", ")}")
+        allQueries.filter { case (n, _) => want(n) }
+      case None => allQueries
+    }
 
     // Warmup at base scale (codegen/JIT/footer machinery), then per scale:
     // min of two timed samples per query, scale-major so a query's samples
@@ -501,6 +615,13 @@ object ScaleProbe {
     if (out.nonEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         (Seq(header, sep) ++ rows).mkString("", "\n", "\n"))
+    // memoized per-dir stores are dead once the sweep ends — reclaim them
+    // (and anything a failed sample left in the scratch queue)
+    import scala.jdk.CollectionConverters._
+    (sketchRoots.values.asScala ++ annRoots.values.asScala ++
+      streamRoots.values.asScala).foreach(deleteRoot)
+    sketchRoots.clear(); annRoots.clear(); streamRoots.clear()
+    while (!scratchRoots.isEmpty) deleteRoot(scratchRoots.poll())
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[scaleprobe] superlinear growth: ${failed.mkString(", ")}")

@@ -247,6 +247,15 @@ object DedupArtifacts {
     * the read. */
   private val paramCharsRe = """[A-Za-z0-9_.\-]+""".r
 
+  /** The same safe-charset rule for any caller-supplied token that gets
+    * spliced into a SQL/expr string (probe keys, slice names): a quote or
+    * brace in the token would break the plan or silently change the list.
+    * Fail the call, not the parse. */
+  private[graft] def requireSafeToken(what: String, v: String): Unit =
+    if (!paramCharsRe.matches(v))
+      sys.error(s"$what ('$v') must match [A-Za-z0-9_.-]+ (it is " +
+        "interpolated into a query string)")
+
   private[graft] def writeManifest(spark: SparkSession, path: String,
       nRows: Long, checksum: Long,
       params: Map[String, String] = Map.empty): Unit = {

@@ -323,6 +323,7 @@ object SketchArtifacts {
       depth: Int = Sketches.WeekCmsDepth,
       width: Int = Sketches.WeekCmsWidth,
       keys: Seq[String] = Sketches.CmsProbeKeys): DataFrame = {
+    keys.foreach(DedupArtifacts.requireSafeToken("CMS probe key", _))
     graft.functions.Kernels.register(spark)
     val cells = depth * width
     val wk = cmsDays(spark, root, depth, width)

@@ -1118,6 +1118,7 @@ object Sketches {
       width: Int = WeekCmsWidth,
       keys: Seq[String] = CmsProbeKeys): String = {
     import graft.functions.Kernels.{rowASql, rowBSql}
+    keys.foreach(DedupArtifacts.requireSafeToken("CMS probe key", _))
     val keyList = keys.map(k => s"'$k'").mkString(", ")
     s"""
     WITH e AS (

@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
   * exactly the sketch store's contract. The hot append path
   * (`restamp = false`) is O(day): slice signatures + one slice swap; the
   * nightly re-stamp is one narrow O(index) digest pass — index bytes,
-  * never corpus text. ScaleProbe measures all three curves
-  * (`stream_index_build` linear, `stream_index_append_slice` flat at a
-  * fixed day, `stream_index_append_fixedday` = slice + re-stamp).
+  * never corpus text. ScaleProbe measures all four curves
+  * (`stream_index_build` linear, `stream_index_read` linear,
+  * `stream_index_append_slice` FLAT at a fixed constructed day — the
+  * log-structured payoff — and `stream_index_append_fixedday` = slice +
+  * re-stamp, ≤ linear; the gap between the append curves is the re-stamp
+  * cost the per-batch re-stamp policy amortizes); gates recorded in
+  * SCALING_r13.md.
   *
   * The params map records the STANDING-CORPUS SPLIT the indexes were
   * built against (doc_id % IncrMod ≠ IncrRem — the frozen-model
