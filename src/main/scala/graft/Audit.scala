@@ -39,6 +39,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    genuinely distinct passes are vetted in [[knownBounded]] WITH their
   *    count (`repeated-scan:events:x4`) so any drift re-flags.
   *
+  *  - a driver-round-trip (job-count) breach in the ITERATIVE family —
+  *    see [[iterativeJobBounds]]: the only class that EXECUTES, because a
+  *    driver loop is invisible to any plan.
+  *
   * Anything NEW is a regression to investigate. Run:
   * `sbt "runMain graft.Audit"`. */
 object Audit {
@@ -410,6 +414,72 @@ object Audit {
     here ++ kids.flatMap(windowHazards)
   }
 
+  /** The SIXTH hazard class (round 13): driver-round-trip counts for the
+    * ITERATIVE operators. C18's pointer-jumping, C62's k-means refinement
+    * and C99's power iteration run driver-coordinated loops — each round
+    * is a fixed number of Spark jobs, so the total job count is the
+    * convergence contract made observable (∝ log(diameter) for
+    * components, ∝ fixed iters for k-means/PCA). Nothing in a PLAN pins
+    * that: a convergence regression (a loop that stops shrinking its
+    * frontier, an iters constant accidentally scaled with the data) shows
+    * up ONLY as job count. The gate EXECUTES each listed query under a
+    * job-counting listener and flags when the count exceeds its vetted
+    * bound (measured at sf0.01 + headroom for AQE's runtime re-plans; the
+    * loop structure, not the data volume, drives these counts). */
+  val iterativeJobBounds: Map[String, Int] = Map(
+    // measured 73 at sf0.01 = ~4 pointer-jump rounds × ~18 jobs each
+    // (sweeps, lazy-checkpoint materializations, convergence agg under
+    // AQE); the bound allows one extra doubling round + noise — a lost
+    // shortcut (rounds drifting to O(diameter)) blows through it
+    "q_dedup_components" -> 100,
+    // measured 27 (KmIters=2 assignment→update rounds, each a multi-job
+    // grid aggregate under AQE, + seed + final assignment)
+    "q_embed_kmeans" -> 40,
+    // measured 6: the PowerIters=8 mat-vec folds run DRIVER-side over the
+    // collected 2080-cell grid — the distributed jobs are the one C88
+    // pass + readout; an accidental distributed re-pass per iter flags
+    "q_embed_pca_power" -> 12,
+    // compose C62's training loop (same bound class, measured 27 / 38)
+    "q_cluster_profile" -> 40,
+    "q_semantic_drift" -> 55)
+
+  /** Count Spark jobs spawned by materializing `df` through the noop
+    * sink (the deployment action shape). Listener delivery is async —
+    * spin-settle like SkewProbe's MaxTask. */
+  private[graft] object JobCount
+      extends org.apache.spark.scheduler.SparkListener {
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var registered = false
+    def ensure(spark: SparkSession): Unit = synchronized {
+      if (!registered) {
+        spark.sparkContext.addSparkListener(this); registered = true
+      }
+    }
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      n.incrementAndGet()
+    private def settle(): Int = {
+      var prev = -1; var cur = n.get(); var spins = 0
+      while (cur != prev && spins < 20) {
+        Thread.sleep(50); prev = cur; cur = n.get(); spins += 1
+      }
+      cur
+    }
+    def reset(): Unit = { settle(); n.set(0) }
+    def value(): Int = settle()
+  }
+
+  /** `mk` is BY-NAME: an iterative operator runs its driver loop while
+    * CONSTRUCTING the frame (each round an action), so the count must
+    * bracket construction + materialization, not materialization alone. */
+  private[graft] def jobsOf(spark: SparkSession,
+      mk: => org.apache.spark.sql.DataFrame): Int = {
+    JobCount.ensure(spark)
+    JobCount.reset()
+    mk.write.format("noop").mode("overwrite").save()
+    JobCount.value()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -428,6 +498,19 @@ object Audit {
           if (knownBounded.contains((name, h))) println(s"known   $name  $h")
           else { newFindings += 1; println(s"NEW     $name  $h") }
         }
+      } catch { case e: Throwable =>
+        println(s"ERROR   $name  ${e.getMessage.take(120)}")
+      }
+      spark.catalog.clearCache()
+    }
+    // the sixth class EXECUTES (plans can't see driver loops) — the
+    // iterative family only, each a few seconds at the audit SF
+    iterativeJobBounds.toSeq.sortBy(_._1).foreach { case (name, bound) =>
+      try {
+        val jobs = jobsOf(spark, SparkEntry.queries(name)(spark, dir))
+        if (jobs <= bound) println(s"known   $name  driver-jobs:$jobs<=$bound")
+        else { newFindings += 1
+          println(s"NEW     $name  driver-jobs:$jobs>$bound") }
       } catch { case e: Throwable =>
         println(s"ERROR   $name  ${e.getMessage.take(120)}")
       }

@@ -268,6 +268,33 @@ object SketchArtifacts {
     Sketches.weekQuantileAssemble(qsketchDays(spark, root, s), s)
   }
 
+  /** B62: `q_qsketch_week_estimates` — the qsketch_day family's
+    * estimates-only consumer, completing the weekly panel trio next to
+    * B60/B61: per-week value-quantile brackets (the B52 exact-integer
+    * rank-walk readout) plus the persisted-day count, every value derived
+    * from the persisted per-day register vectors' cell SUM alone — ZERO
+    * fact scans (plan-pinned), O(days × (64−s)·2^s) longs read. B56
+    * oracle-checks the merge arithmetic from events; this is the row the
+    * dashboard runs once the nightly writers (D37) have left the day
+    * rows behind. The week reduction is cached: the readout's histogram
+    * and rank-grid branches both consume it (the C75 one-row-reduction
+    * rule). */
+  def qsketchWeekEstimates(spark: SparkSession, root: String,
+      s: Int = graft.functions.Kernels.QSketchS,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val nb = graft.functions.Kernels.qsketchBuckets(s)
+    val wk = qsketchDays(spark, root, s)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr(s"aggregate(collect_list(regs), " +
+          s"array_repeat(CAST(0 AS BIGINT), $nb), " +
+          "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("regs"),
+        sum("n").as("n")).cache()
+    Sketches.qReadout(wk, "regs", Seq("week_epoch", "n_days"), s, qPms)
+  }
+
   /** Manifest-verified per-day CMS matrices (built at depth × width). */
   def cmsDays(spark: SparkSession, root: String,
       depth: Int = Sketches.WeekCmsDepth,
@@ -386,6 +413,11 @@ object SketchArtifacts {
   /** The registered `q_hll_week_estimates` (B61). */
   def hllWeekEstimatesStaged(spark: SparkSession, dir: String): DataFrame =
     hllWeekEstimates(spark, storeRoot(spark, dir))
+
+  /** The registered `q_qsketch_week_estimates` (B62). */
+  def qsketchWeekEstimatesStaged(spark: SparkSession,
+      dir: String): DataFrame =
+    qsketchWeekEstimates(spark, storeRoot(spark, dir))
 
   /** Manifest-verified per-month HLL register vectors (built at `m`). */
   def hllMonths(spark: SparkSession, root: String,

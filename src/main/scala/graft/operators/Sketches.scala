@@ -523,8 +523,8 @@ object Sketches {
     * cumulative bracket (n_below, n_thru] — `n_below < r ≤ n_thru` holds
     * BY CONSTRUCTION (the rank-error guarantee, spec-pinned). Exact
     * integer arithmetic end to end. */
-  private def qReadout(sk: DataFrame, regsCol: String, keyCols: Seq[String],
-      s: Int, qPms: Seq[Int]): DataFrame = {
+  private[operators] def qReadout(sk: DataFrame, regsCol: String,
+      keyCols: Seq[String], s: Int, qPms: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
     val hist = sk.select(keys ++ Seq(col("n"),
@@ -873,6 +873,61 @@ object Sketches {
 
   lazy val valueQuantileWeekSql: String =
     valueQuantileWeekSqlFor(graft.functions.Kernels.QSketchS)
+
+  /** B62's oracle: B56's week merge plus the persisted-day count column
+    * (the B61 shape — DuckDB rebuilds the per-day registers relationally
+    * and merges them; the Spark side reads the PERSISTED rows, and the
+    * store-fed ≡ inline byte-equality is what makes this one oracle check
+    * the whole store round trip). */
+  def qsketchWeekEstimatesSqlFor(s: Int,
+      qPms: Seq[Int] = graft.functions.Kernels.QuantileGridPm): String = {
+    import graft.functions.Kernels.{qsketchBucketSql, qsketchLowerSql}
+    s"""
+    WITH c AS (
+      SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day_epoch,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT day_epoch, ${qsketchBucketSql("cents", s)} AS bucket FROM c),
+    hd AS (  -- the per-day register vectors (what the store persists)
+      SELECT day_epoch, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    nd AS (  -- persisted day rows per week (the B61 n_days column)
+      SELECT day_epoch // 7 AS week_epoch,
+        CAST(count(DISTINCT day_epoch) AS BIGINT) AS n_days
+      FROM hd GROUP BY 1),
+    h AS (   -- the REGISTER SUM merge: cells add across a week's days
+      SELECT day_epoch // 7 AS week_epoch, bucket,
+        CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM hd GROUP BY 1, 2),
+    cum AS (
+      SELECT week_epoch, bucket, cnt,
+        CAST(SUM(cnt) OVER (PARTITION BY week_epoch ORDER BY bucket)
+          AS BIGINT) AS n_thru
+      FROM h),
+    tot AS (
+      SELECT week_epoch, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM h GROUP BY 1),
+    grid AS (
+      SELECT week_epoch, CAST(q_pm AS BIGINT) AS q_pm, n,
+        (q_pm * n + 999) // 1000 AS r
+      FROM (SELECT unnest([${qPms.mkString(", ")}]) AS q_pm), tot),
+    pick AS (
+      SELECT g.week_epoch, q_pm, n, r, MIN(bucket) AS bucket
+      FROM grid g JOIN cum
+        ON cum.week_epoch = g.week_epoch AND cum.n_thru >= g.r
+      GROUP BY 1, 2, 3, 4)
+    SELECT p.week_epoch, nd.n_days, p.q_pm, p.n, p.r,
+      ${qsketchLowerSql("p.bucket", s)} AS est_lo,
+      ${qsketchLowerSql("(p.bucket + 1)", s)} AS est_hi,
+      cum.n_thru - cum.cnt AS n_below, cum.n_thru
+    FROM pick p
+    JOIN cum ON cum.week_epoch = p.week_epoch AND cum.bucket = p.bucket
+    JOIN nd ON nd.week_epoch = p.week_epoch
+    ORDER BY p.week_epoch, p.q_pm"""
+  }
+
+  lazy val qsketchWeekEstimatesSql: String =
+    qsketchWeekEstimatesSqlFor(graft.functions.Kernels.QSketchS)
 
   /** B57's geometry — deliberately UNDER-provisioned (the B49 curve's
     * collision regime) so the merged week matrices carry visible

@@ -395,11 +395,34 @@ class ArtifactSpec extends SparkSpec {
     // monthOverlapEstimates deployment shape, plan-pinned)
     for ((name, df) <- Seq(
       ("cmsWeekEstimates", SketchArtifacts.cmsWeekEstimates(spark, r)),
-      ("hllWeekEstimates", SketchArtifacts.hllWeekEstimates(spark, r)))) {
+      ("hllWeekEstimates", SketchArtifacts.hllWeekEstimates(spark, r)),
+      ("qsketchWeekEstimates",
+        SketchArtifacts.qsketchWeekEstimates(spark, r)))) {
       val scans = filesUnder(df.queryExecution.executedPlan)
       assert(!scans.exists(_.contains("events.parquet")),
         s"$name still scans events: $scans")
     }
+
+    // B62's quantile columns must be IDENTICAL to B56's inline readout
+    // (same registers, same rank walk — the store round trip and the
+    // added n_days column must not perturb the panel)
+    val qCols = Seq("week_epoch", "q_pm", "n", "r",
+      "est_lo", "est_hi", "n_below", "n_thru")
+    val b62 = SketchArtifacts.qsketchWeekEstimates(spark, r)
+      .select(qCols.map(col): _*).orderBy("week_epoch", "q_pm")
+    val b56 = Sketches.valueQuantileWeek(spark, sf)
+      .select(qCols.map(col): _*).orderBy("week_epoch", "q_pm")
+    assert(b62.collect().toSeq == b56.collect().toSeq,
+      "estimates-only weekly quantiles diverge from B56's readout")
+    // n_days counts the persisted day rows of each week
+    val storeDays = SketchArtifacts.qsketchDays(spark, r)
+      .groupBy(expr("day_epoch div 7").as("week_epoch"))
+      .agg(count(lit(1)).as("n_days_expect"))
+    val ndBad = SketchArtifacts.qsketchWeekEstimates(spark, r)
+      .select("week_epoch", "n_days").distinct()
+      .join(storeDays, Seq("week_epoch"))
+      .filter(col("n_days") =!= col("n_days_expect"))
+    assert(ndBad.count() == 0, "B62 n_days misreports persisted day rows")
 
     // B61's estimate column must be IDENTICAL to B58's (the full
     // consumer carries the exact-evaluation pass; the estimates must not

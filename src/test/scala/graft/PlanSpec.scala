@@ -714,4 +714,27 @@ class PlanSpec extends SparkSpec {
     assert(Audit.cartesianHazards(safe).isEmpty, Audit.cartesianHazards(safe))
   }
 
+  test("driver-job gate (Audit hazard 6): real loop within bound, " +
+      "constructed runaway breaches") {
+    // the gated iterative operator stays within its vetted bound at the
+    // spec SF (bounds are measured at sf0.01 — a smaller corpus never
+    // needs MORE convergence rounds)
+    val real = Audit.jobsOf(spark,
+      operators.DedupOps.dedupComponents(spark, sf))
+    assert(real <= Audit.iterativeJobBounds("q_dedup_components"),
+      s"components spent $real driver jobs at sf0.001")
+    // a constructed convergence regression — a driver loop scheduling one
+    // job per round for 3x a vetted bound (the frontier that never
+    // shrinks) — must land ABOVE the gate; this is the failure mode the
+    // class exists to catch, invisible to every plan-based hazard
+    val bound = Audit.iterativeJobBounds("q_embed_pca_power")
+    val runaway = Audit.jobsOf(spark, {
+      val df = spark.range(10).toDF("node")
+      (1 to bound * 3).foreach(_ => { df.count(): Unit })
+      df
+    })
+    assert(runaway > bound,
+      s"runaway loop counted only $runaway jobs (bound $bound)")
+  }
+
 }
