@@ -324,6 +324,29 @@ object ScaleProbe {
     * the flat gate measures corpus-size dependence only. */
   private val SynthIngestDay = 21000L
 
+  /** The constructed fixed-volume vector day for the ANN append probes:
+    * 500 vectors, NEGATIVE ids (never collide with any replica id, and
+    * never match the deterministic centroid rule). Same frame at every
+    * scale — the flat gate measures corpus-size dependence only. */
+  private def synthVecDay(s: SparkSession): DataFrame =
+    s.range(500).select(
+      (-(col("id") + lit(1000000L))).as("vec_id"),
+      (col("id") % 16).cast("int").as("label"),
+      expr("transform(sequence(0, 63), j -> " +
+        "CAST((id * 31 + j * 7) % 101 AS FLOAT))").as("embedding"))
+
+  /** One DEDICATED stream store per dir for the compaction probe (the
+    * read/append probes' store must keep its slice layout untouched), and
+    * a monotonic day counter so every timed call appends FRESH days with
+    * fresh ids (the appendDay contract) and then compacts a real
+    * multi-slice log — no sample ever measures a no-op. */
+  private val compactRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def synthDayAt(s: SparkSession, day: Long): DataFrame =
+    synthDay(s).withColumn("doc_id", col("doc_id") - lit(day * 100000L))
+
   private def synthDay(s: SparkSession): DataFrame =
     s.range(2000).select(
       (-(col("id") + lit(1000000L))).as("doc_id"),
@@ -488,6 +511,36 @@ object ScaleProbe {
         ("ann_index_search" ->
           ((s: SparkSession, d: String) =>
             graft.operators.AnnArtifacts.annIvf(s, annRootOf(s, d)))) :+
+        // The ANN store's INCREMENTAL maintenance (round 13 — the
+        // StreamArtifacts day-slice device applied to the vector index):
+        // `ann_index_append_slice` assigns a CONSTRUCTED fixed-volume day
+        // of vectors via the persisted FROZEN quantizer and slice-swaps
+        // it with the re-stamp deferred — FLAT in corpus size (the
+        // quantizer read is O(k), the assign/code passes O(day); the
+        // standing corpus is never re-read). `ann_index_append_fixedday`
+        // is the same day PLUS the canonical re-stamp (one O(index)
+        // digest pass per per-vector family) — ≤ linear; the gap between
+        // the curves is the re-stamp cost the batch re-stamp policy
+        // amortizes. Ordering within a scale keeps verified reads
+        // canonical: search runs BEFORE the stale-manifest append_slice,
+        // and append_fixedday re-stamps last (the stream-probe device);
+        // min-of-2 keeps ann_index_search's pristine first sample.
+        ("ann_index_append_slice" ->
+          ((s: SparkSession, d: String) => {
+            graft.operators.AnnArtifacts.appendDay(s, annRootOf(s, d),
+              SynthIngestDay, synthVecDay(s), restamp = false)
+            s.read.parquet(s"${annRootOf(s, d)}/flat")
+              .filter(col("ingest_day") === SynthIngestDay)
+              .groupBy().count()
+          })) :+
+        ("ann_index_append_fixedday" ->
+          ((s: SparkSession, d: String) => {
+            graft.operators.AnnArtifacts.appendDay(s, annRootOf(s, d),
+              SynthIngestDay, synthVecDay(s), restamp = true)
+            s.read.parquet(s"${annRootOf(s, d)}/flat")
+              .filter(col("ingest_day") === SynthIngestDay)
+              .groupBy().count()
+          })) :+
         ("qsketch_append_fixedday" ->
           ((s: SparkSession, d: String) => {
             val root = sketchRoots.computeIfAbsent(d, { _ =>
@@ -553,6 +606,32 @@ object ScaleProbe {
             s.read.parquet(s"$r/incr_hash")
               .filter(col("ingest_day") === SynthIngestDay)
               .groupBy().count()
+          })) :+
+        // SLICE COMPACTION (round 13): each timed call appends three
+        // fresh fixed-volume days (restamp deferred — the batch cadence)
+        // and compacts them into the base slice — the full nightly
+        // compaction job: an O(index) canonical rewrite per family, so
+        // the curve is LINEAR in corpus size by construction (the probe
+        // gates that the rewrite never degrades superlinearly — a hot
+        // span bucket or a merge that re-reads slices quadratically
+        // would show here). Runs against its OWN store so the read/
+        // append probes' slice layout stays untouched.
+        ("stream_index_compact" ->
+          ((s: SparkSession, d: String) => {
+            val r = compactRoots.computeIfAbsent(d, { _ =>
+              val t = java.nio.file.Files
+                .createTempDirectory("graft-scale-streamc-").toString
+              graft.operators.StreamArtifacts.write(s, d, t)
+              t
+            })
+            val base = 30000L + compactSeq.incrementAndGet() * 3L
+            (0L until 3L).foreach { j =>
+              graft.operators.StreamArtifacts.appendDay(s, r, base + j,
+                synthDayAt(s, base + j), restamp = false)
+            }
+            graft.operators.StreamArtifacts.compact(s, r, base + 2L)
+            s.read.parquet(s"$r/gram_index")
+              .select("ingest_day").distinct()
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
@@ -619,8 +698,10 @@ object ScaleProbe {
     // (and anything a failed sample left in the scratch queue)
     import scala.jdk.CollectionConverters._
     (sketchRoots.values.asScala ++ annRoots.values.asScala ++
-      streamRoots.values.asScala).foreach(deleteRoot)
+      streamRoots.values.asScala ++ compactRoots.values.asScala)
+      .foreach(deleteRoot)
     sketchRoots.clear(); annRoots.clear(); streamRoots.clear()
+    compactRoots.clear()
     while (!scratchRoots.isEmpty) deleteRoot(scratchRoots.poll())
     spark.stop()
     if (failed.nonEmpty) {

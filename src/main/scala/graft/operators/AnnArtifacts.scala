@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   * silently scoring against the wrong index (the round-11 sketch-store
   * contract).
   *
-  * Layout under a root:
+  * Layout under a root (per-vector relations hive-partitioned by
+  * `ingest_day` since round 13 — 0 is the initial build, day N's admitted
+  * vectors land as their own slice; quantizer relations are the frozen
+  * model and stay single artifacts):
   * {{{
   *   flat/           vec_id, label, embedding, n2     (serving snapshot)
   *   ivf_centroids/  cent_id, c_emb, c_n2             (coarse quantizer)
@@ -38,10 +41,14 @@ import org.apache.spark.sql.functions._
   * ([[EmbeddingOps.bruteforceHits]]/[[EmbeddingOps.ivfSearch]]/
   * [[EmbeddingOps.adcSearch]]) fed persisted relations.
   *
-  * Build vs read is measured by ScaleProbe's `ann_index_build` (linear —
-  * one assignment pass and one code pass over the corpus) and
-  * `ann_index_route` (FLAT — a query router boots from the O(k) centroid
-  * rows alone, never touching cells). */
+  * Build vs read vs maintenance is measured by ScaleProbe:
+  * `ann_index_build` (linear — one assignment pass and one code pass over
+  * the corpus), `ann_index_route` (FLAT — a query router boots from the
+  * O(k) centroid rows alone, never touching cells), `ann_index_search`
+  * (linear at fixed k), `ann_index_append_slice` (FLAT — a fixed
+  * constructed day assigned via the frozen quantizer, re-stamp deferred)
+  * and `ann_index_append_fixedday` (slice + canonical re-stamp, ≤ linear);
+  * gates recorded in SCALING_r13.md. */
 object AnnArtifacts {
 
   import EmbeddingOps.{IvfK, IvfNprobe, PqK, PqSub, PqSubDim, ProbeBatch}
@@ -58,6 +65,57 @@ object AnnArtifacts {
     Map("family" -> "pq_codes", "k" -> pqK.toString,
       "sub" -> PqSub.toString, "sub_dim" -> PqSubDim.toString)
 
+  /** The three PER-VECTOR relations are LOG-STRUCTURED since round 13
+    * (the StreamArtifacts day-slice device applied to the vector index):
+    * hive-partitioned by `ingest_day` (0 = the initial build; day N's
+    * admitted vectors land as their own slice via
+    * [[graft.operators.Etl.replaceSlice]]). Their canonical view is the
+    * raw union — vec ids are disjoint across ingest days (the appendDay
+    * contract), so no read-side merge is needed and slices simply add. */
+  private val VectorFamilies = Seq("flat", "ivf_cells", "pq_codes")
+
+  private def vectorFamilyParams(family: String, k: Int,
+      pqK: Int): Map[String, String] = family match {
+    case "flat"      => flatParams
+    case "ivf_cells" => cellParams(k)
+    case "pq_codes"  => codeParams(pqK)
+  }
+
+  /** Per-vector slice frames for a vector set under a FROZEN quantizer:
+    * norms (flat), nearest-centroid assignment (cells), subspace argmin
+    * codes (codes) — each an O(vectors) pass, never O(corpus). The slice
+    * key keeps cells CELL-MAJOR inside each ingest-day directory. */
+  private def sliceFrames(v: DataFrame, cents: DataFrame,
+      cb: DataFrame): Seq[(String, DataFrame, String)] = Seq(
+    ("flat", v, "vec_id"),
+    ("ivf_cells", EmbeddingOps.ivfAssigned(v, cents), "cent_id"),
+    ("pq_codes", EmbeddingOps.pqCodesWide(v, cb), "vec_id"))
+
+  /** Build the store from an explicit vector frame and a FROZEN quantizer
+    * (centroids + PQ codebook) — the frame-parametric body [[write]] and
+    * the append≡rebuild spec share: quantizer relations persist as plain
+    * artifacts (they are the frozen model — appends never touch them);
+    * the per-vector relations land as the `ingest_day=0` slice under the
+    * canonical-digest manifest. */
+  private[graft] def writeFrom(spark: SparkSession, v: DataFrame,
+      cents: DataFrame, cb: DataFrame, root: String,
+      k: Int = IvfK, pqK: Int = PqK): Unit = {
+    DedupArtifacts.writeArtifact(cents, s"$root/ivf_centroids", "cent_id",
+      centParams(k))
+    DedupArtifacts.writeArtifact(cb, s"$root/pq_codebook", "cent_id",
+      cbParams(pqK))
+    val par = spark.sessionState.conf.numShufflePartitions
+    sliceFrames(v, cents, cb).foreach { case (f, rows, key) =>
+      rows.withColumn("ingest_day", lit(0L))
+        .repartition(par, col(key))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("ingest_day").parquet(s"$root/$f")
+      DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
+        vectorFamilyParams(f, k, pqK), "ingest_day", identity)
+      spark.catalog.clearCache()
+    }
+  }
+
   /** The nightly index build: one norm pass (flat), one corpus × O(k)
     * assignment pass (cells), one corpus × O(pqK·sub) code pass (codes);
     * centroid/codebook relations are O(k). Each artifact manifest records
@@ -65,26 +123,67 @@ object AnnArtifacts {
   def write(spark: SparkSession, dir: String, root: String,
       k: Int = IvfK, pqK: Int = PqK): Unit = {
     val v = EmbeddingOps.vectors(spark, dir)
-    DedupArtifacts.writeArtifact(v, s"$root/flat", "vec_id", flatParams)
-    val cents = EmbeddingOps.ivfCentroids(v, k)
-    DedupArtifacts.writeArtifact(cents, s"$root/ivf_centroids", "cent_id",
-      centParams(k))
-    DedupArtifacts.writeArtifact(
-      EmbeddingOps.ivfAssigned(v, cents),
-      s"$root/ivf_cells", "cent_id", cellParams(k))
-    val cb = EmbeddingOps.ivfCentroids(v, pqK).select("cent_id", "c_emb")
-    DedupArtifacts.writeArtifact(cb, s"$root/pq_codebook", "cent_id",
-      cbParams(pqK))
-    DedupArtifacts.writeArtifact(
-      EmbeddingOps.pqCodesWide(v, cb),
-      s"$root/pq_codes", "vec_id", codeParams(pqK))
+    writeFrom(spark, v, EmbeddingOps.ivfCentroids(v, k),
+      EmbeddingOps.ivfCentroids(v, pqK).select("cent_id", "c_emb"),
+      root, k, pqK)
   }
+
+  /** INCREMENTAL MAINTENANCE (round 13 — the verdict's remaining store
+    * gap): day `dayEpoch`'s admitted vectors (vec_id, label, embedding)
+    * append to the three per-vector relations, assigned via the
+    * PERSISTED FROZEN quantizer — an O(day) norm/assign/code pass plus
+    * one slice swap per family; the standing corpus is never re-read and
+    * the quantizer is never retrained (C117's code-usage panel is the
+    * report that says when it must be). CONTRACT: an admitted vector is
+    * a NEW vector — its id must not already exist in the store (slices
+    * add; a restated day replaces its own slice, run-twice ≡ run-once).
+    * Geometry is verified against every family manifest BEFORE any slice
+    * lands. `restamp = false` defers the canonical re-stamp (the
+    * sketch-store batch device); until the re-stamp, verified readers
+    * fail fast — never a silent misread. Append-built ≡ a one-pass
+    * rebuild over the union under the SAME frozen quantizer, pinned by
+    * manifest equality (ArtifactSpec). */
+  def appendDay(spark: SparkSession, root: String, dayEpoch: Long,
+      dayVectors: DataFrame, k: Int = IvfK, pqK: Int = PqK,
+      restamp: Boolean = true): Unit = {
+    (Seq("ivf_centroids" -> centParams(k), "pq_codebook" -> cbParams(pqK)) ++
+      VectorFamilies.map(f => f -> vectorFamilyParams(f, k, pqK)))
+      .foreach { case (f, want) =>
+        DedupArtifacts.manifestParams(spark, s"$root/$f").foreach { rec =>
+          if (rec != want)
+            sys.error(s"ANN index $root/$f geometry mismatch: append " +
+              s"expects $want, store records $rec")
+        }
+      }
+    graft.functions.Kernels.register(spark)
+    val cents = centroids(spark, root, k)
+    val cb = pqCodebook(spark, root, pqK)
+    val v = dayVectors.select(col("vec_id"), col("label"), col("embedding"),
+      expr("graft_norm2(embedding)").as("n2"))
+    sliceFrames(v, cents, cb).foreach { case (f, rows, _) =>
+      Etl.replaceSlice(spark, s"$root/$f", "ingest_day",
+        dayEpoch.toString, rows)
+    }
+    if (restamp) this.restamp(spark, root, k, pqK)
+  }
+
+  /** The deferred canonical re-stamp for the three per-vector families —
+    * one narrow O(index) digest pass each (index bytes, never
+    * embeddings). */
+  def restamp(spark: SparkSession, root: String, k: Int = IvfK,
+      pqK: Int = PqK): Unit =
+    VectorFamilies.foreach { f =>
+      DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
+        vectorFamilyParams(f, k, pqK), "ingest_day", identity)
+    }
 
   // ---- manifest- and geometry-verified readers
 
-  /** The serving snapshot (vec_id, label, embedding, n2). */
+  /** The serving snapshot (vec_id, label, embedding, n2) — the union of
+    * all ingest-day slices, canonical-digest-verified. */
   def flat(spark: SparkSession, root: String): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/flat", flatParams)
+    DedupArtifacts.readVerifiedCanonical(spark, s"$root/flat", flatParams,
+        "ingest_day", identity)
       .select("vec_id", "label", "embedding", "n2")
 
   /** The coarse quantizer, built at `k`. */
@@ -95,7 +194,8 @@ object AnnArtifacts {
 
   /** The cell-major corpus (vec_id, embedding, n2, cent_id), built at `k`. */
   def cells(spark: SparkSession, root: String, k: Int = IvfK): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/ivf_cells", cellParams(k))
+    DedupArtifacts.readVerifiedCanonical(spark, s"$root/ivf_cells",
+        cellParams(k), "ingest_day", identity)
       .select("vec_id", "embedding", "n2", "cent_id")
 
   /** The PQ codebook (cent_id, c_emb), built at `pqK`. */
@@ -106,7 +206,8 @@ object AnnArtifacts {
 
   /** The compressed corpus (vec_id, code_0..code_3), built at `pqK`. */
   def pqCodes(spark: SparkSession, root: String, pqK: Int = PqK): DataFrame =
-    DedupArtifacts.readVerified(spark, s"$root/pq_codes", codeParams(pqK))
+    DedupArtifacts.readVerifiedCanonical(spark, s"$root/pq_codes",
+        codeParams(pqK), "ingest_day", identity)
       .select(col("vec_id") +:
         (0 until PqSub).map(s => col(s"code_$s")): _*)
 

@@ -46,8 +46,9 @@ import org.apache.spark.sql.functions._
   * `stream_index_append_slice` FLAT at a fixed constructed day — the
   * log-structured payoff — and `stream_index_append_fixedday` = slice +
   * re-stamp, ≤ linear; the gap between the append curves is the re-stamp
-  * cost the per-batch re-stamp policy amortizes); gates recorded in
-  * SCALING_r13.md.
+  * cost the per-batch re-stamp policy amortizes) plus
+  * `stream_index_compact` (the [[compact]] nightly job — an O(index)
+  * canonical rewrite, linear); gates recorded in SCALING_r13.md.
   *
   * The params map records the STANDING-CORPUS SPLIT the indexes were
   * built against (doc_id % IncrMod ≠ IncrRem — the frozen-model
@@ -182,6 +183,53 @@ object StreamArtifacts {
     * O(index) digest pass each (index bytes, never corpus text). */
   def restamp(spark: SparkSession, root: String): Unit =
     Families.foreach(restampFamily(spark, root, _))
+
+  /** SLICE COMPACTION (round 13 — the verdict's unbounded-slice-count
+    * fix): merge every day slice with `ingest_day ≤ upToDay` into ONE
+    * slice holding the CANONICAL merge of their rows (min-partner per
+    * hash, distinct grams, summed span counters — each family's `canon`
+    * is associative, so compacting a prefix of the log preserves the
+    * overall canonical view exactly), labeled `ingest_day = upToDay`.
+    * Slices above `upToDay` are untouched, so the nightly append cadence
+    * continues against the compacted base. After a year of appends this
+    * is what keeps [[DedupArtifacts.readVerifiedCanonical]]'s per-read
+    * merge bounded: it re-merges O(compactions-since) slices, not 365.
+    *
+    * Crash-safe by construction: each family's new layout is staged
+    * whole under a `_`-prefixed sibling and swapped in with
+    * [[graft.sources.Export.publish]]'s rename publish — a reader (or a
+    * crash) sees the old slices or the new, never a mix, and a re-run
+    * recomputes the same canonical merge (idempotent). The canonical
+    * digest is INVARIANT under compaction, so the re-stamp after the
+    * swap rewrites the manifest the publish dropped with the SAME
+    * (n_rows, checksum) — manifest equality before/after is the spec's
+    * pin that compaction touched layout, never meaning. */
+  def compact(spark: SparkSession, root: String, upToDay: Long): Unit =
+    Families.foreach { f =>
+      import org.apache.hadoop.fs.Path
+      val path = s"$root/$f"
+      val raw = spark.read.parquet(path)
+      // distinct calendar days, never index rows — the bounded collect
+      val nMerge = raw.select("ingest_day").distinct()
+        .filter(col("ingest_day") <= upToDay).count()
+      if (nMerge > 1) {
+        val merged = canon(f)(raw.filter(col("ingest_day") <= upToDay)
+            .drop("ingest_day"))
+          .withColumn("ingest_day", lit(upToDay))
+        val keep = raw.filter(col("ingest_day") > upToDay)
+          .withColumn("ingest_day", col("ingest_day").cast("long"))
+        val target = new Path(path)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new Path(target.getParent, "_" + target.getName + ".compact")
+        merged.unionByName(keep)
+          .repartition(col("ingest_day"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("ingest_day").parquet(tmp.toString)
+        graft.sources.Export.publish(fs, tmp, target)
+        restampFamily(spark, root, f)
+        spark.catalog.clearCache()
+      }
+    }
 
   private def rawVerified(spark: SparkSession, root: String,
       family: String): DataFrame =

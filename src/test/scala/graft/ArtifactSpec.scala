@@ -643,4 +643,140 @@ class ArtifactSpec extends SparkSpec {
     assert(manifest(incr) == manifest(full), "failed append mutated the store")
     spark.catalog.clearCache(): Unit
   }
+
+  test("ANN index store: day append == frozen-quantizer rebuild (manifest-equal)") {
+    import operators.{AnnArtifacts, EmbeddingOps}
+    graft.functions.Kernels.register(spark)
+    def manifest(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+    val baseV = EmbeddingOps.vectors(spark, sf)
+    // the admitted day: a third of the corpus's vectors under NEW ids
+    // (the appendDay contract — an admitted vector is a new vector)
+    val day = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 70000000000L).as("vec_id"),
+        col("label"), col("embedding"))
+
+    // appended store: initial build + one day assigned via the PERSISTED
+    // frozen quantizer
+    val rootA = tmpDir("graft-ann-append-")
+    AnnArtifacts.write(spark, sf, rootA)
+    AnnArtifacts.appendDay(spark, rootA, 1L, day)
+    // one-pass rebuild over the union under the SAME frozen quantizer
+    // (trained on the base corpus alone — appends never retrain it)
+    val rootB = tmpDir("graft-ann-rebuild-")
+    val dayV = day.select(col("vec_id"), col("label"), col("embedding"),
+      expr("graft_norm2(embedding)").as("n2"))
+    AnnArtifacts.writeFrom(spark, baseV.unionByName(dayV),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.IvfK),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.PqK)
+        .select("cent_id", "c_emb"),
+      rootB)
+    for (f <- Seq("flat", "ivf_cells", "pq_codes",
+        "ivf_centroids", "pq_codebook"))
+      assert(manifest(rootA, f) == manifest(rootB, f),
+        s"append-built $f diverges from the frozen-quantizer rebuild")
+
+    // the appended store answers searches exactly as the rebuild does,
+    // and still scans zero embeddings parquet
+    assert(AnnArtifacts.annIvf(spark, rootA).collect().toSeq ==
+      AnnArtifacts.annIvf(spark, rootB).collect().toSeq,
+      "appended-store IVF search diverges from the rebuild's")
+    spark.catalog.clearCache()
+    val scans = filesUnder(
+      AnnArtifacts.annIvf(spark, rootA).queryExecution.executedPlan)
+    assert(!scans.exists(_.contains("embeddings.parquet")),
+      s"appended-store search scans the embeddings table: $scans")
+    spark.catalog.clearCache()
+
+    // deferred re-stamp: data ahead of manifest → verified readers fail
+    // fast; the explicit restamp restores every consumer
+    AnnArtifacts.appendDay(spark, rootA, 2L,
+      day.withColumn("vec_id", col("vec_id") + 1000000000L),
+      restamp = false)
+    val e = intercept[RuntimeException](
+      AnnArtifacts.flat(spark, rootA).collect())
+    assert(e.getMessage.contains("failed verification"),
+      s"stale-manifest read: wrong error: ${e.getMessage}")
+    AnnArtifacts.restamp(spark, rootA)
+    assert(AnnArtifacts.flat(spark, rootA).count() > 0)
+
+    // geometry handshake on APPEND: a wrong-k append fails BEFORE writing
+    val g = intercept[RuntimeException](
+      AnnArtifacts.appendDay(spark, rootA, 3L, day, k = 7))
+    assert(g.getMessage.contains("geometry mismatch"),
+      s"wrong-k append: wrong error: ${g.getMessage}")
+    assert(AnnArtifacts.flat(spark, rootA).count() > 0,
+      "failed append left the store unreadable")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("stream index store: slice compaction preserves the canonical view") {
+    import operators.StreamArtifacts
+    graft.functions.Kernels.register(spark)
+    def manifest(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+    def sliceDirs(r: String, fam: String): Seq[String] =
+      new java.io.File(s"$r/$fam").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("ingest_day=")).sorted
+    val r = tmpDir("graft-stream-compact-")
+    StreamArtifacts.write(spark, sf, r)
+    // three nightly appends (fresh ids, deliberately duplicate TEXT so
+    // the cross-slice merges carry real weight), batch re-stamp
+    (1L to 3L).foreach { d =>
+      StreamArtifacts.appendDay(spark, r, d,
+        sources.Feeds.incomingDocs(spark, sf)
+          .select((col("doc_id") + lit(d * 80000000000L)).as("doc_id"),
+            col("text"), col("source")),
+        restamp = false)
+    }
+    StreamArtifacts.restamp(spark, r)
+    val beforeM = StreamArtifacts.Families.map(f => f -> manifest(r, f)).toMap
+    // materialize the gate views EAGERLY — compaction replaces the files
+    // their lazy plans would re-scan
+    def views(): Seq[(String, Seq[String])] = Seq(
+      "incr_hash" -> StreamArtifacts.incrHash(spark, r),
+      "incr_sigs" -> StreamArtifacts.incrSigs(spark, r),
+      "gram_index" -> StreamArtifacts.gramIndex(spark, r),
+      "span_index" -> StreamArtifacts.spanIndex(spark, r))
+      .map { case (n, df) =>
+        n -> df.collect().map(_.toString).sorted.toSeq
+      }
+    val before = views()
+    for (f <- StreamArtifacts.Families)
+      assert(sliceDirs(r, f).size == 4, s"$f should hold 4 slices")
+
+    // compact the whole log into one slice: the canonical digest — and
+    // with it the manifest — must be INVARIANT, and every gate view
+    // row-identical
+    StreamArtifacts.compact(spark, r, 3L)
+    for (f <- StreamArtifacts.Families) {
+      assert(sliceDirs(r, f) == Seq("ingest_day=3"),
+        s"$f not compacted to one slice: ${sliceDirs(r, f)}")
+      assert(manifest(r, f) == beforeM(f),
+        s"$f manifest changed under compaction")
+    }
+    for (((n, pre), (_, post)) <- before.zip(views()))
+      assert(pre == post, s"$n changed under compaction")
+
+    // idempotent: a single-slice log is a no-op
+    StreamArtifacts.compact(spark, r, 3L)
+    for (f <- StreamArtifacts.Families)
+      assert(manifest(r, f) == beforeM(f), s"no-op compaction changed $f")
+    assert(sliceDirs(r, "gram_index") == Seq("ingest_day=3"))
+
+    // the nightly cadence continues against the compacted base
+    val sp = spark
+    import sp.implicits._
+    StreamArtifacts.appendDay(spark, r, 4L,
+      Seq((90000000001L, (1 to 40).map(i => s"qqz$i").mkString(" "), "synth"))
+        .toDF("doc_id", "text", "source"))
+    assert(sliceDirs(r, "gram_index") == Seq("ingest_day=3", "ingest_day=4"))
+    assert(StreamArtifacts.gramIndex(spark, r).count() >
+      before.toMap.apply("gram_index").size,
+      "post-compaction append did not extend the gram index")
+    spark.catalog.clearCache(): Unit
+  }
 }
