@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read-cost-vs-slice-count harness for the log-structured stream index
+  * store (dev main; round 13 — the axis VERDICT r12 item 3 asked for,
+  * isolated EXACTLY): two stores with IDENTICAL canonical content — A is
+  * a single-pass build (1 slice), B is the same base build plus
+  * [[Days]] nightly appends of constructed fixed-volume days (the
+  * append ≡ rebuild contract means A and B carry the SAME canonical rows
+  * and the SAME manifests, which the harness asserts before timing) —
+  * so any read-wall gap between them is the PER-SLICE overhead of the
+  * read-side LSM merge (more files, more parquet footers, the same
+  * logical rows), not data volume. Then B is COMPACTED and re-measured:
+  * the compacted read must fall back to the single-slice cost, which is
+  * the measured claim behind [[graft.operators.StreamArtifacts.compact]]
+  * — "verified reads re-merge O(compactions-since) slices, not 365".
+  *
+  * The timed read is the full verified gate-view materialization
+  * (incrHash + incrSigs + gramIndex + spanIndex counts — manifest
+  * re-digest included, exactly what a deployment's gate bootstrap pays),
+  * min of [[Samples]] warm samples.
+  *
+  * Gates: (1) manifest(A) == manifest(B) per family BEFORE timing (the
+  * 32-day append ≡ rebuild pin at harness scale); (2) gate views return
+  * identical counts on A, B, and compacted B; (3) compacted-B read ≤
+  * 1.25 × A's read (the slice overhead is reclaimed; 25% headroom for
+  * timer noise on sub-second reads).
+  *
+  * Usage: `sbt "runMain graft.SliceProbe [sfDir]"` (default sf0.1).
+  * Results recorded in SCALING_r13.md. */
+object SliceProbe {
+
+  val Days = 32
+  val Samples = 3
+  private val DocsPerDay = 500
+
+  private def synthDay(s: SparkSession, day: Long): DataFrame =
+    s.range(DocsPerDay).select(
+      (-(col("id") + lit(1L) + lit(day * 1000000L))).as("doc_id"),
+      concat_ws(" ",
+        lit("slice probe synthetic day"), lit(day), col("id"),
+        lit(("the quick brown fox jumps over the lazy dog " * 5).trim),
+        (col("id") % 89).cast("string"),
+        lit("tail marker tokens alpha beta gamma delta epsilon zeta eta " +
+          "theta iota kappa lambda mu nu xi omicron pi rho sigma tau"))
+        .as("text"),
+      lit("synth_feed").as("source"))
+
+  private def readAll(s: SparkSession, root: String): Seq[Long] = {
+    import graft.operators.StreamArtifacts
+    val n = Seq(
+      StreamArtifacts.incrHash(s, root).count(),
+      StreamArtifacts.incrSigs(s, root).count(),
+      StreamArtifacts.gramIndex(s, root).count(),
+      StreamArtifacts.spanIndex(s, root).count())
+    s.catalog.clearCache()
+    n
+  }
+
+  private def timeRead(s: SparkSession, root: String): Double =
+    (1 to Samples).map { _ =>
+      val t0 = System.nanoTime()
+      readAll(s, root)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    import graft.operators.StreamArtifacts
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Kernels.register(spark)
+
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val standing = docs.filter(col("doc_id") % graft.sources.Feeds.IncrMod
+      =!= graft.sources.Feeds.IncrRem)
+    val cols = Seq("doc_id", "text", "source")
+    val synthAll = (1 to Days).map(d => synthDay(spark, d.toLong))
+      .reduce(_ unionByName _)
+
+    // store A: ONE slice holding the whole universe (single-pass build)
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-sliceprobe-a-").toString
+    StreamArtifacts.writeFrom(spark,
+      standing.select(cols.map(col): _*).unionByName(synthAll),
+      docs.select(cols.map(col): _*).unionByName(synthAll), rootA)
+    // store B: base build + Days nightly appends, one final re-stamp
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-sliceprobe-b-").toString
+    StreamArtifacts.write(spark, dir, rootB)
+    (1 to Days).foreach { d =>
+      StreamArtifacts.appendDay(spark, rootB, d.toLong,
+        synthDay(spark, d.toLong), restamp = false)
+    }
+    StreamArtifacts.restamp(spark, rootB)
+
+    // gate 1: append-built ≡ single-pass rebuild at Days-slice scale
+    def manifest(r: String, f: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$f/_graft_manifest.json"))
+    val manifestsEqual = StreamArtifacts.Families
+      .forall(f => manifest(rootA, f) == manifest(rootB, f))
+
+    // warm both paths once (codegen/footer machinery), then time
+    readAll(spark, rootA); readAll(spark, rootB)
+    val nA = readAll(spark, rootA)
+    val tA = timeRead(spark, rootA)
+    val nB = readAll(spark, rootB)
+    val tSliced = timeRead(spark, rootB)
+    StreamArtifacts.compact(spark, rootB, Days.toLong)
+    readAll(spark, rootB) // warm the new file layout
+    val nC = readAll(spark, rootB)
+    val tCompacted = timeRead(spark, rootB)
+
+    val viewsEqual = nA == nB && nB == nC
+    val reclaimed = tCompacted <= 1.25 * tA
+    println(f"| store               | slices | read wall |")
+    println(f"|---------------------|--------|-----------|")
+    println(f"| single-pass (A)     | ${1}%6d | $tA%8.2fs |")
+    println(f"| append-built (B)    | ${Days + 1}%6d | $tSliced%8.2fs |")
+    println(f"| B compacted         | ${1}%6d | $tCompacted%8.2fs |")
+    println(s"gates: manifests A==B ${if (manifestsEqual) "PASS" else "FAIL"}; " +
+      s"gate views identical ${if (viewsEqual) "PASS" else "FAIL"} " +
+      s"(rows ${nA.mkString("/")}); " +
+      s"compacted read <= 1.25x single-pass ${if (reclaimed) "PASS" else "FAIL"}")
+
+    Seq(rootA, rootB).foreach { r =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(r)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    spark.stop()
+    if (!(manifestsEqual && viewsEqual && reclaimed)) {
+      System.err.println("[sliceprobe] gate failure")
+      sys.exit(1)
+    }
+  }
+}

@@ -177,6 +177,27 @@ object AnnArtifacts {
         vectorFamilyParams(f, k, pqK), "ingest_day", identity)
     }
 
+  /** SLICE COMPACTION for the per-vector relations (the
+    * [[DedupArtifacts.compactSlices]] device — vec ids are disjoint
+    * across days, so the canonical merge is the raw union): merge every
+    * slice ≤ `upToDay` into one, preserving the CELL-MAJOR layout inside
+    * the merged `ivf_cells` slice (rows co-partitioned on cent_id — the
+    * layout that lets a probe read only its nprobe cells' files) and the
+    * vec-keyed layout for flat/codes. The canonical digest — and with it
+    * the manifest — is invariant (spec-pinned); quantizer relations are
+    * single artifacts and never compact. */
+  def compact(spark: SparkSession, root: String, upToDay: Long,
+      k: Int = IvfK, pqK: Int = PqK): Unit =
+    VectorFamilies.foreach { f =>
+      val key = if (f == "ivf_cells") "cent_id" else "vec_id"
+      if (DedupArtifacts.compactSlices(spark, s"$root/$f", "ingest_day",
+          upToDay, identity, Some(key))) {
+        DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
+          vectorFamilyParams(f, k, pqK), "ingest_day", identity)
+        spark.catalog.clearCache()
+      }
+    }
+
   // ---- manifest- and geometry-verified readers
 
   /** The serving snapshot (vec_id, label, embedding, n2) — the union of

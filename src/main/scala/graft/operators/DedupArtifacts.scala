@@ -163,6 +163,60 @@ object DedupArtifacts {
     writeManifest(spark, path, row.getLong(0), row.getLong(1), params)
   }
 
+  /** SLICE COMPACTION for log-structured stores (round 13): merge every
+    * slice with `partCol ≤ upTo` into ONE slice holding the CANONICAL
+    * merge of their rows, labeled `partCol = upTo`; slices above `upTo`
+    * are untouched, so the nightly append cadence continues against the
+    * compacted base. Every store `canon` is associative and idempotent,
+    * so compacting a prefix of the log preserves the overall canonical
+    * view — and with it the canonical DIGEST — exactly; the caller
+    * re-stamps after the swap (the publish replaces the directory the
+    * manifest lived in) and manifest equality before/after is the spec's
+    * pin that compaction touched layout, never meaning. This is what
+    * keeps [[readVerifiedCanonical]]'s per-read merge bounded after a
+    * year of day appends: O(compactions-since) slices, not 365.
+    *
+    * Crash-safe by construction: the new layout is staged whole under a
+    * `_`-prefixed sibling and swapped in with
+    * [[graft.sources.Export.publish]]'s rename publish — a reader (or a
+    * crash) sees the old slices or the new, never a mix, and a re-run
+    * recomputes the same canonical merge (idempotent). The trade is the
+    * usual LSM one: a merged day can no longer be RESTATED slice-wise
+    * (its rows lost their day identity) — compact behind the
+    * restatement horizon. `sliceKey` co-partitions rows WITHIN slices
+    * (the cell-major layout for IVF cells); without it each slice lands
+    * as one file (the segment-sketch convention). Returns false (no-op)
+    * when ≤ 1 slice is at or below `upTo`. */
+  private[graft] def compactSlices(spark: SparkSession, path: String,
+      partCol: String, upTo: Long, canon: DataFrame => DataFrame,
+      sliceKey: Option[String] = None): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val raw = spark.read.parquet(path)
+    // distinct slice labels, never index rows — the bounded collect
+    val nMerge = raw.select(partCol).distinct()
+      .filter(col(partCol) <= upTo).count()
+    if (nMerge <= 1) false
+    else {
+      val merged = canon(raw.filter(col(partCol) <= upTo).drop(partCol))
+        .withColumn(partCol, lit(upTo))
+      val keep = raw.filter(col(partCol) > upTo)
+        .withColumn(partCol, col(partCol).cast("long"))
+      val all = merged.unionByName(keep)
+      val repart = sliceKey match {
+        case Some(k) => all.repartition(
+          spark.sessionState.conf.numShufflePartitions, col(partCol), col(k))
+        case None => all.repartition(col(partCol))
+      }
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(target.getParent, "_" + target.getName + ".compact")
+      repart.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .parquet(tmp.toString)
+      graft.sources.Export.publish(fs, tmp, target)
+      true
+    }
+  }
+
   /** [[readVerified]] for log-structured stores: verifies the CANONICAL
     * digest (see [[refreshManifestCanonical]]) and hands back the RAW
     * frame (partition column dropped) for the caller's view derivation. */

@@ -131,7 +131,7 @@ object DedupOps {
     * chains (corpus + incoming feed, C58) can coexist in one WITH. Row
     * hashes come from the shared quadratic [[graft.functions.Kernels]]
     * row family (k = b·3+r+1). */
-  private def minhashSigsCtesOver(
+  private[operators] def minhashSigsCtesOver(
       base: String, d: String, h: String, sigs: String): String = {
     import graft.functions.Kernels.{rowASql, rowBSql}
     s"""$d AS (
@@ -162,7 +162,7 @@ object DedupOps {
 
   /** Hot-bucket prune + surviving bucket rows, the oracle twin of
     * [[dropHotBuckets]] over the `sigs` CTE (shared by C2 and C29). */
-  private val coldSigsCtes: String = s"""
+  private[operators] val coldSigsCtes: String = s"""
     hotb AS (
       SELECT band, sig FROM sigs GROUP BY 1, 2
       HAVING count(*) > $MaxBucketDocs),

@@ -127,11 +127,21 @@ object Sketches {
     * LSH recall C111) — B20's production m = 64 now sits on a measured
     * curve instead of a point.
     *
-    * Plan: ONE events scan computes the exact distinct AND every m's
-    * registers (each sketch is its own distributive aggregate — m longs of
-    * partial state, max-merged map-side); the 1-row result is cache()d and
-    * the per-m rows read the cache (the C75 union-replay lesson), so the
-    * sweep costs one scan + |ms| one-row projections at any corpus size.
+    * Plan: one events scan computes every m's registers (each sketch its
+    * own distributive aggregate — m longs of partial state, max-merged
+    * map-side, ONE group total); a SECOND narrow scan computes the exact
+    * COUNT(DISTINCT) — deliberately NOT fused into the sketch aggregate:
+    * Spark's distinct rewrite keys the partial aggregate on the distinct
+    * column, so a fused plan allocates every sketch's register buffers
+    * PER DISTINCT-EXPANDED GROUP — O(distinct · Σm) state churn that the
+    * round-13 inflation sweep measured as 53× work at 8× data (wall
+    * hidden by idle cores); split, both passes are linear and the
+    * 8× work ratio fell to ~2×. The two 1-row results cross-join (the
+    * scalar-join device), the row is cache()d and the per-m rows read
+    * the cache (the C75 union-replay lesson) — the sweep costs two
+    * narrow scans + |ms| one-row projections at any corpus size. (The
+    * exact distinct is the evaluation HARNESS, as in B49 — at production
+    * scale it runs on a sampled slice; the sketch exists to avoid it.)
     *
     * Exactness: registers are exact integers (max-merge); the estimate
     * α·m²/Σ2^(−reg) stays in exact-double territory (powers of two whose
@@ -141,9 +151,13 @@ object Sketches {
   def hllMSweep(spark: SparkSession, dir: String,
       ms: Seq[Int] = HllSweepMs): DataFrame = {
     graft.functions.Kernels.register(spark)
-    val aggs = countDistinct(col("event_id")).as("n_exact") +:
+    val sketchAggs =
       ms.map(m => expr(s"graft_hll_sketch_m(event_id, $m)").as(s"regs_$m"))
-    val one = Tables.events(spark, dir).agg(aggs.head, aggs.tail: _*).cache()
+    val one = Tables.events(spark, dir)
+      .agg(sketchAggs.head, sketchAggs.tail: _*)
+      .crossJoin(Tables.events(spark, dir)
+        .agg(countDistinct(col("event_id")).as("n_exact")))
+      .cache()
     ms.map { m =>
       val am2 = graft.functions.Kernels.hllAlphaM2Of(m)
       one.select(lit(m.toLong).as("m"), col("n_exact"),

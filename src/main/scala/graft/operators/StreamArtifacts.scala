@@ -206,26 +206,8 @@ object StreamArtifacts {
     * pin that compaction touched layout, never meaning. */
   def compact(spark: SparkSession, root: String, upToDay: Long): Unit =
     Families.foreach { f =>
-      import org.apache.hadoop.fs.Path
-      val path = s"$root/$f"
-      val raw = spark.read.parquet(path)
-      // distinct calendar days, never index rows — the bounded collect
-      val nMerge = raw.select("ingest_day").distinct()
-        .filter(col("ingest_day") <= upToDay).count()
-      if (nMerge > 1) {
-        val merged = canon(f)(raw.filter(col("ingest_day") <= upToDay)
-            .drop("ingest_day"))
-          .withColumn("ingest_day", lit(upToDay))
-        val keep = raw.filter(col("ingest_day") > upToDay)
-          .withColumn("ingest_day", col("ingest_day").cast("long"))
-        val target = new Path(path)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new Path(target.getParent, "_" + target.getName + ".compact")
-        merged.unionByName(keep)
-          .repartition(col("ingest_day"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .partitionBy("ingest_day").parquet(tmp.toString)
-        graft.sources.Export.publish(fs, tmp, target)
+      if (DedupArtifacts.compactSlices(spark, s"$root/$f", "ingest_day",
+          upToDay, canon(f))) {
         restampFamily(spark, root, f)
         spark.catalog.clearCache()
       }
@@ -268,4 +250,126 @@ object StreamArtifacts {
       .agg(sum("n_docs").as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("span_hash")
+
+  /** C118: `q_stream_index_stats` — the gate store's HEALTH PANEL, from
+    * the persisted index alone (the C117 code-usage device applied to the
+    * streaming gates): per family, the raw rows on disk (`n_rows`), the
+    * distinct lookup keys (`n_keys`), and the rows the derived gate view
+    * actually serves (`n_gate` — post hot-bucket drop for the LSH sigs,
+    * the ≥ 2-doc duplicate spans for the span index). This is the report
+    * an operator reads before pointing tomorrow's feed at the store: a
+    * gate/keys ratio collapsing toward zero on incr_sigs means the hot
+    * cap is swallowing buckets (retune the banding); span n_gate
+    * exploding against n_keys means the corpus is boilerplate-heavy.
+    * Reads O(index) bytes, ZERO corpus scans (plan-pinned in
+    * ArtifactSpec); the only joins are 1-row aggregate cross-joins. */
+  def streamIndexStats(spark: SparkSession, root: String): DataFrame = {
+    val hash = rawVerified(spark, root, "incr_hash")
+    val sigs = rawVerified(spark, root, "incr_sigs")
+    val grams = rawVerified(spark, root, "gram_index")
+    val spans = rawVerified(spark, root, "span_index")
+    val hashStats = hash
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("h")).as("n_keys"))
+      .select(lit("incr_hash").as("family"), col("n_rows"), col("n_keys"),
+        col("n_keys").as("n_gate"))
+    val sigStats = sigs
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("band"), col("sig")).as("n_keys"))
+      .crossJoin(DedupOps.dropHotBuckets(sigs, Seq("band", "sig"))
+        .agg(count(lit(1)).as("n_gate")))
+      .select(lit("incr_sigs").as("family"), col("n_rows"), col("n_keys"),
+        col("n_gate"))
+    val gramStats = grams
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("gram_hash")).as("n_keys"))
+      .select(lit("gram_index").as("family"), col("n_rows"), col("n_keys"),
+        col("n_keys").as("n_gate"))
+    val spanStats = spans
+      .groupBy("span_hash").agg(sum("n_docs").as("n_docs"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_gate"))
+      .crossJoin(spans.agg(count(lit(1)).as("n_rows")))
+      .select(lit("span_index").as("family"), col("n_rows"), col("n_keys"),
+        col("n_gate"))
+    hashStats.unionByName(sigStats).unionByName(gramStats)
+      .unionByName(spanStats)
+      .orderBy("family")
+  }
+
+  // ---- staged registered query (the DedupArtifacts memoization: the
+  // store is built ONCE per (source dir, JVM); the registered action
+  // measures the deployment READ — the C75/C115 precedent)
+
+  private val statsRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The registered `q_stream_index_stats` (C118). */
+  def streamIndexStatsStaged(spark: SparkSession, dir: String): DataFrame =
+    streamIndexStats(spark, statsRoots.computeIfAbsent(dir, { _ =>
+      val root = DedupArtifacts.stagingRoot()
+      write(spark, dir, root)
+      root
+    }))
+
+  /** DuckDB twin: rebuilds every family's signatures relationally from
+    * `documents` under the standing split (the store staging is a
+    * single-pass day-0 build, so raw row counts are deterministic). */
+  val streamIndexStatsSql: String = {
+    val mod = graft.sources.Feeds.IncrMod
+    val rem = graft.sources.Feeds.IncrRem
+    val memGram = Pipeline.MemGram
+    val gramCat = (1 to memGram)
+      .map(j => s"toks[CAST(i + $j AS INT)]").mkString(" || ' ' || ")
+    val spanTok = DedupOps.SpanTok
+    val spanCat = (1 to spanTok)
+      .map(j => s"toks[CAST(p + $j AS INT)]").mkString(" || ' ' || ")
+    val anchor = s"""(list_reduce(list_transform(
+        range(1, length('anc|' || toks[CAST(p + 1 AS INT)]) + 1), i ->
+          CAST(ascii(substr('anc|' || toks[CAST(p + 1 AS INT)],
+                            CAST(i AS INT), 1)) AS BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 2147483647)) % ${DedupOps.AnchorMod} = 0"""
+    s"""
+    WITH standing AS (
+      SELECT * FROM documents WHERE doc_id % $mod <> $rem),
+    ${DedupOps.minhashSigsCtesOver("standing", "d", "hh", "sigs")},
+    ${DedupOps.coldSigsCtes},
+    grams AS (
+      SELECT DISTINCT md5(gram) AS gram_hash FROM (
+        SELECT unnest(list_transform(range(0, len(toks) - ${memGram - 1}),
+          i -> $gramCat)) AS gram
+        FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM standing WHERE length(trim(text)) > 0)
+        WHERE len(toks) >= $memGram)),
+    spn AS (
+      SELECT md5(span) AS span_hash, COUNT(DISTINCT doc_id) AS n_docs FROM (
+        SELECT doc_id, unnest(list_transform(
+          list_filter(range(0, len(toks) - ${spanTok - 1}), p -> $anchor),
+          p -> $spanCat)) AS span
+        FROM (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE length(trim(text)) > 0)
+        WHERE len(toks) >= $spanTok)
+      GROUP BY 1)
+    SELECT family, n_rows, n_keys, n_gate FROM (
+      SELECT 'incr_hash' AS family,
+        (SELECT COUNT(*) FROM standing) AS n_rows,
+        (SELECT COUNT(DISTINCT md5(lower(trim(text)))) FROM standing) AS n_keys,
+        (SELECT COUNT(DISTINCT md5(lower(trim(text)))) FROM standing) AS n_gate
+      UNION ALL
+      SELECT 'incr_sigs',
+        (SELECT COUNT(*) FROM sigs),
+        (SELECT COUNT(*) FROM (SELECT DISTINCT band, sig FROM sigs)),
+        (SELECT COUNT(*) FROM cold)
+      UNION ALL
+      SELECT 'gram_index',
+        (SELECT COUNT(*) FROM grams),
+        (SELECT COUNT(*) FROM grams),
+        (SELECT COUNT(*) FROM grams)
+      UNION ALL
+      SELECT 'span_index',
+        (SELECT COUNT(*) FROM spn),
+        (SELECT COUNT(*) FROM spn),
+        (SELECT COUNT(*) FROM spn WHERE n_docs >= 2))
+    ORDER BY family"""
+  }
 }

@@ -709,6 +709,47 @@ class ArtifactSpec extends SparkSpec {
       s"wrong-k append: wrong error: ${g.getMessage}")
     assert(AnnArtifacts.flat(spark, rootA).count() > 0,
       "failed append left the store unreadable")
+    spark.catalog.clearCache()
+
+    // compaction: the 0/1/2 slices merge into one; manifests (canonical
+    // digest) and search answers are INVARIANT
+    val vecFams = Seq("flat", "ivf_cells", "pq_codes")
+    val preM = vecFams.map(f => f -> manifest(rootA, f)).toMap
+    val preSearch = AnnArtifacts.annIvf(spark, rootA).collect().toSeq
+    spark.catalog.clearCache()
+    AnnArtifacts.compact(spark, rootA, 2L)
+    def sliceDirs(fam: String): Seq[String] =
+      new java.io.File(s"$rootA/$fam").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("ingest_day=")).sorted
+    for (f <- vecFams) {
+      assert(sliceDirs(f) == Seq("ingest_day=2"),
+        s"$f not compacted to one slice: ${sliceDirs(f)}")
+      assert(manifest(rootA, f) == preM(f),
+        s"$f manifest changed under compaction")
+    }
+    assert(AnnArtifacts.annIvf(spark, rootA).collect().toSeq == preSearch,
+      "IVF search changed under compaction")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("stream index stats: store-fed, zero corpus scans") {
+    import operators.StreamArtifacts
+    val r = tmpDir("graft-stream-stats-")
+    StreamArtifacts.write(spark, sf, r)
+    val df = StreamArtifacts.streamIndexStats(spark, r)
+    val scans = filesUnder(df.queryExecution.executedPlan)
+    assert(!scans.exists(_.contains("documents.parquet")),
+      s"C118 scans the corpus: $scans")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("gram_index", "incr_hash", "incr_sigs", "span_index"))
+    for (row <- rows) {
+      assert(row.getLong(2) <= row.getLong(1),
+        s"${row.getString(0)}: n_keys > n_rows")
+      assert(row.getLong(3) <= row.getLong(1),
+        s"${row.getString(0)}: n_gate > n_rows")
+      assert(row.getLong(1) > 0, s"${row.getString(0)}: empty family")
+    }
     spark.catalog.clearCache(): Unit
   }
 
