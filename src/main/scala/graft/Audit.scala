@@ -227,6 +227,12 @@ object Audit {
     // C97: ONE text-bearing pass feeds the cached token grid; the other
     // passes are column-pruned id-only scans (bucket sizes, 1-row max)
     ("q_vocab_growth", "repeated-scan:documents:x4"),
+    // C120: three scans are C18's own pointer-jumping roles (distinct
+    // pruned passes inside the component build, each a different
+    // projection — the same plan q_dedup_components ships solo under the
+    // threshold); the fourth is the bias join's narrow (doc_id, n_chars)
+    // projection — text never read twice
+    ("q_dup_length_bias", "repeated-scan:documents:x4"),
     // ---- cartesian-shape vetting (round-11 sweep) ----
     // Every bnlj-broadcast-fact below is the PHYSICAL face of a broadcast
     // subtree already vetted as hinted-fact-broadcast above: the ANN
@@ -441,7 +447,10 @@ object Audit {
     "q_embed_pca_power" -> 12,
     // compose C62's training loop (same bound class, measured 27 / 38)
     "q_cluster_profile" -> 40,
-    "q_semantic_drift" -> 55)
+    "q_semantic_drift" -> 55,
+    // C120 composes C18's pointer-jumping loop (same bound class as
+    // q_dedup_components; the length-bias roll-up adds its own few jobs)
+    "q_dup_length_bias" -> 110)
 
   /** Count Spark jobs spawned by materializing `df` through the noop
     * sink (the deployment action shape). Listener delivery is async —

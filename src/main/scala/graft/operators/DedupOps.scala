@@ -902,6 +902,127 @@ object DedupOps {
       GROUP BY 1)
     ORDER BY cluster_size"""
 
+  /** C119: `q_dedup_transitivity` — CANDIDATE-GRAPH COHERENCE: over C2's
+    * LSH candidate edges, the wedge/triangle census — edges, wedges (paths
+    * a–b–c), triangles, and the closure rate (3·triangles / wedges). A
+    * sound near-dup relation is close to transitive (dup-of-a-dup is a
+    * dup), so a HIGH closure rate says the candidate graph is a union of
+    * dense clusters C18's components can safely collapse; a LOW rate says
+    * banding is stitching unrelated docs through chance collisions (or
+    * hot-bucket truncation is shredding clusters) and a component-collapse
+    * would over-merge — the C39 size distribution tells you clusters
+    * exist, this tells you whether to TRUST them.
+    *
+    * Plan: the edge set is C2's own (cache()d once, O(pairs) — caller
+    * reclaims); wedges are computed ARITHMETICALLY from the degree
+    * distribution (Σ d·(d−1)/2 — no join, the C105 degree relation),
+    * triangles by the oriented two-hop join (a<b<c: e1.b = e2.a,
+    * then a semi-join of (a, c) against the edge set) — each triangle
+    * counted exactly once, join fanout bounded by Σ deg² which the
+    * banding hot caps bound. Pure integer census + ONE final division. */
+  def dedupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = dedupMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").cache()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = edges.select(col("doc_a").as("v"))
+      .unionByName(edges.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        .cast("long").as("n_wedges"))
+    val triangles = edges.as("e1")
+      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("doc_a"), col("e2.doc_b").as("doc_b"))
+      .join(edges, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(triangles)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"))
+          .as("closure_rate"))
+  }
+
+  val dedupTransitivitySql: String = s"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+    ne AS (SELECT COUNT(*) AS n_edges FROM mh),
+    wd AS (
+      SELECT CAST(coalesce(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges
+      FROM (
+        SELECT v, COUNT(*) AS d FROM (
+          SELECT doc_a AS v FROM mh UNION ALL SELECT doc_b FROM mh)
+        GROUP BY 1)),
+    tr AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM mh e1
+      JOIN mh e2 ON e1.doc_b = e2.doc_a
+      JOIN mh e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+    SELECT ne.n_edges, wd.n_wedges, tr.n_triangles,
+      CASE WHEN wd.n_wedges > 0
+           THEN 3.0 * CAST(tr.n_triangles AS DOUBLE)
+                / CAST(wd.n_wedges AS DOUBLE)
+      END AS closure_rate
+    FROM ne, wd, tr"""
+
+  /** C120: `q_dup_length_bias` — the C80 filter-bias device applied to
+    * DEDUP: per duplicate-cluster-size bucket (unique / pair / 3-4 / 5-8 /
+    * 9+), how many docs sit there, their total and mean length, and each
+    * bucket's share of the corpus. Boilerplate and templated content is
+    * usually SHORT — if the 9+ bucket's mean length collapses against the
+    * unique bucket's, cluster-collapse dedup is about to make the corpus
+    * systematically LONGER (and token estimates built on pre-dedup
+    * statistics wrong); if instead long docs dominate the big clusters,
+    * the crawl is re-fetching full articles and the savings accounting
+    * (C38) is dominated by a few heavy groups. Buckets keep the report
+    * fixed-size at any corpus scale.
+    *
+    * Plan: C18's component labels (its own audited loop) joined to the
+    * per-doc n_chars column — doc_id-keyed, text never moves — then a
+    * partial-aggregated roll-up onto the 5-bucket key space. Integer
+    * sums; the mean and share are single divisions of exact longs. */
+  def dupLengthBias(spark: SparkSession, dir: String): DataFrame = {
+    val sized = dedupComponents(spark, dir)
+      .select(col("doc_id"), col("component_size"))
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"),
+        Seq("doc_id"))
+      .select(col("n_chars"),
+        when(col("component_size") === 1, "1-unique")
+          .when(col("component_size") === 2, "2-pair")
+          .when(col("component_size") <= 4, "3-4")
+          .when(col("component_size") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"))
+    val grid = sized.groupBy("size_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars_total"))
+    grid
+      .crossJoin(grid.agg(sum(col("n_docs")).as("n_total")))
+      .select(col("size_bucket"), col("n_docs"), col("n_chars_total"),
+        (col("n_chars_total").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("doc_share"))
+      .orderBy("size_bucket")
+  }
+
+  val dupLengthBiasSql: String = s"""
+    WITH comp AS ($dedupComponentsSql),
+    sized AS (
+      SELECT d.n_chars,
+        CASE WHEN c.component_size = 1 THEN '1-unique'
+             WHEN c.component_size = 2 THEN '2-pair'
+             WHEN c.component_size <= 4 THEN '3-4'
+             WHEN c.component_size <= 8 THEN '5-8'
+             ELSE '9+' END AS size_bucket
+      FROM comp c JOIN documents d USING (doc_id)),
+    grid AS (
+      SELECT size_bucket, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      FROM sized GROUP BY 1)
+    SELECT size_bucket, n_docs, n_chars_total,
+      CAST(n_chars_total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_chars,
+      CAST(n_docs AS DOUBLE)
+        / CAST((SELECT SUM(n_docs) FROM grid) AS DOUBLE) AS doc_share
+    FROM grid ORDER BY size_bucket"""
+
   /** C38: `q_dedup_savings` — the before/after accounting of exact dedup
     * (C1), per source: how many docs / tokens / chars dedup REMOVES — the
     * number a pipeline reports next to its datasheet (C31) when deciding

@@ -593,14 +593,19 @@ class PlanSpec extends SparkSpec {
 
   test("round-10 pins: sketch sweeps, HH screen, venn, salted agg shapes") {
     import graft.operators.Sketches
-    // B48: ONE events scan computes exact + every m's registers; the 1-row
-    // result is cached and each per-m row reads the cache
+    // B48: one events scan builds every m's registers + one narrow exact
+    // COUNT(DISTINCT) pass (round 13: deliberately NOT fused — the fused
+    // distinct keyed the partial aggregate on event_id and allocated
+    // every sketch's register buffers per distinct group, 53x work at 8x
+    // data in the inflation sweep); the 1-row cross-joined result is
+    // cached and each per-m row reads the cache
     val sw = scanLeaves("q_hll_m_sweep")
     assert(!sw.contains("file") &&
       sw.count(_ == "mem") == Sketches.HllSweepMs.length, sw)
     assert(Audit.factScanCounts(
       SparkEntry.queries("q_hll_m_sweep")(spark, sf))
-      .getOrElse("events", 0) == 1, "B48 must build all sketches in 1 scan")
+      .getOrElse("events", 0) == 2,
+      "B48 must build all sketches in one scan + one exact-distinct pass")
     spark.catalog.clearCache()
     // B49: ONE scan builds ALL geometries' sketches + one narrow
     // true-count pass — never a scan per geometry

@@ -429,4 +429,65 @@ class ReplaySpec extends SparkSpec {
       "store-fed hll week actives diverge after the streaming build")
     sp.catalog.clearCache(): Unit
   }
+
+  test("D40: streaming-maintained ANN store == frozen-quantizer rebuild (manifest-equal, crash)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.{AnnArtifacts, EmbeddingOps}
+
+    // base index from the corpus; two ingest days of admitted vectors
+    // under NEW ids (the appendDay contract)
+    val root = tmpDir("d40_store")
+    AnnArtifacts.write(sp, sf, root)
+    val days: Seq[Seq[(Long, Long, Int, Seq[Float])]] = Seq(1L, 2L).map { d =>
+      graft.sources.Tables.embeddings(sp, sf)
+        .filter(col("vec_id") % 2 === (d % 2))
+        .select(lit(d).as("ingest_day"),
+          (col("vec_id") + lit(80000000000L) + lit(d * 1000000000L))
+            .as("vec_id"),
+          col("label"), col("embedding"))
+        .as[(Long, Long, Int, Seq[Float])].collect().toSeq
+    }
+
+    val in = MemoryStream[(Long, Long, Int, Seq[Float])]
+    val ckpt = tmpDir("d40_ck")
+    def runOnce(): Unit = AnnStoreStream.daily(
+      in.toDF().toDF("ingest_day", "vec_id", "label", "embedding"),
+      root, ckpt).awaitTermination()
+
+    in.addData(days.head: _*)
+    runOnce()
+    // died after the swaps, before the commit — the restart replays the
+    // epoch; replaceSlice + the frozen quantizer make replay ≡ first run
+    dropNewestCommit(ckpt)
+    runOnce()
+    in.addData(days.last: _*)
+    runOnce()
+
+    // one-pass rebuild over the union under the SAME frozen quantizer
+    val rebuilt = tmpDir("d40_rebuild")
+    val baseV = EmbeddingOps.vectors(sp, sf)
+    val dayV = days.flatten
+      .toDF("ingest_day", "vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("graft_norm2(embedding)").as("n2"))
+    AnnArtifacts.writeFrom(sp, baseV.unionByName(dayV),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.IvfK),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.PqK)
+        .select("cent_id", "c_emb"),
+      rebuilt)
+    def manifestOf(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+    for (f <- Seq("flat", "ivf_cells", "pq_codes"))
+      assert(manifestOf(root, f) == manifestOf(rebuilt, f),
+        s"streaming-maintained $f diverges from the frozen-quantizer rebuild")
+    // and the store keeps answering the geometry-checked searches
+    assert(AnnArtifacts.annIvf(sp, root).collect().toSeq ==
+      AnnArtifacts.annIvf(sp, rebuilt).collect().toSeq,
+      "IVF search off the streaming-maintained store diverges")
+    sp.catalog.clearCache(): Unit
+  }
 }
