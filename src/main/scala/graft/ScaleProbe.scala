@@ -122,7 +122,12 @@ object ScaleProbe {
     // min-of-2 measures the deployment READ; the build is probed by
     // ann_index_build below)
     "q_ann_serve_store",   // C115: flat-index brute force + payload fetch
-    "q_pq_code_usage")     // C117: O(corpus) 4-int code scan + k-grid agg
+    "q_pq_code_usage",     // C117: O(corpus) 4-int code scan + k-grid agg
+    // round-13 addition: the triangle census's two-hop join fanout is
+    // Σ deg² — bounded by the banding hot caps, and re-salted replicas
+    // multiply clusters instead of deepening them, so the curve must be
+    // linear; a hot bucket would show here as the wedge explosion
+    "q_dedup_transitivity") // C119: degree census + oriented 2-hop join
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

@@ -902,66 +902,88 @@ object DedupOps {
       GROUP BY 1)
     ORDER BY cluster_size"""
 
+  /** C119's per-vertex neighbor budget: the wedge census samples each
+    * vertex's [[TransNeighborCap]] smallest-id neighbors, bounding the
+    * census at docs · C(cap, 2) wedges REGARDLESS of cluster density —
+    * the C111 sample-budget device (deterministic, so both engines pick
+    * the identical sample; exact when max degree ≤ cap). */
+  val TransNeighborCap: Int = 16
+
   /** C119: `q_dedup_transitivity` — CANDIDATE-GRAPH COHERENCE: over C2's
-    * LSH candidate edges, the wedge/triangle census — edges, wedges (paths
-    * a–b–c), triangles, and the closure rate (3·triangles / wedges). A
-    * sound near-dup relation is close to transitive (dup-of-a-dup is a
-    * dup), so a HIGH closure rate says the candidate graph is a union of
-    * dense clusters C18's components can safely collapse; a LOW rate says
-    * banding is stitching unrelated docs through chance collisions (or
-    * hot-bucket truncation is shredding clusters) and a component-collapse
-    * would over-merge — the C39 size distribution tells you clusters
-    * exist, this tells you whether to TRUST them.
+    * LSH candidate edges, the wedge-closure census — edges (exact),
+    * budgeted wedges (paths a–v–c over each center's capped neighbor
+    * sample), how many of those wedges the edge set closes, and the
+    * closure rate. A sound near-dup relation is close to transitive
+    * (dup-of-a-dup is a dup), so a HIGH closure rate says the candidate
+    * graph is a union of dense clusters C18's components can safely
+    * collapse; a LOW rate says banding is stitching unrelated docs
+    * through chance collisions (or hot-bucket truncation is shredding
+    * clusters) and a component-collapse would over-merge — the C39 size
+    * distribution tells you clusters exist, this tells you whether to
+    * TRUST them.
     *
     * Plan: the edge set is C2's own (cache()d once, O(pairs) — caller
-    * reclaims); wedges are computed ARITHMETICALLY from the degree
-    * distribution (Σ d·(d−1)/2 — no join, the C105 degree relation),
-    * triangles by the oriented two-hop join (a<b<c: e1.b = e2.a,
-    * then a semi-join of (a, c) against the edge set) — each triangle
-    * counted exactly once, join fanout bounded by Σ deg² which the
-    * banding hot caps bound. Pure integer census + ONE final division. */
-  def dedupTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    * reclaims). The census is BUDGETED, not all-pairs: this corpus is
+    * near-dup-DENSE, so the naive oriented two-hop join fans out Σ deg²
+    * — measured 52 s at sf0.1 (flat across inflation, but a huge
+    * constant: dense clusters make exact triangle counting cubic-ish in
+    * cluster size). Instead each wedge center contributes only its
+    * [[TransNeighborCap]] smallest-id neighbors (row_number over the
+    * doc-id-ordered adjacency — per-partition work is one vertex's
+    * degree, hot-cap bounded), the sampled wedge pairs semi-join the
+    * edge set once, and the whole census is ≤ docs · C(cap, 2) rows by
+    * construction at ANY density — the C111 budget rule. Deterministic:
+    * both engines sample the identical neighbors, so the report is
+    * bit-equal; it is EXACT (not an estimate) whenever max degree ≤ cap.
+    * Pure integer census + ONE final division. */
+  def dedupTransitivity(spark: SparkSession, dir: String,
+      cap: Int = TransNeighborCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val edges = dedupMinhashLsh(spark, dir)
       .select("doc_a", "doc_b").cache()
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val wedges = edges.select(col("doc_a").as("v"))
-      .unionByName(edges.select(col("doc_b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
-        .cast("long").as("n_wedges"))
-    val triangles = edges.as("e1")
-      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
-      .select(col("e1.doc_a").as("doc_a"), col("e2.doc_b").as("doc_b"))
-      .join(edges, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    nEdges.crossJoin(wedges).crossJoin(triangles)
-      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+    val sampled = edges.select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .unionByName(edges.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("v").orderBy("u")))
+      .filter(col("rnk") <= cap)
+      .select("v", "u")
+    val wedges = sampled.as("s1")
+      .join(sampled.as("s2"),
+        col("s1.v") === col("s2.v") && col("s1.u") < col("s2.u"))
+      .select(col("s1.u").as("doc_a"), col("s2.u").as("doc_b"))
+      .cache()
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nClosed = wedges.join(edges, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    nEdges.crossJoin(nWedges).crossJoin(nClosed)
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
         when(col("n_wedges") > 0,
-          lit(3.0) * col("n_triangles").cast("double")
-            / col("n_wedges").cast("double"))
+          col("n_closed").cast("double") / col("n_wedges").cast("double"))
           .as("closure_rate"))
   }
 
   val dedupTransitivitySql: String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+    adj AS (SELECT doc_a AS v, doc_b AS u FROM mh
+            UNION ALL SELECT doc_b, doc_a FROM mh),
+    smp AS (
+      SELECT v, u FROM (
+        SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY u) AS rnk
+        FROM adj)
+      WHERE rnk <= $TransNeighborCap),
+    w AS (
+      SELECT s1.u AS doc_a, s2.u AS doc_b
+      FROM smp s1 JOIN smp s2 ON s1.v = s2.v AND s1.u < s2.u),
     ne AS (SELECT COUNT(*) AS n_edges FROM mh),
-    wd AS (
-      SELECT CAST(coalesce(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS n_wedges
-      FROM (
-        SELECT v, COUNT(*) AS d FROM (
-          SELECT doc_a AS v FROM mh UNION ALL SELECT doc_b FROM mh)
-        GROUP BY 1)),
-    tr AS (
-      SELECT COUNT(*) AS n_triangles
-      FROM mh e1
-      JOIN mh e2 ON e1.doc_b = e2.doc_a
-      JOIN mh e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
-    SELECT ne.n_edges, wd.n_wedges, tr.n_triangles,
-      CASE WHEN wd.n_wedges > 0
-           THEN 3.0 * CAST(tr.n_triangles AS DOUBLE)
-                / CAST(wd.n_wedges AS DOUBLE)
+    nw AS (SELECT COUNT(*) AS n_wedges FROM w),
+    nc AS (SELECT COUNT(*) AS n_closed
+           FROM w SEMI JOIN mh USING (doc_a, doc_b))
+    SELECT ne.n_edges, nw.n_wedges, nc.n_closed,
+      CASE WHEN nw.n_wedges > 0
+           THEN CAST(nc.n_closed AS DOUBLE) / CAST(nw.n_wedges AS DOUBLE)
       END AS closure_rate
-    FROM ne, wd, tr"""
+    FROM ne, nw, nc"""
 
   /** C120: `q_dup_length_bias` — the C80 filter-bias device applied to
     * DEDUP: per duplicate-cluster-size bucket (unique / pair / 3-4 / 5-8 /
