@@ -101,6 +101,12 @@ object ParamCheck {
           geoms = Seq((3, 32), (6, 128)))),
       // the salted plan is factor-INVARIANT: non-default fan-out, SAME
       // unsalted oracle SQL
+      // cap 4 forces real wedge truncation on the dense clusters (the
+      // default 16 leaves many centers un-truncated at test SF), so the
+      // deterministic smallest-id sampling rule itself is what's checked
+      ("q_dedup_transitivity_cap4",
+        (s, d) => graft.operators.DedupOps.dedupTransitivity(s, d, cap = 4),
+        graft.operators.DedupOps.dedupTransitivitySqlFor(cap = 4)),
       ("q_skew_salted_agg_f3",
         (s, d) => graft.operators.Skew.skewSaltedAgg(s, d, factor = 3),
         graft.operators.Skew.skewSaltedAggSql),

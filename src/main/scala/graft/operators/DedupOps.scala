@@ -963,7 +963,9 @@ object DedupOps {
           .as("closure_rate"))
   }
 
-  val dedupTransitivitySql: String = s"""
+  /** DuckDB twin builder (ParamCheck re-interpolates it at a non-default
+    * neighbor cap). */
+  def dedupTransitivitySqlFor(cap: Int): String = s"""
     WITH mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
     adj AS (SELECT doc_a AS v, doc_b AS u FROM mh
             UNION ALL SELECT doc_b, doc_a FROM mh),
@@ -971,7 +973,7 @@ object DedupOps {
       SELECT v, u FROM (
         SELECT v, u, row_number() OVER (PARTITION BY v ORDER BY u) AS rnk
         FROM adj)
-      WHERE rnk <= $TransNeighborCap),
+      WHERE rnk <= $cap),
     w AS (
       SELECT s1.u AS doc_a, s2.u AS doc_b
       FROM smp s1 JOIN smp s2 ON s1.v = s2.v AND s1.u < s2.u),
@@ -984,6 +986,9 @@ object DedupOps {
            THEN CAST(nc.n_closed AS DOUBLE) / CAST(nw.n_wedges AS DOUBLE)
       END AS closure_rate
     FROM ne, nw, nc"""
+
+  lazy val dedupTransitivitySql: String =
+    dedupTransitivitySqlFor(TransNeighborCap)
 
   /** C120: `q_dup_length_bias` — the C80 filter-bias device applied to
     * DEDUP: per duplicate-cluster-size bucket (unique / pair / 3-4 / 5-8 /
