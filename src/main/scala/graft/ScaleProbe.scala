@@ -127,7 +127,11 @@ object ScaleProbe {
     // Σ deg² — bounded by the banding hot caps, and re-salted replicas
     // multiply clusters instead of deepening them, so the curve must be
     // linear; a hot bucket would show here as the wedge explosion
-    "q_dedup_transitivity") // C119: degree census + oriented 2-hop join
+    "q_dedup_transitivity", // C119: degree census + oriented 2-hop join
+    // replicas rotate the alphabet, so each replica contributes NEW types
+    // under the SAME source names: vocab grows ∝ corpus, the pair grid
+    // stays sources² — the term-keyed self-join must stay linear
+    "q_source_vocab_overlap") // C121: vocab self-join onto sources² grid
 
   /** Scale factors (overridable: SPARK_GRAFT_SCALE_FACTORS="1,2,4,8,16"
     * — deeper curves separate the variable cost from fixed overhead

@@ -1303,6 +1303,83 @@ object TextOps {
     FROM stats s JOIN marks m ON m.source = s.source
     ORDER BY s.source"""
 
+  /** C121: `q_source_vocab_overlap` — the pairwise VOCABULARY overlap
+    * matrix between sources: per (source_a < source_b), both vocab sizes,
+    * the shared-type count, vocabulary Jaccard, and containment in the
+    * smaller vocabulary. C52 compares sources by whole-document content
+    * hashes (who copies whom) and C100 by chunk hashes (how much); this
+    * compares their WORD DISTRIBUTIONS' supports — the signal a mix
+    * designer (C27/C54) reads to know whether two sources are
+    * interchangeable lexical coverage or genuinely complementary (low
+    * Jaccard = adding the second source buys new vocabulary; high
+    * containment with asymmetric sizes = the small source is a lexical
+    * subset and its mix weight buys diversity nothing).
+    *
+    * Exactness: set sizes and intersections are exact integers off
+    * distinct (source, term) rows; Jaccard (∩ / (|a|+|b|−∩)) and
+    * containment (∩ / min) are single divisions of exact longs.
+    *
+    * Scale: the vocab relation is one narrow token pass collapsed to
+    * DISTINCT (source, term) — O(vocab · sources) rows, far below token
+    * mass; the pair intersection is a term-keyed self-join whose fanout
+    * per term is ≤ sources² with sources a bounded catalog (the C100
+    * device — tens, not corpus-scaled), partial-aggregated map-side onto
+    * the ≤ sources² pair grid. Pairs sharing zero types don't appear
+    * (inner-join semantics, same both engines). */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select("source", "term").distinct()
+      .cache()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"),
+        col("n_vocab").as("n_vocab_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"),
+        col("n_vocab").as("n_vocab_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_vocab_a"), col("n_vocab_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_vocab_a") + col("n_vocab_b") - col("n_common"))
+            .cast("double")).as("vocab_jaccard"),
+        (col("n_common").cast("double") /
+          least(col("n_vocab_a"), col("n_vocab_b")).cast("double"))
+          .as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceVocabOverlapSql: String = """
+    WITH vocab AS (
+      SELECT DISTINCT source, t.term
+      FROM documents, unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        AS t(term)
+      WHERE length(trim(text)) > 0 AND length(t.term) > 0),
+    sizes AS (SELECT source, count(*) AS n_vocab FROM vocab GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        count(*) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.source_a, p.source_b,
+      sa.n_vocab AS n_vocab_a, sb.n_vocab AS n_vocab_b, p.n_common,
+      CAST(p.n_common AS DOUBLE)
+        / CAST(sa.n_vocab + sb.n_vocab - p.n_common AS DOUBLE)
+        AS vocab_jaccard,
+      CAST(p.n_common AS DOUBLE)
+        / CAST(least(sa.n_vocab, sb.n_vocab) AS DOUBLE) AS containment
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    ORDER BY p.source_a, p.source_b"""
+
   /** C97 crawl-order checkpoint count (deciles, the C71 bucket device). */
   val VocabBuckets: Int = 10
 
