@@ -1256,6 +1256,83 @@ object Analytics {
         / CAST(SUM(disc_u) AS DOUBLE) AS promo_share
     FROM j GROUP BY mes ORDER BY mes"""
 
+  /** B63: `q_band_revenue` — the TPC-H Q19 flavor (disjunctive
+    * cross-table predicate bands), completing the star-schema classics
+    * next to B44 (Q14), B45 (Q17), B46 (Q4), B47 (Q16): revenue from
+    * lineitem × part restricted to three DISJOINT brand/size/quantity
+    * bands — the "discounted revenue for matching brand+packaging+volume
+    * combinations" query whose WHERE is an OR of per-band conjunctions
+    * spanning BOTH tables (this schema carries no container/shipmode, so
+    * the bands key on brand set × size range × quantity range). Per band:
+    * line count, exact-cents discounted revenue, quantity mass + mean.
+    *
+    * Plan: the band CASE evaluates once on the joined row; Catalyst
+    * derives the pushable single-table residues — the brand-set UNION
+    * reaches the part scan as an IN filter (PushedFilters), so the build
+    * side broadcasts only band-eligible parts; the quantity disjunction's
+    * union range prunes lineitem rows before the join. The OR itself
+    * cannot push across tables (Q19's defining shape) — it runs
+    * codegen'd post-join, which is exactly where it belongs.
+    *
+    * Exactness: the cents device (price·(100−pct) integer micro-units,
+    * one division); quantities are integral doubles cast long; the mean
+    * is a single division. */
+  def bandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
+          .as("disc_u"))
+    val p = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_size")
+    val band =
+      when(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&
+        col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15), "A")
+      .when(col("p_brand").isin("Brand#21", "Brand#22", "Brand#23") &&
+        col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30), "B")
+      .when(col("p_brand").isin("Brand#20", "Brand#24", "Brand#25") &&
+        col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50), "C")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .withColumn("band", band)
+      .filter(col("band").isNotNull)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        sum("disc_u").as("rev_u"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .select(col("band"), col("n_items"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("revenue"),
+        col("sum_qty"),
+        (col("sum_qty").cast("double") / col("n_items").cast("double"))
+          .as("avg_qty"))
+      .orderBy("band")
+  }
+
+  val bandRevenueSql: String = """
+    WITH j AS (
+      SELECT CASE
+          WHEN p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+               AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 15 THEN 'A'
+          WHEN p.p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+               AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 30 THEN 'B'
+          WHEN p.p_brand IN ('Brand#20', 'Brand#24', 'Brand#25')
+               AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50 THEN 'C'
+        END AS band,
+        CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS disc_u,
+        CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+    SELECT band, COUNT(*) AS n_items,
+      CAST(SUM(disc_u) AS DOUBLE) / 10000.0 AS revenue,
+      CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+    FROM j WHERE band IS NOT NULL
+    GROUP BY band ORDER BY band"""
+
   /** B45: `q_small_qty_revenue` — revenue locked in below-average-quantity
     * order lines, per brand (TPC-H Q17 flavor): a line is "small" when
     * its quantity is under 20% of its part's average line quantity — the
