@@ -789,8 +789,22 @@ class ArtifactSpec extends SparkSpec {
     for (f <- StreamArtifacts.Families)
       assert(sliceDirs(r, f).size == 4, s"$f should hold 4 slices")
 
-    // compact the whole log into one slice: the canonical digest — and
-    // with it the manifest — must be INVARIANT, and every gate view
+    // PARTIAL compaction first (the weekly cadence: compact behind the
+    // restatement horizon): days 0-1 merge into slice 1, days 2-3 keep
+    // their slice identity — manifests and gate views still invariant
+    StreamArtifacts.compact(spark, r, 1L)
+    for (f <- StreamArtifacts.Families) {
+      assert(sliceDirs(r, f) ==
+        Seq("ingest_day=1", "ingest_day=2", "ingest_day=3"),
+        s"$f partial compaction wrong: ${sliceDirs(r, f)}")
+      assert(manifest(r, f) == beforeM(f),
+        s"$f manifest changed under partial compaction")
+    }
+    for (((n, pre), (_, post)) <- before.zip(views()))
+      assert(pre == post, s"$n changed under partial compaction")
+
+    // then compact the whole log into one slice: the canonical digest —
+    // and with it the manifest — must be INVARIANT, and every gate view
     // row-identical
     StreamArtifacts.compact(spark, r, 3L)
     for (f <- StreamArtifacts.Families) {
