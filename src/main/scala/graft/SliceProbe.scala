@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Read-cost-vs-slice-count harness for the log-structured stream index
-  * store (dev main; round 13 — the axis VERDICT r12 item 3 asked for,
+/** Read-cost-vs-slice-count harness for BOTH log-structured stores —
+  * the stream gate index and the ANN per-vector relations (dev main;
+  * round 13 — the axis VERDICT r12 item 3 asked for,
   * isolated EXACTLY): two stores with IDENTICAL canonical content — A is
   * a single-pass build (1 slice), B is the same base build plus
   * [[Days]] nightly appends of constructed fixed-volume days (the
@@ -127,18 +128,112 @@ object SliceProbe {
       s"(rows ${nA.mkString("/")}); " +
       s"compacted read <= 1.25x single-pass ${if (reclaimed) "PASS" else "FAIL"}")
 
-    Seq(rootA, rootB).foreach { r =>
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(r)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    // ---- the SAME axis for the ANN store's per-vector relations:
+    // identical content, 1 slice vs AnnDays+1 slices, then compacted
+    val annOk = annAxis(spark, dir)
+
+    Seq(rootA, rootB).foreach(deleteRoot)
     spark.stop()
-    if (!(manifestsEqual && viewsEqual && reclaimed)) {
+    if (!(manifestsEqual && viewsEqual && reclaimed && annOk)) {
       System.err.println("[sliceprobe] gate failure")
       sys.exit(1)
     }
+  }
+
+  val AnnDays = 16
+  private val VecsPerDay = 500
+
+  private def synthVecDay(s: SparkSession, day: Long): DataFrame =
+    s.range(VecsPerDay).select(
+      (-(col("id") + lit(1L) + lit(day * 1000000L))).as("vec_id"),
+      (col("id") % 16).cast("int").as("label"),
+      expr(s"transform(sequence(0, 63), j -> " +
+        s"CAST((id * 31 + j * 7 + $day) % 101 AS FLOAT))").as("embedding"))
+
+  /** The ANN half of the axis: store A holds base corpus + all synthetic
+    * vectors in ONE day-0 slice (frozen-quantizer single pass); store B
+    * is the nightly cadence — base build + [[AnnDays]] appends through
+    * the PERSISTED quantizer. Append ≡ rebuild makes them
+    * canonical-identical (asserted by manifest equality), so the
+    * verified-read gap is pure slice overhead; compaction must reclaim
+    * it. Timed read = the three per-vector relations' verified
+    * materialization (canonical re-digest included — the serving
+    * bootstrap's cost). */
+  private def annAxis(spark: SparkSession, dir: String): Boolean = {
+    import graft.operators.{AnnArtifacts, EmbeddingOps}
+    graft.functions.Kernels.register(spark)
+    val baseV = EmbeddingOps.vectors(spark, dir)
+    val days = (1 to AnnDays).map(d => synthVecDay(spark, d.toLong))
+    val synthV = days.reduce(_ unionByName _)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("graft_norm2(embedding)").as("n2"))
+
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-sliceprobe-anna-").toString
+    AnnArtifacts.writeFrom(spark, baseV.unionByName(synthV),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.IvfK),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.PqK)
+        .select("cent_id", "c_emb"), rootA)
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-sliceprobe-annb-").toString
+    AnnArtifacts.write(spark, dir, rootB)
+    (1 to AnnDays).foreach { d =>
+      AnnArtifacts.appendDay(spark, rootB, d.toLong,
+        synthVecDay(spark, d.toLong), restamp = false)
+    }
+    AnnArtifacts.restamp(spark, rootB)
+
+    def manifest(r: String, f: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$f/_graft_manifest.json"))
+    val fams = Seq("flat", "ivf_cells", "pq_codes")
+    val manifestsEqual =
+      fams.forall(f => manifest(rootA, f) == manifest(rootB, f))
+
+    def readAll(r: String): Seq[Long] = {
+      val n = Seq(AnnArtifacts.flat(spark, r).count(),
+        AnnArtifacts.cells(spark, r).count(),
+        AnnArtifacts.pqCodes(spark, r).count())
+      spark.catalog.clearCache()
+      n
+    }
+    def timeRead(r: String): Double =
+      (1 to Samples).map { _ =>
+        val t0 = System.nanoTime()
+        readAll(r)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    readAll(rootA); readAll(rootB)
+    val nA = readAll(rootA)
+    val tA = timeRead(rootA)
+    val nB = readAll(rootB)
+    val tSliced = timeRead(rootB)
+    AnnArtifacts.compact(spark, rootB, AnnDays.toLong)
+    readAll(rootB)
+    val nC = readAll(rootB)
+    val tCompacted = timeRead(rootB)
+
+    val viewsEqual = nA == nB && nB == nC
+    val reclaimed = tCompacted <= 1.25 * tA
+    println(f"| ANN store           | slices | read wall |")
+    println(f"|---------------------|--------|-----------|")
+    println(f"| single-pass (A)     | ${1}%6d | $tA%8.2fs |")
+    println(f"| append-built (B)    | ${AnnDays + 1}%6d | $tSliced%8.2fs |")
+    println(f"| B compacted         | ${1}%6d | $tCompacted%8.2fs |")
+    println(s"gates: ANN manifests A==B ${if (manifestsEqual) "PASS" else "FAIL"}; " +
+      s"relations identical ${if (viewsEqual) "PASS" else "FAIL"} " +
+      s"(rows ${nA.mkString("/")}); " +
+      s"compacted read <= 1.25x single-pass ${if (reclaimed) "PASS" else "FAIL"}")
+    Seq(rootA, rootB).foreach(deleteRoot)
+    manifestsEqual && viewsEqual && reclaimed
+  }
+
+  private def deleteRoot(r: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(r)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }
