@@ -1266,23 +1266,42 @@ object Analytics {
     * the bands key on brand set × size range × quantity range). Per band:
     * line count, exact-cents discounted revenue, quantity mass + mean.
     *
-    * Plan: the band CASE evaluates once on the joined row; Catalyst
-    * derives the pushable single-table residues — the brand-set UNION
-    * reaches the part scan as an IN filter (PushedFilters), so the build
-    * side broadcasts only band-eligible parts; the quantity disjunction's
-    * union range prunes lineitem rows before the join. The OR itself
-    * cannot push across tables (Q19's defining shape) — it runs
-    * codegen'd post-join, which is exactly where it belongs.
+    * Plan (round 14 — the round-13 shape hid the residues inside a CASE's
+    * null-ness, which Catalyst cannot decompose, so both scans pushed only
+    * IsNotNull): the single-table residues of the OR-of-ANDs are applied
+    * as EXPLICIT pre-join disjunctions — the brand-set × size-range union
+    * reaches the part scan as Or(And(In(p_brand,…),…),…) in PushedFilters
+    * (only band-eligible parts are read), and the quantity-range union
+    * prunes lineitem row groups the same way. Each residue is implied by
+    * the band predicate (it is the OR of that table's per-band conjuncts),
+    * so semantics are unchanged. The cross-table OR itself cannot push
+    * (Q19's defining shape) — the band CASE labels the pre-pruned joined
+    * rows codegen'd post-join, and its IS NOT NULL drops the survivors
+    * that pass both residues without aligning on the SAME band (e.g. a
+    * band-A part on a qty-30 line). PushedFilters pinned in PlanSpec.
     *
     * Exactness: the cents device (price·(100−pct) integer micro-units,
     * one division); quantities are integral doubles cast long; the mean
     * is a single division. */
   def bandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qtyResidue =
+      col("l_quantity").between(1, 15) ||
+      col("l_quantity").between(10, 30) ||
+      col("l_quantity").between(20, 50)
+    val partResidue =
+      (col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&
+        col("p_size").between(1, 15)) ||
+      (col("p_brand").isin("Brand#21", "Brand#22", "Brand#23") &&
+        col("p_size").between(10, 30)) ||
+      (col("p_brand").isin("Brand#20", "Brand#24", "Brand#25") &&
+        col("p_size").between(20, 50))
     val l = Tables.lineitem(spark, dir)
+      .filter(qtyResidue)
       .select(col("l_partkey"), col("l_quantity"),
         discounted(cents(col("l_extendedprice")), cents(col("l_discount")))
           .as("disc_u"))
     val p = Tables.part(spark, dir)
+      .filter(partResidue)
       .select("p_partkey", "p_brand", "p_size")
     val band =
       when(col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&

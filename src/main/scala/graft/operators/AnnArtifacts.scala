@@ -149,11 +149,18 @@ object AnnArtifacts {
     (Seq("ivf_centroids" -> centParams(k), "pq_codebook" -> cbParams(pqK)) ++
       VectorFamilies.map(f => f -> vectorFamilyParams(f, k, pqK)))
       .foreach { case (f, want) =>
-        DedupArtifacts.manifestParams(spark, s"$root/$f").foreach { rec =>
-          if (rec != want)
-            sys.error(s"ANN index $root/$f geometry mismatch: append " +
-              s"expects $want, store records $rec")
-        }
+        // a MISSING manifest fails too (round 14, the advisor's finding):
+        // an absent manifest is a half-built store or a crashed
+        // compaction's un-restamped publish — silently skipping the check
+        // would let a wrong-geometry day land; the recovery for the
+        // crashed-compaction state is compact()/restamp(), not an append
+        val rec = DedupArtifacts.manifestParams(spark, s"$root/$f")
+          .getOrElse(sys.error(s"ANN index $root/$f has no manifest — " +
+            "store half-built or a compaction crashed before its " +
+            "re-stamp; run recover() before appending"))
+        if (rec != want)
+          sys.error(s"ANN index $root/$f geometry mismatch: append " +
+            s"expects $want, store records $rec")
       }
     graft.functions.Kernels.register(spark)
     val cents = centroids(spark, root, k)
@@ -185,7 +192,11 @@ object AnnArtifacts {
     * layout that lets a probe read only its nprobe cells' files) and the
     * vec-keyed layout for flat/codes. The canonical digest — and with it
     * the manifest — is invariant (spec-pinned); quantizer relations are
-    * single artifacts and never compact. */
+    * single artifacts and never compact. Crashed runs are repaired by
+    * re-running compact() (the [[DedupArtifacts.compactSlices]] recovery
+    * contract: stranded publishes restored on entry, missing manifests
+    * re-stamped via the return signal); must be serialized with
+    * appendDay — [[Nightly.runDay]] is the sequenced cadence. */
   def compact(spark: SparkSession, root: String, upToDay: Long,
       k: Int = IvfK, pqK: Int = PqK): Unit =
     VectorFamilies.foreach { f =>
@@ -197,6 +208,46 @@ object AnnArtifacts {
         spark.catalog.clearCache()
       }
     }
+
+  /** The [[StreamArtifacts.recover]] prologue for the per-vector
+    * relations: restore mid-publish strandings, re-stamp manifests a
+    * crashed compaction's publish dropped — so a replayed maintenance
+    * run starts consistent instead of tripping [[appendDay]]'s
+    * missing-manifest fail-fast. FS checks only; the re-stamp runs only
+    * when needed. Quantizer relations never publish-swap (plain
+    * writeArtifact stamps inline), so they need no recovery path. */
+  def recover(spark: SparkSession, root: String, k: Int = IvfK,
+      pqK: Int = PqK): Boolean =
+    VectorFamilies.map { f =>
+      val restored = DedupArtifacts.restoreStranded(spark, s"$root/$f")
+      val restamped = DedupArtifacts.manifestMissing(spark, s"$root/$f")
+      if (restamped)
+        DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
+          vectorFamilyParams(f, k, pqK), "ingest_day", identity)
+      restored || restamped
+    }.exists(identity)
+
+  /** The cadence policy for the per-vector relations — the
+    * [[StreamArtifacts.compactIfNeeded]] device: an FS listing decides
+    * (no Spark job below the threshold), only slices strictly below the
+    * `protectFrom` replay horizon merge (a replayed appendDay REPLACES
+    * its slice — merging the log into a replayable day's label would
+    * let the replay overwrite history; see the StreamArtifacts scaladoc),
+    * and under a steady daily feed the slice count stays bounded at
+    * `maxSlices + 1` forever. The D40 maintainer invokes this from its
+    * foreachBatch epilogue with its batch's min day — the single-writer
+    * cadence that already serializes appends, so the compactSlices
+    * concurrency contract holds by construction. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxSlices: Int = StreamArtifacts.DefaultMaxSlices,
+      protectFrom: Long = Long.MaxValue,
+      k: Int = IvfK, pqK: Int = PqK): Boolean = {
+    val days = VectorFamilies.map(f =>
+      DedupArtifacts.sliceDays(spark, s"$root/$f", "ingest_day"))
+    val mergeable = days.flatten.distinct.filter(_ < protectFrom)
+    if (days.map(_.length).max <= maxSlices || mergeable.size <= 1) false
+    else { compact(spark, root, mergeable.max, k, pqK); true }
+  }
 
   // ---- manifest- and geometry-verified readers
 

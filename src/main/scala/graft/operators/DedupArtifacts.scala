@@ -176,26 +176,55 @@ object DedupArtifacts {
     * keeps [[readVerifiedCanonical]]'s per-read merge bounded after a
     * year of day appends: O(compactions-since) slices, not 365.
     *
-    * Crash-safe by construction: the new layout is staged whole under a
-    * `_`-prefixed sibling and swapped in with
-    * [[graft.sources.Export.publish]]'s rename publish — a reader (or a
-    * crash) sees the old slices or the new, never a mix, and a re-run
-    * recomputes the same canonical merge (idempotent). The trade is the
-    * usual LSM one: a merged day can no longer be RESTATED slice-wise
-    * (its rows lost their day identity) — compact behind the
-    * restatement horizon. `sliceKey` co-partitions rows WITHIN slices
-    * (the cell-major layout for IVF cells); without it each slice lands
-    * as one file (the segment-sketch convention). Returns false (no-op)
-    * when ≤ 1 slice is at or below `upTo`. */
+    * Crash recovery (round 14, the advisor's finding — the round-13
+    * docstring over-claimed "crash-safe by construction"): the new
+    * layout is staged whole under a `_`-prefixed sibling and swapped in
+    * with [[graft.sources.Export.publish]]'s rename publish, so a READER
+    * sees the old slices or the new, never a mix — but a crash can still
+    * strand the WRITER in two states a plain re-run must repair. (1) A
+    * crash between publish's two renames leaves the family staged out
+    * under `_<name>.old` with the target absent; on entry, a stranded
+    * `.old` is renamed back so the retry starts from a readable store.
+    * (2) A crash AFTER publish but BEFORE the caller's re-stamp leaves
+    * the family without a manifest (the swap replaced the directory the
+    * manifest lived in) while the slices are already merged — the re-run
+    * is then a layout no-op, so the return value signals RE-STAMP NEEDED
+    * (true) whenever compaction ran OR the manifest is missing; callers
+    * re-stamp on true, which completes the interrupted publish. Returns
+    * false only when the store is already compact AND stamped.
+    *
+    * CONCURRENCY: compact reads the whole family and swaps the whole
+    * directory, so it must be SERIALIZED with appends — a slice landing
+    * between the read and the publish would be silently dropped by the
+    * swap. The nightly cadence ([[Nightly.runDay]]) runs
+    * append → re-stamp → compact sequentially in one driver, which is
+    * the deployment contract; the whole-directory swap is kept (over a
+    * slices-≤-upTo partial swap) because it is the only layout change
+    * readers observe atomically — a partial swap can expose a merged
+    * slice NEXT TO its unmerged sources mid-crash, double-counting
+    * summed counters (span_index). The trade is the usual LSM one: a
+    * merged day can no longer be RESTATED slice-wise (its rows lost
+    * their day identity) — compact behind the restatement horizon.
+    * `sliceKey` co-partitions rows WITHIN slices (the cell-major layout
+    * for IVF cells); without it each slice lands as one file (the
+    * segment-sketch convention). */
   private[graft] def compactSlices(spark: SparkSession, path: String,
       partCol: String, upTo: Long, canon: DataFrame => DataFrame,
       sliceKey: Option[String] = None): Boolean = {
     import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery (1): restore a family stranded mid-publish (target gone,
+    // data parked under _<name>.old) so the retry reads the old slices
+    restoreStranded(spark, path): Unit
     val raw = spark.read.parquet(path)
     // distinct slice labels, never index rows — the bounded collect
     val nMerge = raw.select(partCol).distinct()
       .filter(col(partCol) <= upTo).count()
-    if (nMerge <= 1) false
+    // recovery (2): an already-compact family missing its manifest is a
+    // crashed run's publish without its re-stamp — tell the caller
+    if (nMerge <= 1)
+      !fs.exists(new Path(manifestPath(path)))
     else {
       val merged = canon(raw.filter(col(partCol) <= upTo).drop(partCol))
         .withColumn(partCol, lit(upTo))
@@ -215,6 +244,50 @@ object DedupArtifacts {
       graft.sources.Export.publish(fs, tmp, target)
       true
     }
+  }
+
+  /** Restore a family directory stranded mid-publish — target absent,
+    * data parked under `_<name>.old` (the state a crash between
+    * [[graft.sources.Export.publish]]'s two renames leaves). Returns
+    * whether a restore happened; errors if the rename back fails. Shared
+    * by [[compactSlices]]'s entry and the store `recover()` prologues
+    * (round 14 — the advisor's recovery findings). */
+  private[graft] def restoreStranded(spark: SparkSession,
+      path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(target.getParent, "_" + target.getName + ".old")
+    if (fs.exists(target) || !fs.exists(old)) false
+    else if (!fs.rename(old, target))
+      sys.error(s"could not restore stranded $old to $target")
+    else true
+  }
+
+  /** Whether a family is missing its `_graft_manifest.json` — the state a
+    * crash between a compaction's publish and its re-stamp leaves. An FS
+    * existence check, no Spark job. */
+  private[graft] def manifestMissing(spark: SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(manifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path)) && !fs.exists(p)
+  }
+
+  /** The slice labels present under a log-structured family — parsed
+    * from the hive directory names (`partCol=N/`), an O(directories) FS
+    * listing that schedules NO Spark job. This is the cadence policy's
+    * whole input ([[StreamArtifacts.compactIfNeeded]] /
+    * [[AnnArtifacts.compactIfNeeded]]): deciding whether to compact must
+    * stay free on the 364 nights it answers "no". */
+  private[graft] def sliceDays(spark: SparkSession, path: String,
+      partCol: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.stripPrefix(partCol + "=").toLong)
   }
 
   /** [[readVerified]] for log-structured stores: verifies the CANONICAL

@@ -32,7 +32,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * streaming-built store is MANIFEST-EQUAL to the one-pass
   * frozen-quantizer rebuild over the union (ReplaySpec pins it through a
   * dropped-commit-marker crash). The per-batch day list is a bounded
-  * driver read (distinct ingest days, never vector rows). */
+  * driver read (distinct ingest days, never vector rows).
+  *
+  * Compaction cadence (round 14): after the per-batch re-stamp, the
+  * epilogue runs [[graft.operators.AnnArtifacts.compactIfNeeded]] — an
+  * FS-listing decision (free below the threshold) that merges the day
+  * log back to one slice whenever it outgrows `maxSlices`. foreachBatch
+  * is the single writer, so the policy is serialized with appends by
+  * construction (the compactSlices concurrency contract); a crash inside
+  * compaction is repaired by the next batch's epilogue (the compactSlices
+  * recovery contract). The batch's MIN day is passed as the replay
+  * horizon: a dropped commit replays exactly this epoch's days, and a
+  * replayed appendDay REPLACES its slice — so the merged slice must keep
+  * a label strictly below anything this epoch could re-append, or the
+  * replay would overwrite the merged history. With the horizon in place
+  * the canonical digest stays invariant and replay ≡ first write holds
+  * through a compaction. */
 object AnnStoreStream {
 
   /** Append each micro-batch's ingest days to the ANN store at `root`.
@@ -41,12 +56,19 @@ object AnnStoreStream {
   def daily(vectors: DataFrame, root: String, checkpointDir: String,
       k: Int = graft.operators.EmbeddingOps.IvfK,
       pqK: Int = graft.operators.EmbeddingOps.PqK,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSlices: Int = graft.operators.StreamArtifacts.DefaultMaxSlices)
+      : StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // recovery prologue: a crash inside the previous epoch's
+        // compaction leaves a stranded publish or a missing manifest —
+        // repair before appendDay's handshake would fail fast on it
+        graft.operators.AnnArtifacts.recover(batch.sparkSession, root,
+          k, pqK): Unit
         val days = batch.select("ingest_day").distinct()
           .collect().map(_.getLong(0)).sorted
         days.foreach { d =>
@@ -55,9 +77,12 @@ object AnnStoreStream {
               .select("vec_id", "label", "embedding"),
             k, pqK, restamp = false)
         }
-        if (days.nonEmpty)
+        if (days.nonEmpty) {
           graft.operators.AnnArtifacts.restamp(batch.sparkSession, root,
             k, pqK)
+          graft.operators.AnnArtifacts.compactIfNeeded(batch.sparkSession,
+            root, maxSlices, protectFrom = days.min, k = k, pqK = pqK): Unit
+        }
       }
       .start()
 }
