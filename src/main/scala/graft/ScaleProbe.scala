@@ -641,6 +641,44 @@ object ScaleProbe {
             graft.operators.StreamArtifacts.compact(s, r, base + 2L)
             s.read.parquet(s"$r/gram_index")
               .select("ingest_day").distinct()
+          })) :+
+        // COMPACTION CADENCE (round 14): a 40-day simulated nightly feed
+        // against a fresh store, the compactIfNeeded policy (threshold 6,
+        // replay horizon = the day being appended) running in each
+        // night's epilogue — the probe ERRORS if the slice count ever
+        // exceeds maxSlices + 1, which is the policy's bound claim under
+        // a steady feed. Deliberately SCALE-INDEPENDENT (constructed tiny
+        // days, own store): the gate here is the BOUND, not a growth
+        // curve — the wall column just shows the 40-night cost is flat.
+        ("stream_index_cadence" ->
+          ((s: SparkSession, _: String) => {
+            val sp = s
+            import sp.implicits._
+            val r = java.nio.file.Files
+              .createTempDirectory("graft-scale-cadence-").toString
+            scratchRoots.add(r)
+            val maxSlices = 6
+            def day(d: Long) = s.range(20).select(
+              (-(col("id") + lit(1L) + lit(d * 1000L))).as("doc_id"),
+              concat_ws(" ", (0 until 12).map(j =>
+                concat(lit(s"cad${j}x"), (col("id") * 31 + lit(j) +
+                  lit(d * 97L)).cast("string"))): _*).as("text"),
+              lit("synth").as("source"))
+            graft.operators.StreamArtifacts.writeFrom(s, day(0L), day(0L), r)
+            val counts = (1L to 40L).map { d =>
+              graft.operators.StreamArtifacts.appendDay(s, r, d, day(d),
+                restamp = false)
+              graft.operators.StreamArtifacts
+                .compactIfNeeded(s, r, maxSlices, protectFrom = d): Unit
+              val n = graft.operators.StreamArtifacts.Families.map(f =>
+                graft.operators.DedupArtifacts
+                  .sliceDays(s, s"$r/$f", "ingest_day").length).max
+              if (n > maxSlices + 1)
+                sys.error(s"cadence bound breached on night $d: $n slices")
+              (d, n.toLong)
+            }
+            graft.operators.StreamArtifacts.restamp(s, r)
+            counts.toDF("night", "n_slices")
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString

@@ -380,6 +380,11 @@ object AnnArtifacts {
       root
     })
 
+  /** Force the per-(dir, JVM) store staging now — the [[graft.Bench]]
+    * measured-staging-phase hook (see [[DedupArtifacts.stage]]). */
+  private[graft] def stage(spark: SparkSession, dir: String): Unit =
+    annRoot(spark, dir): Unit
+
   /** The registered `q_ann_serve_store` (C115). Oracle unchanged from
     * C74 (DuckDB recomputes inline — hash equality across the store
     * round-trip is the correctness pin, the C75 precedent). */

@@ -536,6 +536,15 @@ object DedupArtifacts {
       root
     })
 
+  /** Force the per-(dir, JVM) pair/component staging NOW — [[graft.Bench]]
+    * pays store builds in its measured staging phase instead of inside
+    * whichever query alphabetically touches the store first (round 14:
+    * the driver-bench budget work made staging a first-class phase). */
+  private[graft] def stage(spark: SparkSession, dir: String): Unit = {
+    pairsRoot(spark, dir): Unit
+    componentsRoot(spark, dir): Unit
+  }
+
   /** The registered `q_dedup_agreement`: stage the three pair sets (three
     * SEQUENTIAL generator jobs — peak residency is one generator's caches,
     * reclaimed between jobs; once per dir, see [[pairsRoot]]), then

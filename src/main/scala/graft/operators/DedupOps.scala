@@ -937,10 +937,18 @@ object DedupOps {
     * bit-equal; it is EXACT (not an estimate) whenever max degree ≤ cap.
     * Pure integer census + ONE final division. */
   def dedupTransitivity(spark: SparkSession, dir: String,
-      cap: Int = TransNeighborCap): DataFrame = {
+      cap: Int = TransNeighborCap): DataFrame =
+    transitivityCensusOf(
+      dedupMinhashLsh(spark, dir).select("doc_a", "doc_b").cache(), cap)
+
+  /** The budgeted wedge census over an ARBITRARY undirected edge set
+    * (doc_a, doc_b) — the frame-parametric body [[dedupTransitivity]]
+    * registers and the exactness spec drives with a constructed clique
+    * (cap ≥ max degree ⟹ the census equals the uncapped one exactly —
+    * the C105 constructed-fixture device, spec-pinned). */
+  private[graft] def transitivityCensusOf(edges: DataFrame,
+      cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = dedupMinhashLsh(spark, dir)
-      .select("doc_a", "doc_b").cache()
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val sampled = edges.select(col("doc_a").as("v"), col("doc_b").as("u"))
       .unionByName(edges.select(col("doc_b").as("v"), col("doc_a").as("u")))
@@ -1017,9 +1025,16 @@ object DedupOps {
           .when(col("component_size") <= 4, "3-4")
           .when(col("component_size") <= 8, "5-8")
           .otherwise("9+").as("size_bucket"))
+    // the ≤ 5-row grid is cache()d: output rows AND the 1-row total read
+    // it, so the C18 subtree underneath runs ONCE — uncached, the
+    // crossJoin's two grid references replayed the whole component loop
+    // + doc join per branch (caught by the round-14 scan pin: 4 documents
+    // scans where 2 belong; the C75 plan-shared ≠ materialization-shared
+    // lesson, again)
     val grid = sized.groupBy("size_bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast("long")).as("n_chars_total"))
+      .cache()
     grid
       .crossJoin(grid.agg(sum(col("n_docs")).as("n_total")))
       .select(col("size_bucket"), col("n_docs"), col("n_chars_total"),

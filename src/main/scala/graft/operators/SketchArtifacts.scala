@@ -406,6 +406,11 @@ object SketchArtifacts {
       root
     })
 
+  /** Force the per-(dir, JVM) store staging now — the [[graft.Bench]]
+    * measured-staging-phase hook (see [[DedupArtifacts.stage]]). */
+  private[graft] def stage(spark: SparkSession, dir: String): Unit =
+    storeRoot(spark, dir): Unit
+
   /** The registered `q_cms_week_estimates` (B60). */
   def cmsWeekEstimatesStaged(spark: SparkSession, dir: String): DataFrame =
     cmsWeekEstimates(spark, storeRoot(spark, dir))

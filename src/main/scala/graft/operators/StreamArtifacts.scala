@@ -375,13 +375,21 @@ object StreamArtifacts {
   private val statsRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The registered `q_stream_index_stats` (C118). */
-  def streamIndexStatsStaged(spark: SparkSession, dir: String): DataFrame =
-    streamIndexStats(spark, statsRoots.computeIfAbsent(dir, { _ =>
+  private def statsRoot(spark: SparkSession, dir: String): String =
+    statsRoots.computeIfAbsent(dir, { _ =>
       val root = DedupArtifacts.stagingRoot()
       write(spark, dir, root)
       root
-    }))
+    })
+
+  /** Force the per-(dir, JVM) store staging now — the [[graft.Bench]]
+    * measured-staging-phase hook (see [[DedupArtifacts.stage]]). */
+  private[graft] def stage(spark: SparkSession, dir: String): Unit =
+    statsRoot(spark, dir): Unit
+
+  /** The registered `q_stream_index_stats` (C118). */
+  def streamIndexStatsStaged(spark: SparkSession, dir: String): DataFrame =
+    streamIndexStats(spark, statsRoot(spark, dir))
 
   /** DuckDB twin: rebuilds every family's signatures relationally from
     * `documents` under the standing split (the store staging is a

@@ -834,4 +834,159 @@ class ArtifactSpec extends SparkSpec {
       "post-compaction append did not extend the gram index")
     spark.catalog.clearCache(): Unit
   }
+
+  test("compaction cadence: no-op below K, fires above, replay horizon") {
+    import operators.StreamArtifacts
+    graft.functions.Kernels.register(spark)
+    def manifest(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+    def sliceDirs(r: String, fam: String): Seq[String] =
+      new java.io.File(s"$r/$fam").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("ingest_day=")).sorted
+    val r = tmpDir("graft-cadence-")
+    StreamArtifacts.write(spark, sf, r)
+    (1L to 4L).foreach { d =>
+      StreamArtifacts.appendDay(spark, r, d,
+        sources.Feeds.incomingDocs(spark, sf)
+          .select((col("doc_id") + lit(d * 80000000000L)).as("doc_id"),
+            col("text"), col("source")),
+        restamp = false)
+    }
+    StreamArtifacts.restamp(spark, r)
+    val m0 = StreamArtifacts.Families.map(f => f -> manifest(r, f)).toMap
+    // 5 slices (0-4). Below the threshold: the policy is a pure FS
+    // decision — no compaction, no layout change, no manifest touch
+    assert(!StreamArtifacts.compactIfNeeded(spark, r, maxSlices = 8))
+    assert(sliceDirs(r, "gram_index").size == 5)
+    // above the threshold with day 4 protected as the replay horizon:
+    // slices 0-3 merge into slice 3; slice 4 keeps its identity, so a
+    // replayed appendDay(4) can only replace its OWN day — never the
+    // merged history. The canonical digest is invariant through it.
+    assert(StreamArtifacts.compactIfNeeded(spark, r, maxSlices = 2,
+      protectFrom = 4L))
+    for (f <- StreamArtifacts.Families) {
+      assert(sliceDirs(r, f) == Seq("ingest_day=3", "ingest_day=4"),
+        s"$f: ${sliceDirs(r, f)}")
+      assert(manifest(r, f) == m0(f), s"$f manifest changed under cadence")
+    }
+    // back under the threshold: the next night is a no-op again
+    assert(!StreamArtifacts.compactIfNeeded(spark, r, maxSlices = 2,
+      protectFrom = 5L))
+    // the replayed day swaps only its slice and the store stays whole
+    StreamArtifacts.appendDay(spark, r, 4L,
+      sources.Feeds.incomingDocs(spark, sf)
+        .select((col("doc_id") + lit(4L * 80000000000L)).as("doc_id"),
+          col("text"), col("source")))
+    for (f <- StreamArtifacts.Families)
+      assert(manifest(r, f) == m0(f), s"$f replay day-4 changed the digest")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("store recovery: stranded publish restored, missing manifest restamped") {
+    import operators.StreamArtifacts
+    graft.functions.Kernels.register(spark)
+    val r = tmpDir("graft-recover-")
+    StreamArtifacts.write(spark, sf, r)
+    val mPath = java.nio.file.Paths.get(s"$r/incr_hash/_graft_manifest.json")
+    val orig = java.nio.file.Files.readString(mPath)
+    val sp = spark
+    import sp.implicits._
+    val day = Seq((91000000001L, (1 to 30).map(i => s"rrx$i").mkString(" "),
+      "synth")).toDF("doc_id", "text", "source")
+    // nothing to repair on a healthy store
+    assert(!StreamArtifacts.recover(spark, r))
+    // crash-after-publish-before-restamp: the manifest is gone. The
+    // append handshake must FAIL FAST (a silent skip would let a
+    // wrong-split day land), and recover() must restore the exact
+    // manifest the crashed run would have written (digest from files)
+    java.nio.file.Files.delete(mPath)
+    val e = intercept[RuntimeException](
+      StreamArtifacts.appendDay(spark, r, 9L, day))
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+    assert(StreamArtifacts.recover(spark, r))
+    assert(java.nio.file.Files.readString(mPath) == orig,
+      "recovered manifest diverges from the pre-crash one")
+    // compact() on an already-compact store with a missing manifest also
+    // completes the interrupted publish (the compactSlices return signal)
+    java.nio.file.Files.delete(mPath)
+    StreamArtifacts.compact(spark, r, 0L)
+    assert(java.nio.file.Files.readString(mPath) == orig,
+      "compact() did not re-stamp the crashed family")
+    // crash-mid-publish: the family dir is staged out under _<f>.old —
+    // recover() renames it back, manifest intact inside
+    val famDir = java.nio.file.Paths.get(s"$r/incr_hash")
+    val oldDir = java.nio.file.Paths.get(s"$r/_incr_hash.old")
+    java.nio.file.Files.move(famDir, oldDir)
+    assert(StreamArtifacts.recover(spark, r))
+    assert(java.nio.file.Files.exists(mPath) &&
+      java.nio.file.Files.readString(mPath) == orig,
+      "stranded family not restored")
+    assert(!StreamArtifacts.recover(spark, r))
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("nightly runner: 3 composed days, sane report, crash-replay idempotent") {
+    import operators.{AnnArtifacts, Nightly, SketchArtifacts, StreamArtifacts}
+    graft.functions.Kernels.register(spark)
+    val work = tmpDir("graft-nightly-spec-")
+    val (skR, stR, anR) = (s"$work/sk", s"$work/st", s"$work/an")
+    SketchArtifacts.write(spark, sf, skR)
+    StreamArtifacts.write(spark, sf, stR)
+    AnnArtifacts.write(spark, sf, anR)
+    def dayEvents(d: Long) = sources.Tables.events(spark, sf).limit(200)
+      .select((lit(d) * 86400000000000L + col("ts") % 86400000000000L)
+        .as("ts"), col("value"), col("user_id"))
+    def dayDocs(d: Long) = sources.Feeds.incomingDocs(spark, sf)
+      .select((col("doc_id") + lit(d * 80000000000L)).as("doc_id"),
+        col("text"), col("source"))
+    def dayVectors(d: Long) = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(d * 80000000000L)).as("vec_id"),
+        col("label"), col("embedding"))
+    def run(d: Long) = Nightly.runDay(spark, d, skR, stR, anR,
+      dayEvents(d), dayDocs(d), dayVectors(d)).collect()
+    val reports = (1L to 3L).map(run)
+    // report shape: 7 step rows + the total, every step ok, appends
+    // landed what the feeds carried
+    reports.foreach { rows =>
+      assert(rows.length == 8, rows.mkString("; "))
+      assert(rows.map(_.getLong(0)).toSeq == (1L to 8L), rows.mkString("; "))
+      assert(rows.forall(_.getBoolean(6)), rows.mkString("; "))
+      val byStep = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byStep(4).getString(1) == "stream_index" &&
+        byStep(4).getLong(3) == dayDocs(1L).count())
+      assert(byStep(5).getString(1) == "ann_index" &&
+        byStep(5).getLong(3) == dayVectors(1L).count())
+      // the sketch day slices are fixed-size: one row per family per day
+      (1 to 3).foreach(i => assert(byStep(i.toLong).getLong(4) == 1L,
+        byStep(i.toLong).toString))
+      assert(byStep(8).getString(2) == "resumen")
+    }
+    def manifests(): Map[String, String] =
+      (StreamArtifacts.Families.map(f => s"st/$f" -> s"$stR/$f") ++
+        Seq("an/flat" -> s"$anR/flat", "an/ivf_cells" -> s"$anR/ivf_cells",
+          "an/pq_codes" -> s"$anR/pq_codes", "sk/qsketch_day" ->
+            s"$skR/qsketch_day", "sk/cms_day" -> s"$skR/cms_day",
+          "sk/hll_day" -> s"$skR/hll_day"))
+        .map { case (n, p) => n -> java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$p/_graft_manifest.json")) }.toMap
+    val after3 = manifests()
+    // CRASH-REPLAY through the composed runner: a crash after day 3's
+    // maintenance left (say) a stream family published but un-restamped.
+    // The replayed runDay must repair it in its prologue, re-append day
+    // 3 idempotently, and leave every store manifest-identical
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      s"$stR/incr_sigs/_graft_manifest.json"))
+    val replay = run(3L)
+    assert(replay.forall(_.getBoolean(6)), replay.mkString("; "))
+    assert(manifests() == after3,
+      "crash-replay of day 3 changed a store digest")
+    // and a plain (no-crash) replay is idempotent too
+    val replay2 = run(3L)
+    assert(manifests() == after3, "replay of day 3 changed a store digest")
+    assert(replay2.map(_.toString).toSeq == replay.map(_.toString).toSeq,
+      "replayed report diverges")
+    spark.catalog.clearCache(): Unit
+  }
 }

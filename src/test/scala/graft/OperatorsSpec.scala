@@ -2727,4 +2727,162 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("transitivity (C119): rate bounded, exact at cap >= degree") {
+    val sp = spark
+    import sp.implicits._
+    // the registered census: closure_rate is a probability, and the
+    // wedge budget is respected (n_wedges <= edges-incident docs * C(cap,2))
+    val r = DedupOps.dedupTransitivity(spark, sf).collect().head
+    val (nE, nW, nC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val rate = r.getDouble(3)
+    assert(rate >= 0.0 && rate <= 1.0, s"closure_rate $rate")
+    assert(nC <= nW, s"closed $nC > wedges $nW")
+    val cap = DedupOps.TransNeighborCap.toLong
+    assert(nW <= 2 * nE * (cap * (cap - 1) / 2),
+      s"budget breached: $nW wedges for $nE edges")
+    spark.catalog.clearCache()
+    // EXACTNESS: on a constructed graph whose max degree <= cap, the
+    // capped census must equal the uncapped one EXACTLY (the C105
+    // constructed-fixture device). A 6-clique has degree 5 < 16 = cap:
+    // 15 edges, 6 * C(5,2) = 60 wedges, all closed -> rate 1.0; and a
+    // pending path (1-2, 2-3) contributes an open wedge under both.
+    val clique = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val capped = DedupOps.transitivityCensusOf(clique.cache(),
+      DedupOps.TransNeighborCap).collect().head
+    val uncapped = DedupOps.transitivityCensusOf(clique, 1000)
+      .collect().head
+    assert(capped == uncapped, s"capped $capped != uncapped $uncapped")
+    assert(capped.getLong(0) == 15L && capped.getLong(1) == 60L &&
+      capped.getLong(2) == 60L && capped.getDouble(3) == 1.0, capped)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val open = DedupOps.transitivityCensusOf(path.cache(), 16).collect().head
+    assert(open.getLong(1) == 1L && open.getLong(2) == 0L &&
+      open.getDouble(3) == 0.0, open)
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("dup length bias (C120): bucket partition conserves corpus + C39") {
+    val bias = DedupOps.dupLengthBias(spark, sf).cache()
+    // the 5 buckets partition the corpus: doc and char mass conserve
+    val docs = sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nChars = docs.agg(sum(col("n_chars").cast("long"))).head.getLong(0)
+    assert(bias.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    assert(bias.agg(sum("n_chars_total")).head.getLong(0) == nChars)
+    // shares sum to 1 (exact integer ratio sums)
+    val shareSum = bias.agg(sum("doc_share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"doc_share sums to $shareSum")
+    // bucket doc counts reconcile with C39's cluster-size histogram
+    // mapped onto the same 5-bucket grid
+    val c39 = DedupOps.dedupClusterSizes(spark, sf)
+      .select(
+        when(col("cluster_size") === 1, "1-unique")
+          .when(col("cluster_size") === 2, "2-pair")
+          .when(col("cluster_size") <= 4, "3-4")
+          .when(col("cluster_size") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"),
+        col("n_docs"))
+      .groupBy("size_bucket").agg(sum("n_docs").as("n_docs_c39"))
+    val diff = bias.join(c39, Seq("size_bucket"), "full")
+      .filter(col("n_docs").isNull || col("n_docs_c39").isNull ||
+        col("n_docs") =!= col("n_docs_c39"))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+    bias.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("vocab overlap (C121): symmetry, containment >= jaccard, C95 pin") {
+    val ov = TextOps.sourceVocabOverlap(spark, sf).cache()
+    // pair identity: intersection bounded by both vocabularies;
+    // containment >= jaccard always (min <= union); both in (0, 1]
+    ov.collect().foreach { r =>
+      val (va, vb, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (jac, cont) = (r.getDouble(5), r.getDouble(6))
+      assert(common <= math.min(va, vb), r.toString)
+      assert(cont >= jac - 1e-12, r.toString)
+      assert(jac > 0.0 && cont <= 1.0 + 1e-12, r.toString)
+    }
+    // vocabulary sizes pin against C95's independent per-source count
+    val c95 = TextOps.textZipf(spark, sf)
+      .select(col("source"), col("vocab_size")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ov.select("source_a", "n_vocab_a").collect().foreach { r =>
+      assert(c95(r.getString(0)) == r.getLong(1),
+        s"${r.getString(0)}: C121 ${r.getLong(1)} vs C95")
+    }
+    ov.select("source_b", "n_vocab_b").collect().foreach { r =>
+      assert(c95(r.getString(0)) == r.getLong(1),
+        s"${r.getString(0)}: C121 ${r.getLong(1)} vs C95")
+    }
+    spark.catalog.clearCache()
+    // SYMMETRY under source renaming: relabeling sources so the pair
+    // order flips must swap the vocab columns and leave n_common /
+    // jaccard / containment identical (the matrix is about SETS, not
+    // labels)
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("graft_vocabsym")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "aaa", 22L),
+      (2L, "alpha beta epsilon", "en", "zzz", 18L),
+      (3L, "gamma zeta", "en", "zzz", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fwd = TextOps.sourceVocabOverlap(spark, dir).collect().head
+    val dir2 = tmpDir("graft_vocabsym2")
+    docs.withColumn("source",
+        when(col("source") === "aaa", "zzz").otherwise("aaa"))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rev = TextOps.sourceVocabOverlap(spark, dir2).collect().head
+    assert(fwd.getLong(2) == rev.getLong(3) &&
+      fwd.getLong(3) == rev.getLong(2), s"$fwd vs $rev")
+    assert(fwd.getLong(4) == rev.getLong(4) &&
+      fwd.getDouble(5) == rev.getDouble(5) &&
+      fwd.getDouble(6) == rev.getDouble(6), s"$fwd vs $rev")
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("band revenue (B63): bands partition the filtered join, bounds") {
+    val bands = Analytics.bandRevenue(spark, sf).cache()
+    val rows = bands.collect()
+    // only the three defined bands appear, in order
+    assert(rows.map(_.getString(0)).toSeq.sorted ==
+      rows.map(_.getString(0)).toSeq)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("A", "B", "C")))
+    rows.foreach { r =>
+      val (n, rev, qty, avg) = (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4))
+      assert(n > 0 && rev > 0.0 && qty > 0, r.toString)
+      // per-band quantity bounds follow the band's own range
+      val (lo, hi) = r.getString(0) match {
+        case "A" => (1L, 15L) case "B" => (10L, 30L) case _ => (20L, 50L)
+      }
+      assert(avg >= lo && avg <= hi, s"${r.getString(0)}: avg_qty $avg")
+      assert(qty >= n * lo && qty <= n * hi, r.toString)
+    }
+    // PARTITION: the per-band rows sum to an independent count of the
+    // joined rows satisfying the full cross-table disjunction — the
+    // residue filters admit no extra row and drop no banded row
+    val l = sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity")
+    val p = sources.Tables.part(spark, sf)
+      .select("p_partkey", "p_brand", "p_size")
+    val full = l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand").isin("Brand#11", "Brand#12", "Brand#13") &&
+          col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand").isin("Brand#21", "Brand#22", "Brand#23") &&
+          col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand").isin("Brand#20", "Brand#24", "Brand#25") &&
+          col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .count()
+    assert(bands.agg(sum("n_items")).head.getLong(0) == full,
+      s"band rows don't partition the disjunction's ${full} matches")
+    bands.unpersist(): Unit
+  }
+
 }

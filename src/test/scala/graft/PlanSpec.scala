@@ -694,6 +694,70 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("band revenue (B63): disjunction residues reach both scans") {
+    // the Q19 shape's defining plan property (round 14 — the round-13
+    // CASE-null form pushed only IsNotNull): the brand-set × size-range
+    // union must reach the part scan and the quantity-range union the
+    // lineitem scan, each as an Or(And(...)) in PushedFilters. Formatted
+    // mode — the simple toString truncates the PushedFilters list.
+    val plan = SparkEntry.queries("q_band_revenue")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("In(p_brand, [Brand#11,Brand#12,Brand#13])") &&
+      plan.contains("In(p_brand, [Brand#20,Brand#24,Brand#25])"),
+      s"brand residue missing from the part scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(p_size,20)"),
+      s"size residue missing from the part scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,50.0)"),
+      s"quantity residue missing from the lineitem scan:\n$plan")
+    // the pushed residues are DISJUNCTIONS, not conjunct fragments
+    assert(plan.contains("Or(Or(And("),
+      s"residues no longer push as the OR-of-ANDs:\n$plan")
+  }
+
+  test("round-13 additions (C118-C121): materialization shapes") {
+    // C118: the health panel reads INDEX parquet only — no cache is the
+    // intended shape here (each consumer prunes its own column subset of
+    // a bounded artifact; pinning the panel's working set in memory would
+    // cost O(index) residency for a one-shot read). The pin is the scan
+    // BUDGET: every leaf is an artifact file read, none corpus-scaled,
+    // and the count stays at the audited consumer count — more means a
+    // family view silently gained a re-derivation
+    val st = scanLeaves("q_stream_index_stats")
+    info(s"C118 leaves=$st")
+    assert(!st.contains("mem"), st.toString)
+    assert(st.count(_ == "file") == 7, st.toString)
+    spark.catalog.clearCache()
+    // C119: every leaf is a cache read — the C2 edge cache absorbs the
+    // count + self-join + semi-join consumers (exchange reuse collapses
+    // the sampled adjacency's two sides onto one subtree) and the wedge
+    // cache its two; the corpus text is never re-scanned for the census
+    val tr = scanLeaves("q_dedup_transitivity")
+    info(s"C119 leaves=$tr")
+    assert(!tr.contains("file"), tr.toString)
+    assert(tr.count(_ == "mem") == 4, tr.toString)
+    spark.catalog.clearCache()
+    // C120: the cached ≤5-row bucket grid absorbs BOTH its consumers
+    // (output rows + the 1-row total) — the round-14 catch was exactly
+    // this grid uncached, replaying the whole C18 loop + doc join per
+    // crossJoin branch (4 documents scans where 2 belong)
+    val lb = scanLeaves("q_dup_length_bias")
+    info(s"C120 leaves=$lb")
+    assert(!lb.contains("file"), lb.toString)
+    assert(lb.count(_ == "mem") == 2, lb.toString)
+    spark.catalog.clearCache()
+    // C121: ONE cached distinct (source, term) relation absorbs all four
+    // consumers (both pair-join sides + the ≤sources-row sizes aggregate,
+    // re-derived off the cache once per join side) — a file leaf means
+    // the token explode ran twice
+    val ov = scanLeaves("q_source_vocab_overlap")
+    info(s"C121 leaves=$ov")
+    assert(!ov.contains("file"), ov.toString)
+    assert(ov.count(_ == "mem") == 4, ov.toString)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("audit's cartesian sweep catches constructed regressions") {
     val docs = sources.Tables.documents(spark, sf).select("doc_id")
     val events = sources.Tables.events(spark, sf).select("event_id")
