@@ -658,9 +658,12 @@ object ScaleProbe {
               .createTempDirectory("graft-scale-cadence-").toString
             scratchRoots.add(r)
             val maxSlices = 6
+            // 40 tokens/doc: above SpanTok=24 so the span family's slice
+            // is never empty (an all-empty slice writes a schemaless
+            // parquet dir the canonical re-read cannot open)
             def day(d: Long) = s.range(20).select(
               (-(col("id") + lit(1L) + lit(d * 1000L))).as("doc_id"),
-              concat_ws(" ", (0 until 12).map(j =>
+              concat_ws(" ", (0 until 40).map(j =>
                 concat(lit(s"cad${j}x"), (col("id") * 31 + lit(j) +
                   lit(d * 97L)).cast("string"))): _*).as("text"),
               lit("synth").as("source"))
