@@ -490,4 +490,80 @@ class ReplaySpec extends SparkSpec {
       "IVF search off the streaming-maintained store diverges")
     sp.catalog.clearCache(): Unit
   }
+
+  test("D40 epilogue compaction: fires mid-stream, crash-replay safe, digest invariant") {
+    // round 14: the maintainer's foreachBatch epilogue now runs the
+    // compactIfNeeded cadence with the batch's min day as the replay
+    // horizon. maxSlices=1 makes it fire on every batch that leaves two
+    // mergeable slices — and the dropped-commit replay lands ON TOP of a
+    // batch whose epilogue compacted, the exact scenario the horizon
+    // exists for: the replayed appendDay must only ever replace its own
+    // day's slice, never the merged history.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Kernels.register(sp)
+    import graft.operators.{AnnArtifacts, EmbeddingOps}
+    val root = tmpDir("d40c_store")
+    AnnArtifacts.write(sp, sf, root)
+    val days: Seq[Seq[(Long, Long, Int, Seq[Float])]] = Seq(1L, 2L, 3L).map { d =>
+      graft.sources.Tables.embeddings(sp, sf)
+        .filter(col("vec_id") % 3 === (d % 3))
+        .select(lit(d).as("ingest_day"),
+          (col("vec_id") + lit(80000000000L) + lit(d * 1000000000L))
+            .as("vec_id"),
+          col("label"), col("embedding"))
+        .as[(Long, Long, Int, Seq[Float])].collect().toSeq
+    }
+    val in = MemoryStream[(Long, Long, Int, Seq[Float])]
+    val ckpt = tmpDir("d40c_ck")
+    def runOnce(): Unit = AnnStoreStream.daily(
+      in.toDF().toDF("ingest_day", "vec_id", "label", "embedding"),
+      root, ckpt, maxSlices = 1).awaitTermination()
+    def sliceDirs(fam: String): Seq[String] =
+      new java.io.File(s"$root/$fam").listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("ingest_day=")).sorted
+
+    in.addData(days(0): _*); runOnce() // slices {0,1}: horizon blocks a merge
+    assert(sliceDirs("flat") == Seq("ingest_day=0", "ingest_day=1"),
+      sliceDirs("flat").toString)
+    in.addData(days(1): _*); runOnce() // {0,1,2} -> merge 0,1 into 1
+    assert(sliceDirs("flat") == Seq("ingest_day=1", "ingest_day=2"),
+      sliceDirs("flat").toString)
+    // crash AFTER the compacting batch committed its stores but not its
+    // checkpoint: the epoch replays — re-append of day 2 must replace
+    // only slice 2 (the merged slice 1 carries days 0-1 and is protected)
+    dropNewestCommit(ckpt)
+    runOnce()
+    assert(sliceDirs("flat") == Seq("ingest_day=1", "ingest_day=2"),
+      sliceDirs("flat").toString)
+    in.addData(days(2): _*); runOnce() // {1,2,3} -> merge 1,2 into 2
+    assert(sliceDirs("flat") == Seq("ingest_day=2", "ingest_day=3"),
+      sliceDirs("flat").toString)
+
+    // the compacted, crash-replayed, streaming-maintained store is
+    // MANIFEST-EQUAL to the one-pass frozen-quantizer rebuild — no
+    // vector lost, none doubled, digest invariant through it all
+    val rebuilt = tmpDir("d40c_rebuild")
+    val baseV = EmbeddingOps.vectors(sp, sf)
+    val dayV = days.flatten
+      .toDF("ingest_day", "vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("graft_norm2(embedding)").as("n2"))
+    AnnArtifacts.writeFrom(sp, baseV.unionByName(dayV),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.IvfK),
+      EmbeddingOps.ivfCentroids(baseV, EmbeddingOps.PqK)
+        .select("cent_id", "c_emb"),
+      rebuilt)
+    def manifestOf(r: String, fam: String): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$r/$fam/_graft_manifest.json"))
+    for (f <- Seq("flat", "ivf_cells", "pq_codes"))
+      assert(manifestOf(root, f) == manifestOf(rebuilt, f),
+        s"compacted streaming-maintained $f diverges from the rebuild")
+    assert(AnnArtifacts.annIvf(sp, root).collect().toSeq ==
+      AnnArtifacts.annIvf(sp, rebuilt).collect().toSeq,
+      "IVF search off the compacted store diverges")
+    sp.catalog.clearCache(): Unit
+  }
 }
