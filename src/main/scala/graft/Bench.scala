@@ -62,7 +62,31 @@ import org.apache.spark.sql.SparkSession
   *     the process is killed mid-run — a driver timeout now leaves
   *     evidence instead of rc 124 and nothing.
   * Projected driver wall at sf0.1: ~44s staging + ~3×350s passes ≈ 19
-  * min sbt-inclusive, back under the budget r12 passed at.
+  * min sbt-inclusive on a quiet box.
+  *
+  * Round 15 — the WALL-BUDGET GUARD (BENCH_r14.json was rc 124 AGAIN:
+  * the round-14 rework fits a quiet box — builder 1153s in-JVM, judge
+  * 1063s rc 0 — but the driver's environment ran the identical
+  * code+data 3.1× slower and rode all 3 passes into its 3600s kill,
+  * in-JVM wall 3585s at death). Comparability of a number the driver
+  * never produces is worth less than a degraded number, so: after each
+  * completed pass, if elapsed + (last pass wall × 1.3) would exceed
+  * SPARK_GRAFT_BENCH_BUDGET seconds of in-JVM wall (default 3000 —
+  * sized for the driver's 3600s kill minus sbt/JVM overhead), the
+  * remaining passes are SKIPPED and the run finalizes with the passes
+  * it has. The JSON records "passes_done" (and "budget_cut":true when
+  * the guard fired) so a degraded min-of-1/2 is visible: per the
+  * round-14 A/B, a 2-sample subset reads 8-11% high on this box — a
+  * budget-cut total is comparable only to same-passes_done runs. On a
+  * quiet box the guard never fires (3 passes ≈ 1000s < 3000s) and the
+  * full min-of-3 comparability is unchanged.
+  *
+  * Round-15 partial-path repairs (the round-14 kill exposed both): the
+  * shutdown hook now writes partials to <out>.partial — the old code
+  * wrote them to <out> itself, which CLOBBERED the committed bench.json
+  * in the driver's working tree — and ALSO printlns the partial line,
+  * because the driver parses a 2000-char stdout tail and the file-only
+  * partial left parsed:null.
   *
   * Unstable = the MEDIAN diverges >3× from the min AND by >0.5s absolute:
   * the relative rule catches genuine bimodality; the absolute guard keeps
@@ -137,8 +161,11 @@ object Bench {
       val line = f"""{"metric":"total","value":${best.map(_._2).sum}%.3f,""" +
         f""""unit":"sec","partial":true,"wall_s":${secsSince(wall0)}%.1f,""" +
         f""""queries":$qs,"unstable":[],"sf":"$sfDir"}"""
+      // Sidecar + stdout, NEVER the committed out file: the driver
+      // parses a stdout tail, and a kill must not clobber bench.json.
+      println(line)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(out), line + "\n")
+        java.nio.file.Paths.get(out + ".partial"), line + "\n")
       catch { case _: Throwable => () }
     })
     Runtime.getRuntime.addShutdownHook(hook)
@@ -195,15 +222,32 @@ object Bench {
         warmupS = secsSince(tWarm)
       }
     }
-    // pass-major order: the same query's samples are a full pass apart
-    val samples = (1 to passes).map { _ =>
+    // pass-major order: the same query's samples are a full pass apart.
+    // Budget guard (round 15): after each completed pass, project the
+    // next pass at last-pass wall × 1.3 (headroom for the drift this box
+    // shows pass-over-pass) against the in-JVM wall budget; skip the
+    // remaining passes rather than ride into the driver's kill.
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3000").toDouble
+    val samples =
+      scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Boolean)]]
+    var budgetCut = false
+    while (samples.size < passes && !budgetCut) {
       val tPass = System.nanoTime()
-      val s = selected.map { case (n, f) => once(n, f, record = true) }
+      samples += selected.map { case (n, f) => once(n, f, record = true) }
       passWalls = passWalls :+ secsSince(tPass)
-      s
+      if (samples.size < passes &&
+          secsSince(wall0) + passWalls.last * 1.3 > budgetS) {
+        budgetCut = true
+        System.err.println(
+          f"[bench] budget guard: elapsed ${secsSince(wall0)}%.0fs + " +
+            f"projected pass ${passWalls.last * 1.3}%.0fs > budget " +
+            f"$budgetS%.0fs — finalizing with ${samples.size} of $passes passes")
+      }
     }
+    val passesDone = samples.size
     val results = selected.zipWithIndex.map { case ((name, _), i) =>
-      val runs = samples.map(_(i))
+      val runs = samples.toSeq.map(_(i))
       // min over SUCCESSFUL runs — a fast failure must not masquerade as
       // steady-state time; if every run failed, report the (slow) failure
       // time rather than poisoning the JSON with infinities
@@ -234,8 +278,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     finished = true
+    val cut = if (budgetCut) ""","budget_cut":true""" else ""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"unstable":$un,"wall_s":${secsSince(wall0)}%.1f,"phases":$phases,"passes":$passes,"warmed":$warmed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"unstable":$un,"wall_s":${secsSince(wall0)}%.1f,"phases":$phases,"passes":$passes,"passes_done":$passesDone$cut,"warmed":$warmed,"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
