@@ -1498,4 +1498,145 @@ object Analytics {
         / CAST(COUNT(DISTINCT l.l_partkey) AS DOUBLE) AS breadth_ratio
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type, p.p_size ORDER BY p.p_type, p.p_size"""
+
+  /** B64: `q_supplier_blame` — waiting-supplier blame report (TPC-H Q21
+    * flavor on the available axes: this schema has no l_receiptdate /
+    * l_commitdate, so "kept the order waiting" is the B46 SLA read — a
+    * line shipped more than [[LateDays]] days after the order date). Per
+    * supplier: in how many FINALIZED multi-supplier orders was THIS
+    * supplier the only late one — the textbook form is an EXISTS (some
+    * other supplier contributed) plus a NOT EXISTS (no other supplier was
+    * late) correlated against the same fact table.
+    *
+    * Both existentials collapse into arithmetic riding ONE orderkey
+    * shuffle (the B46 MAX-flag device extended to window form): the
+    * orders⋈lineitem join shuffles on orderkey; the per-(order, supplier)
+    * late flag groups on (orderkey, suppkey) — a superset of the join's
+    * hash partitioning, so no new exchange; the per-order supplier count
+    * and late-supplier count are window aggregates over the SAME orderkey
+    * partitioning (again no exchange — WindowExec only adds an in-
+    * partition sort); "blame" is then the row-local predicate
+    * late=1 ∧ n_supp>1 ∧ n_late=1. No self-join, no second fact scan, no
+    * cache. The supplier dim joins AFTER blame collapses the relation to
+    * ≤ one row per (order, supplier) — supplier scales with SF so it
+    * carries no broadcast hint (AQE decides); nation (25 rows) is force-
+    * broadcast. Final rollup is a ≤|supplier|-row shuffle.
+    *
+    * Reference: the "who is holding the queue" read of the scheduler's
+    * stuck-job blame view (/root/reference/app/services/scheduler.py) on
+    * the order fulfilment domain. */
+  def supplierBlame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val w = Window.partitionBy("o_orderkey")
+    val blamed = o
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS"),
+        1L).otherwise(0L)).as("late"))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1L && col("n_supp") > 1 && col("n_late") === 1L)
+    val dim = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    blamed.join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val supplierBlameSql: String = s"""
+    WITH per AS (
+      SELECT o.o_orderkey, l.l_suppkey,
+        MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL $LateDays DAY
+                 THEN 1 ELSE 0 END) AS late
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1, 2),
+    w AS (
+      SELECT l_suppkey, late,
+        COUNT(*) OVER (PARTITION BY o_orderkey) AS n_supp,
+        SUM(late) OVER (PARTITION BY o_orderkey) AS n_late
+      FROM per)
+    SELECT s.s_name, n.n_name, COUNT(*) AS numwait
+    FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE w.late = 1 AND w.n_supp > 1 AND w.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_name"""
+
+  /** B65 bucket list — the Q22 "country code" analog: the last two digits
+    * of the customer name's zero-padded id, a stable pseudo-geography this
+    * schema offers (no c_phone column). Seven literal buckets, as Q22
+    * samples seven country codes. */
+  val IdleBuckets: Seq[String] =
+    Seq("01", "13", "25", "31", "42", "50", "67")
+
+  /** B65: `q_idle_high_balance` — idle high-balance customers (TPC-H Q22
+    * flavor): within the sampled name-digit buckets, customers whose
+    * balance beats the bucket population's positive-balance average and
+    * who placed NO order since [[Cubes.InactiveSince]] — the "capital
+    * parked with inactive accounts" read, per bucket. Composes B29's
+    * 1-row broadcast scalar with B19's anti-join:
+    *
+    *  - the positive-balance average is a partial-agged 1-row aggregate
+    *    cross-joined back as a broadcast — never a global window. The
+    *    above-average test is EXACT integer math on cents
+    *    (bal_c × n_pos > sum_pos_c avoids the double division entirely,
+    *    so both engines pick the same customers bit-for-bit);
+    *  - idleness is a `left_anti` against orders with the date bound
+    *    pushed into the orders scan (only the recent slice crosses);
+    *  - the customer scan reads 3 columns; the bucket filter is codegen'd
+    *    post-scan (substring cannot push to parquet). Like B29's audit
+    *    scalar, the 1-row aggregate re-scans the (pruned, filtered)
+    *    customer relation rather than caching it — two cheap dim scans
+    *    beat pinning a corpus-day working set for a one-shot report.
+    *
+    * Final rollup: ≤7 groups, map-side collapsible. */
+  def idleHighBalance(spark: SparkSession, dir: String): DataFrame = {
+    def cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), substring(col("c_name"), 17, 2).as("bucket"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .filter(col("bucket").isin(IdleBuckets: _*))
+    val stats = cust.filter(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("tot"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_c") * col("n_pos") > col("tot"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >=
+            lit(Cubes.InactiveSince).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"), sum("bal_c").as("bal_sum_c"))
+      .select(col("bucket"), col("n_customers"),
+        centsToUnits(col("bal_sum_c")).as("acctbal_total"))
+      .orderBy("bucket")
+  }
+
+  val idleHighBalanceSql: String = s"""
+    WITH cust AS (
+      SELECT c_custkey, substring(c_name, 17, 2) AS bucket,
+        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE substring(c_name, 17, 2) IN
+        (${IdleBuckets.map("'" + _ + "'").mkString(", ")})),
+    stats AS (
+      SELECT CAST(SUM(bal_c) AS BIGINT) AS tot, COUNT(*) AS n_pos
+      FROM cust WHERE bal_c > 0)
+    SELECT bucket, COUNT(*) AS n_customers,
+      CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS acctbal_total
+    FROM cust, stats
+    WHERE bal_c * n_pos > tot
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '${Cubes.InactiveSince} 00:00:00')
+    GROUP BY 1 ORDER BY 1"""
 }

@@ -2885,4 +2885,124 @@ class OperatorsSpec extends SparkSpec {
     bands.unpersist(): Unit
   }
 
+  test("supplier blame (B64): EXISTS recount equality + fixture exactness") {
+    // the window-arithmetic collapse must equal the TEXTBOOK double
+    // existential computed the expensive way: blame pairs = late
+    // (order, supplier) pairs SEMI-joined to some OTHER supplier's pair in
+    // the same order, ANTI-joined to any OTHER late pair in the same order
+    val blame = Analytics.supplierBlame(spark, sf)
+    val total = blame.agg(sum("numwait")).head.getLong(0)
+    val o = sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val allPairs = joined.select(col("o_orderkey").as("ok"),
+      col("l_suppkey").as("sk")).distinct().cache()
+    val latePairs = joined
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL ${Analytics.LateDays} DAYS"))
+      .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct().cache()
+    val other = allPairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val otherLate = latePairs.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val textbook = latePairs
+      .join(other, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        "left_semi")
+      .join(otherLate, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+        "left_anti")
+      .count()
+    assert(total == textbook, s"window blame $total != textbook $textbook")
+    allPairs.unpersist(); latePairs.unpersist()
+    spark.catalog.clearCache()
+    // constructed fixture with known blame: order 1 has exactly one late
+    // supplier among two (blame), order 2 two late (nobody), order 3 a
+    // single late supplier (nobody — no other supplier waited), order 4
+    // is late but not finalized (excluded), order 5 all on time
+    val sp = spark
+    import sp.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dir = tmpDir("graft_blame")
+    Seq((1L, "F", ts("2000-01-01")), (2L, "F", ts("2000-01-01")),
+      (3L, "F", ts("2000-01-01")), (4L, "O", ts("2000-01-01")),
+      (5L, "F", ts("2000-01-01")))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val late = ts("2000-06-01"); val ontime = ts("2000-01-15")
+    Seq((1L, 1L, late), (1L, 1L, ontime), (1L, 2L, ontime),
+      (2L, 1L, late), (2L, 2L, late),
+      (3L, 3L, late),
+      (4L, 2L, late), (4L, 3L, ontime),
+      (5L, 2L, ontime), (5L, 3L, ontime))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "SUPP_1", 0L), (2L, "SUPP_2", 0L), (3L, "SUPP_3", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((0L, "N_A"), (1L, "N_B")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val rows = Analytics.supplierBlame(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "SUPP_1" &&
+      rows.head.getString(1) == "N_A" && rows.head.getLong(2) == 1L,
+      rows.mkString("; "))
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("idle high balance (B65): window recount + boundary fixture") {
+    // independent recount via a GLOBAL WINDOW instead of the broadcast
+    // scalar: same exact-integer predicate, different plan family
+    val sp = spark
+    import sp.implicits._
+    val r = Analytics.idleHighBalance(spark, sf).cache()
+    r.collect().foreach { row =>
+      assert(Analytics.IdleBuckets.contains(row.getString(0)), row.toString)
+      assert(row.getLong(1) > 0L, row.toString)
+    }
+    val cust = sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), substring(col("c_name"), 17, 2).as("bucket"),
+        graft.functions.Exact.cents(col("c_acctbal")).as("bal_c"))
+      .filter(col("bucket").isin(Analytics.IdleBuckets: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val recount = cust
+      .withColumn("tot", sum(when(col("bal_c") > 0L, col("bal_c"))).over(w))
+      .withColumn("n_pos", count(when(col("bal_c") > 0L, lit(1))).over(w))
+      .filter(col("bal_c") * col("n_pos") > col("tot"))
+      .join(sources.Tables.orders(spark, sf)
+          .filter(col("o_orderdate") >=
+            lit(Cubes.InactiveSince).cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("bucket").agg(count(lit(1)).as("n2"))
+    val diff = r.join(recount, Seq("bucket"), "full")
+      .filter(col("n_customers").isNull || col("n2").isNull ||
+        col("n_customers") =!= col("n2"))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+    r.unpersist()
+    spark.catalog.clearCache()
+    // boundary fixture: avg over positives = 400.00 exactly; the at-avg
+    // customer is EXCLUDED (strict >), the above-avg customer with a
+    // recent order is excluded by the anti-join, the negative-balance
+    // customer never passes, and only the idle above-avg customer lands
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dir = tmpDir("graft_idle")
+    Seq((1L, "Customer#000000001", 100.0),   // bucket 01, below avg
+      (101L, "Customer#000000101", 500.0),   // 01, above avg, RECENT order
+      (113L, "Customer#000000113", 400.0),   // 13, exactly at avg: excluded
+      (301L, "Customer#000000301", 600.0),   // 01, above avg, idle: KEPT
+      (201L, "Customer#000000201", -50.0),   // 01, negative: not in stats
+      (99L, "Customer#000000099", 9999.0))   // bucket 99: outside the list
+      .toDF("c_custkey", "c_name", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((101L, ts("2001-03-01")), (301L, ts("2000-05-01")))
+      .toDF("o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Analytics.idleHighBalance(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "01" &&
+      rows.head.getLong(1) == 1L && rows.head.getDouble(2) == 600.0,
+      rows.mkString("; "))
+    spark.catalog.clearCache(): Unit
+  }
+
 }

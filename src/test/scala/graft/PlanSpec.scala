@@ -806,4 +806,43 @@ class PlanSpec extends SparkSpec {
       s"runaway loop counted only $runaway jobs (bound $bound)")
   }
 
+  test("supplier blame (B64): one orderkey shuffle carries join+agg+window") {
+    // the Q21 collapse's plan property: with broadcast competition
+    // disabled (so the tiny test inputs plan like 100 TB inputs — SMJ on
+    // the fact join), the orderkey partitioning is paid ONCE per join
+    // input and REUSED by both the (orderkey, suppkey) aggregate and the
+    // per-order window — a third orderkey exchange means the ride broke
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.operators.Analytics.supplierBlame(spark, sf)
+        .queryExecution.executedPlan.toString
+      val okEx = "Exchange hashpartitioning\\([^)]*orderkey".r
+        .findAllIn(plan).length
+      assert(okEx == 2, s"orderkey exchanges $okEx != 2 (join inputs):\n$plan")
+      val skEx = "Exchange hashpartitioning\\([^)]*suppkey".r
+        .findAllIn(plan).length
+      assert(skEx == 2, s"suppkey exchanges $skEx != 2 (dim join):\n$plan")
+      assert(plan.contains("Window"), plan)
+      // the status filter reaches the orders scan; nation stays broadcast
+      assert(plan.contains("EqualTo(o_orderstatus,F)"), plan)
+      assert(plan.contains("BroadcastExchange"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev): Unit
+  }
+
+  test("idle high balance (B65): pushdown, pruning, scalar broadcast, anti") {
+    val df = graft.operators.Analytics.idleHighBalance(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the idleness horizon prunes the orders scan at the source
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,2001-01-01"), plan)
+    // the 1-row positive-balance stats ride a broadcast loop join (the
+    // B29 scalar device), never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // column pruning: the customer scan reads 3 columns only
+    assert(!plan.contains("c_mktsegment") && !plan.contains("c_nationkey"),
+      plan)
+  }
+
 }
