@@ -191,40 +191,39 @@ object AnnArtifacts {
     * the merged `ivf_cells` slice (rows co-partitioned on cent_id — the
     * layout that lets a probe read only its nprobe cells' files) and the
     * vec-keyed layout for flat/codes. The canonical digest — and with it
-    * the manifest — is invariant (spec-pinned); quantizer relations are
-    * single artifacts and never compact. Crashed runs are repaired by
-    * re-running compact() (the [[DedupArtifacts.compactSlices]] recovery
-    * contract: stranded publishes restored on entry, missing manifests
-    * re-stamped via the return signal); must be serialized with
-    * appendDay — [[Nightly.runDay]] is the sequenced cadence. */
-  def compact(spark: SparkSession, root: String, upToDay: Long,
-      k: Int = IvfK, pqK: Int = PqK): Unit =
+    * the manifest — is invariant (spec-pinned), so the manifest TRAVELS
+    * WITH the swap (round 15: compactSlices copies it into the staged
+    * layout — no post-publish re-stamp, no missing-manifest crash
+    * window, and a canon-breaking compaction would fail the next
+    * verified read instead of being re-stamped over); quantizer
+    * relations are single artifacts and never compact. Crashed runs are
+    * repaired by re-running compact() (stranded publishes restored on
+    * entry); must be serialized with appendDay — [[Nightly.runDay]] is
+    * the sequenced cadence. */
+  def compact(spark: SparkSession, root: String, upToDay: Long): Unit =
     VectorFamilies.foreach { f =>
       val key = if (f == "ivf_cells") "cent_id" else "vec_id"
       if (DedupArtifacts.compactSlices(spark, s"$root/$f", "ingest_day",
-          upToDay, identity, Some(key))) {
-        DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
-          vectorFamilyParams(f, k, pqK), "ingest_day", identity)
+          upToDay, identity, Some(key)))
         spark.catalog.clearCache()
-      }
     }
 
   /** The [[StreamArtifacts.recover]] prologue for the per-vector
-    * relations: restore mid-publish strandings, re-stamp manifests a
-    * crashed compaction's publish dropped — so a replayed maintenance
-    * run starts consistent instead of tripping [[appendDay]]'s
-    * missing-manifest fail-fast. FS checks only; the re-stamp runs only
-    * when needed. Quantizer relations never publish-swap (plain
+    * relations: restore mid-publish strandings so a replayed
+    * maintenance run starts consistent. A MISSING manifest FAILS
+    * (round 15): the manifest travels with compaction's publish, so
+    * absence means a half-built store that a caller-params re-stamp
+    * would wrongly bless — the repair is a rebuild. FS checks only, no
+    * Spark job. Quantizer relations never publish-swap (plain
     * writeArtifact stamps inline), so they need no recovery path. */
-  def recover(spark: SparkSession, root: String, k: Int = IvfK,
-      pqK: Int = PqK): Boolean =
+  def recover(spark: SparkSession, root: String): Boolean =
     VectorFamilies.map { f =>
       val restored = DedupArtifacts.restoreStranded(spark, s"$root/$f")
-      val restamped = DedupArtifacts.manifestMissing(spark, s"$root/$f")
-      if (restamped)
-        DedupArtifacts.refreshManifestCanonical(spark, s"$root/$f",
-          vectorFamilyParams(f, k, pqK), "ingest_day", identity)
-      restored || restamped
+      if (DedupArtifacts.manifestMissing(spark, s"$root/$f"))
+        sys.error(s"ANN index $root/$f has no manifest — store " +
+          "half-built (a crashed compaction cannot leave this state: " +
+          "the manifest travels with its publish); rebuild the family")
+      restored
     }.exists(identity)
 
   /** The cadence policy for the per-vector relations — the
@@ -240,13 +239,12 @@ object AnnArtifacts {
     * concurrency contract holds by construction. */
   def compactIfNeeded(spark: SparkSession, root: String,
       maxSlices: Int = StreamArtifacts.DefaultMaxSlices,
-      protectFrom: Long = Long.MaxValue,
-      k: Int = IvfK, pqK: Int = PqK): Boolean = {
+      protectFrom: Long = Long.MaxValue): Boolean = {
     val days = VectorFamilies.map(f =>
       DedupArtifacts.sliceDays(spark, s"$root/$f", "ingest_day"))
     val mergeable = days.flatten.distinct.filter(_ < protectFrom)
     if (days.map(_.length).max <= maxSlices || mergeable.size <= 1) false
-    else { compact(spark, root, mergeable.max, k, pqK); true }
+    else { compact(spark, root, mergeable.max); true }
   }
 
   // ---- manifest- and geometry-verified readers

@@ -180,18 +180,24 @@ object DedupArtifacts {
     * docstring over-claimed "crash-safe by construction"): the new
     * layout is staged whole under a `_`-prefixed sibling and swapped in
     * with [[graft.sources.Export.publish]]'s rename publish, so a READER
-    * sees the old slices or the new, never a mix — but a crash can still
-    * strand the WRITER in two states a plain re-run must repair. (1) A
-    * crash between publish's two renames leaves the family staged out
-    * under `_<name>.old` with the target absent; on entry, a stranded
-    * `.old` is renamed back so the retry starts from a readable store.
-    * (2) A crash AFTER publish but BEFORE the caller's re-stamp leaves
-    * the family without a manifest (the swap replaced the directory the
-    * manifest lived in) while the slices are already merged — the re-run
-    * is then a layout no-op, so the return value signals RE-STAMP NEEDED
-    * (true) whenever compaction ran OR the manifest is missing; callers
-    * re-stamp on true, which completes the interrupted publish. Returns
-    * false only when the store is already compact AND stamped.
+    * sees the old slices or the new, never a mix — and a crash between
+    * publish's two renames leaves the family staged out under
+    * `_<name>.old` with the target absent; on entry, a stranded `.old`
+    * is renamed back so the retry starts from a readable store.
+    *
+    * The manifest TRAVELS WITH the swap (round 15, the advisor's
+    * refinement of the round-14 re-stamp signal): the canonical digest
+    * is invariant under compaction, so the family manifest is COPIED
+    * into the staged layout before the publish — there is no
+    * crash-after-publish-before-re-stamp window anymore, and a missing
+    * manifest now unambiguously means a HALF-BUILT store (a crash
+    * between the initial family write and its first stamp), which this
+    * method — and `recover()` — FAILS on rather than blessing with
+    * caller-asserted params. Dropping the post-compact re-stamp also
+    * strengthens verification: if a compaction ever broke the canonical
+    * merge, verified readers now fail against the pre-compaction
+    * manifest instead of a re-stamp silently adopting the broken
+    * digest. Returns true iff a compaction ran (≥ 2 slices merged).
     *
     * CONCURRENCY: compact reads the whole family and swaps the whole
     * directory, so it must be SERIALIZED with appends — a slice landing
@@ -214,17 +220,21 @@ object DedupArtifacts {
     import org.apache.hadoop.fs.Path
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recovery (1): restore a family stranded mid-publish (target gone,
+    // recovery: restore a family stranded mid-publish (target gone,
     // data parked under _<name>.old) so the retry reads the old slices
     restoreStranded(spark, path): Unit
+    // a missing manifest is a half-built store (crash between the
+    // initial family write and its first stamp) — compacting it would
+    // launder unstamped data into a published layout
+    if (!fs.exists(new Path(manifestPath(path))))
+      sys.error(s"$path has no manifest — store half-built; rebuild the " +
+        "family (the manifest travels with compaction's publish, so a " +
+        "crashed compaction cannot leave this state)")
     val raw = spark.read.parquet(path)
     // distinct slice labels, never index rows — the bounded collect
     val nMerge = raw.select(partCol).distinct()
       .filter(col(partCol) <= upTo).count()
-    // recovery (2): an already-compact family missing its manifest is a
-    // crashed run's publish without its re-stamp — tell the caller
-    if (nMerge <= 1)
-      !fs.exists(new Path(manifestPath(path)))
+    if (nMerge <= 1) false
     else {
       val merged = canon(raw.filter(col(partCol) <= upTo).drop(partCol))
         .withColumn(partCol, lit(upTo))
@@ -241,6 +251,13 @@ object DedupArtifacts {
       val tmp = new Path(target.getParent, "_" + target.getName + ".compact")
       repart.write.mode(SaveMode.Overwrite).partitionBy(partCol)
         .parquet(tmp.toString)
+      // the canonical digest is invariant under compaction, so the
+      // manifest is valid for the new layout — copy it INTO the staged
+      // directory so the publish swap carries it atomically (underscore
+      // prefix: parquet readers ignore it as a data file)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(manifestPath(path)),
+        fs, new Path(manifestPath(tmp.toString)), false,
+        spark.sparkContext.hadoopConfiguration): Unit
       graft.sources.Export.publish(fs, tmp, target)
       true
     }

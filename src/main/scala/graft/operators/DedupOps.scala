@@ -2684,7 +2684,18 @@ object DedupOps {
       .orderBy("stage")
   }
 
-  val dedupFunnelSql: String = s"""
+  /** A `def`, not a `val` (round 15 — a latent object-initialization
+    * cycle): this SQL interpolates [[EmbeddingOps.semanticDedupSql]],
+    * and EmbeddingOps's own init interpolates [[dedupMinhashEstSql]]
+    * from THIS object. If EmbeddingOps initialized first (any ANN query
+    * touched before the oracle map is built), its init re-entered
+    * DedupOps's init, which then read the not-yet-assigned
+    * `semanticDedupSql` as null and baked `FROM (null)` into the oracle
+    * forever. As a def the interpolation happens at CALL time, after
+    * both objects complete initialization — DedupOps's init no longer
+    * references EmbeddingOps at all, so the cycle is gone in either
+    * touch order. */
+  def dedupFunnelSql: String = s"""
     WITH d AS (
       SELECT doc_id,
         CASE WHEN length(trim(text)) = 0 THEN 0

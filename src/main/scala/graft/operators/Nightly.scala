@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   * replay horizon — never merges a slice the replay will re-append, so
   * stores after run-twice ≡ run-once (spec-pinned through a simulated
   * crash at every step boundary). The [[StreamArtifacts.recover]] /
-  * [[AnnArtifacts.recover]] prologue repairs the two writer-crash states
-  * a previous run can leave (stranded publish, missing manifest) before
-  * any append's geometry handshake would fail fast on them.
+  * [[AnnArtifacts.recover]] prologue repairs the one writer-crash state
+  * a previous run can leave (a stranded mid-publish rename) before any
+  * append's geometry handshake would fail fast on it; a MISSING
+  * manifest is unrepairable by design (round 15 — the manifest travels
+  * with compaction's publish, so absence means a half-built store and
+  * the prologue fails rather than blessing it). An EMPTY day frame is
+  * guarded per store: the append is skipped (an all-empty slice would
+  * write a schemaless parquet dir the canonical re-read cannot open)
+  * and the step row reports n_entrada=0 / ok=false.
   *
   * Scale: each step is O(day), never O(corpus) — the sketch appends
   * aggregate the day's events to fixed-size register rows, the index
@@ -61,31 +67,46 @@ object Nightly {
         DedupArtifacts.sliceDays(spark, s"$root/$f", partCol).length)
         .max.toLong
 
+    // EMPTY-DAY GUARD (round 15, the advisor's finding): an all-empty
+    // day frame must SKIP its append — an empty slice writes a
+    // schemaless parquet directory the canonical re-read cannot open —
+    // and surface as an ok=false step row (n_entrada=0, no rows landed)
+    // instead of poisoning the store on a quiet night.
+
     // ---- step 1-3: the day-grain sketch families (D37-D39's batch body)
     val nEvents = dayEvents.count()
-    SketchArtifacts.appendQsketchDay(spark, sketchRoot, dayEpoch, dayEvents)
-    SketchArtifacts.appendCmsDay(spark, sketchRoot, dayEpoch, dayEvents)
-    SketchArtifacts.appendHllDay(spark, sketchRoot, dayEpoch, dayEvents)
+    if (nEvents > 0L) {
+      SketchArtifacts.appendQsketchDay(spark, sketchRoot, dayEpoch, dayEvents)
+      SketchArtifacts.appendCmsDay(spark, sketchRoot, dayEpoch, dayEvents)
+      SketchArtifacts.appendHllDay(spark, sketchRoot, dayEpoch, dayEvents)
+    }
     val sketchSteps = Seq("qsketch_day", "cms_day", "hll_day").zipWithIndex
       .map { case (f, i) =>
-        (i + 1L, f, "append", nEvents, sliceRows(sketchRoot, f, "day_epoch"),
+        (i + 1L, f, "append", nEvents,
+          if (nEvents > 0L) sliceRows(sketchRoot, f, "day_epoch") else 0L,
           DedupArtifacts.sliceDays(spark, s"$sketchRoot/$f", "day_epoch")
             .length.toLong)
       }
 
     // ---- step 4: the stream-gate index (D18/D24/D34's standing state)
     val nDocs = dayDocs.count()
-    StreamArtifacts.appendDay(spark, streamRoot, dayEpoch, dayDocs)
-    val streamRows = StreamArtifacts.Families
-      .map(f => sliceRows(streamRoot, f, "ingest_day")).sum
+    if (nDocs > 0L)
+      StreamArtifacts.appendDay(spark, streamRoot, dayEpoch, dayDocs)
+    val streamRows =
+      if (nDocs > 0L) StreamArtifacts.Families
+        .map(f => sliceRows(streamRoot, f, "ingest_day")).sum
+      else 0L
     val step4 = (4L, "stream_index", "append", nDocs, streamRows,
       maxSliceCount(streamRoot, StreamArtifacts.Families, "ingest_day"))
 
     // ---- step 5: the ANN index (D40's batch body)
     val nVecs = dayVectors.count()
-    AnnArtifacts.appendDay(spark, annRoot, dayEpoch, dayVectors)
+    if (nVecs > 0L)
+      AnnArtifacts.appendDay(spark, annRoot, dayEpoch, dayVectors)
     val annFams = Seq("flat", "ivf_cells", "pq_codes")
-    val annRows = annFams.map(f => sliceRows(annRoot, f, "ingest_day")).sum
+    val annRows =
+      if (nVecs > 0L) annFams.map(f => sliceRows(annRoot, f, "ingest_day")).sum
+      else 0L
     val step5 = (5L, "ann_index", "append", nVecs, annRows,
       maxSliceCount(annRoot, annFams, "ingest_day"))
 
@@ -138,7 +159,11 @@ object Nightly {
     spark.sparkContext.setLogLevel("WARN")
     val (sketchRoot, streamRoot, annRoot) =
       (s"$work/sketch", s"$work/stream", s"$work/ann")
-    if (!new java.io.File(s"$sketchRoot/qsketch_day").exists()) {
+    // Hadoop FS, not java.io.File — the work root is a URI-addressed
+    // store path (object storage in production), not a local directory
+    val probe = new org.apache.hadoop.fs.Path(s"$sketchRoot/qsketch_day")
+    val fs = probe.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(probe)) {
       SketchArtifacts.write(spark, dir, sketchRoot)
       StreamArtifacts.write(spark, dir, streamRoot)
       AnnArtifacts.write(spark, dir, annRoot)

@@ -210,43 +210,46 @@ object StreamArtifacts {
     * Readers see the old slices or the new, never a mix (the rename
     * publish), and a CRASHED run is repaired by re-running compact():
     * [[DedupArtifacts.compactSlices]] restores a family stranded
-    * mid-publish and signals re-stamp-needed when the publish survived
-    * but the manifest re-stamp did not (round 14 — the advisor's
-    * recovery findings), so this method's restamp-on-true completes the
-    * interrupted run. Must be SERIALIZED with appends (the whole-family
-    * swap would drop a slice landing mid-compact — see compactSlices's
-    * concurrency note); [[Nightly.runDay]] is the sequenced cadence. The
-    * canonical digest is INVARIANT under compaction, so the re-stamp
-    * after the swap rewrites the manifest the publish dropped with the
-    * SAME (n_rows, checksum) — manifest equality before/after is the
-    * spec's pin that compaction touched layout, never meaning. */
+    * mid-publish on entry. The manifest TRAVELS WITH the swap (round 15
+    * — compactSlices copies it into the staged layout, valid because
+    * the canonical digest is invariant under compaction), so there is
+    * no post-publish re-stamp and no missing-manifest crash window:
+    * manifest equality before/after compaction holds by construction,
+    * and a compaction that ever broke the canonical merge would FAIL
+    * the next verified read against the pre-compaction manifest
+    * instead of being silently adopted by a re-stamp. Must be
+    * SERIALIZED with appends (the whole-family swap would drop a slice
+    * landing mid-compact — see compactSlices's concurrency note);
+    * [[Nightly.runDay]] is the sequenced cadence. */
   def compact(spark: SparkSession, root: String, upToDay: Long): Unit =
     Families.foreach { f =>
       if (DedupArtifacts.compactSlices(spark, s"$root/$f", "ingest_day",
-          upToDay, canon(f))) {
-        restampFamily(spark, root, f)
+          upToDay, canon(f)))
         spark.catalog.clearCache()
-      }
     }
 
   /** CRASH-RECOVERY PROLOGUE (round 14 — the advisor's findings made an
-    * operation): repair the two writer-crash states a maintenance run
-    * can leave, so a replayed run starts from a consistent store instead
-    * of tripping [[appendDay]]'s missing-manifest fail-fast. Per family:
-    * (1) a directory stranded mid-publish (target gone, data under
-    * `_<family>.old`) is renamed back; (2) a family missing its manifest
-    * (compaction published, crash before the re-stamp) is re-stamped
-    * from the files — the canonical digest is recomputed, so the
-    * restored manifest equals the one the crashed run would have
-    * written. Both checks are FS operations; the re-stamp is the only
-    * Spark job and runs only when needed. Returns whether anything was
-    * repaired. [[Nightly.runDay]] and the D40 epilogue run this first. */
+    * operation; TIGHTENED round 15): repair the one writer-crash state a
+    * maintenance run can leave — a directory stranded mid-publish
+    * (target gone, data under `_<family>.old`) is renamed back. A
+    * MISSING manifest is no longer repairable here: the manifest
+    * travels with compaction's publish (compactSlices copies it into
+    * the staged layout), so absence unambiguously means a HALF-BUILT
+    * store — a crash between the initial family write and its first
+    * stamp, possibly under DIFFERENT params than this deployment
+    * asserts — and re-stamping it with the caller's params would bless
+    * unverified data (the round-14 advisor's exact concern). recover()
+    * FAILS on that state; the repair is a rebuild. FS operations only,
+    * no Spark job. Returns whether anything was restored.
+    * [[Nightly.runDay]] and the D40 epilogue run this first. */
   def recover(spark: SparkSession, root: String): Boolean =
     Families.map { f =>
       val restored = DedupArtifacts.restoreStranded(spark, s"$root/$f")
-      val restamped = DedupArtifacts.manifestMissing(spark, s"$root/$f")
-      if (restamped) restampFamily(spark, root, f)
-      restored || restamped
+      if (DedupArtifacts.manifestMissing(spark, s"$root/$f"))
+        sys.error(s"stream index $root/$f has no manifest — store " +
+          "half-built (a crashed compaction cannot leave this state: " +
+          "the manifest travels with its publish); rebuild the family")
+      restored
     }.exists(identity)
 
   /** Compact when the log has grown past `maxSlices` day slices — the

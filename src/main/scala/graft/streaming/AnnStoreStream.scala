@@ -65,10 +65,11 @@ object AnnStoreStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // recovery prologue: a crash inside the previous epoch's
-        // compaction leaves a stranded publish or a missing manifest —
-        // repair before appendDay's handshake would fail fast on it
-        graft.operators.AnnArtifacts.recover(batch.sparkSession, root,
-          k, pqK): Unit
+        // compaction can leave a stranded publish — repair it before
+        // appendDay's handshake would fail fast (a missing manifest is
+        // NOT repairable: half-built store, recover() fails by design)
+        graft.operators.AnnArtifacts.recover(batch.sparkSession,
+          root): Unit
         val days = batch.select("ingest_day").distinct()
           .collect().map(_.getLong(0)).sorted
         days.foreach { d =>
@@ -81,7 +82,7 @@ object AnnStoreStream {
           graft.operators.AnnArtifacts.restamp(batch.sparkSession, root,
             k, pqK)
           graft.operators.AnnArtifacts.compactIfNeeded(batch.sparkSession,
-            root, maxSlices, protectFrom = days.min, k = k, pqK = pqK): Unit
+            root, maxSlices, protectFrom = days.min): Unit
         }
       }
       .start()

@@ -883,36 +883,43 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
-  test("store recovery: stranded publish restored, missing manifest restamped") {
+  test("store recovery: stranded publish restored, missing manifest FAILS") {
     import operators.StreamArtifacts
     graft.functions.Kernels.register(spark)
     val r = tmpDir("graft-recover-")
     StreamArtifacts.write(spark, sf, r)
     val mPath = java.nio.file.Paths.get(s"$r/incr_hash/_graft_manifest.json")
-    val orig = java.nio.file.Files.readString(mPath)
     val sp = spark
     import sp.implicits._
     val day = Seq((91000000001L, (1 to 30).map(i => s"rrx$i").mkString(" "),
       "synth")).toDF("doc_id", "text", "source")
     // nothing to repair on a healthy store
     assert(!StreamArtifacts.recover(spark, r))
-    // crash-after-publish-before-restamp: the manifest is gone. The
-    // append handshake must FAIL FAST (a silent skip would let a
-    // wrong-split day land), and recover() must restore the exact
-    // manifest the crashed run would have written (digest from files)
+    // the manifest TRAVELS WITH compaction's publish (round 15): after a
+    // real multi-slice compaction the manifest is present and byte-equal
+    // IMMEDIATELY after the swap — there is no re-stamp window a crash
+    // could land in
+    StreamArtifacts.appendDay(spark, r, 1L, day)
+    val m1 = java.nio.file.Files.readString(mPath)
+    StreamArtifacts.compact(spark, r, 1L)
+    assert(java.nio.file.Files.readString(mPath) == m1,
+      "compaction's publish did not carry the manifest through")
+    // a missing manifest is now unambiguously a HALF-BUILT store (crash
+    // between the initial family write and its first stamp, params
+    // unknown): the append handshake fails fast, recover() REFUSES to
+    // bless it with caller-asserted params (the round-14 advisor's
+    // finding), and compact() refuses to launder it into a publish
     java.nio.file.Files.delete(mPath)
     val e = intercept[RuntimeException](
       StreamArtifacts.appendDay(spark, r, 9L, day))
     assert(e.getMessage.contains("no manifest"), e.getMessage)
-    assert(StreamArtifacts.recover(spark, r))
-    assert(java.nio.file.Files.readString(mPath) == orig,
-      "recovered manifest diverges from the pre-crash one")
-    // compact() on an already-compact store with a missing manifest also
-    // completes the interrupted publish (the compactSlices return signal)
-    java.nio.file.Files.delete(mPath)
-    StreamArtifacts.compact(spark, r, 0L)
-    assert(java.nio.file.Files.readString(mPath) == orig,
-      "compact() did not re-stamp the crashed family")
+    val e2 = intercept[RuntimeException](StreamArtifacts.recover(spark, r))
+    assert(e2.getMessage.contains("half-built"), e2.getMessage)
+    val e3 = intercept[RuntimeException](
+      StreamArtifacts.compact(spark, r, 9L))
+    assert(e3.getMessage.contains("no manifest"), e3.getMessage)
+    // the rebuild-analog for the test: restore the known-good manifest
+    java.nio.file.Files.writeString(mPath, m1): Unit
     // crash-mid-publish: the family dir is staged out under _<f>.old —
     // recover() renames it back, manifest intact inside
     val famDir = java.nio.file.Paths.get(s"$r/incr_hash")
@@ -920,7 +927,7 @@ class ArtifactSpec extends SparkSpec {
     java.nio.file.Files.move(famDir, oldDir)
     assert(StreamArtifacts.recover(spark, r))
     assert(java.nio.file.Files.exists(mPath) &&
-      java.nio.file.Files.readString(mPath) == orig,
+      java.nio.file.Files.readString(mPath) == m1,
       "stranded family not restored")
     assert(!StreamArtifacts.recover(spark, r))
     spark.catalog.clearCache(): Unit
@@ -972,12 +979,15 @@ class ArtifactSpec extends SparkSpec {
         .map { case (n, p) => n -> java.nio.file.Files.readString(
           java.nio.file.Paths.get(s"$p/_graft_manifest.json")) }.toMap
     val after3 = manifests()
-    // CRASH-REPLAY through the composed runner: a crash after day 3's
-    // maintenance left (say) a stream family published but un-restamped.
-    // The replayed runDay must repair it in its prologue, re-append day
-    // 3 idempotently, and leave every store manifest-identical
-    java.nio.file.Files.delete(java.nio.file.Paths.get(
-      s"$stR/incr_sigs/_graft_manifest.json"))
+    // CRASH-REPLAY through the composed runner: a crash inside day 3's
+    // store maintenance left (say) a stream family stranded mid-publish
+    // under _<f>.old (the one writer-crash state left now that the
+    // manifest travels with compaction's publish). The replayed runDay
+    // must restore it in its prologue, re-append day 3 idempotently,
+    // and leave every store manifest-identical
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$stR/incr_sigs"),
+      java.nio.file.Paths.get(s"$stR/_incr_sigs.old"))
     val replay = run(3L)
     assert(replay.forall(_.getBoolean(6)), replay.mkString("; "))
     assert(manifests() == after3,
@@ -987,6 +997,21 @@ class ArtifactSpec extends SparkSpec {
     assert(manifests() == after3, "replay of day 3 changed a store digest")
     assert(replay2.map(_.toString).toSeq == replay.map(_.toString).toSeq,
       "replayed report diverges")
+    // EMPTY-DAY GUARD (round 15): a quiet day — all three feeds empty —
+    // must skip every append (an all-empty slice writes a schemaless
+    // parquet dir the canonical re-read cannot open), flag each append
+    // step ok=false with n_entrada=0, and leave every store manifest
+    // byte-identical to the day-3 state
+    val quiet = Nightly.runDay(spark, 4L, skR, stR, anR,
+      dayEvents(4L).limit(0), dayDocs(4L).limit(0),
+      dayVectors(4L).limit(0)).collect()
+    val appendRows = quiet.filter(_.getString(2) == "append")
+    assert(appendRows.length == 5, quiet.mkString("; "))
+    appendRows.foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L && !r.getBoolean(6),
+        s"empty-day append row not flagged: $r")
+    }
+    assert(manifests() == after3, "an empty day mutated a store")
     spark.catalog.clearCache(): Unit
   }
 }
