@@ -353,6 +353,37 @@ object ScaleProbe {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val compactSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Store trios (sketch/stream/ANN roots) for the composed-nightly
+    * probes (round 15 — E-16 was the last E-surface component without
+    * its own cost curve). `nightly_runday` drives a day whose VOLUME
+    * scales with the probed dir against ONE fixed-size trio built from
+    * the base dir: its curve must be ∝ day (the per-call re-stamp reads
+    * a fixed-size index). `nightly_runday_fixedday` drives a constructed
+    * fixed-volume day against a trio GROWN with the dir: the compaction
+    * decision is an FS listing and the appends O(day), but every append
+    * re-stamps its families — the KNOWN O(index) canonical-digest pass —
+    * so the gate bounds the night at linear-in-store, never superlinear.
+    * Fresh day labels and fresh negative ids per timed call (the
+    * appendDay new-doc contract); slice counts stay under the default
+    * compaction threshold across the sweep's calls, so no sample pays a
+    * fired compaction (stream_index_compact measures that separately). */
+  private val nightlyRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private val nightlySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def nightlyTrioOf(s: SparkSession, key: String,
+      buildDir: String): (String, String, String) =
+    nightlyRoots.computeIfAbsent(key, { _ =>
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-scale-nightly-").toString
+      // memoized for the whole sweep — NOT scratchRoots, which timeOnce
+      // drains after every sample (per-call staging roots only)
+      graft.operators.SketchArtifacts.write(s, buildDir, s"$r/sk")
+      graft.operators.StreamArtifacts.write(s, buildDir, s"$r/st")
+      graft.operators.AnnArtifacts.write(s, buildDir, s"$r/an")
+      (s"$r/sk", s"$r/st", s"$r/an")
+    })
+
   private def synthDayAt(s: SparkSession, day: Long): DataFrame =
     synthDay(s).withColumn("doc_id", col("doc_id") - lit(day * 100000L))
 
@@ -682,6 +713,46 @@ object ScaleProbe {
             }
             graft.operators.StreamArtifacts.restamp(s, r)
             counts.toDF("night", "n_slices")
+          })) :+
+        // COMPOSED NIGHTLY (round 15): runDay over a day volume that
+        // scales with the dir, against ONE fixed-size store trio — the
+        // "bigger ingest day, same stores" axis; must be ∝ day
+        ("nightly_runday" ->
+          ((s: SparkSession, d: String) => {
+            val (sk, st, an) = nightlyTrioOf(s, "fixed", baseDir)
+            val day = 40000L + nightlySeq.incrementAndGet()
+            val off = day * 90000000000L
+            val ev = graft.sources.Tables.events(s, d)
+              .select((lit(day) * 86400000000000L +
+                col("ts") % 86400000000000L).as("ts"),
+                col("value"), col("user_id"))
+            val docs = graft.sources.Feeds.incomingDocs(s, d)
+              .select((-(col("doc_id") + lit(off))).as("doc_id"),
+                col("text"), col("source"))
+            val vecs = graft.sources.Tables.embeddings(s, d)
+              .select((-(col("vec_id") + lit(off))).as("vec_id"),
+                col("label"), col("embedding"))
+            graft.operators.Nightly.runDay(s, day, sk, st, an,
+              ev, docs, vecs)
+          })) :+
+        // COMPOSED NIGHTLY, other axis: a constructed fixed-volume day
+        // against stores grown with the dir — the "same ingest day,
+        // year-older stores" axis; bounded by the O(index) re-stamp
+        ("nightly_runday_fixedday" ->
+          ((s: SparkSession, d: String) => {
+            val (sk, st, an) = nightlyTrioOf(s, d, d)
+            val day = 60000L + nightlySeq.incrementAndGet()
+            val ev = s.range(5000).select(
+              (lit(day) * 86400000000000L +
+                (col("id") * 9976543210L) % 86400000000000L).as("ts"),
+              (col("id") % 1000).cast("double").as("value"),
+              (col("id") % 97).as("user_id"))
+            val docs = synthDayAt(s, day)
+            val vecs = synthVecDay(s).select(
+              (col("vec_id") - lit(day * 1000000L)).as("vec_id"),
+              col("label"), col("embedding"))
+            graft.operators.Nightly.runDay(s, day, sk, st, an,
+              ev, docs, vecs)
           }))
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale-").toString
@@ -750,8 +821,10 @@ object ScaleProbe {
     (sketchRoots.values.asScala ++ annRoots.values.asScala ++
       streamRoots.values.asScala ++ compactRoots.values.asScala)
       .foreach(deleteRoot)
+    nightlyRoots.values.asScala.foreach { case (sk, _, _) =>
+      deleteRoot(sk.stripSuffix("/sk")) }
     sketchRoots.clear(); annRoots.clear(); streamRoots.clear()
-    compactRoots.clear()
+    compactRoots.clear(); nightlyRoots.clear()
     while (!scratchRoots.isEmpty) deleteRoot(scratchRoots.poll())
     spark.stop()
     if (failed.nonEmpty) {

@@ -78,4 +78,19 @@ class ScaleProbeSpec extends SparkSpec {
     assert(got.get(0) === base.get(0) && got.get(1) === base.get(1))
     assert(got.getLong(2) === base.getLong(2) * 2)
   }
+
+  test("slice probe reclaim gate judges pairs, not independent mins") {
+    import graft.SliceProbe.reclaimGate
+    // every pair within ratio: pass
+    assert(reclaimGate(Seq((2.0, 2.2), (2.0, 2.4), (2.1, 2.5))))
+    // uniform 1.4x slowdown on 2s reads: every pair fails both the
+    // ratio and the 0.3s floor — the round-14 min-vs-min + flat
+    // allowance shape would have PASSED this (2.8 <= 1.25*2.0 + 0.3)
+    assert(!reclaimGate(Seq((2.0, 2.8), (2.0, 2.8), (2.0, 2.8))))
+    // one outlier pair cannot flip a majority in either direction
+    assert(reclaimGate(Seq((2.0, 2.1), (2.0, 9.0), (2.0, 2.2))))
+    assert(!reclaimGate(Seq((2.0, 0.5), (2.0, 3.5), (2.0, 3.6))))
+    // sub-noise absolute gaps pass on short reads regardless of ratio
+    assert(reclaimGate(Seq((0.2, 0.45), (0.2, 0.4), (0.2, 0.48))))
+  }
 }
