@@ -95,7 +95,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The JSON line goes to stdout AND to a file (SPARK_GRAFT_BENCH_OUT,
   * default bench.json) — the driver keeps only a 2,000-char stdout tail,
-  * which truncated the round-4 and round-5 per-query maps. */
+  * which truncated the round-4 and round-5 per-query maps. In fact EVERY
+  * round's full 200-query line (~5.5 KB) outgrows that tail — BENCH_r11
+  * and _r12 were rc 0 yet parsed:null, their tails starting mid-map — so
+  * since round 15 a COMPACT summary line (total, wall, phases,
+  * passes_done, the 8 slowest queries — a few hundred bytes) prints LAST:
+  * whatever line-oriented JSON parse the driver runs on the tail finds
+  * one complete parseable line, and the full per-query map still lands
+  * in the committed bench.json. */
 object Bench {
 
   /** Previous committed per-query minima, parsed from the bench.json this
@@ -113,6 +120,17 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The tail-sized summary line (see the scaladoc): total + wall + the
+    * slowest 8 queries, well under the driver's 2,000-char window. */
+  private def compactLine(total: Double, wallS: Double,
+      best: Seq[(String, Double)], partial: Boolean,
+      extra: String = ""): String = {
+    val top = best.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","partial":$partial,"n_queries":${best.size},"wall_s":$wallS%.1f$extra,"slowest":$top}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val wall0 = System.nanoTime()
@@ -164,6 +182,8 @@ object Bench {
       // Sidecar + stdout, NEVER the committed out file: the driver
       // parses a stdout tail, and a kill must not clobber bench.json.
       println(line)
+      println(compactLine(best.map(_._2).sum, secsSince(wall0),
+        best, partial = true))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(out + ".partial"), line + "\n")
       catch { case _: Throwable => () }
@@ -286,5 +306,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
+    // LAST on stdout: the tail-sized summary (the full line above
+    // outgrows the driver's 2,000-char tail — see the scaladoc)
+    println(compactLine(total, secsSince(wall0),
+      results.map(r => (r._1, r._2)), partial = false,
+      extra = s""","passes_done":$passesDone$cut"""))
   }
 }
