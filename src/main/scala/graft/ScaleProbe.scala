@@ -121,6 +121,12 @@ object ScaleProbe {
     // registered store-fed queries read the per-dir memoized index, so
     // min-of-2 measures the deployment READ; the build is probed by
     // ann_index_build below)
+    // round-15 additions: the Q21/Q22 closers — B64's per-order window
+    // rides the join's orderkey exchange (partitions DEEPEN only with
+    // lines-per-order, which inflation holds fixed), B65's scalar
+    // broadcast + anti-join must stay linear in the customer dim
+    "q_supplier_blame",
+    "q_idle_high_balance",
     "q_ann_serve_store",   // C115: flat-index brute force + payload fetch
     "q_pq_code_usage",     // C117: O(corpus) 4-int code scan + k-grid agg
     // round-13 addition: the triangle census's two-hop join fanout is
