@@ -831,6 +831,23 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev): Unit
   }
 
+  test("B64/B65 scan budgets (the standing materialization audit)") {
+    // B64: one orders scan + one lineitem scan + the two dim scans —
+    // the window/agg collapse must never re-derive the fact join
+    val sb = scanLeaves("q_supplier_blame")
+    info(s"B64 leaves=$sb")
+    assert(!sb.contains("mem") && sb.count(_ == "file") == 4, sb.toString)
+    spark.catalog.clearCache()
+    // B65: customer scanned TWICE by design (the 1-row stats aggregate
+    // re-scans the pruned dim rather than pinning a cache for a one-shot
+    // report — the B29 audit-scalar device) + one orders scan; a THIRD
+    // customer leaf means the scalar device gained a re-derivation
+    val ih = scanLeaves("q_idle_high_balance")
+    info(s"B65 leaves=$ih")
+    assert(!ih.contains("mem") && ih.count(_ == "file") == 3, ih.toString)
+    spark.catalog.clearCache(): Unit
+  }
+
   test("idle high balance (B65): pushdown, pruning, scalar broadcast, anti") {
     val df = graft.operators.Analytics.idleHighBalance(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
