@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses a 2,000-char stdout TAIL for the bench summary line,
+// but sbt used to print AFTER the program: forked output came back
+// through the logger with an "[info] " prefix, and a "[success] Total
+// time" epilogue followed the run — so the summary JSON was never the
+// literal last stdout line (BENCH_r11..r15: rc 0, parsed:null).
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the epilogue; together the program's final println
+// IS the last line sbt emits on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task — exclude it
+// from the unused-key lint so the startup banner stays clean.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -88,6 +88,22 @@ import org.apache.spark.sql.SparkSession
   * because the driver parses a 2000-char stdout tail and the file-only
   * partial left parsed:null.
   *
+  * Round 16 — three repairs to the driver-facing record. (1) `parsed`
+  * was STILL null on the rc-0 round-15 capture: the compact summary fits
+  * the 2000-char tail, but sbt prefixed every forked line with "[info] "
+  * and printed a "[success] Total time" epilogue after the run, so the
+  * JSON was never the literal last stdout line. Fixed in build.sbt
+  * (run / outputStrategy := StdoutOutput drops the prefix;
+  * Global / showSuccess := false drops the epilogue) and proven by
+  * emulating the driver's `| tail -c 2000` capture. (2) The default
+  * wall budget now SCALES with the surface — max(3000, 16 s × n
+  * queries), capped at 3300 s (≥300 s clear of the driver's 3600 s
+  * kill) — the documented growth policy: a fixed 3000 s would degrade
+  * to min-of-1 around ~220 queries at the driver's ~5.7 s/query pass
+  * cost. (3) `finished` flips only AFTER the final lines print and the
+  * out-file write is attempted: the old pre-print flip left a kill
+  * window producing neither the final JSON nor the .partial evidence.
+  *
   * Unstable = the MEDIAN diverges >3× from the min AND by >0.5s absolute:
   * the relative rule catches genuine bimodality; the absolute guard keeps
   * sub-second codegen/noise deltas (including unwarmed cheap queries'
@@ -247,8 +263,15 @@ object Bench {
     // next pass at last-pass wall × 1.3 (headroom for the drift this box
     // shows pass-over-pass) against the in-JVM wall budget; skip the
     // remaining passes rather than ride into the driver's kill.
-    val budgetS =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "3000").toDouble
+    // Default budget SCALES with the surface (round 16 — the growth
+    // policy): at ~5.7 s/query driver-side per pass, a fixed 3000 s
+    // degrades to min-of-1 around ~220 queries. 16 s/query of budget
+    // keeps pass-count parity as the surface grows, capped at 3300 s so
+    // a pass the guard admits still finishes ≥ 300 s clear of the
+    // driver's 3600 s kill (the guard projects BEFORE starting a pass;
+    // the cap bounds where an admitted pass can end).
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(math.min(3300.0, math.max(3000.0, 16.0 * selected.size)))
     val samples =
       scala.collection.mutable.ArrayBuffer.empty[Seq[(Double, Boolean)]]
     var budgetCut = false
@@ -297,7 +320,6 @@ object Bench {
       passWalls.zipWithIndex.map { case (w, i) => s"pass_${i + 1}" -> w })
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
-    finished = true
     val cut = if (budgetCut) ""","budget_cut":true""" else ""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"unstable":$un,"wall_s":${secsSince(wall0)}%.1f,"phases":$phases,"passes":$passes,"passes_done":$passesDone$cut,"warmed":$warmed,"sf":"$sfDir"}"""
@@ -311,5 +333,10 @@ object Bench {
     println(compactLine(total, secsSince(wall0),
       results.map(r => (r._1, r._2)), partial = false,
       extra = s""","passes_done":$passesDone$cut"""))
+    // Disarm the partial hook only AFTER the final lines are printed and
+    // the out-file write was attempted: flipping it earlier left a window
+    // where a driver kill suppressed BOTH the final JSON and the .partial
+    // evidence the hook exists to guarantee (round-15 ADVICE).
+    finished = true
   }
 }
