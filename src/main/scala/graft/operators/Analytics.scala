@@ -1639,4 +1639,110 @@ object Analytics {
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         AND o_orderdate >= TIMESTAMP '${Cubes.InactiveSince} 00:00:00')
     GROUP BY 1 ORDER BY 1"""
+
+  /** B66: `q_customer_order_distribution` — the TPC-H Q13 classic: the
+    * customer order-count distribution INCLUDING the zero bucket, the
+    * everyday "how engaged is the customer base" report (the reference's
+    * per-client document counts — etl_service.py:577-624 groups documents
+    * per cliente — generalized to a distribution over ALL clients, churned
+    * ones included). Orders qualify only since [[Cubes.InactiveSince]], so
+    * the zero bucket is EXACTLY B19's churn set and the two queries
+    * cross-check each other.
+    *
+    * The Q13 trap: the qualifier must restrict which orders COUNT, not
+    * which customers APPEAR — an ON-clause predicate, never a post-join
+    * WHERE (which silently turns the left join inner and drops the zero
+    * bucket). Here the predicate filters the orders INPUT pre-join —
+    * equivalent to the ON clause for a left join, and it reaches the
+    * parquet scan by construction.
+    *
+    * Plan (the 100 TB shape): orders pre-aggregate to (custkey, n) BEFORE
+    * the join — map-side partial count shrinks the fact shuffle to one row
+    * per distinct customer, and the aggregate's hashpartitioning(custkey)
+    * is REUSED by the sort-merge join, so the fact table pays exactly ONE
+    * exchange (Q13's textbook join-then-count would shuffle every order
+    * row). Customer pays the second custkey exchange; the distribution
+    * rollup is a ≤max-orders-per-customer grid. PlanSpec pins the two
+    * custkey exchanges and the pushed date bound. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(Cubes.InactiveSince).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(coalesce(col("n"), lit(0L)).as("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+  }
+
+  val customerOrderDistributionSql: String = s"""
+    SELECT c_count, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderdate >= TIMESTAMP '${Cubes.InactiveSince} 00:00:00'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY n_customers DESC, c_count DESC"""
+
+  /** B67 revenue window — one quarter, Q15's three-month span. */
+  val TopRevenueQuarterStart: String = "1996-01-01"
+  val TopRevenueQuarterEnd: String = "1996-04-01"
+
+  /** B67: `q_top_supplier_revenue` — the TPC-H Q15 argmax-over-aggregate:
+    * per-supplier discounted revenue over one quarter, then the supplier(s)
+    * at the global maximum (ties → ALL rows, Q15's stated semantics). The
+    * teaching device is argmax WITHOUT a global window: the 1-row MAX
+    * aggregate joins back as a broadcast (B29's scalar device lifted from
+    * a scan to an AGGREGATE) — a rank()/max() over Window.partitionBy()
+    * would serialize every supplier through one partition.
+    *
+    * Plan: the quarter bound pushes into the lineitem scan; revenue is the
+    * exact-integer device (cents × (100 − pct), one final division); the
+    * per-supplier aggregate — supplier-dim-sized, tiny next to the fact —
+    * is cache()d and read TWICE (once for the MAX, once for the filter).
+    * This is the deliberate inverse of B29/B65's re-scan-don't-cache call:
+    * there the re-scanned relation was a pruned cheap scan, here a second
+    * pass would re-read the FACT table — Q15's CREATE VIEW revenue
+    * materialization expressed as a cache. The supplier dim joins AFTER
+    * the argmax collapse (≥1 row reaches it). Catalyst folds the
+    * crossJoin+filter into an EQUALITY BroadcastHashJoin on rev_u=max_u —
+    * a broadcast hash probe, tighter than the nested-loop the device is
+    * written as. PlanSpec pins one lineitem materialization (2 mem +
+    * 1 file leaves), the pushed quarter bound, the broadcast hash-join
+    * scalar, and no Window. */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >=
+          lit(TopRevenueQuarterStart).cast("timestamp") &&
+        col("l_shipdate") < lit(TopRevenueQuarterEnd).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discounted(cents(col("l_extendedprice")),
+        cents(col("l_discount")))).as("rev_u"))
+      .cache()
+    val top = perSupp.agg(max("rev_u").as("max_u"))
+    perSupp.crossJoin(broadcast(top))
+      .filter(col("rev_u") === col("max_u"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierRevenueSql: String = s"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+          * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '$TopRevenueQuarterStart 00:00:00'
+        AND l_shipdate < TIMESTAMP '$TopRevenueQuarterEnd 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+      CAST(rev_u AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev_u = (SELECT MAX(rev_u) FROM revenue)
+    ORDER BY s_suppkey"""
 }

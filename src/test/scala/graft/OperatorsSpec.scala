@@ -3005,4 +3005,81 @@ class OperatorsSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("customer order distribution (B66): totals, zero bucket, trap twin") {
+    val dist = Analytics.customerOrderDistribution(spark, sf).cache()
+    // every customer lands in exactly one bucket — the zero bucket exists
+    // precisely because the join stays left outer
+    val total = dist.agg(sum("n_customers")).head.getLong(0)
+    val nCust = sources.Tables.customer(spark, sf).count()
+    assert(total == nCust, s"bucket mass $total != customers $nCust")
+    // the zero bucket IS B19's churn set (same qualifying horizon)
+    val zero = dist.filter(col("c_count") === 0L)
+      .agg(sum("n_customers")).head.getLong(0)
+    val churned = Cubes.customersNoOrders(spark, sf)
+      .agg(sum("n_customers")).head.getLong(0)
+    assert(zero == churned, s"zero bucket $zero != B19 churn $churned")
+    // the Q13 trap twin: the textbook join-then-count — qualifier in the
+    // ON clause, COUNT(o_orderkey) over the raw left join — must agree
+    // with the pre-aggregated plan bucket by bucket
+    val textbook = sources.Tables.customer(spark, sf).select("c_custkey")
+      .join(sources.Tables.orders(spark, sf)
+          .select("o_custkey", "o_orderkey", "o_orderdate"),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderdate") >= lit(Cubes.InactiveSince).cast("timestamp"),
+        "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("n2"))
+    val diff = dist.join(textbook, Seq("c_count"), "full")
+      .filter(col("n_customers").isNull || col("n2").isNull ||
+        col("n_customers") =!= col("n2"))
+    assert(diff.count() == 0, diff.collect().mkString("; "))
+    dist.unpersist()
+    spark.catalog.clearCache(): Unit
+  }
+
+  test("top supplier revenue (B67): window recount + tie fixture") {
+    val sp = spark
+    import sp.implicits._
+    // recount through the global-window argmax the operator deliberately
+    // avoids: same exact-integer revenue, different plan family
+    val r = Analytics.topSupplierRevenue(spark, sf)
+    val got = r.collect().map(x => (x.getLong(0), x.getDouble(2))).toSet
+    val perSupp = sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >=
+          lit(Analytics.TopRevenueQuarterStart).cast("timestamp") &&
+        col("l_shipdate") <
+          lit(Analytics.TopRevenueQuarterEnd).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(graft.functions.Exact.discounted(
+        graft.functions.Exact.cents(col("l_extendedprice")),
+        graft.functions.Exact.cents(col("l_discount")))).as("rev_u"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val want = perSupp.withColumn("mx", max("rev_u").over(w))
+      .filter(col("rev_u") === col("mx"))
+      .select(col("l_suppkey"),
+        (col("rev_u").cast("double") / lit(10000.0)).as("tr"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+    assert(got == want && got.nonEmpty, s"argmax $got != window recount $want")
+    spark.catalog.clearCache()
+    // tie fixture: suppliers 1 and 2 both gross exactly 90.00 in-quarter
+    // (Q15 semantics: ties -> ALL rows); 3 trails; 4 sells only outside
+    // the quarter and must not resurrect via the pushed bound
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dir = tmpDir("graft_topsupp")
+    Seq((1L, 100.0, 0.10, ts("1996-02-01")),
+      (2L, 50.0, 0.10, ts("1996-02-01")),
+      (2L, 50.0, 0.10, ts("1996-03-15")),
+      (3L, 10.0, 0.0, ts("1996-02-01")),
+      (4L, 999.0, 0.0, ts("1995-06-01")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val rows = Analytics.topSupplierRevenue(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L), rows.mkString("; "))
+    assert(rows.forall(_.getDouble(2) == 90.0), rows.mkString("; "))
+    spark.catalog.clearCache(): Unit
+  }
+
 }

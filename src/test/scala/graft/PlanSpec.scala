@@ -862,4 +862,50 @@ class PlanSpec extends SparkSpec {
       plan)
   }
 
+  test("customer distribution (B66): one fact exchange, pushed bound, left") {
+    // the Q13 plan property: orders pre-aggregate BEFORE the join, and
+    // the join reuses the aggregate's custkey partitioning — so with
+    // broadcast competition off (small inputs plan like 100 TB inputs)
+    // there are exactly TWO custkey exchanges (orders agg + customer); a
+    // third means the fact started shuffling raw order rows post-join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.operators.Analytics
+        .customerOrderDistribution(spark, sf)
+        .queryExecution.executedPlan.toString
+      val ck = "Exchange hashpartitioning\\([^)]*custkey".r
+        .findAllIn(plan).length
+      assert(ck == 2, s"custkey exchanges $ck != 2:\n$plan")
+      // the qualifier restricts which orders COUNT (input filter = ON
+      // clause for a left join) and reaches the parquet scan
+      assert(plan.contains("GreaterThanOrEqual(o_orderdate,2001-01-01"), plan)
+      // the zero bucket survives: the join stays LEFT OUTER
+      assert(plan.contains("LeftOuter"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev): Unit
+  }
+
+  test("top supplier revenue (B67): argmax scalar, one fact pass, no window") {
+    val df = graft.operators.Analytics.topSupplierRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row MAX joins back broadcast — Catalyst folds the
+    // crossJoin+filter into an EQUALITY BroadcastHashJoin on
+    // rev_u = max_u (a hash probe, tighter than the BNLJ the device
+    // writes); an argmax via global window would serialize every
+    // supplier through one partition
+    assert(plan.contains("BroadcastHashJoin [rev_u"), plan)
+    assert(plan.contains("Cross, BuildRight"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the quarter bound reaches the (single) lineitem materialization
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), plan)
+    // the per-supplier aggregate is cached and read twice; the fact scan
+    // happens ONCE inside it — 2 mem leaves + the supplier dim file scan
+    val lv = scanLeavesOf(df)
+    info(s"B67 leaves=$lv")
+    assert(lv.count(_ == "mem") == 2 && lv.count(_ == "file") == 1,
+      lv.toString)
+    spark.catalog.clearCache(): Unit
+  }
+
 }
