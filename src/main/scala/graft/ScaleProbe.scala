@@ -738,8 +738,16 @@ object ScaleProbe {
             val vecs = graft.sources.Tables.embeddings(s, d)
               .select((-(col("vec_id") + lit(off))).as("vec_id"),
                 col("label"), col("embedding"))
+            // maxSlices far above any configurable sweep length: the ONE
+            // fixed trio takes an append per timed call, and a long
+            // SPARK_GRAFT_SCALE_FACTORS sweep would cross
+            // DefaultMaxSlices=16 and fire compactIfNeeded INSIDE a timed
+            // sample — breaking this probe's stated "no sample pays a
+            // fired compaction" premise with a spurious gate spike.
+            // Compaction cost has its own probe (stream_index_cadence);
+            // this one measures the append path, ∝ day volume.
             graft.operators.Nightly.runDay(s, day, sk, st, an,
-              ev, docs, vecs)
+              ev, docs, vecs, maxSlices = 100000)
           })) :+
         // COMPOSED NIGHTLY, other axis: a constructed fixed-volume day
         // against stores grown with the dir — the "same ingest day,

@@ -248,9 +248,37 @@ object StreamArtifacts {
       if (DedupArtifacts.manifestMissing(spark, s"$root/$f"))
         sys.error(s"stream index $root/$f has no manifest — store " +
           "half-built (a crashed compaction cannot leave this state: " +
-          "the manifest travels with its publish); rebuild the family")
+          "the manifest travels with its publish); rebuild the family, " +
+          "or — for a store written BEFORE manifests travelled with " +
+          "compaction, whose manifest was lost to that release's " +
+          "publish-then-re-stamp crash window — run the one-shot " +
+          "restampMissingManifests migration")
       restored
     }.exists(identity)
+
+  /** ONE-SHOT MIGRATION for stores left by the PRE-round-15 release's
+    * crash window. Under the old compaction (publish, THEN re-stamp), a
+    * crash between the two left a healthy, fully-published store with
+    * its manifest deleted — a state that release auto-repaired on the
+    * next run. Since manifests travel with compaction's publish, that
+    * state can no longer arise from this code, so [[recover]] reads a
+    * missing manifest as "half-built; rebuild". A legacy store upgraded
+    * mid-window would hit that error with rebuild as the only option —
+    * this tool is the documented alternative: it re-stamps EXACTLY the
+    * families whose manifest is missing (stranded publishes restored
+    * first), with THIS deployment's params. Calling it is the operator's
+    * explicit assertion that the store was written by a compatible
+    * deployment — the caller-blessing step [[recover]] deliberately
+    * refuses to perform implicitly. Families with a manifest are
+    * untouched. Returns the re-stamped family names (empty = nothing to
+    * migrate). */
+  def restampMissingManifests(spark: SparkSession, root: String): Seq[String] =
+    Families.filter { f =>
+      DedupArtifacts.restoreStranded(spark, s"$root/$f"): Unit
+      val missing = DedupArtifacts.manifestMissing(spark, s"$root/$f")
+      if (missing) restampFamily(spark, root, f)
+      missing
+    }
 
   /** Compact when the log has grown past `maxSlices` day slices — the
     * CADENCE POLICY (round 14; the verdict's "WHO triggers compaction is

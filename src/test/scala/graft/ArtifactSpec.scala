@@ -933,6 +933,44 @@ class ArtifactSpec extends SparkSpec {
     spark.catalog.clearCache(): Unit
   }
 
+  test("legacy-store migration: restampMissingManifests re-stamps exactly " +
+      "the dropped family") {
+    // the PRE-round-15 crash window (publish succeeded, re-stamp lost)
+    // left a healthy store with a deleted manifest — a state the old
+    // release auto-repaired and the current recover() reads as
+    // half-built. The one-shot migration tool is the documented path:
+    // it re-stamps ONLY the missing-manifest families, with this
+    // deployment's params, under an explicit operator call.
+    import operators.StreamArtifacts
+    graft.functions.Kernels.register(spark)
+    val r = tmpDir("graft-migrate-")
+    StreamArtifacts.write(spark, sf, r)
+    val mPath = java.nio.file.Paths.get(s"$r/incr_hash/_graft_manifest.json")
+    val gPath = java.nio.file.Paths.get(s"$r/gram_index/_graft_manifest.json")
+    val m0 = java.nio.file.Files.readString(mPath)
+    val g0 = java.nio.file.Files.readString(gPath)
+    java.nio.file.Files.delete(mPath) // the legacy window's footprint
+    intercept[RuntimeException](StreamArtifacts.recover(spark, r))
+    // migration touches exactly the dropped family; same data + same
+    // params reproduce the manifest byte-for-byte, untouched families
+    // keep theirs
+    assert(StreamArtifacts.restampMissingManifests(spark, r)
+      == Seq("incr_hash"))
+    assert(java.nio.file.Files.readString(mPath) == m0,
+      "re-stamped manifest diverged from the pre-window one")
+    assert(java.nio.file.Files.readString(gPath) == g0,
+      "migration touched a family with a healthy manifest")
+    // the store is whole again: recover() passes, appends handshake
+    assert(!StreamArtifacts.recover(spark, r))
+    assert(StreamArtifacts.restampMissingManifests(spark, r).isEmpty)
+    val sp = spark
+    import sp.implicits._
+    StreamArtifacts.appendDay(spark, r, 2L,
+      Seq((92000000001L, (1 to 30).map(i => s"mgx$i").mkString(" "),
+        "synth")).toDF("doc_id", "text", "source"))
+    spark.catalog.clearCache(): Unit
+  }
+
   test("nightly runner: 3 composed days, sane report, crash-replay idempotent") {
     import operators.{AnnArtifacts, Nightly, SketchArtifacts, StreamArtifacts}
     graft.functions.Kernels.register(spark)

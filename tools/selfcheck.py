@@ -37,13 +37,24 @@ def norm(v):
         return ("l",) + tuple(norm(x) for x in v)
     return (type(v).__name__, str(v))
 
+# Bump when norm()/comparison logic changes: the cache stores NORMALIZED
+# rows, so an edit to the normalization silently poisons old entries.
+CACHE_SCHEMA = 2
+
 def input_digest(sf_dir):
     h = hashlib.sha256()
+    # the oracle rows depend on the engine and on this script's
+    # normalization, not just the inputs — a duckdb upgrade (or a norm()
+    # edit, via CACHE_SCHEMA) must invalidate every entry, else the gate
+    # compares current Spark output against a PREVIOUS engine's oracle
+    h.update(f"duckdb={duckdb.__version__};schema={CACHE_SCHEMA};".encode())
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             st = os.stat(p)
-            h.update(f"{t}:{st.st_size}:{int(st.st_mtime)};".encode())
+            # nanosecond mtime: the seconds-truncated form had a
+            # same-second-regeneration staleness window
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:16]
 
 def oracle_rows(con, name, sql, cache_key):
