@@ -127,6 +127,13 @@ object ScaleProbe {
     // broadcast + anti-join must stay linear in the customer dim
     "q_supplier_blame",
     "q_idle_high_balance",
+    // round-16 additions: the Q13/Q15 closers — B66's fact side partial-
+    // aggregates to one row per customer BEFORE its single exchange
+    // (wall must track the orders scan, the distribution grid is
+    // bounded by max orders/customer); B67 is one pruned fact pass into
+    // a supplier-sized cached aggregate + a 1-row broadcast argmax
+    "q_customer_order_distribution",
+    "q_top_supplier_revenue",
     "q_ann_serve_store",   // C115: flat-index brute force + payload fetch
     "q_pq_code_usage",     // C117: O(corpus) 4-int code scan + k-grid agg
     // round-13 addition: the triangle census's two-hop join fanout is
