@@ -106,6 +106,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_qsketch_s",
       "quantile-sketch bucket counts at an explicit subdivision s",
       args => QuantileSketchAgg(args(0), litInt(args(1)))))
+    ext.injectFunction(fn("graft_common_count",
+      "exact |set(a) ∩ set(b)| of two long arrays (allocation-free)",
+      args => CommonCount(args(0), args(1))))
+    ext.injectFunction(fn("graft_lev_capped",
+      "edit distance when <= max(chars)/5 else -1 (prefix/suffix-stripped banded DP)",
+      args => LevCapped(args(0), args(1))))
+    ext.injectFunction(fn("graft_word_grams",
+      "' '-joined word n-grams of a token array (codegen'd concat_ws loop)",
+      args => WordGrams(args(0), litInt(args(1)), distinct = false)))
+    ext.injectFunction(fn("graft_word_grams_distinct",
+      "first-occurrence-distinct word n-grams of a token array",
+      args => WordGrams(args(0), litInt(args(1)), distinct = true)))
+    ext.injectFunction(fn("graft_km_argmin",
+      "nearest-centroid (cluster, dist) over a cluster-sorted codebook",
+      args => KmArgmin(args(0), args(1))))
+    ext.injectFunction(fn("graft_ivf_argmax",
+      "IVF nearest-cell id: argmax cosine over a cent_id-sorted codebook",
+      args => IvfArgmax(args(0), args(1), args(2))))
+    ext.injectFunction(fn("graft_pq_codes",
+      "per-subspace (cent_id, dist) argmins over a cent_id-sorted codebook",
+      args => PqCodes(args(0), args(1), litInt(args(2)), litInt(args(3)))))
     ext.injectOptimizerRule(_ => DotSelfToNorm)
   }
 }

@@ -115,11 +115,18 @@ object Kernels {
     new GenericArrayData(sigs)
   }
 
+  /** Thread-local MD5 for the per-row digest loops (simhash votes one
+    * digest per TOKEN, winnowing one per SHINGLE) — `getInstance` per row
+    * was measurable allocation churn in full-corpus scans. */
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue() = MessageDigest.getInstance("MD5")
+  }
+
   /** 32-bit SimHash: bit j is the majority vote over tokens of whether hex
     * digit j of md5(token-utf8) is ≥ '8' (i.e. the nibble's top bit). */
   def simHash32(toks: ArrayData): Long = {
     val votes = new Array[Int](32)
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val n = toks.numElements()
     var i = 0
     while (i < n) {
@@ -157,22 +164,375 @@ object Kernels {
 
   /** Winnowing fingerprint: lexicographic min over 5-codepoint shingles of
     * md5 hex (= numeric min over fixed-width hex). Shingle positions are
-    * 0..max(len−5, 0), so a short doc contributes its whole text once. */
+    * 0..max(len−5, 0), so a short doc contributes its whole text once.
+    * Hex-string order over fixed-width md5 hex equals UNSIGNED BYTE order
+    * of the raw 16-byte digest (hex chars are monotone in nibble value),
+    * so the min tracks raw digests and only the winner is hex-encoded —
+    * no per-shingle String/hex allocation (round 16; same output). */
   def winnowFp(s: UTF8String): UTF8String = {
     val str = s.toString
     val cps = str.codePoints.toArray
     val len = cps.length
     val lastPos = math.max(len - 5, 0)
-    val md = MessageDigest.getInstance("MD5")
-    var best: String = null
+    val md = mdLocal.get()
+    var best: Array[Byte] = null
     var i = 0
     while (i <= lastPos) {
       val sub = new String(cps, i, math.min(5, len - i))
-      val hex = md5Hex(md, sub.getBytes("UTF-8"))
-      if (best == null || hex.compareTo(best) < 0) best = hex
+      md.reset()
+      val dig = md.digest(sub.getBytes("UTF-8"))
+      if (best == null || {
+        var c = 0
+        var j = 0
+        while (c == 0 && j < 16) {
+          c = (dig(j) & 0xff) - (best(j) & 0xff)
+          j += 1
+        }
+        c < 0
+      }) best = dig
       i += 1
     }
-    UTF8String.fromString(best)
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      out(2 * j) = hexChars((best(j) >> 4) & 0xf)
+      out(2 * j + 1) = hexChars(best(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  /** Open-addressing scratch for [[commonCount]] — reused per thread so the
+    * pair-verification inner loop (millions of candidate pairs per task)
+    * allocates NOTHING per row. `stamps` versions the slots: bumping `cur`
+    * invalidates the whole table in O(1) instead of an O(capacity) clear. */
+  private final class IntersectScratch {
+    var keys = new Array[Long](2048)
+    var stamps = new Array[Int](2048)
+    var hit = new Array[Boolean](2048)
+    var cur = 0
+    def ensure(n: Int): Unit = {
+      var cap = keys.length
+      while (cap < n * 4) cap <<= 1
+      if (cap != keys.length) {
+        keys = new Array[Long](cap)
+        stamps = new Array[Int](cap)
+        hit = new Array[Boolean](cap)
+        cur = 0
+      }
+    }
+  }
+  private val intersectLocal = new ThreadLocal[IntersectScratch] {
+    override def initialValue() = new IntersectScratch
+  }
+  // splitmix64 finalizer — internal probe mix only, never part of a result
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d4ecb9aa51328fL
+    z ^ (z >>> 31)
+  }
+
+  /** |set(a) ∩ set(b)| of two long arrays — the exact integer
+    * `size(array_intersect(a, b))` (both engines' set semantics) without
+    * per-row OpenHashSet + result-array allocation: one thread-local
+    * open-addressing table, membership flags consumed on first match so
+    * duplicate elements of `a` never double-count. The count is pure set
+    * arithmetic, so the internal probe hash is unconstrained by the
+    * cross-engine exactness contract. */
+  def commonCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val s = intersectLocal.get()
+    s.ensure(nb)
+    s.cur += 1
+    val cur = s.cur
+    val keys = s.keys; val stamps = s.stamps; val hit = s.hit
+    val mask = keys.length - 1
+    var i = 0
+    while (i < nb) {
+      val k = b.getLong(i)
+      var p = (mix64(k) & mask).toInt
+      var done = false
+      while (!done) {
+        if (stamps(p) != cur) {
+          stamps(p) = cur; keys(p) = k; hit(p) = false; done = true
+        } else if (keys(p) == k) done = true
+        else p = (p + 1) & mask
+      }
+      i += 1
+    }
+    var n = 0L
+    i = 0
+    while (i < na) {
+      val k = a.getLong(i)
+      var p = (mix64(k) & mask).toInt
+      var done = false
+      while (!done) {
+        if (stamps(p) != cur) done = true // absent from b
+        else if (keys(p) == k) {
+          if (!hit(p)) { hit(p) = true; n += 1L }
+          done = true
+        } else p = (p + 1) & mask
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Nearest-centroid argmin for the C62 k-means family: `cb` is the
+    * codebook as an array of (cluster, c_emb double[64]) structs SORTED by
+    * cluster id; returns (cluster, dist) of the closest centroid. Distance
+    * is the identical sequential fold as the zip_with/aggregate form it
+    * replaces — (CAST(x) − y)² accumulated left-to-right from 0.0 — and the
+    * strict `<` keep-first rule over the cluster-sorted codebook reproduces
+    * `min(struct(dist, cluster))`'s tie-break exactly. Null on an empty
+    * codebook (the degenerate no-seeds corpus), which callers filter —
+    * matching the empty relation the old crossJoin produced. */
+  def kmArgmin(emb: ArrayData, cb: ArrayData): Any = {
+    val k = cb.numElements()
+    if (k == 0) return null
+    var bestDist = Double.MaxValue
+    var bestCluster = 0L
+    var c = 0
+    var first = true
+    while (c < k) {
+      val row = cb.getStruct(c, 2)
+      val cluster = row.getLong(0)
+      val ce = row.getArray(1)
+      val n = math.min(emb.numElements(), ce.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val d = emb.getFloat(j).toDouble - ce.getDouble(j)
+        s += d * d
+        j += 1
+      }
+      // Double.compare, not `<`: Spark's struct-MIN orders NaN as the
+      // LARGEST double, which Java's < would instead make sticky-once-seen
+      if (first || java.lang.Double.compare(s, bestDist) < 0) {
+        bestDist = s; bestCluster = cluster; first = false
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestCluster, bestDist)
+  }
+
+  /** IVF cell assignment for C13/C35: argmax COSINE over a cent_id-sorted
+    * codebook of (cent_id, c_emb double[], c_n2) structs — one codegen'd
+    * call per vector replacing the crossJoin + per-vec_id row_number
+    * window (round 16). Cosine is the identical arithmetic: the
+    * sequential-fold dot (graft_dot's order) over min(len) dims divided by
+    * sqrt(n2)·sqrt(c_n2); comparison via Double.compare so NaN orders
+    * exactly as Spark's DESC sort (NaN greatest); ties keep the first =
+    * smallest cent_id, matching `ORDER BY c_cos DESC, cent_id`. Null on an
+    * empty codebook. */
+  def ivfArgmax(emb: ArrayData, n2: Double, cb: ArrayData): Any = {
+    val k = cb.numElements()
+    if (k == 0) return null
+    var bestCos = 0.0
+    var bestId = 0L
+    var first = true
+    val sn = math.sqrt(n2)
+    var c = 0
+    while (c < k) {
+      val row = cb.getStruct(c, 3)
+      val ce = row.getArray(1)
+      val n = math.min(emb.numElements(), ce.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < n) { s += emb.getFloat(j).toDouble * ce.getDouble(j); j += 1 }
+      val cos = s / (sn * math.sqrt(row.getDouble(2)))
+      if (first || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; bestId = row.getLong(0); first = false
+      }
+      c += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+
+  /** All [[graft.operators.EmbeddingOps.PqSub]]-style subspace argmins in
+    * ONE pass over the broadcast codebook: for sub s the distance is the
+    * sequential fold of (x−y)² over dims [s·subDim, (s+1)·subDim), and the
+    * winner per sub is min (dist, cent_id) over the cent_id-sorted
+    * codebook — bit-identical to the exploded crossJoin + conditional
+    * struct-MIN shape it replaces (round 16), without the ×(nSub·k) row
+    * expansion or the vec_id-keyed aggregation exchange. Returns one
+    * (cent_id, dist) struct per sub; null on an empty codebook. */
+  def pqCodes(emb: ArrayData, cb: ArrayData, nSub: Int, subDim: Int): Any = {
+    val k = cb.numElements()
+    if (k == 0) return null
+    val bestD = new Array[Double](nSub)
+    val bestC = new Array[Long](nSub)
+    var first = true
+    var c = 0
+    while (c < k) {
+      val row = cb.getStruct(c, 2)
+      val cid = row.getLong(0)
+      val ce = row.getArray(1)
+      val lim = math.min(emb.numElements(), ce.numElements())
+      var s = 0
+      while (s < nSub) {
+        var acc = 0.0
+        var j = s * subDim
+        val end = math.min(j + subDim, lim)
+        while (j < end) {
+          val d = emb.getFloat(j).toDouble - ce.getDouble(j)
+          acc += d * d
+          j += 1
+        }
+        if (first || java.lang.Double.compare(acc, bestD(s)) < 0) {
+          bestD(s) = acc; bestC(s) = cid
+        }
+        s += 1
+      }
+      first = false
+      c += 1
+    }
+    val rows = new Array[Any](nSub)
+    var s = 0
+    while (s < nSub) {
+      rows(s) = org.apache.spark.sql.catalyst.InternalRow(bestC(s), bestD(s))
+      s += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** ' '-joined word n-grams of a token array — the codegen'd replacement
+    * for `transform(sequence(0, size(toks) − n), i -> concat_ws(' ', …))`,
+    * which evaluates as an interpreted higher-order lambda (one boxed step
+    * per element) on the hottest text relations. Byte-identical output:
+    * token bytes are copied once per doc and assembled with single-space
+    * separators exactly as concat_ws does (tokens from split() are never
+    * null, which is this kernel's precondition — concat_ws would SKIP a
+    * null, this would not). Returns an empty array when size(toks) < n,
+    * matching the callers' `size(toks) >= n` pre-filter semantics. */
+  def wordGrams(toks: ArrayData, n: Int): ArrayData = {
+    val sz = toks.numElements()
+    val m = sz - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[AnyRef](0))
+    val tb = new Array[Array[Byte]](sz)
+    var i = 0
+    while (i < sz) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[AnyRef](m)
+    i = 0
+    while (i < m) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += tb(i + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = tb(i + j)
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[wordGrams]] deduplicated in FIRST-OCCURRENCE order — the exact
+    * `array_distinct(transform(…))` composition, without materializing the
+    * duplicated intermediate array. */
+  def wordGramsDistinct(toks: ArrayData, n: Int): ArrayData = {
+    val all = wordGrams(toks, n)
+    val m = all.numElements()
+    if (m <= 1) return all
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    val out = new java.util.ArrayList[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val g = all.getUTF8String(i)
+      if (seen.add(g)) out.add(g): Unit
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Thread-local scratch rows for [[levCapped]]'s banded DP. */
+  private val levRowsLocal = new ThreadLocal[(Array[Int], Array[Int])] {
+    override def initialValue() = (new Array[Int](256), new Array[Int](256))
+  }
+
+  /** C45's capped edit distance in one call: lev(a, b) when ≤ k =
+    * max(chars)/5, else −1 — the exact value of the old
+    * `CASE WHEN |Δlen| > k THEN -1 ELSE levenshtein(a, b, k)` column.
+    * Edit distance is a pure function, so any correct implementation is
+    * bit-identical to both engines' builtins; this one adds the two
+    * standard exact-preserving reductions the builtins skip:
+    * common-PREFIX/SUFFIX stripping (near-dup candidates share most of
+    * their text, so the DP usually runs over a tiny differing core — the
+    * profiled 16%-of-bench levenshtein cost collapses), then the classic
+    * banded threshold DP, O(core · k) worst case. Spec-pinned equal to
+    * the builtin on randomized inputs (KernelsSpec). */
+  def levCapped(a: UTF8String, b: UTF8String): Long = {
+    val ca = a.toString.codePoints.toArray
+    val cb = b.toString.codePoints.toArray
+    val la = ca.length
+    val lb = cb.length
+    val k = math.max(la, lb) / 5
+    if (math.abs(la - lb) > k) return -1L
+    // strip the common prefix and suffix — lev is invariant under both
+    val minL = math.min(la, lb)
+    var p = 0
+    while (p < minL && ca(p) == cb(p)) p += 1
+    var sfx = 0
+    while (sfx < minL - p && ca(la - 1 - sfx) == cb(lb - 1 - sfx)) sfx += 1
+    var m = la - p - sfx
+    var n = lb - p - sfx
+    if (m == 0) return if (n <= k) n.toLong else -1L
+    if (n == 0) return if (m <= k) m.toLong else -1L
+    // banded Wagner–Fischer with threshold k over the differing core
+    // (left = shorter side), the commons-lang limitedCompare shape
+    var (left, lOff, lLen, right, rOff, rLen) =
+      if (m <= n) (ca, p, m, cb, p, n) else (cb, p, n, ca, p, m)
+    val big = Int.MaxValue - 2
+    var (prev, cur) = levRowsLocal.get()
+    if (prev.length < lLen + 1) {
+      prev = new Array[Int](lLen + 1)
+      cur = new Array[Int](lLen + 1)
+      levRowsLocal.set((prev, cur))
+    }
+    val boundary = math.min(lLen, k) + 1
+    var i = 0
+    while (i < boundary) { prev(i) = i; i += 1 }
+    while (i <= lLen) { prev(i) = big; i += 1 }
+    java.util.Arrays.fill(cur, 0, lLen + 1, big)
+    var j = 1
+    while (j <= rLen) {
+      val rj = right(rOff + j - 1)
+      cur(0) = j
+      val lo = math.max(1, j - k)
+      val hi = math.min(lLen, j + k)
+      if (lo > hi) return -1L
+      if (lo > 1) cur(lo - 1) = big
+      i = lo
+      // the column-0 boundary cell D(0, j) = j is a live path while j ≤ k
+      // and must participate in the cutoff bound
+      var rowMin = if (j <= k) j else big
+      while (i <= hi) {
+        val v =
+          if (left(lOff + i - 1) == rj) prev(i - 1)
+          else 1 + math.min(cur(i - 1), math.min(prev(i), prev(i - 1)))
+        cur(i) = v
+        if (v < rowMin) rowMin = v
+        i += 1
+      }
+      // Ukkonen cutoff: cell values are nondecreasing along the DP, so a
+      // band row whose minimum already exceeds k can never come back —
+      // beyond-threshold pairs exit after ~k rows instead of paying the
+      // full O(core · k)
+      if (rowMin > k) return -1L
+      val t = prev; prev = cur; cur = t
+      j += 1
+    }
+    if (prev(lLen) <= k) prev(lLen).toLong else -1L
   }
 
   /** Sequential-fold dot product of two float vectors as doubles — the same
@@ -605,11 +965,19 @@ object Kernels {
     * log — so short-circuit when the marker function exists. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // geometry/width arguments must be foldable integer literals —
+    // evaluated at registration, never per row (shared by the sketch
+    // geometry functions below and the gram-width functions above)
+    def litIntArg(e: Expression): Int = {
+      require(e.foldable,
+        s"width argument must be an integer literal, got: $e")
+      e.eval().asInstanceOf[Number].intValue
+    }
     // the marker must be the NEWEST function: an older marker would
     // short-circuit on sessions registered by a previous kernel set and
     // silently skip the additions
     if (reg.functionExists(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_qsketch_s")))
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_codes")))
       return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
@@ -659,7 +1027,150 @@ object Kernels {
       args => QuantileSketchAgg(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_qsketch_s",
       args => QuantileSketchAgg(args(0), litInt(args(1))), "built-in")
+    reg.createOrReplaceTempFunction("graft_common_count",
+      args => CommonCount(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lev_capped",
+      args => LevCapped(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_grams",
+      args => WordGrams(args(0), litIntArg(args(1)), distinct = false),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_word_grams_distinct",
+      args => WordGrams(args(0), litIntArg(args(1)), distinct = true),
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_km_argmin",
+      args => KmArgmin(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_ivf_argmax",
+      args => IvfArgmax(args(0), args(1), args(2)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pq_codes",
+      args => PqCodes(args(0), args(1), litIntArg(args(2)),
+        litIntArg(args(3))), "built-in")
   }
+}
+
+/** IVF nearest-cell argmax — see [[Kernels.ivfArgmax]]. */
+case class IvfArgmax(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), DoubleType,
+    ArrayType(StructType(Seq(
+      StructField("cent_id", LongType),
+      StructField("c_emb", ArrayType(DoubleType)),
+      StructField("c_n2", DoubleType)))))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(emb: Any, n2: Any, cb: Any): Any =
+    Kernels.ivfArgmax(emb.asInstanceOf[ArrayData],
+      n2.asInstanceOf[Double], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, n2, cb) => s"""
+      Object r = graft.functions.Kernels.ivfArgmax($emb, $n2, $cb);
+      ${ev.isNull} = r == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ((java.lang.Long) r).longValue();
+    """)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): IvfArgmax =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-subspace PQ code argmins — see [[Kernels.pqCodes]]. */
+case class PqCodes(left: Expression, right: Expression, nSub: Int, subDim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(nSub >= 1 && nSub <= 64 && subDim >= 1, s"PQ geometry: $nSub x $subDim")
+  override def inputTypes = Seq(ArrayType(FloatType),
+    ArrayType(StructType(Seq(
+      StructField("cent_id", LongType),
+      StructField("c_emb", ArrayType(DoubleType))))))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cent_id", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(emb: Any, cb: Any): Any =
+    Kernels.pqCodes(emb.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData],
+      nSub, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, cb) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        graft.functions.Kernels.pqCodes($emb, $cb, $nSub, $subDim);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Word n-grams (optionally first-occurrence-distinct) — see
+  * [[Kernels.wordGrams]] / [[Kernels.wordGramsDistinct]]. */
+case class WordGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && n <= 16, s"gram width out of range: $n")
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(toks: Any): Any =
+    if (distinct) Kernels.wordGramsDistinct(toks.asInstanceOf[ArrayData], n)
+    else Kernels.wordGrams(toks.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (distinct) s"graft.functions.Kernels.wordGramsDistinct($c, $n)"
+      else s"graft.functions.Kernels.wordGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+/** C45's capped edit distance — see [[Kernels.levCapped]]. */
+case class LevCapped(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.levCapped(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.levCapped($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevCapped =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |set(a) ∩ set(b)| of two long arrays — see [[Kernels.commonCount]]. */
+case class CommonCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.commonCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.commonCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Nearest-centroid argmin over a broadcast codebook array — see
+  * [[Kernels.kmArgmin]]. Null on an empty codebook, hence the custom
+  * codegen (defineCodeGen assumes a non-null result). */
+case class KmArgmin(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType),
+    ArrayType(StructType(Seq(
+      StructField("cluster", LongType),
+      StructField("c_emb", ArrayType(DoubleType))))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(emb: Any, cb: Any): Any =
+    Kernels.kmArgmin(emb.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (emb, cb) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        graft.functions.Kernels.kmArgmin($emb, $cb);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmArgmin =
+    copy(left = newLeft, right = newRight)
 }
 
 case class ShingleMinHashSigs(child: Expression)

@@ -81,19 +81,15 @@ object DedupOps {
     * the collision threshold is ≈(1/4)^(1/3)≈0.63 Jaccard, so buckets hold
     * genuine near-dups — candidate generation stays linear in bucket volume,
     * never corpus². All integer math, identical in Spark and DuckDB. */
-  /** (band, sig) bucket rows per doc — the shared first stage of C2 and
-    * C18. Spread across cores BEFORE any expansion: the corpus parquet is
-    * one split locally, and a broadcast join adds no shuffle, so without
-    * this a whole bucket expansion runs on one task. Hash on doc_id (no
-    * round-robin sort), rows are (long, int, string) — tiny next to the
-    * work they unlock. Join branches over this share one exchange
-    * (ReusedExchange), so the minhash kernel runs once per doc. */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    minhashSigsOf(spark, Tables.documents(spark, dir))
-
-  /** The same sig stage over an arbitrary (doc_id, text) relation — C58
-    * signs the incoming FEED batch with it, so batch and corpus signatures
-    * come from one code path and cannot drift. */
+  /** (band, sig) STRING bucket rows over an arbitrary (doc_id, text)
+    * relation — the persisted-signature contract: C58 signs its standing
+    * index and the incoming FEED batch with it, and the stream-gate store
+    * serializes these rows, so batch and corpus signatures come from one
+    * code path and cannot drift. Spread across cores BEFORE any expansion:
+    * the corpus parquet is one split locally, and a broadcast join adds no
+    * shuffle, so without this a whole bucket expansion runs on one task.
+    * The heavy in-memory bucket paths (C2/C18/C29/C93) key on the raw long
+    * minima instead — see [[minhashMinsOf]]. */
   private[graft] def minhashSigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Kernels.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions
@@ -105,6 +101,50 @@ object DedupOps {
       .repartition(par, col("doc_id"))
   }
 
+  /** The 12 raw MinHash row minima per doc — the base relation the heavy
+    * internal bucket paths (C2 / C18 / C29) key on since round 16. Bucket
+    * equality on the raw (band, k1, k2, k3) LONGS is identical to the
+    * formatted "k1:k2:k3" string equality (':'-joined decimal formatting
+    * of nonnegative ints is injective), and long keys hash, compare and
+    * shuffle without per-row string building — profiled: string
+    * hashing/equality (ByteArrayMethods.arrayEquals) was 8.6% of the whole
+    * bench's CPU. [[minhashSigsOf]] keeps the string contract for the
+    * consumers that persist or export sigs (C58's index, the stream-gate
+    * store). */
+  private[graft] def minhashMinsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(spark)
+    val par = spark.sessionState.conf.numShufflePartitions
+    docs
+      .withColumn("norm", lower(trim(col("text"))))
+      .filter(length(col("norm")) >= 5)
+      .select(col("doc_id"), expr("graft_minhash_rows(norm)").as("mins"))
+      .repartition(par, col("doc_id"))
+  }
+
+  private def minhashMins(spark: SparkSession, dir: String): DataFrame =
+    minhashMinsOf(spark, Tables.documents(spark, dir))
+
+  /** (doc_id, band, k1, k2, k3) bucket rows derived from a (doc_id, mins)
+    * relation — the production 4-band × 3-row grouping over the raw
+    * minima. Deliberately explode + element_at, NOT a
+    * transform-of-structs: higher-order functions evaluate interpreted
+    * (one boxed lambda step per element), while this shape is three
+    * codegen'd array reads per exploded row — deriving it (even several
+    * times) from a cached mins relation is then far cheaper than caching
+    * the 4× exploded rows. Keys stay FLAT long columns: primitive
+    * grouping/join keys ride UnsafeRow's fast path where struct keys do
+    * not (measured: struct keys regressed the C18 loop 86%). */
+  private def bucketRows(mins: DataFrame): DataFrame =
+    mins
+      .select(col("doc_id"), col("mins"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("band"),
+        element_at(col("mins"), col("band") * 3 + 1).as("k1"),
+        element_at(col("mins"), col("band") * 3 + 2).as("k2"),
+        element_at(col("mins"), col("band") * 3 + 3).as("k3"))
+
+  private val bucketKeys = Seq("band", "k1", "k2", "k3")
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // Join form, deliberately: this corpus is NEAR-dup-dense (templated
     // small-vocabulary texts; ~10% of all pairs collide in some band even
@@ -114,12 +154,14 @@ object DedupOps {
     // spreads each bucket's expansion across its join partitions.
     // cache(): both self-join sides canonicalize differently (aliasing), so
     // ReuseExchange does not fire and the minhash kernel would run twice —
-    // one materialization of the tiny (doc_id, band, sig) rows halves the
-    // O(chars) signature work at any corpus size.
-    val sigs = minhashSigs(spark, dir).cache()
-    val cold = dropHotBuckets(sigs, Seq("band", "sig"))
+    // one materialization of the tiny (doc_id, mins) rows halves the
+    // O(chars) signature work at any corpus size. Buckets key on the raw
+    // long minima (see [[minhashMinsOf]]) — the pair set is bit-identical
+    // to the formatted-string grouping, spec-pinned against the oracle.
+    val mins = minhashMins(spark, dir).cache()
+    val cold = dropHotBuckets(bucketRows(mins), bucketKeys)
     cold.as("a").join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        bucketKeys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -325,8 +367,12 @@ object DedupOps {
       dir: String, maxIters: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
-    val sigs = minhashSigs(spark, dir)
-      .select(col("doc_id"), concat_ws("#", col("band"), col("sig")).as("bucket"))
+    // bucket identity stays the concat string: a round-16 A/B of packed
+    // long keys against it read consistently ~5-10% SLOWER across the
+    // C18-riding family at matched methodology, so the r15 shape stands
+    val sigs = bucketRows(minhashMins(spark, dir))
+      .select(col("doc_id"), concat_ws("#",
+        col("band"), col("k1"), col("k2"), col("k3")).as("bucket"))
     // Loop state is only docs in shared buckets; everyone else is provably
     // a singleton. On the dup-dense test corpus this halves the iterated
     // rows; on a mostly-unique real corpus it removes nearly all of them.
@@ -456,9 +502,7 @@ object DedupOps {
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("source"), explode(expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-                       element_at(toks, i + 3))))""")).as("gram"))
+        "graft_word_grams_distinct(toks, 3)")).as("gram"))
       .repartition(par, col("doc_id"))
     // Stop-gram cap: the df count partial-aggregates map-side, the hot set
     // is Zipf-small, so the prune costs one broadcast anti-join and no
@@ -630,33 +674,27 @@ object DedupOps {
     * contract for every operator whose scaladoc notes a cache(). */
   private[operators] def dedupMinhashEstRaw(
       spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir).cache()
-    // pair generation inherits C2's hot-bucket cap (the pair sets must stay
-    // identical — spec-pinned); the per-doc signature rows below keep ALL
-    // bands, capped or not, so a hot-bucket doc still compares all 12 rows
-    val cold = dropHotBuckets(sigs, Seq("band", "sig"))
+    // ONE cached minima pass (96 B/doc) is both the bucket source AND the
+    // per-doc signature relation: pair generation inherits C2's hot-bucket
+    // cap over the same long bucket keys (the pair sets must stay
+    // identical — spec-pinned), and the 12 row equalities compare raw
+    // longs in-row — no per-pair string splits, no collect_list
+    // re-aggregation (round 16; the old shape formatted band strings and
+    // split them back per pair).
+    val mins = minhashMins(spark, dir).cache()
+    val cold = dropHotBuckets(bucketRows(mins), bucketKeys)
     val pairs = cold.as("a").join(cold.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        bucketKeys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // one (tiny) row per doc: its 4 band signatures in band order — rides
-    // the cache's doc_id partitioning, so this aggregate is shuffle-free.
-    // cache(): the relation feeds BOTH pair-side joins under different
-    // aliases, and alias-divergent projections defeat ReuseExchange — the
-    // collect_list aggregate would otherwise run twice (measured in C33's
-    // physical plan: two ObjectHashAggregate subtrees over the same scan).
-    val full = sigs.groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(band, sig))),"
-        + " s -> s.sig)").as("bands")).cache()
-    val nEq = (for (b <- 0 until 4; r <- 0 until 3) yield
-      (element_at(split(element_at(col("sig_a"), b + 1), ":"), r + 1) ===
-        element_at(split(element_at(col("sig_b"), b + 1), ":"), r + 1))
+    val nEq = (for (i <- 1 to 12) yield
+      (element_at(col("mins_a"), i) === element_at(col("mins_b"), i))
         .cast("long")).reduce(_ + _)
     pairs
-      .join(full.select(col("doc_id").as("doc_a"), col("bands").as("sig_a")),
+      .join(mins.select(col("doc_id").as("doc_a"), col("mins").as("mins_a")),
         Seq("doc_a"))
-      .join(full.select(col("doc_id").as("doc_b"), col("bands").as("sig_b")),
+      .join(mins.select(col("doc_id").as("doc_b"), col("mins").as("mins_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nEq.as("n_eq"))
       .withColumn("jaccard_est", col("n_eq").cast("double") / lit(12.0d))
@@ -752,18 +790,20 @@ object DedupOps {
     // in-band distances unchanged. Beyond-band pairs report lev = −1 and a
     // NULL similarity rather than a distance nobody thresholds on.
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))
-    val k = expr("greatest(length(t_a), length(t_b)) DIV 5")
-    val lenGap = abs(length(col("t_a")) - length(col("t_b")))
     dedupSimhashBand(spark, dir)
       .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("t_a")),
         Seq("doc_a"))
       .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("t_b")),
         Seq("doc_b"))
-      .withColumn("lev_capped",
-        when(lenGap > k, lit(-1L))
-          .otherwise(expr(
-            "levenshtein(t_a, t_b, greatest(length(t_a), length(t_b)) DIV 5)")
-            .cast("long")))
+      // ONE kernel call computes the whole capped verdict: the |Δlen| > k
+      // pre-gate, common-prefix/suffix stripping (near-dup candidates
+      // share most of their text, so the DP usually runs over a tiny
+      // differing core), and the banded threshold DP — bit-identical to
+      // the old CASE + levenshtein(t_a, t_b, k) column (edit distance is
+      // a pure function; equality spec-pinned against the builtin in
+      // KernelsSpec). Profiled before the change: levenshteinDistance was
+      // 16% of the whole bench's CPU.
+      .withColumn("lev_capped", expr("graft_lev_capped(t_a, t_b)"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("lev_capped"),
         when(col("lev_capped") >= 0,
           lit(1.0) - col("lev_capped").cast("double") / maxLen.cast("double"))
@@ -819,14 +859,13 @@ object DedupOps {
     * The gram stream is cache()d: its two consumers prune different
     * columns, which defeats ReuseExchange (same lesson as C4). */
   def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val grams = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-             concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2),
-                       element_at(toks, i + 3))))""")).as("gram"))
+        "graft_word_grams_distinct(toks, 3)")).as("gram"))
       .cache()
     val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     grams.join(df, Seq("gram"))
@@ -1181,9 +1220,11 @@ object DedupOps {
       .select(md5(lower(trim(col("text"))).cast("binary")).as("h"),
         col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("exact_partner"))
-    val indexSigs = minhashSigsOf(spark, standing).cache()
-    val coldIndex = dropHotBuckets(indexSigs, Seq("band", "sig"))
-      .select(col("band"), col("sig"), col("doc_id").as("partner"))
+    // long bucket keys (see [[minhashMinsOf]]) — the index/batch bucket
+    // join and the hot-cap count never touch a formatted sig string
+    val indexSigs = bucketRows(minhashMinsOf(spark, standing)).cache()
+    val coldIndex = dropHotBuckets(indexSigs, bucketKeys)
+      .select((bucketKeys.map(col) :+ col("doc_id").as("partner")): _*)
     (indexHash, coldIndex)
   }
 
@@ -1197,8 +1238,8 @@ object DedupOps {
     val spark = batch.sparkSession
     val batchHash = batch.select(col("doc_id"),
       md5(lower(trim(col("text"))).cast("binary")).as("h"))
-    val near = minhashSigsOf(spark, batch)
-      .join(coldIndexSigs, Seq("band", "sig"))
+    val near = bucketRows(minhashMinsOf(spark, batch))
+      .join(coldIndexSigs, bucketKeys)
       .groupBy("doc_id")
       .agg(countDistinct("partner").as("n_near_partners"))
     batchHash.join(indexHash, Seq("h"), "left")
@@ -1525,10 +1566,8 @@ object DedupOps {
       .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
-             graft_str_hash(concat('ppv|', element_at(toks, i + 1), ' ',
-               element_at(toks, i + 2), ' ',
-               element_at(toks, i + 3)))))""").as("gl"))
+        """array_distinct(transform(graft_word_grams(toks, 3), g ->
+             graft_str_hash(concat('ppv|', g))))""").as("gl"))
   }
 
   /** The DuckDB twin of [[gramSets]] (a CTE body over `documents`). */
@@ -1576,8 +1615,8 @@ object DedupOps {
       .join(docSets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
         Seq("doc_b"), "left")
       .select(col("f_mh"), col("f_nj"), col("f_sb"),
-        coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
-          .cast("long").as("n_common"),
+        coalesce(expr("graft_common_count(gl_a, gl_b)"), lit(0L))
+          .as("n_common"),
         (coalesce(size(col("gl_a")), lit(0)).cast("long")
           + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
       .select(col("f_mh"), col("f_nj"), col("f_sb"), col("n_common"),
@@ -1742,6 +1781,11 @@ object DedupOps {
     // caught by the round-9 scan-shape pin)
     val gsets = gramSets(spark, dir).cache()
     BandingSweep.map { case (bc, r) =>
+      // bucket key: the ':'-formatted sig string — MEASURED faster here
+      // than flat long key columns (round-16 A/B: 5.6 s vs 8.9 s matched
+      // dev min at sf0.1; the sweep's million-pair self-joins favor the
+      // single compact key), so this family deliberately keeps the r15
+      // string shape while C2/C29/C58 moved to raw-minima keys
       val sigs = minima.select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(0, ${bc - 1}), b ->
                 concat_ws(':', transform(sequence(0, ${r - 1}), rr ->
@@ -1765,8 +1809,8 @@ object DedupOps {
         .join(gsets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
           Seq("doc_b"), "left")
         .select(
-          coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
-            .cast("long").as("n_common"),
+          coalesce(expr("graft_common_count(gl_a, gl_b)"), lit(0L))
+            .as("n_common"),
           (coalesce(size(col("gl_a")), lit(0)).cast("long")
             + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
         .select(col("n_common"), (col("n_ab") - col("n_common")).as("n_union"))
@@ -1899,8 +1943,8 @@ object DedupOps {
       .join(gsets.select(col("doc_id").as("doc_b"), col("gl").as("gl_b")),
         Seq("doc_b"), "left")
       .select(col("hamming"),
-        coalesce(size(array_intersect(col("gl_a"), col("gl_b"))), lit(0))
-          .cast("long").as("n_common"),
+        coalesce(expr("graft_common_count(gl_a, gl_b)"), lit(0L))
+          .as("n_common"),
         (coalesce(size(col("gl_a")), lit(0)).cast("long")
           + coalesce(size(col("gl_b")), lit(0)).cast("long")).as("n_ab"))
       .select(col("hamming"), col("n_common"),
@@ -2503,8 +2547,7 @@ object DedupOps {
           gs.select(col("doc_id").as("doc_b"), col("gl").as("gl_b"))),
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("gl_a"), col("gl_b"))).cast("long")
-          .as("n_common"),
+        expr("graft_common_count(gl_a, gl_b)").as("n_common"),
         (size(col("gl_a")) + size(col("gl_b"))).cast("long").as("n_ab"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_ab") - col("n_common")).as("n_union"))

@@ -356,17 +356,23 @@ object EmbeddingOps {
         col("n2").as("c_n2"))
 
   /** Nearest-centroid cell assignment (argmax cosine, centroid-id
-    * tie-break): ONE narrow pass over the corpus against the broadcast
-    * centroid set. Shared by C13 (IVF search) and C35 (semantic dedup). */
+    * tie-break): ONE narrow pass over the corpus — the k·64-double
+    * codebook rides a 1-row broadcast and the argmax is one codegen'd
+    * kernel call per vector (identical cosine fold + DESC/ties-to-
+    * smallest-id ordering as the old crossJoin + per-vec_id row_number
+    * window, which shuffled k rows per vector; round 16). Shared by C13
+    * (IVF search) and C35 (semantic dedup). */
   private[operators] def ivfAssigned(v: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
-        (expr(dotExpr("embedding", "c_emb")) /
-          (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos"))
-      .withColumn("arnk", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("c_cos").desc, col("cent_id"))))
-      .filter(col("arnk") === 1)
+    graft.functions.Kernels.register(v.sparkSession)
+    val cb = cents
+      .select(col("cent_id"), col("c_emb").cast("array<double>").as("c_emb"),
+        col("c_n2"))
+      .agg(expr("sort_array(collect_list(struct(cent_id, c_emb, c_n2)))")
+        .as("icb"))
+    v.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        expr("graft_ivf_argmax(embedding, n2, icb)").as("cent_id"))
+      .filter(col("cent_id").isNotNull)
       .select("vec_id", "embedding", "n2", "cent_id")
   }
 
@@ -1140,19 +1146,18 @@ object EmbeddingOps {
       CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
 
   def embedPq(spark: SparkSession, dir: String, k: Int = PqK): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val v = vectors(spark, dir)
     val cb = ivfCentroids(v, k).select("cent_id", "c_emb")
-    val distExpr = pqDistExpr("embedding", "c_emb")
-    v.select(col("vec_id"), col("embedding"),
-        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))"))
-          .as("sub_id"))
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("sub_id"), col("cent_id"),
-        distExpr.as("dist"))
-      .groupBy("vec_id", "sub_id")
-      .agg(min(struct(col("dist").as("dist"), col("cent_id").as("cent_id")))
-        .as("m"))
-      .select(col("vec_id"), col("sub_id"), col("m.cent_id").as("code"),
+    // all PqSub subspace argmins in one kernel call per vector — same
+    // (dist, cent_id) minima as the exploded crossJoin + struct-MIN shape
+    // (round 16); posexplode's position IS the sub_id
+    v.crossJoin(broadcast(pqCodebookRow(cb)))
+      .select(col("vec_id"),
+        posexplode(expr(s"graft_pq_codes(embedding, pcb, $PqSub, $PqSubDim)"))
+          .as(Seq("sub_id", "m")))
+      .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+        col("m.cent_id").as("code"),
         (col("m.dist") / lit(PqSubDim.toDouble)).as("sub_mse"))
       .orderBy("vec_id", "sub_id")
   }
@@ -1246,22 +1251,21 @@ object EmbeddingOps {
     * `pq_codes`. One aggregate: the per-subspace argmins land map-side
     * as conditional struct-MINs. */
   private[graft] def pqCodesWide(v: DataFrame, cb: DataFrame): DataFrame = {
-    val subSeq =
-      expr(s"sequence(CAST(0 AS BIGINT), CAST(${PqSub - 1} AS BIGINT))")
-    val assigned = v
-      .select(col("vec_id"), col("embedding"), explode(subSeq).as("sub_id"))
-      .crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("sub_id"), col("cent_id"),
-        pqDistExpr("embedding", "c_emb").as("dist"))
-    val codeCols = (0 until PqSub).map(s =>
-      min(when(col("sub_id") === s,
-        struct(col("dist").as("dist"), col("cent_id").as("cent_id"))))
-        .as(s"m$s"))
-    assigned.groupBy("vec_id")
-      .agg(codeCols.head, codeCols.tail: _*)
+    graft.functions.Kernels.register(v.sparkSession)
+    v.crossJoin(broadcast(pqCodebookRow(cb)))
+      .select(col("vec_id"),
+        expr(s"graft_pq_codes(embedding, pcb, $PqSub, $PqSubDim)").as("pq"))
+      .filter(col("pq").isNotNull)
       .select(col("vec_id") +:
-        (0 until PqSub).map(s => col(s"m$s.cent_id").as(s"code_$s")): _*)
+        (0 until PqSub).map(s => col("pq")(s)("cent_id").as(s"code_$s")): _*)
   }
+
+  /** The PQ codebook collapsed to ONE broadcastable cent_id-sorted row —
+    * [[graft.functions.PqCodes]]'s input shape (the float→double cast of
+    * the centroid components is exact). */
+  private def pqCodebookRow(cb: DataFrame): DataFrame =
+    cb.select(col("cent_id"), col("c_emb").cast("array<double>").as("c_emb"))
+      .agg(expr("sort_array(collect_list(struct(cent_id, c_emb)))").as("pcb"))
 
   /** C56's ADC search over ARBITRARY code/codebook relations — frame-
     * parametric so [[AnnArtifacts]] can feed the persisted codes and
@@ -1375,32 +1379,43 @@ object EmbeddingOps {
     * (cluster, dim), and n·10⁷ stays under 2⁵³ to ~9·10⁸ members. */
   val KmScale: Long = 10000000L
 
-  /** Full-width sequential-fold L2² between a float `embedding` and a
-    * (float or double) `c_emb` — the C55 fold at 64 dims. */
-  private def kmDistExpr = expr("""aggregate(
-      zip_with(embedding, c_emb,
-        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-      CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+  /** The codebook collapsed to ONE broadcastable row: (cluster, c_emb
+    * double[64]) structs sorted by cluster id — [[graft.functions.KmArgmin]]'s
+    * input shape. The float→double cast of seed centroids is exact, and the
+    * cluster sort makes the kernel's strict-< keep-first rule reproduce
+    * `min(struct(dist, cluster))`'s smallest-cluster tie-break. */
+  private def kmCodebook(cents: DataFrame): DataFrame =
+    cents.select(col("cluster"), col("c_emb").cast("array<double>").as("c_emb"))
+      .agg(expr("sort_array(collect_list(struct(cluster, c_emb)))").as("cb"))
 
-  /** Nearest-centroid assignment for C62: broadcast centroid set,
-    * map-side struct-MIN argmin (ties → smallest cluster id). Shared with
+  /** Nearest-centroid assignment for C62: the k·64-double codebook rides a
+    * 1-row broadcast and the argmin is ONE codegen'd kernel call per vector
+    * (identical sequential-fold distance + tie-break as the old
+    * crossJoin + struct-MIN shape) — no per-round groupBy(vec_id) shuffle
+    * of the corpus at all (round-16 optimization, guide §2.4). Shared with
     * D19's per-micro-batch serving path. */
-  private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame =
-    v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cluster"), kmDistExpr.as("dist"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist").as("dist"), col("cluster").as("cluster")))
-        .as("m"))
+  private[graft] def kmAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(v.sparkSession)
+    v.crossJoin(broadcast(kmCodebook(cents)))
+      .select(col("vec_id"), expr("graft_km_argmin(embedding, cb)").as("m"))
+      .filter(col("m").isNotNull)
       .select(col("vec_id"), col("m.cluster").as("cluster"),
         col("m.dist").as("dist"))
+  }
 
-  /** Centroid update for C62: per-(cluster, dim) exact scaled-integer
-    * sums (map-side partials over a (cluster, dim)-keyed shuffle bounded
-    * by k·64 groups), means re-assembled into ordered double arrays. */
-  private def kmUpdate(v: DataFrame, asg: DataFrame): DataFrame =
-    v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .join(asg.select("vec_id", "cluster"), Seq("vec_id"))
+  /** Centroid update for C62: assignment is fused into the SAME narrow
+    * pass (the argmin kernel over the broadcast codebook), so the
+    * per-(cluster, dim) exact scaled-integer partial sums are map-side over
+    * the explode with NO vec_id join — the only exchange per round is the
+    * ≤ k·64-group partial-agg shuffle (round-16: was a 64×-exploded join
+    * shuffle + an N-row argmin shuffle per round). */
+  private def kmUpdate(v: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(v.sparkSession)
+    v.crossJoin(broadcast(kmCodebook(cents)))
+      .select(expr("graft_km_argmin(embedding, cb)").as("m"), col("embedding"))
+      .filter(col("m").isNotNull)
+      .select(col("m.cluster").as("cluster"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
       .agg(sum(floor(col("x").cast("double") * lit(KmScale.toDouble)
           + lit(0.5)).cast("long")).as("sx"),
@@ -1411,6 +1426,7 @@ object EmbeddingOps {
       .groupBy("cluster")
       .agg(expr("transform(array_sort(collect_list(struct(dim, cval)))," +
         " s -> s.cval)").as("c_emb"))
+  }
 
   /** C62: `q_embed_kmeans` — Lloyd's k-means over the embedding corpus:
     * the REAL training step behind the quantizers the ANN family rides
@@ -1445,7 +1461,7 @@ object EmbeddingOps {
       .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
     var cents = seeds
     for (_ <- 1 to iters)
-      cents = kmUpdate(v, kmAssign(v, cents))
+      cents = kmUpdate(v, cents)
     cents
   }
 

@@ -157,12 +157,10 @@ object Pipeline {
   /** Distinct [[DecontamGram]]-token shingles per doc off [[decontamBase]]:
     * (doc_id, gram). */
   private[graft] def decontamGrams(base: DataFrame): DataFrame = {
-    val els = (1 to DecontamGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    graft.functions.Kernels.register(base.sparkSession)
     base.filter(size(col("toks")) >= DecontamGram)
       .select(col("doc_id"), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $DecontamGram),
-             i -> concat_ws(' ', $els)))""")).as("gram"))
+        s"graft_word_grams_distinct(toks, $DecontamGram)")).as("gram"))
   }
 
   def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -720,15 +718,13 @@ object Pipeline {
     * Cache ownership: caller reclaims via `spark.catalog.clearCache()`
     * after its action (the C29 contract; Bench/Verify already do). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val els = (1 to OverlapGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    graft.functions.Kernels.register(spark)
     val grams = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= OverlapGram)
       .select(col("source"), explode(expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $OverlapGram),
-             i -> concat_ws(' ', $els)))""")).as("gram"))
+        s"graft_word_grams_distinct(toks, $OverlapGram)")).as("gram"))
       .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
       .distinct()
       .cache()
@@ -978,15 +974,13 @@ object Pipeline {
     * rows. Cache ownership: callers reclaim via
     * `spark.catalog.clearCache()` (the C29 contract). */
   def gramMemorization(spark: SparkSession, dir: String): DataFrame = {
-    val els = (1 to MemGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    graft.functions.Kernels.register(spark)
     val occ = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= MemGram)
       .select(col("source"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $MemGram),
-             i -> concat_ws(' ', $els))""")).as("gram"))
+        s"graft_word_grams(toks, $MemGram)")).as("gram"))
       .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
       .groupBy("gram_hash", "source").agg(count(lit(1)).as("occ"))
       .cache()
@@ -1075,9 +1069,8 @@ object Pipeline {
     * scan (no token re-read). Callers reclaim the grid cache via
     * `spark.catalog.clearCache()` (the C29 contract). */
   def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val B = NoveltyBuckets
-    val els = (1 to MemGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
     val d = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -1090,8 +1083,7 @@ object Pipeline {
     val grid = bucketed
       .filter(size(col("toks")) >= MemGram)
       .select(col("bucket"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $MemGram),
-             i -> concat_ws(' ', $els))""")).as("gram"))
+        s"graft_word_grams(toks, $MemGram)")).as("gram"))
       .select(col("bucket"), md5(col("gram").cast("binary")).as("gram_hash"))
       .groupBy("gram_hash", "bucket").agg(count(lit(1)).as("occ"))
       .cache()
@@ -1203,14 +1195,12 @@ object Pipeline {
 
   /** The (source, gram_hash) explode shared by the C76 family. */
   private def sourceGramsOf(df: DataFrame): DataFrame = {
-    val els = (1 to MemGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    graft.functions.Kernels.register(df.sparkSession)
     df.filter(length(trim(col("text"))) > 0)
       .select(col("source"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= MemGram)
       .select(col("source"), explode(expr(
-        s"""transform(sequence(0, size(toks) - $MemGram),
-             i -> concat_ws(' ', $els))""")).as("gram"))
+        s"graft_word_grams(toks, $MemGram)")).as("gram"))
       .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
   }
 
@@ -2102,12 +2092,10 @@ object Pipeline {
     * with i the 0-based start-token index — shared by batch C87 and its
     * streaming twin. */
   private[graft] def positionedGrams(base: DataFrame): DataFrame = {
-    val els = (1 to DecontamGram)
-      .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+    graft.functions.Kernels.register(base.sparkSession)
     base.filter(size(col("toks")) >= DecontamGram)
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(toks) - $DecontamGram),
-             i -> concat_ws(' ', $els))""")))
+        s"graft_word_grams(toks, $DecontamGram)")))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
         col("col").as("gram"))
   }

@@ -328,14 +328,23 @@ object StreamArtifacts {
     rawVerified(spark, root, "incr_hash")
       .groupBy("h").agg(min("doc_id").as("exact_partner"))
 
-  /** D18's cold LSH signature index (band, sig, partner), manifest- and
-    * split-verified. The hot-bucket drop runs over CURRENT totals, so a
+  /** D18's cold LSH signature index (band, k1, k2, k3, partner), manifest-
+    * and split-verified. The hot-bucket drop runs over CURRENT totals, so a
     * bucket that crossed the cap through appends drops exactly as a
-    * rebuild would drop it. */
+    * rebuild would drop it. The PERSISTED rows keep the formatted
+    * "k1:k2:k3" sig (the store schema is a cross-round artifact contract);
+    * this read view splits them back to the raw long minima — the
+    * representation the batch index and triage key on since round 16
+    * (':'-joined decimal formatting is injective, so the conversion is
+    * exact both ways). */
   def incrSigs(spark: SparkSession, root: String): DataFrame =
     DedupOps.dropHotBuckets(rawVerified(spark, root, "incr_sigs"),
         Seq("band", "sig"))
-      .select(col("band"), col("sig"), col("doc_id").as("partner"))
+      .select(col("band"),
+        split(col("sig"), ":").getItem(0).cast("long").as("k1"),
+        split(col("sig"), ":").getItem(1).cast("long").as("k2"),
+        split(col("sig"), ":").getItem(2).cast("long").as("k3"),
+        col("doc_id").as("partner"))
 
   /** D24's standing gram set, manifest- and split-verified. */
   def gramIndex(spark: SparkSession, root: String): DataFrame =

@@ -776,6 +776,7 @@ object TextOps {
     * same exact doubles on both engines, so it is oracle-stable whatever
     * the thresholds. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val d = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
@@ -786,9 +787,7 @@ object TextOps {
       count(lit(1)).as("n_distinct_tok"))
     val gf = d.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 2), i ->
-             concat_ws(' ', element_at(toks, cast(i + 1 as int)),
-                       element_at(toks, cast(i + 2 as int))))""")).as("gram"))
+        "graft_word_grams(toks, 2)")).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
     val gramStats = gf.groupBy("doc_id").agg(
       sum("n").as("n_2grams"), count(lit(1)).as("n_distinct_2grams"))
@@ -1598,19 +1597,15 @@ object TextOps {
     * corpus pass at any scale; docs shorter than 3 tokens carry no
     * defined trigram share and are excluded by contract. */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Kernels.register(spark)
     val d = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n_tok"),
-        expr("""transform(sequence(0, size(toks) - 2), i ->
-          concat_ws(' ', element_at(toks, cast(i + 1 as int)),
-                         element_at(toks, cast(i + 2 as int))))""").as("bi"),
-        expr("""transform(sequence(0, size(toks) - 3), i ->
-          concat_ws(' ', element_at(toks, cast(i + 1 as int)),
-                         element_at(toks, cast(i + 2 as int)),
-                         element_at(toks, cast(i + 3 as int))))""").as("tri"))
+        expr("graft_word_grams(toks, 2)").as("bi"),
+        expr("graft_word_grams(toks, 3)").as("tri"))
       .select(col("doc_id"), col("n_tok"),
         expr(maxRunExpr("toks")).as("topw"),
         expr(maxRunExpr("bi")).as("topb"),

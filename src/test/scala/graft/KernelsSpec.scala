@@ -119,6 +119,223 @@ class KernelsSpec extends SparkSpec {
     assert(df.filter(col("d") =!= col("n")).count() == 0)
   }
 
+  test("graft_common_count matches size(array_intersect) exactly") {
+    // real gram-set pairs: every doc against a few shifted partners —
+    // covers disjoint, partial-overlap and identical-set pairs
+    val gs = docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3), i ->
+             graft_str_hash(concat(element_at(toks, i + 1), ' ',
+               element_at(toks, i + 2), ' ', element_at(toks, i + 3)))))""")
+        .as("gl"))
+    val pairs = gs.as("a").join(gs.as("b"),
+        col("b.doc_id") - col("a.doc_id") <= 3 &&
+          col("a.doc_id") <= col("b.doc_id"))
+      .select(col("a.gl").as("gl_a"), col("b.gl").as("gl_b"))
+    assert(pairs.filter(
+      expr("graft_common_count(gl_a, gl_b)") =!=
+        size(array_intersect(col("gl_a"), col("gl_b"))).cast("long"))
+      .count() == 0)
+    // synthetic edges: duplicates inside an input must not double-count,
+    // empties give 0, null propagates
+    val sp = spark
+    import sp.implicits._
+    val edge = Seq(
+      (Seq(1L, 1L, 2L, 3L), Seq(1L, 2L, 2L, 9L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(5L), Seq.empty[Long]),
+      (Seq(-1L, Long.MinValue, 0L), Seq(Long.MinValue, -1L, 7L)))
+      .toDF("gl_a", "gl_b")
+    assert(edge.filter(
+      expr("graft_common_count(gl_a, gl_b)") =!=
+        size(array_intersect(col("gl_a"), col("gl_b"))).cast("long"))
+      .count() == 0)
+    assert(edge.selectExpr("graft_common_count(gl_a, NULL) AS nc")
+      .filter(col("nc").isNotNull).count() == 0)
+  }
+
+  test("graft_km_argmin matches the crossJoin + struct-MIN argmin exactly") {
+    // the codebook the C62 family trains from: the seed rule's vectors,
+    // cast to double — plus a DUPLICATED centroid under a higher cluster
+    // id, so the smallest-cluster tie-break is exercised on every vector
+    // that lands on it
+    val seeds = embs
+      .filter(col("vec_id") % 100 === 50 && col("vec_id") < 800)
+      .select(col("vec_id").as("cluster"),
+        col("embedding").cast("array<double>").as("c_emb"))
+    val dup = seeds.orderBy("cluster").limit(1)
+      .select((col("cluster") + 10000).as("cluster"), col("c_emb"))
+    val cents = seeds.unionByName(dup)
+    val v = embs.select(col("vec_id"), col("embedding"))
+    val old = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"), expr("""aggregate(
+          zip_with(embedding, c_emb,
+            (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                      (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          CAST(0 AS DOUBLE), (acc, d) -> acc + d)""").as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist").as("dist"), col("cluster").as("cluster")))
+        .as("m"))
+      .select(col("vec_id"), col("m.cluster").as("c_old"),
+        col("m.dist").as("d_old"))
+    val cb = cents.agg(
+      expr("sort_array(collect_list(struct(cluster, c_emb)))").as("cb"))
+    val ker = v.crossJoin(broadcast(cb))
+      .select(col("vec_id"), expr("graft_km_argmin(embedding, cb)").as("m"))
+      .select(col("vec_id"), col("m.cluster").as("c_ker"),
+        col("m.dist").as("d_ker"))
+    val joined = old.join(ker, "vec_id")
+    assert(joined.count() == v.count())
+    // bit-exact: same winning cluster (ties → smallest id) and the same
+    // IEEE double distance (identical sequential fold)
+    assert(joined.filter(col("c_old") =!= col("c_ker") ||
+      col("d_old") =!= col("d_ker")).count() == 0)
+    // the duplicated centroid must never win (its twin has the lower id)
+    assert(ker.filter(col("c_ker") >= 10000).count() == 0)
+    // empty codebook → null, the degenerate-corpus contract
+    val empty = cents.filter(col("cluster") < 0)
+      .agg(expr("sort_array(collect_list(struct(cluster, c_emb)))").as("cb"))
+    assert(v.limit(5).crossJoin(broadcast(empty))
+      .selectExpr("graft_km_argmin(embedding, cb) AS m")
+      .filter(col("m").isNotNull).count() == 0)
+  }
+
+  test("graft_word_grams matches the transform + concat_ws formulation") {
+    val d = docs.filter(length(trim(col("text"))) > 0)
+      .withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+    for (n <- Seq(2, 3, 4)) {
+      val els = (1 to n)
+        .map(j => s"element_at(toks, cast(i + $j as int))").mkString(", ")
+      val hof = d
+        .withColumn("hof", expr(
+          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', $els))"))
+        .withColumn("ker", expr(s"graft_word_grams(toks, $n)"))
+        .withColumn("hofd", array_distinct(col("hof")))
+        .withColumn("kerd", expr(s"graft_word_grams_distinct(toks, $n)"))
+      assert(hof.filter(col("hof") =!= col("ker") ||
+        col("hofd") =!= col("kerd")).count() == 0, s"n=$n")
+    }
+    // short-doc edge: size(toks) < n yields an empty array
+    val sp = spark
+    import sp.implicits._
+    val short = Seq(Tuple1(Seq("one", "two"))).toDF("toks")
+    assert(short.selectExpr("size(graft_word_grams(toks, 3)) AS s")
+      .head.getInt(0) == 0)
+  }
+
+  test("graft_lev_capped matches the CASE + levenshtein(threshold) column") {
+    val sp = spark
+    import sp.implicits._
+    // randomized pairs with multibyte atoms (surrogate-safe), plus mutated
+    // near-dup twins — long shared prefixes/suffixes exercise exactly the
+    // stripping path the kernel adds
+    val atoms = Vector("a", "b", "c", "d", " ", "α", "β",
+      "界", new String(Character.toChars(0x1F642)))
+    val rnd = new scala.util.Random(4516)
+    def randStr(max: Int): String =
+      (0 until rnd.nextInt(max)).map(_ => atoms(rnd.nextInt(atoms.size)))
+        .mkString
+    val pairs = (1 to 400).map { i =>
+      val a = randStr(60)
+      val b =
+        if (i % 3 == 0) randStr(60) // unrelated
+        else { // near-dup: a few point edits on a copy
+          val chars = a.toCharArray.toBuffer
+          val edits = rnd.nextInt(4)
+          for (_ <- 0 until edits if chars.nonEmpty) {
+            val pos = rnd.nextInt(chars.size)
+            rnd.nextInt(3) match {
+              case 0 => chars.remove(pos): Unit
+              case 1 => chars.insert(pos, 'x')
+              case _ => chars(pos) = 'y'
+            }
+          }
+          new String(chars.toArray)
+        }
+      (a, b)
+    } :+ (("", "")) :+ (("", "abc")) :+ (("abcdefghij", "abcdefghij"))
+    val df = pairs.toDF("t_a", "t_b")
+    val oldCol = when(
+      abs(length(col("t_a")) - length(col("t_b"))) >
+        expr("greatest(length(t_a), length(t_b)) DIV 5"), lit(-1L))
+      .otherwise(expr(
+        "levenshtein(t_a, t_b, greatest(length(t_a), length(t_b)) DIV 5)")
+        .cast("long"))
+    val bad = df
+      .withColumn("ker", expr("graft_lev_capped(t_a, t_b)"))
+      .withColumn("ref", oldCol)
+      .filter(col("ker") =!= col("ref"))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("\n"))
+  }
+
+  test("graft_ivf_argmax matches the crossJoin + row_number argmax exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val v = embs.selectExpr("vec_id", "embedding",
+      "graft_norm2(embedding) AS n2")
+    val cents = v.filter(col("vec_id") % 100 === 50 && col("vec_id") < 800)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
+    val old = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (expr("graft_dot(embedding, c_emb)") /
+          (sqrt(col("n2")) * sqrt(col("c_n2")))).as("c_cos"))
+      .withColumn("arnk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("c_cos").desc, col("cent_id"))))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("cent_id").as("c_old"))
+    val cb = cents
+      .select(col("cent_id"), col("c_emb").cast("array<double>").as("c_emb"),
+        col("c_n2"))
+      .agg(expr("sort_array(collect_list(struct(cent_id, c_emb, c_n2)))")
+        .as("icb"))
+    val ker = v.crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        expr("graft_ivf_argmax(embedding, n2, icb)").as("c_ker"))
+    val joined = old.join(ker, "vec_id")
+    assert(joined.count() == v.count())
+    assert(joined.filter(col("c_old") =!= col("c_ker")).count() == 0)
+  }
+
+  test("graft_pq_codes matches the exploded crossJoin + struct-MIN argmins") {
+    val v = embs.select(col("vec_id"), col("embedding"))
+    val cents = embs.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val dist = expr("""aggregate(
+      zip_with(
+        slice(embedding, CAST(sub_id * 16 + 1 AS INT), 16),
+        slice(c_emb, CAST(sub_id * 16 + 1 AS INT), 16),
+        (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+                  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      CAST(0 AS DOUBLE), (acc, d) -> acc + d)""")
+    val old = v
+      .select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(CAST(0 AS BIGINT), CAST(3 AS BIGINT))"))
+          .as("sub_id"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("sub_id"), col("cent_id"), dist.as("dist"))
+      .groupBy("vec_id", "sub_id")
+      .agg(min(struct(col("dist").as("dist"), col("cent_id").as("cent_id")))
+        .as("m"))
+      .select(col("vec_id"), col("sub_id"),
+        col("m.cent_id").as("c_old"), col("m.dist").as("d_old"))
+    val cb = cents
+      .select(col("cent_id"), col("c_emb").cast("array<double>").as("c_emb"))
+      .agg(expr("sort_array(collect_list(struct(cent_id, c_emb)))").as("pcb"))
+    val ker = v.crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        posexplode(expr("graft_pq_codes(embedding, pcb, 4, 16)"))
+          .as(Seq("sub_id", "m")))
+      .select(col("vec_id"), col("sub_id").cast("long").as("sub_id"),
+        col("m.cent_id").as("c_ker"), col("m.dist").as("d_ker"))
+    val joined = old.join(ker, Seq("vec_id", "sub_id"))
+    assert(joined.count() == v.count() * 4)
+    assert(joined.filter(col("c_old") =!= col("c_ker") ||
+      col("d_old") =!= col("d_ker")).count() == 0)
+  }
+
   test("kernels survive null inputs") {
     val sp = spark
     import sp.implicits._

@@ -387,15 +387,19 @@ class PlanSpec extends SparkSpec {
   test("kmeans: every round reads the cached vector relation") {
     // in the REPORT plan the cached final assignment absorbs the whole
     // training subtree (2 mem leaves: assignment + sizes); the TRAINING
-    // dataflow is pinned separately — its Lloyd rounds (assignment passes,
-    // explode-updates, seeds) must all read the ONE cached embeddings
-    // relation, never re-scan the corpus parquet
+    // dataflow is pinned separately — since the round-16 fused argmin
+    // (assignment rides the update pass as a map-side kernel over the
+    // 1-row broadcast codebook) each Lloyd round reads the ONE cached
+    // embeddings relation exactly once, plus the seed read: iters + 1 =
+    // 3 mem leaves, never a corpus parquet re-scan and never MORE reads
+    // than rounds (a 4th mem leaf would mean the fusion regressed to a
+    // separate assignment pass)
     val report = scanLeaves("q_embed_kmeans")
     assert(!report.contains("file") && report.count(_ == "mem") == 2, report)
     val training = scanLeavesOf(
       graft.operators.EmbeddingOps.kmeansCentroids(spark, sf))
     assert(!training.contains("file"), training)
-    assert(training.count(_ == "mem") >= 5, training)
+    assert(training.count(_ == "mem") == 3, training)
     spark.catalog.clearCache(): Unit
   }
 
