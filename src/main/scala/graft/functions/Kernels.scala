@@ -455,84 +455,167 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
-  /** Thread-local scratch rows for [[levCapped]]'s banded DP. */
-  private val levRowsLocal = new ThreadLocal[(Array[Int], Array[Int])] {
-    override def initialValue() = (new Array[Int](256), new Array[Int](256))
+  /** Thread-local scratch for [[levCapped]]'s Myers bit-parallel core:
+    * the per-symbol pattern bitmasks (ASCII table + overflow map for
+    * non-ASCII code points) and the vertical-delta words, all reused
+    * across calls so the hot loop allocates nothing. */
+  private final class MyersScratch {
+    var peqA = new Array[Long](128 * 4) // ASCII symbol × block, stride = B
+    val peqO = new java.util.HashMap[Integer, Array[Long]]()
+    var pv = new Array[Long](4)
+    var mv = new Array[Long](4)
+    var cpA = new Array[Int](640) // decoded core code points, per side
+    var cpB = new Array[Int](640)
+  }
+  private val myersLocal = new ThreadLocal[MyersScratch] {
+    override def initialValue() = new MyersScratch
+  }
+
+  /** Decode valid UTF-8 bytes [from, until) into code points. Returns the
+    * count. Matches `String.codePoints` on any valid UTF-8 input (Spark
+    * strings always are); continuation bytes never appear as leads. */
+  private def utf8Decode(bytes: Array[Byte], from: Int, until: Int,
+      out: Array[Int]): Int = {
+    var i = from
+    var n = 0
+    while (i < until) {
+      val b = bytes(i)
+      if (b >= 0) { // ASCII fast path: tight copy, no length dispatch
+        out(n) = b; i += 1; n += 1
+      } else {
+        val b0 = b & 0xFF
+        if (b0 < 0xE0) {
+          out(n) = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+        } else if (b0 < 0xF0) {
+          out(n) = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+            (bytes(i + 2) & 0x3F); i += 3
+        } else {
+          out(n) = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+            ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+        }
+        n += 1
+      }
+    }
+    n
   }
 
   /** C45's capped edit distance in one call: lev(a, b) when ≤ k =
     * max(chars)/5, else −1 — the exact value of the old
     * `CASE WHEN |Δlen| > k THEN -1 ELSE levenshtein(a, b, k)` column.
     * Edit distance is a pure function, so any correct implementation is
-    * bit-identical to both engines' builtins; this one adds the two
-    * standard exact-preserving reductions the builtins skip:
-    * common-PREFIX/SUFFIX stripping (near-dup candidates share most of
-    * their text, so the DP usually runs over a tiny differing core — the
-    * profiled 16%-of-bench levenshtein cost collapses), then the classic
-    * banded threshold DP, O(core · k) worst case. Spec-pinned equal to
-    * the builtin on randomized inputs (KernelsSpec). */
+    * bit-identical to both engines' builtins; this one adds the standard
+    * exact-preserving reductions the builtins skip:
+    * |Δlen| pre-gate, common-PREFIX/SUFFIX stripping (near-dup candidates
+    * share most of their text, so the DP usually runs over a tiny
+    * differing core), then the Myers bit-parallel DP (Myers, JACM 1999;
+    * blocked per Hyyrö 2003) over the core — 64 DP cells per word op
+    * instead of one — with the same Ukkonen-style cutoff the banded DP
+    * used: the bottom-row score can recover at most 1 per remaining text
+    * column, so a pair whose score minus remaining columns exceeds k can
+    * never come back and exits after ~k columns. Spec-pinned equal to the
+    * builtin on randomized inputs (KernelsSpec). */
   def levCapped(a: UTF8String, b: UTF8String): Long = {
-    val ca = a.toString.codePoints.toArray
-    val cb = b.toString.codePoints.toArray
-    val la = ca.length
-    val lb = cb.length
+    // the |Δlen| gate needs only the code-point COUNTS — numChars is a
+    // plain lead-byte scan, so the ~60% of candidate pairs the gate
+    // rejects never pay a decode at all (the old toString.codePoints
+    // stream decoded BOTH full strings before gating)
+    val la = a.numChars()
+    val lb = b.numChars()
     val k = math.max(la, lb) / 5
     if (math.abs(la - lb) > k) return -1L
-    // strip the common prefix and suffix — lev is invariant under both
-    val minL = math.min(la, lb)
-    var p = 0
-    while (p < minL && ca(p) == cb(p)) p += 1
+    val ba = a.getBytes
+    val bb = b.getBytes
+    val na = ba.length
+    val nb = bb.length
+    // byte-level common prefix/suffix strip (lev is invariant under both),
+    // snapped to code-point boundaries. In valid UTF-8 a position is a
+    // boundary iff its byte is not a continuation byte, and at the first
+    // differing position the classification provably agrees between the
+    // two strings (the preceding lead byte is shared and determines the
+    // sequence length), so one snap serves both sides.
+    val minB = math.min(na, nb)
+    var p = java.util.Arrays.mismatch(ba, 0, minB, bb, 0, minB) // SIMD intrinsic
+    if (p < 0) p = minB
+    if (p < minB) { while (p > 0 && (ba(p) & 0xC0) == 0x80) p -= 1 }
     var sfx = 0
-    while (sfx < minL - p && ca(la - 1 - sfx) == cb(lb - 1 - sfx)) sfx += 1
-    var m = la - p - sfx
-    var n = lb - p - sfx
-    if (m == 0) return if (n <= k) n.toLong else -1L
-    if (n == 0) return if (m <= k) m.toLong else -1L
-    // banded Wagner–Fischer with threshold k over the differing core
-    // (left = shorter side), the commons-lang limitedCompare shape
-    var (left, lOff, lLen, right, rOff, rLen) =
-      if (m <= n) (ca, p, m, cb, p, n) else (cb, p, n, ca, p, m)
-    val big = Int.MaxValue - 2
-    var (prev, cur) = levRowsLocal.get()
-    if (prev.length < lLen + 1) {
-      prev = new Array[Int](lLen + 1)
-      cur = new Array[Int](lLen + 1)
-      levRowsLocal.set((prev, cur))
+    while (sfx < minB - p && ba(na - 1 - sfx) == bb(nb - 1 - sfx)) sfx += 1
+    while (sfx > 0 && (ba(na - sfx) & 0xC0) == 0x80) sfx -= 1
+    val s = myersLocal.get()
+    // decode ONLY the differing cores (near-dup pairs share most bytes)
+    if (s.cpA.length < na - p - sfx) s.cpA = new Array[Int](na - p - sfx)
+    if (s.cpB.length < nb - p - sfx) s.cpB = new Array[Int](nb - p - sfx)
+    val m0 = utf8Decode(ba, p, na - sfx, s.cpA)
+    val n0 = utf8Decode(bb, p, nb - sfx, s.cpB)
+    if (m0 == 0) return if (n0 <= k) n0.toLong else -1L
+    if (n0 == 0) return if (m0 <= k) m0.toLong else -1L
+    // pattern = shorter core side (fewer bit-blocks), text = longer
+    val (pat, m, txt, n) =
+      if (m0 <= n0) (s.cpA, m0, s.cpB, n0) else (s.cpB, n0, s.cpA, m0)
+    val nB = (m + 63) >>> 6
+    if (s.pv.length < nB) {
+      s.pv = new Array[Long](nB)
+      s.mv = new Array[Long](nB)
+      s.peqA = new Array[Long](128 * nB)
+    } else {
+      // zero exactly the read range of this call's stride; stale bits from
+      // a larger previous stride live beyond 128·nB and are never read
+      java.util.Arrays.fill(s.peqA, 0, 128 * nB, 0L)
     }
-    val boundary = math.min(lLen, k) + 1
+    if (!s.peqO.isEmpty) s.peqO.clear()
     var i = 0
-    while (i < boundary) { prev(i) = i; i += 1 }
-    while (i <= lLen) { prev(i) = big; i += 1 }
-    java.util.Arrays.fill(cur, 0, lLen + 1, big)
-    var j = 1
-    while (j <= rLen) {
-      val rj = right(rOff + j - 1)
-      cur(0) = j
-      val lo = math.max(1, j - k)
-      val hi = math.min(lLen, j + k)
-      if (lo > hi) return -1L
-      if (lo > 1) cur(lo - 1) = big
-      i = lo
-      // the column-0 boundary cell D(0, j) = j is a live path while j ≤ k
-      // and must participate in the cutoff bound
-      var rowMin = if (j <= k) j else big
-      while (i <= hi) {
-        val v =
-          if (left(lOff + i - 1) == rj) prev(i - 1)
-          else 1 + math.min(cur(i - 1), math.min(prev(i), prev(i - 1)))
-        cur(i) = v
-        if (v < rowMin) rowMin = v
-        i += 1
+    while (i < m) {
+      val c = pat(i)
+      if (c < 128) s.peqA(c * nB + (i >>> 6)) |= 1L << (i & 63)
+      else {
+        var arr = s.peqO.get(c)
+        if (arr == null) { arr = new Array[Long](nB); s.peqO.put(c, arr): Unit }
+        arr(i >>> 6) |= 1L << (i & 63)
       }
-      // Ukkonen cutoff: cell values are nondecreasing along the DP, so a
-      // band row whose minimum already exceeds k can never come back —
-      // beyond-threshold pairs exit after ~k rows instead of paying the
-      // full O(core · k)
-      if (rowMin > k) return -1L
-      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    var blk = 0
+    while (blk < nB) { s.pv(blk) = -1L; s.mv(blk) = 0L; blk += 1 }
+    val lastMask = 1L << ((m - 1) & 63)
+    var score = m
+    var j = 0
+    while (j < n) {
+      val c = txt(j)
+      val peqBase = if (c < 128) c * nB else -1
+      val peqArr = if (peqBase < 0) s.peqO.get(c) else null
+      var hin = 1 // the row-0 boundary: D(0, j+1) − D(0, j) = +1 always
+      blk = 0
+      while (blk < nB) {
+        var eq =
+          if (peqBase >= 0) s.peqA(peqBase + blk)
+          else if (peqArr != null) peqArr(blk)
+          else 0L
+        val pv0 = s.pv(blk)
+        val mv0 = s.mv(blk)
+        val xv = eq | mv0
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv0) + pv0) ^ pv0) | eq
+        var ph = mv0 | ~(xh | pv0)
+        var mh = pv0 & xh
+        // hout at this block's bottom row: bit 63 feeds the next block's
+        // carry; the LAST block reads row m−1 (bits above it are garbage
+        // that only ever propagates upward, never read)
+        val mask = if (blk == nB - 1) lastMask else 0x8000000000000000L
+        val hout = if ((ph & mask) != 0L) 1 else if ((mh & mask) != 0L) -1 else 0
+        ph <<= 1
+        mh <<= 1
+        if (hin > 0) ph |= 1L else if (hin < 0) mh |= 1L
+        s.pv(blk) = mh | ~(xv | ph)
+        s.mv(blk) = ph & xv
+        hin = hout
+        blk += 1
+      }
+      score += hin
+      // cutoff: each remaining text column changes the bottom-row score by
+      // at most ±1, so score − remaining > k can never recover
+      if (score - (n - 1 - j) > k) return -1L
       j += 1
     }
-    if (prev(lLen) <= k) prev(lLen).toLong else -1L
+    if (score <= k) score.toLong else -1L
   }
 
   /** Sequential-fold dot product of two float vectors as doubles — the same

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway: per-phase timing of the C18 loop. */
+object TmpLoop2 {
+  def t[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"  [$tag] ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import DedupOps._
+    for (rep <- 1 to 3) {
+      println(s"rep $rep")
+      val sigs = bucketRowsP(minhashMinsP(spark, dir))
+        .select(col("doc_id"), concat_ws("#",
+          col("band"), col("k1"), col("k2"), col("k3")).as("bucket"))
+      val shared = sigs.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("bucket")
+      val multi = sigs.join(shared, Seq("bucket")).cache()
+      def labelSum(df: DataFrame): Long = {
+        val row = df.agg(sum("label")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      var labels: DataFrame = t("init-labels") {
+        val l = multi.select(col("doc_id").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint(eager = false)
+        l
+      }
+      var prevSum = t("init-sum")(labelSum(labels))
+      var converged = false
+      var it = 0
+      while (!converged && it < 50) {
+        def sweep(ls: DataFrame): DataFrame = {
+          val bmin = multi.join(ls, multi("doc_id") === ls("node"))
+            .groupBy("bucket").agg(min("label").as("blabel"))
+          multi.join(bmin, Seq("bucket"))
+            .groupBy("doc_id").agg(min("blabel").as("label"))
+            .select(col("doc_id").as("node"), col("label"))
+        }
+        val swept = sweep(sweep(labels))
+        val next = swept.as("x")
+          .join(swept.select(col("node").as("l_node"), col("label").as("l_label")),
+            col("x.label") === col("l_node"), "left")
+          .select(col("x.node").as("node"),
+            least(col("x.label"), coalesce(col("l_label"), col("x.label"))).as("label"))
+          .localCheckpoint(eager = false)
+        val s = t(s"round-$it")(labelSum(next))
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        it += 1
+      }
+      multi.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+  def minhashMinsP(spark: SparkSession, dir: String): DataFrame = {
+    val m = DedupOps.getClass.getDeclaredMethods.find(_.getName == "minhashMins").get
+    m.setAccessible(true)
+    m.invoke(DedupOps, spark, dir).asInstanceOf[DataFrame]
+  }
+  def bucketRowsP(mins: DataFrame): DataFrame = {
+    val m = DedupOps.getClass.getDeclaredMethods.find(_.getName == "bucketRows").get
+    m.setAccessible(true)
+    m.invoke(DedupOps, mins).asInstanceOf[DataFrame]
+  }
+}

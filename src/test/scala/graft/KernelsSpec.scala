@@ -271,6 +271,59 @@ class KernelsSpec extends SparkSpec {
     assert(bad.count() == 0, bad.collect().take(5).mkString("\n"))
   }
 
+  test("graft_lev_capped matches the builtin on LONG cores (multi-block Myers)") {
+    val sp = spark
+    import sp.implicits._
+    // corpus-length strings (up to ~600 chars) force the bit-parallel DP
+    // over 2..10 blocks of 64, with cores both tiny (point edits) and
+    // full-length (shuffled halves); the existing 60-char test only ever
+    // exercises one block
+    val atoms = Vector("a", "b", "c", "d", "e", " ", "α", "界",
+      new String(Character.toChars(0x1F642)))
+    val rnd = new scala.util.Random(1707)
+    def randStr(lo: Int, hi: Int): String =
+      (0 until (lo + rnd.nextInt(hi - lo))).map(_ =>
+        atoms(rnd.nextInt(atoms.size))).mkString
+    val pairs = (1 to 120).map { i =>
+      val a = randStr(65, 600)
+      val b = i % 4 match {
+        case 0 => randStr(65, 600) // unrelated, usually len-gated or cut off
+        case 1 => // scattered point edits: in-band, full multi-block DP
+          val chars = a.toCharArray.toBuffer
+          for (_ <- 0 until (3 + rnd.nextInt(a.length / 6))
+               if chars.nonEmpty) {
+            val pos = rnd.nextInt(chars.size)
+            rnd.nextInt(3) match {
+              case 0 => chars.remove(pos): Unit
+              case 1 => chars.insert(pos, 'x')
+              case _ => chars(pos) = 'y'
+            }
+          }
+          new String(chars.toArray)
+        case 2 => // shared prefix, divergent tail: exercises the strip + DP
+          a.substring(0, a.length / 2) + randStr(30, 300)
+        case _ => // same length, middle block rewritten
+          val third = a.length / 3
+          a.substring(0, third) + randStr(third, third + 2)
+            .padTo(a.length - 2 * third, 'z').take(a.length - 2 * third) +
+            a.substring(a.length - third)
+      }
+      (a, b)
+    }
+    val df = pairs.toDF("t_a", "t_b")
+    val oldCol = when(
+      abs(length(col("t_a")) - length(col("t_b"))) >
+        expr("greatest(length(t_a), length(t_b)) DIV 5"), lit(-1L))
+      .otherwise(expr(
+        "levenshtein(t_a, t_b, greatest(length(t_a), length(t_b)) DIV 5)")
+        .cast("long"))
+    val bad = df
+      .withColumn("ker", expr("graft_lev_capped(t_a, t_b)"))
+      .withColumn("ref", oldCol)
+      .filter(col("ker") =!= col("ref"))
+    assert(bad.count() == 0, bad.collect().take(5).mkString("\n"))
+  }
+
   test("graft_ivf_argmax matches the crossJoin + row_number argmax exactly") {
     import org.apache.spark.sql.expressions.Window
     val v = embs.selectExpr("vec_id", "embedding",
