@@ -145,7 +145,12 @@ object DedupOps {
 
   private val bucketKeys = Seq("band", "k1", "k2", "k3")
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** C2's distinct candidate pairs WITHOUT the declared output ordering —
+    * the internal feed for every composer that aggregates over the pairs
+    * (C29/C75/C82/C89/C119): the final orderBy is a range exchange (with
+    * its own sampling job) plus a sort that pure-aggregate consumers pay
+    * for nothing. `dedupMinhashLsh` itself adds the ordering back. */
+  private[graft] def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Join form, deliberately: this corpus is NEAR-dup-dense (templated
     // small-vocabulary texts; ~10% of all pairs collide in some band even
     // with independent rows), so a collect_list-per-bucket pair expansion
@@ -165,8 +170,10 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   /** The (band, sig) CTE chain over an arbitrary base relation — the
     * oracle twin of [[minhashSigsOf]]; CTE names are parameterized so two
@@ -273,7 +280,11 @@ object DedupOps {
     * true 100 TB corpus, widen the signature (64-bit) and bands (16-bit →
     * 256k keys, same pigeonhole bound at radius 3) so bucket volume and
     * parallelism scale; the plan shape is unchanged. */
-  def dedupSimhashBand(spark: SparkSession, dir: String): DataFrame = {
+  /** C14's verified hamming-band pairs WITHOUT the declared output
+    * ordering — the internal feed for composers that aggregate or re-sort
+    * (C45's edit-distance verifier, C75's agreement matrix, C93's radius
+    * sweep); see [[minhashPairs]] for the rationale. */
+  private[graft] def simhashBandPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
     val par = spark.sessionState.conf.numShufflePartitions
     // Same single-split hazard as C2: spread signature rows across cores
@@ -301,8 +312,10 @@ object DedupOps {
     cand.withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
   }
+
+  def dedupSimhashBand(spark: SparkSession, dir: String): DataFrame =
+    simhashBandPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   val dedupSimhashBandSql: String = s"""
     WITH s AS ($simhashSigSql),
@@ -388,10 +401,25 @@ object DedupOps {
       val row = df.agg(sum("label")).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
-    var labels: DataFrame = multi.select(col("doc_id").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(eager = false)
-    var prevSum = labelSum(labels)
-    var converged = prevSum == 0L && labels.isEmpty
+    // Fill the cache with ONE single-reference job before any round plan
+    // fans out over `multi`: a round references it four times, and racing
+    // those references against an unfilled cache re-computed the substrate
+    // per reference (measured: 940 → 1094 tasks, task time 50 → 81 s).
+    val nMulti = multi.count()
+    // No materialized initial-labels relation and no initial label sum:
+    // with initial label == own doc_id, round 0's first bucket-min is just
+    // min(doc_id) per bucket (specialized below), and the initial sum can
+    // never equal round 0's on a non-empty graph (every multi-bucket doc
+    // has a partner, so round 0 always lowers some label) — the old
+    // init-distinct + init-sum action were one whole driver job of pure
+    // overhead per consumer query. The -1 sentinel can never be a real
+    // label sum (doc ids are non-negative), so round 0 never false-converges.
+    var labels: DataFrame =
+      if (nMulti == 0L) multi.select(col("doc_id").as("node"),
+        col("doc_id").as("label"))
+      else null
+    var prevSum = -1L
+    var converged = nMulti == 0L
     var it = 0
     // AQE stays ON for the loop: measured 5.2s vs 6.9s warm at sf0.1 with
     // it off — its per-exchange coalescing of the tiny label shuffles saves
@@ -415,10 +443,24 @@ object DedupOps {
           .groupBy("doc_id").agg(min("blabel").as("label"))
           .select(col("doc_id").as("node"), col("label"))
       }
+      // round 0's first hop reads labels == doc ids straight off `multi`
+      def sweep0(): DataFrame = {
+        val bmin = multi.groupBy("bucket").agg(min("doc_id").as("blabel"))
+        multi.join(bmin, Seq("bucket"))
+          .groupBy("doc_id").agg(min("blabel").as("label"))
+          .select(col("doc_id").as("node"), col("label"))
+      }
       // two sweeps per round (4 graph hops) before the jump — rounds are
       // driver-scheduled jobs and job latency dominates, so packing more
-      // hops into each round is nearly free row-work
-      val swept = sweep(sweep(labels))
+      // hops into each round is nearly free row-work.
+      // CHECKPOINTED before the jump: the jump references `swept` twice
+      // under different aliases, which canonicalize differently, so
+      // ReuseExchange does not fire and the whole two-sweep subtree ran
+      // TWICE per round (measured: the round-0 plan held 48 HashAggregate
+      // nodes where one sweep chain needs 8) — one lazy checkpoint halves
+      // every round's exchange count.
+      val swept = sweep(if (it == 0) sweep0() else sweep(labels))
+        .localCheckpoint(eager = false)
       // Pointer jump (path shortcut): label ← min(label, label(label)).
       // A label is itself a node id in `swept` (labels only ever move
       // between multi-bucket docs), so one self-join composes the pointer
@@ -427,12 +469,14 @@ object DedupOps {
       // One extra partial-agg shuffle per round, but rounds are the cost:
       // each is a driver-scheduled job, and job latency (not row volume)
       // dominates this loop's wall time. Measured 10 → 5 rounds at sf0.1.
+      // No checkpoint on `next` itself: both its inputs are the
+      // checkpointed `swept`, so the lineage is already truncated and the
+      // tiny jump join recomputes for free where referenced.
       val next = swept.as("x")
         .join(swept.select(col("node").as("l_node"), col("label").as("l_label")),
           col("x.label") === col("l_node"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("l_label"), col("x.label"))).as("label"))
-        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -790,7 +834,7 @@ object DedupOps {
     // in-band distances unchanged. Beyond-band pairs report lev = −1 and a
     // NULL similarity rather than a distance nobody thresholds on.
     val maxLen = greatest(length(col("t_a")), length(col("t_b")))
-    dedupSimhashBand(spark, dir)
+    simhashBandPairs(spark, dir)
       .join(norm.select(col("doc_id").as("doc_a"), col("norm").as("t_a")),
         Seq("doc_a"))
       .join(norm.select(col("doc_id").as("doc_b"), col("norm").as("t_b")),
@@ -978,7 +1022,7 @@ object DedupOps {
   def dedupTransitivity(spark: SparkSession, dir: String,
       cap: Int = TransNeighborCap): DataFrame =
     transitivityCensusOf(
-      dedupMinhashLsh(spark, dir).select("doc_a", "doc_b").cache(), cap)
+      minhashPairs(spark, dir).select("doc_a", "doc_b").cache(), cap)
 
   /** The budgeted wedge census over an ARBITRARY undirected edge set
     * (doc_a, doc_b) — the frame-parametric body [[dedupTransitivity]]
@@ -1400,9 +1444,9 @@ object DedupOps {
     * agreement. */
   def dedupAgreement(spark: SparkSession, dir: String): DataFrame =
     agreementOf(
-      dedupMinhashLsh(spark, dir),
+      minhashPairs(spark, dir),
       dedupNgramJaccard(spark, dir),
-      dedupSimhashBand(spark, dir))
+      simhashBandPairs(spark, dir))
 
   /** C75's matrix assembly over three ALREADY-COMPUTED candidate pair
     * relations (any schema with doc_a/doc_b) — shared by the inline
@@ -1464,9 +1508,9 @@ object DedupOps {
   def dedupAgreementSameSource(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir).select("doc_id", "source")
     agreementOf(
-      sameSourceOnly(dedupMinhashLsh(spark, dir), src),
+      sameSourceOnly(minhashPairs(spark, dir), src),
       dedupNgramJaccard(spark, dir),
-      sameSourceOnly(dedupSimhashBand(spark, dir), src))
+      sameSourceOnly(simhashBandPairs(spark, dir), src))
   }
 
   val dedupAgreementSameSourceSql: String = s"""
@@ -1540,9 +1584,9 @@ object DedupOps {
     * contract (callers reclaim via clearCache). */
   def dedupPairPrecision(spark: SparkSession, dir: String): DataFrame =
     pairPrecisionOf(spark, dir,
-      dedupMinhashLsh(spark, dir),
+      minhashPairs(spark, dir),
       dedupNgramJaccard(spark, dir),
-      dedupSimhashBand(spark, dir))
+      simhashBandPairs(spark, dir))
 
   /** C89's verification over three ALREADY-COMPUTED pair relations —
     * shared by the inline composition and the artifact-fed registered
@@ -1932,7 +1976,7 @@ object DedupOps {
     * sweep adds 4 tiny aggregates over cached bounded relations. */
   def simhashRadiusSweep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Kernels.register(spark)
-    val pairs = dedupSimhashBand(spark, dir)
+    val pairs = simhashBandPairs(spark, dir)
       .select("doc_a", "doc_b", "hamming").cache()
     val gsets = gramSets(spark, dir)
     val sampled = pairs
@@ -2525,7 +2569,7 @@ object DedupOps {
   def dedupLshRecall(spark: SparkSession, dir: String,
       mod: Int = RecallDocMod): DataFrame =
     lshRecallOf(spark, dir,
-      dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"), mod)
+      minhashPairs(spark, dir).select("doc_a", "doc_b"), mod)
 
   /** [[dedupLshRecall]] against an ARBITRARY candidate pair set — the
     * registered query scores C2's production banding; the C111 negative
