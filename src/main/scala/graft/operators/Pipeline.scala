@@ -725,7 +725,7 @@ object Pipeline {
       .filter(size(col("toks")) >= OverlapGram)
       .select(col("source"), explode(expr(
         s"graft_word_grams_distinct(toks, $OverlapGram)")).as("gram"))
-      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .select(col("source"), unhex(md5(col("gram").cast("binary"))).as("gram_hash"))
       .distinct()
       .cache()
     val totals = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
@@ -981,7 +981,7 @@ object Pipeline {
       .filter(size(col("toks")) >= MemGram)
       .select(col("source"), explode(expr(
         s"graft_word_grams(toks, $MemGram)")).as("gram"))
-      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .select(col("source"), unhex(md5(col("gram").cast("binary"))).as("gram_hash"))
       .groupBy("gram_hash", "source").agg(count(lit(1)).as("occ"))
       .cache()
     val tot = occ.groupBy("gram_hash").agg(sum("occ").as("tot_occ"))
@@ -1084,7 +1084,7 @@ object Pipeline {
       .filter(size(col("toks")) >= MemGram)
       .select(col("bucket"), explode(expr(
         s"graft_word_grams(toks, $MemGram)")).as("gram"))
-      .select(col("bucket"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .select(col("bucket"), unhex(md5(col("gram").cast("binary"))).as("gram_hash"))
       .groupBy("gram_hash", "bucket").agg(count(lit(1)).as("occ"))
       .cache()
     val firsts = grid.groupBy("gram_hash")
@@ -1201,7 +1201,7 @@ object Pipeline {
       .filter(size(col("toks")) >= MemGram)
       .select(col("source"), explode(expr(
         s"graft_word_grams(toks, $MemGram)")).as("gram"))
-      .select(col("source"), md5(col("gram").cast("binary")).as("gram_hash"))
+      .select(col("source"), unhex(md5(col("gram").cast("binary"))).as("gram_hash"))
   }
 
   /** The standing-corpus gram INDEX the C76 family probes — the artifact a

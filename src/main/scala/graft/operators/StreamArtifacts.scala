@@ -92,7 +92,11 @@ object StreamArtifacts {
       .select("band", "sig", "doc_id")
 
   private def gramRows(docs: DataFrame): DataFrame =
+    // the in-session gram keys are 16-byte binary md5 since round 17; the
+    // PERSISTED slice keeps the original lowercase-hex string (the store
+    // schema is a cross-round artifact contract, the incr_sigs precedent)
     graft.operators.Pipeline.gramHashRows(docs)
+      .select(lower(hex(col("gram_hash"))).as("gram_hash"))
 
   private def spanRows(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.Kernels.register(spark)
@@ -348,7 +352,11 @@ object StreamArtifacts {
 
   /** D24's standing gram set, manifest- and split-verified. */
   def gramIndex(spark: SparkSession, root: String): DataFrame =
+    // unhex the persisted lowercase-hex key back to the 16-byte binary
+    // representation the in-session gram plans key on (hex is injective,
+    // so the conversion is exact both ways)
     rawVerified(spark, root, "gram_index")
+      .select(unhex(col("gram_hash")).as("gram_hash"))
       .distinct().withColumn("known", lit(1L))
 
   /** D34's duplicate-span index, manifest-verified: spans whose merged

@@ -970,16 +970,20 @@ object TextOps {
     * word), never corpus-sized. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.Kernels.register(spark)
+    // bigrams via the codegen'd gram kernel (W6), not the interpreted
+    // struct-building transform lambda; tokens come from a \s+ split, so
+    // they contain no spaces and "w1 w2" ↔ (w1, w2) is bijective — the
+    // count classes are identical, the shuffle key is ONE string, and the
+    // words split back out on the small post-agg relation only
     val bg = Tables.documents(spark, dir)
       .filter(length(trim(col("text"))) > 0)
       .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(0, size(toks) - 2), i ->
-             struct(element_at(toks, i + 1) AS w1,
-                    element_at(toks, i + 2) AS w2))""")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(explode(expr("graft_word_grams(toks, 2)")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c12"))
     bg.withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
       .filter(col("c12") >= BigramMin)
       .withColumn("rnk", row_number().over(Window.partitionBy("w1")
@@ -1045,17 +1049,20 @@ object TextOps {
     * INCOMING docs against a model trained on yesterday's corpus) is the
     * same audited plan, batch or per micro-batch. */
   def scoreAgainstLm(docs: DataFrame, lm: DataFrame): DataFrame = {
+    graft.functions.Kernels.register(docs.sparkSession)
+    // same W6 gram-kernel shape as [[bigramLm]]: the corpus side explodes
+    // "w1 w2" strings (codegen'd, no interpreted struct lambda) and the
+    // join keys on that ONE string; the vocabulary-scaled LM side rebuilds
+    // the key with concat_ws — exact, since tokens contain no spaces
     val bg = docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 2), i ->
-             struct(element_at(toks, i + 1) AS w1,
-                    element_at(toks, i + 2) AS w2))""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val scored = bg.join(lm.select("w1", "w2", "p_cond").hint("shuffle_hash"),
-        Seq("w1", "w2"), "left")
+      .select(col("doc_id"), explode(expr("graft_word_grams(toks, 2)")).as("bg"))
+    val lmKeyed = lm.select(
+      concat_ws(" ", col("w1"), col("w2")).as("bg"), col("p_cond"))
+    val scored = bg.join(lmKeyed.hint("shuffle_hash"),
+        Seq("bg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         count(col("p_cond")).as("n_known"),

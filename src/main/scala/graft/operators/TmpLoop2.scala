@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Throwaway: per-phase timing of the C18 loop. */
 object TmpLoop2 {
+  var jobsRef: java.util.concurrent.atomic.AtomicInteger = null
   def t[A](tag: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"  [$tag] ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    val t0 = System.nanoTime(); val j0 = jobsRef.get(); val r = f
+    Thread.sleep(150)
+    println(f"  [$tag] ${(System.nanoTime() - t0) / 1e9}%.3f s jobs=${jobsRef.get() - j0}"); r
   }
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,7 +17,12 @@ object TmpLoop2 {
     val spark: SparkSession = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = { jobs.incrementAndGet(): Unit }
+    })
     import DedupOps._
+    jobsRef = jobs
     for (rep <- 1 to 3) {
       println(s"rep $rep")
       val sigs = bucketRowsP(minhashMinsP(spark, dir))

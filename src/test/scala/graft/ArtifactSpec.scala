@@ -783,7 +783,12 @@ class ArtifactSpec extends SparkSpec {
       "gram_index" -> StreamArtifacts.gramIndex(spark, r),
       "span_index" -> StreamArtifacts.spanIndex(spark, r))
       .map { case (n, df) =>
-        n -> df.collect().map(_.toString).sorted.toSeq
+        // stringify binary cells by content — Row.toString prints byte
+        // arrays by identity ([B@…), which can never compare equal
+        n -> df.collect().map(_.toSeq.map {
+          case b: Array[Byte] => java.util.Arrays.toString(b)
+          case x => String.valueOf(x)
+        }.mkString("[", ",", "]")).sorted.toSeq
       }
     val before = views()
     for (f <- StreamArtifacts.Families)
