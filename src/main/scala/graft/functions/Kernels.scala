@@ -115,6 +115,49 @@ object Kernels {
     new GenericArrayData(sigs)
   }
 
+  /** C93's per-config band signatures over an already-computed minima
+    * array: band b = ':'-joined decimal of minima[b·r .. b·r+r−1] —
+    * byte-identical to the old interpreted
+    * `transform(sequence, b -> concat_ws(':', transform(..., cast as
+    * string)))` lambda (decimal formatting of the nonnegative row minima),
+    * with the digits written straight into the output buffer instead of a
+    * java.lang.String per element (profiled: UTF8String.fromString +
+    * String.valueOf churn was ~17% of the sweep's samples). */
+  def bandSigs(mins: ArrayData, bands: Int, rowsPer: Int): ArrayData = {
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      var len = rowsPer - 1
+      var r = 0
+      while (r < rowsPer) {
+        val v = mins.getLong(b * rowsPer + r)
+        len += (if (v == 0L) 1 else {
+          var n = 0; var x = v; while (x > 0) { n += 1; x /= 10 }; n
+        })
+        r += 1
+      }
+      val buf = new Array[Byte](len)
+      var off = 0
+      r = 0
+      while (r < rowsPer) {
+        if (r > 0) { buf(off) = ':'; off += 1 }
+        val v = mins.getLong(b * rowsPer + r)
+        if (v == 0L) { buf(off) = '0'; off += 1 }
+        else {
+          var n = 0; var x = v; while (x > 0) { n += 1; x /= 10 }
+          var i = off + n - 1
+          x = v
+          while (x > 0) { buf(i) = ('0' + (x % 10).toInt).toByte; x /= 10; i -= 1 }
+          off += n
+        }
+        r += 1
+      }
+      out(b) = UTF8String.fromBytes(buf)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Thread-local MD5 for the per-row digest loops (simhash votes one
     * digest per TOKEN, winnowing one per SHINGLE) — `getInstance` per row
     * was measurable allocation churn in full-corpus scans. */
@@ -1060,7 +1103,7 @@ object Kernels {
     // short-circuit on sessions registered by a previous kernel set and
     // silently skip the additions
     if (reg.functionExists(
-        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pq_codes")))
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_band_sigs")))
       return
     reg.createOrReplaceTempFunction("graft_minhash_sigs",
       args => ShingleMinHashSigs(args.head), "built-in")
@@ -1114,6 +1157,9 @@ object Kernels {
       args => CommonCount(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_lev_capped",
       args => LevCapped(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_band_sigs",
+      args => BandSigs(args(0), litIntArg(args(1)), litIntArg(args(2))),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_word_grams",
       args => WordGrams(args(0), litIntArg(args(1)), distinct = false),
       "built-in")
@@ -1196,6 +1242,22 @@ case class WordGrams(child: Expression, n: Int, distinct: Boolean)
       if (distinct) s"graft.functions.Kernels.wordGramsDistinct($c, $n)"
       else s"graft.functions.Kernels.wordGrams($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+/** C93's per-config ':'-joined band signatures — see [[Kernels.bandSigs]]. */
+case class BandSigs(child: Expression, bands: Int, rowsPer: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bands >= 1 && rowsPer >= 1 && bands * rowsPer <= 64,
+    s"banding geometry out of range: $bands x $rowsPer")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(mins: Any): Any =
+    Kernels.bandSigs(mins.asInstanceOf[ArrayData], bands, rowsPer)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.bandSigs($c, $bands, $rowsPer)")
+  override protected def withNewChildInternal(newChild: Expression): BandSigs =
     copy(child = newChild)
 }
 

@@ -1831,9 +1831,7 @@ object DedupOps {
       // single compact key), so this family deliberately keeps the r15
       // string shape while C2/C29/C58 moved to raw-minima keys
       val sigs = minima.select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(0, ${bc - 1}), b ->
-                concat_ws(':', transform(sequence(0, ${r - 1}), rr ->
-                  cast(element_at(mins, b * $r + rr + 1) as string))))""")))
+          s"graft_band_sigs(mins, $bc, $r)")))
         .toDF("doc_id", "band", "sig")
       val hot = sigs.groupBy("band", "sig")
         .agg(count(lit(1)).as("df")).filter(col("df") > MaxBucketDocs)
@@ -1844,6 +1842,11 @@ object DedupOps {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct().cache()
+      // NOT an eager count: a round-17 A/B of pairs.count()-per-config
+      // cache fills read 960 tasks (vs 1052) but ~1.2 s SLOWER wall — the
+      // one final action runs all four configs' subtrees concurrently,
+      // and that overlap buys more than the racing-fill waste costs here
+      // (unlike C18's loop, where the fill raced within ONE subtree).
       val total = pairs.agg(count(lit(1)).as("n_pairs"))
       val scored = pairs
         .filter(expr(s"""graft_str_hash(concat('bsw|', doc_a, ':', doc_b))
