@@ -469,14 +469,17 @@ object DedupOps {
       // One extra partial-agg shuffle per round, but rounds are the cost:
       // each is a driver-scheduled job, and job latency (not row volume)
       // dominates this loop's wall time. Measured 10 → 5 rounds at sf0.1.
-      // No checkpoint on `next` itself: both its inputs are the
-      // checkpointed `swept`, so the lineage is already truncated and the
-      // tiny jump join recomputes for free where referenced.
+      // `next` stays checkpointed too: its materialization rides the SAME
+      // job as the convergence sum, and consumers reference the final
+      // labels through multi-read caches (C120's grid, C82's funnel) —
+      // without the leaf they re-executed the jump join + the final
+      // window per reference (measured +1.3 s on q_dup_length_bias).
       val next = swept.as("x")
         .join(swept.select(col("node").as("l_node"), col("label").as("l_label")),
           col("x.label") === col("l_node"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("l_label"), col("x.label"))).as("label"))
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -1829,9 +1832,18 @@ object DedupOps {
       // than flat long key columns (round-16 A/B: 5.6 s vs 8.9 s matched
       // dev min at sf0.1; the sweep's million-pair self-joins favor the
       // single compact key), so this family deliberately keeps the r15
-      // string shape while C2/C29/C58 moved to raw-minima keys
+      // string shape while C2/C29/C58 moved to raw-minima keys.
+      // The interpreted transform lambda also STAYS: the codegen'd
+      // graft_band_sigs kernel (still registered + spec-pinned) measured
+      // consistently ~15% SLOWER on this query in two matched A/Bs
+      // (6-rep dev mins 6.19 vs 5.23 s; full-pair +0.8 s) — the sig
+      // build is not where this query's time goes, and the kernel's
+      // digit-division loops lose to the JIT-intrinsified Long.toString
+      // under the lambda. Recorded round-17 revert, the W5 pattern.
       val sigs = minima.select(col("doc_id"), posexplode(expr(
-          s"graft_band_sigs(mins, $bc, $r)")))
+          s"""transform(sequence(0, ${bc - 1}), b ->
+                concat_ws(':', transform(sequence(0, ${r - 1}), rr ->
+                  cast(element_at(mins, b * $r + rr + 1) as string))))""")))
         .toDF("doc_id", "band", "sig")
       val hot = sigs.groupBy("band", "sig")
         .agg(count(lit(1)).as("df")).filter(col("df") > MaxBucketDocs)
